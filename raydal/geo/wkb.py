@@ -1,0 +1,357 @@
+"""WKB geometry: codec + direct-on-WKB predicates, numpy-vectorized.
+
+From-scratch equivalents of the reference's vector-geometry surface that
+the engine needs (GEOS is not available in this environment):
+
+* WKB read/write for Point / LineString / Polygon / Multi* (ISO codes,
+  2-D), the ``ogc.wkb`` binary-column convention of the reference's Arrow
+  contract (``ogr/ogrsf_frmts/generic/ogrlayerarrow.cpp:2562``).
+* bbox / area straight off the WKB bytes, in the spirit of the reference's
+  raw-WKB helpers (``ogr/ogr_wkb.h:23-75``) — no object materialization.
+* Point-in-ring by the crossing-number ray cast, replicating the exact
+  branch structure of ``OGRLinearRing::isPointInRing``
+  (``ogr/ogrlinearring.cpp:462-532``): for segment (p2=prev, p1=cur) in
+  point-relative coords, a crossing counts iff the y's straddle
+  (y1>0) != (y2>0)-with-<=0-ties and the ray intersection
+  ``(x1*y2 - x2*y1) / (y2 - y1) > 0``.  Boundary test mirrors
+  ``isPointOnRingBoundary`` (``:543``).  A winding-number variant is
+  provided as the robust fallback required by the north rule.
+* Polygon×polygon "intersects" for simple polygons (bbox prefilter →
+  mutual vertex containment → edge-pair crossing), the predicate the
+  layer-algebra spatial join needs (``ogrlayer.cpp:3345`` semantics).
+
+Rings are (N, 2) float64 arrays, closed (first == last).  A polygon is a
+list of rings (outer first, then holes); a multipolygon is a list of
+polygons.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "POINT", "LINESTRING", "POLYGON", "MULTIPOINT", "MULTILINESTRING",
+    "MULTIPOLYGON", "GEOMETRYCOLLECTION",
+    "point_wkb", "linestring_wkb", "polygon_wkb", "multipolygon_wkb",
+    "parse_wkb", "wkb_geom_type", "wkb_bbox", "wkb_bbox_many",
+    "wkb_rings", "polygon_area", "wkb_area",
+    "points_in_ring", "points_on_ring_boundary", "winding_number",
+    "points_in_polygon", "polygons_from_wkb", "polygon_intersects_polygon",
+    "box_polygon",
+]
+
+POINT, LINESTRING, POLYGON = 1, 2, 3
+MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION = 4, 5, 6, 7
+
+_LE = 1  # little-endian byte-order marker
+
+
+# ---------------------------------------------------------------------------
+# writers
+
+def point_wkb(x, y):
+    return struct.pack("<BIdd", _LE, POINT, float(x), float(y))
+
+
+def _ring_bytes(ring):
+    ring = np.asarray(ring, dtype="<f8")
+    return struct.pack("<I", len(ring)) + ring.tobytes()
+
+
+def linestring_wkb(coords):
+    return struct.pack("<BI", _LE, LINESTRING) + _ring_bytes(coords)
+
+
+def polygon_wkb(rings):
+    out = [struct.pack("<BII", _LE, POLYGON, len(rings))]
+    out += [_ring_bytes(r) for r in rings]
+    return b"".join(out)
+
+
+def multipolygon_wkb(polygons):
+    out = [struct.pack("<BII", _LE, MULTIPOLYGON, len(polygons))]
+    out += [polygon_wkb(rings) for rings in polygons]
+    return b"".join(out)
+
+
+def box_polygon(xmin, ymin, xmax, ymax):
+    """CCW closed ring for an axis-aligned box, as a single-ring polygon."""
+    ring = np.array([[xmin, ymin], [xmax, ymin], [xmax, ymax],
+                     [xmin, ymax], [xmin, ymin]], dtype=np.float64)
+    return [ring]
+
+
+# ---------------------------------------------------------------------------
+# parser (2-D; accepts ISO Z/M codes by reading and dropping extra dims)
+
+def _dims_of(code):
+    base = code % 1000
+    if code >= 3000:
+        return base, 4
+    if code >= 1000:
+        return base, 3
+    return base, 2
+
+
+def _read_u32(buf, off, little):
+    return struct.unpack_from("<I" if little else ">I", buf, off)[0], off + 4
+
+
+def _read_coords(buf, off, n, ndim, little):
+    dt = "<f8" if little else ">f8"
+    arr = np.frombuffer(buf, dtype=dt, count=n * ndim, offset=off)
+    off += 8 * n * ndim
+    return arr.reshape(n, ndim)[:, :2].astype(np.float64, copy=False), off
+
+
+def _parse(buf, off):
+    little = buf[off] == 1
+    off += 1
+    code, off = _read_u32(buf, off, little)
+    base, ndim = _dims_of(code)
+    if base == POINT:
+        c, off = _read_coords(buf, off, 1, ndim, little)
+        return (POINT, c), off
+    if base == LINESTRING:
+        n, off = _read_u32(buf, off, little)
+        c, off = _read_coords(buf, off, n, ndim, little)
+        return (LINESTRING, c), off
+    if base == POLYGON:
+        nr, off = _read_u32(buf, off, little)
+        rings = []
+        for _ in range(nr):
+            n, off = _read_u32(buf, off, little)
+            c, off = _read_coords(buf, off, n, ndim, little)
+            rings.append(c)
+        return (POLYGON, rings), off
+    if base in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        ng, off = _read_u32(buf, off, little)
+        parts = []
+        for _ in range(ng):
+            g, off = _parse(buf, off)
+            parts.append(g)
+        return (base, parts), off
+    raise ValueError(f"unsupported WKB geometry code {code}")
+
+
+def parse_wkb(buf):
+    """→ (base_type, payload); payload per type as documented above."""
+    g, _ = _parse(bytes(buf), 0)
+    return g
+
+
+def wkb_geom_type(buf):
+    buf = bytes(buf)
+    little = buf[0] == 1
+    code = struct.unpack_from("<I" if little else ">I", buf, 1)[0]
+    return _dims_of(code)[0]
+
+
+def _iter_coord_arrays(parsed):
+    t, payload = parsed
+    if t == POINT or t == LINESTRING:
+        yield payload
+    elif t == POLYGON:
+        yield from payload
+    else:
+        for sub in payload:
+            yield from _iter_coord_arrays(sub)
+
+
+def wkb_bbox(buf):
+    """(xmin, ymin, xmax, ymax) straight from the bytes."""
+    arrs = list(_iter_coord_arrays(parse_wkb(buf)))
+    xs = np.concatenate([a[:, 0] for a in arrs])
+    ys = np.concatenate([a[:, 1] for a in arrs])
+    return float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())
+
+
+def wkb_bbox_many(bufs):
+    """bboxes of a sequence of WKB blobs → 4 float64 arrays."""
+    n = len(bufs)
+    out = np.empty((n, 4), dtype=np.float64)
+    for i, b in enumerate(bufs):
+        out[i] = wkb_bbox(b)
+    return out[:, 0], out[:, 1], out[:, 2], out[:, 3]
+
+
+def polygons_from_wkb(buf):
+    """Normalize Polygon/MultiPolygon WKB → list of polygons (ring lists)."""
+    t, payload = parse_wkb(buf)
+    if t == POLYGON:
+        return [payload]
+    if t == MULTIPOLYGON:
+        return [p for (_, p) in payload]
+    raise ValueError("expected Polygon or MultiPolygon WKB")
+
+
+# ---------------------------------------------------------------------------
+# measures
+
+def _ring_signed_area(ring):
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+
+
+def polygon_area(rings):
+    """abs(outer) − Σ abs(holes) — OGRPolygon::get_Area semantics."""
+    if not rings:
+        return 0.0
+    area = abs(_ring_signed_area(rings[0]))
+    for hole in rings[1:]:
+        area -= abs(_ring_signed_area(hole))
+    return area
+
+
+def wkb_area(buf):
+    return sum(polygon_area(p) for p in polygons_from_wkb(buf))
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon
+
+def points_in_ring(ring, px, py):
+    """Crossing-number test, vectorized over P points × S segments.
+
+    Exact branch parity with ``ogr/ogrlinearring.cpp:462-532``: segment
+    endpoints taken point-relative; straddle test ``(y1>0 && y2<=0) ||
+    (y2>0 && y1<=0)``; crossing iff ``(x1*y2 - x2*y1)/(y2-y1) > 0``.
+    Returns a bool array (odd crossings ⇒ inside; boundary excluded).
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    px = np.atleast_1d(np.asarray(px, dtype=np.float64))
+    py = np.atleast_1d(np.asarray(py, dtype=np.float64))
+    if len(ring) < 4:
+        return np.zeros(len(px), dtype=bool)
+    # (P, S) relative coords: segment i is (ring[i] -> ring[i+1])
+    x2 = ring[:-1, 0][None, :] - px[:, None]  # prev point
+    y2 = ring[:-1, 1][None, :] - py[:, None]
+    x1 = ring[1:, 0][None, :] - px[:, None]   # current point
+    y1 = ring[1:, 1][None, :] - py[:, None]
+    straddle = ((y1 > 0) & (y2 <= 0)) | ((y2 > 0) & (y1 <= 0))
+    denom = y2 - y1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inter = (x1 * y2 - x2 * y1) / denom
+    crossings = (straddle & (inter > 0.0)).sum(axis=1)
+    return (crossings % 2).astype(bool)
+
+
+def points_on_ring_boundary(ring, px, py, eps=0.0):
+    """True where a point lies on a ring segment.
+
+    Mirrors ``isPointOnRingBoundary`` (``ogr/ogrlinearring.cpp:543``):
+    collinear (cross product == 0, within ``eps``) and inside the segment's
+    parameter range.  ``eps=0`` replicates the exact-compare reference.
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    px = np.atleast_1d(np.asarray(px, dtype=np.float64))
+    py = np.atleast_1d(np.asarray(py, dtype=np.float64))
+    ax, ay = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+    bx, by = ring[1:, 0][None, :], ring[1:, 1][None, :]
+    dx, dy = bx - ax, by - ay
+    rx, ry = px[:, None] - ax, py[:, None] - ay
+    cross = dx * ry - dy * rx
+    dot = dx * rx + dy * ry
+    seg_len2 = dx * dx + dy * dy
+    on = (np.abs(cross) <= eps) & (dot >= 0.0) & (dot <= seg_len2) & (seg_len2 > 0)
+    return on.any(axis=1)
+
+
+def winding_number(ring, px, py):
+    """Signed winding number per point (robust fallback; nonzero ⇒ inside)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    px = np.atleast_1d(np.asarray(px, dtype=np.float64))
+    py = np.atleast_1d(np.asarray(py, dtype=np.float64))
+    ax, ay = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+    bx, by = ring[1:, 0][None, :], ring[1:, 1][None, :]
+    is_left = ((bx - ax) * (py[:, None] - ay)
+               - (px[:, None] - ax) * (by - ay))
+    up = (ay <= py[:, None]) & (by > py[:, None]) & (is_left > 0)
+    dn = (ay > py[:, None]) & (by <= py[:, None]) & (is_left < 0)
+    return up.sum(axis=1) - dn.sum(axis=1)
+
+
+def points_in_polygon(rings, px, py, method="crossing"):
+    """Interior test for a polygon with holes (boundary excluded).
+
+    ``method='crossing'`` is the reference-parity crossing-number path;
+    ``'winding'`` is the robust fallback.  Inside = in outer ring and in no
+    hole.
+    """
+    if method == "crossing":
+        test = points_in_ring
+    else:
+        def test(r, x, y):
+            return winding_number(r, x, y) != 0
+    inside = test(rings[0], px, py)
+    for hole in rings[1:]:
+        inside &= ~test(hole, px, py)
+    return inside
+
+
+# ---------------------------------------------------------------------------
+# polygon × polygon intersects
+
+def _segments_cross(a, b):
+    """Any proper-or-touching crossing between segment sets a (Sa,2,2) and
+    b (Sb,2,2)?  Standard orientation test, vectorized over all pairs."""
+    p, r = a[:, 0, :], a[:, 1, :] - a[:, 0, :]
+    q, s = b[:, 0, :], b[:, 1, :] - b[:, 0, :]
+
+    def cross(vx, vy, wx, wy):
+        return vx * wy - vy * wx
+
+    qpx = q[None, :, 0] - p[:, None, 0]
+    qpy = q[None, :, 1] - p[:, None, 1]
+    rxs = cross(r[:, None, 0], r[:, None, 1], s[None, :, 0], s[None, :, 1])
+    qpxr = cross(qpx, qpy, r[:, None, 0], r[:, None, 1])
+    qpxs = cross(qpx, qpy, s[None, :, 0], s[None, :, 1])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = qpxs / rxs
+        u = qpxr / rxs
+    nonpar = rxs != 0
+    hit = nonpar & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    if hit.any():
+        return True
+    # collinear overlap
+    col = (rxs == 0) & (qpxr == 0)
+    if col.any():
+        ai, bi = np.nonzero(col)
+        rr = (r[ai] * r[ai]).sum(axis=1)
+        t0 = ((q[bi] - p[ai]) * r[ai]).sum(axis=1)
+        t1 = t0 + (s[bi] * r[ai]).sum(axis=1)
+        lo = np.minimum(t0, t1)
+        hi = np.maximum(t0, t1)
+        if ((hi >= 0) & (lo <= rr)).any():
+            return True
+    return False
+
+
+def _ring_segments(ring):
+    ring = np.asarray(ring, dtype=np.float64)
+    return np.stack([ring[:-1], ring[1:]], axis=1)
+
+
+def polygon_intersects_polygon(rings_a, rings_b):
+    """Intersects predicate for two polygons-with-holes.
+
+    bbox prefilter → vertex-of-A-in-B / vertex-of-B-in-A (interior test
+    with holes) → boundary crossing test over all ring segment pairs.
+    Matches the layer-algebra candidate test order (envelope pre-filter
+    then geometry predicate, ``ogrlayer.cpp:3427-3502``).
+    """
+    a0 = np.concatenate(rings_a)
+    b0 = np.concatenate(rings_b)
+    if (a0[:, 0].max() < b0[:, 0].min() or b0[:, 0].max() < a0[:, 0].min()
+            or a0[:, 1].max() < b0[:, 1].min()
+            or b0[:, 1].max() < a0[:, 1].min()):
+        return False
+    if points_in_polygon(rings_b, rings_a[0][:, 0], rings_a[0][:, 1]).any():
+        return True
+    if points_in_polygon(rings_a, rings_b[0][:, 0], rings_b[0][:, 1]).any():
+        return True
+    seg_a = np.concatenate([_ring_segments(r) for r in rings_a])
+    seg_b = np.concatenate([_ring_segments(r) for r in rings_b])
+    return _segments_cross(seg_a, seg_b)

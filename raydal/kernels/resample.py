@@ -1,0 +1,219 @@
+"""Resampling kernels with GDAL formula parity, numpy-vectorized.
+
+Kernel closed forms replicate the reference:
+
+* bilinear — tent ``1-|x|`` (``GWKBilinear``, ``alg/gdalwarpkernel.cpp:3429``)
+* cubic — Catmull-Rom ``W(x)`` with a = −0.5 (``CubicKernel``,
+  ``alg/gdalresamplingkernels.h:23-44``)
+* cubicspline — cubic B-spline (``CubicSplineKernel``,
+  ``alg/gdalresamplingkernels.h:46-61``)
+* lanczos — r = 3 windowed sinc ``sinc(x)·sinc(x/3)`` (``GWKLanczosSinc``,
+  ``alg/gdalwarpkernel.cpp:3369-3398``)
+* area resamplers average/mode/min/max/med/q1/q3/sum/rms
+  (``alg/gdalwarper.h:35-67`` enum) for integer block reduction, with the
+  ``GWKTS_First`` tie-break for mode (``alg/gdalwarper.h:134-139``): ties
+  resolve to the value seen first in scan order.
+
+The gather loop runs one vectorized pass per kernel tap ((2r)² taps) over
+the whole destination grid — no per-pixel Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "KERNEL_RADIUS", "kernel_weights", "resample_grid", "block_reduce",
+    "downsample2_average", "copy_words_cast", "psnr",
+]
+
+KERNEL_RADIUS = {"near": 0, "bilinear": 1, "cubic": 2,
+                 "cubicspline": 2, "lanczos": 3}
+
+
+def _w_bilinear(x):
+    ax = np.abs(x)
+    return np.where(ax <= 1.0, 1.0 - ax, 0.0)
+
+
+def _w_cubic(x):
+    # CubicKernel: a=-0.5 Catmull-Rom
+    ax = np.abs(x)
+    x2 = x * x
+    inner = x2 * (1.5 * ax - 2.5) + 1.0
+    outer = x2 * (-0.5 * ax + 2.5) - 4.0 * ax + 2.0
+    return np.where(ax <= 1.0, inner, np.where(ax <= 2.0, outer, 0.0))
+
+
+def _w_cubicspline(x):
+    v = np.abs(x)
+    xm1, xp1, xp2 = v - 1.0, v + 1.0, v + 2.0
+    a = np.where(xp2 > 0.0, xp2 ** 3, 0.0)
+    b = np.where(xp1 > 0.0, xp1 ** 3, 0.0)
+    c = np.where(v > 0.0, v ** 3, 0.0)
+    d = np.where(xm1 > 0.0, xm1 ** 3, 0.0)
+    return np.where(v > 2.0, 0.0,
+                    (a - 4.0 * b + 6.0 * c - 4.0 * d) / 6.0)
+
+
+def _w_lanczos(x):
+    ax = np.abs(x)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pix = np.pi * x
+        val = (np.sin(pix) * np.sin(pix / 3.0)) / (pix * pix / 3.0)
+    val = np.where(x == 0.0, 1.0, val)
+    return np.where(ax < 3.0, val, 0.0)
+
+
+_KERNELS = {"bilinear": _w_bilinear, "cubic": _w_cubic,
+            "cubicspline": _w_cubicspline, "lanczos": _w_lanczos}
+
+
+def kernel_weights(name, x):
+    return _KERNELS[name](np.asarray(x, dtype=np.float64))
+
+
+def resample_grid(src, sx, sy, resample="bilinear", nodata=None):
+    """Sample band ``src`` at fractional pixel coords (corner-based).
+
+    ``sx``/``sy`` are continuous source pixel coordinates in the GDAL
+    convention (integer values at pixel corners, pixel (i, j) spans
+    [i, i+1)).  Returns ``(values float64, valid bool)`` with the same
+    shape as ``sx``.  Contributions from outside the raster (or equal to
+    ``nodata``) are dropped and the remaining weights renormalized — the
+    density-style handling of the reference's masked kernels; all-invalid
+    pixels come back invalid.
+    """
+    src = np.asarray(src)
+    h, w = src.shape
+    sx = np.asarray(sx, dtype=np.float64)
+    sy = np.asarray(sy, dtype=np.float64)
+
+    if resample == "near":
+        ix = np.floor(sx).astype(np.int64)
+        iy = np.floor(sy).astype(np.int64)
+        valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        ixc = np.clip(ix, 0, w - 1)
+        iyc = np.clip(iy, 0, h - 1)
+        vals = src[iyc, ixc].astype(np.float64)
+        if nodata is not None:
+            valid &= vals != nodata
+        return vals, valid
+
+    r = KERNEL_RADIUS[resample]
+    kern = _KERNELS[resample]
+    # center-based sample coordinate: integer u means the center of pixel u
+    ux = sx - 0.5
+    uy = sy - 0.5
+    ix0 = np.floor(ux).astype(np.int64)
+    iy0 = np.floor(uy).astype(np.int64)
+    fx = ux - ix0
+    fy = uy - iy0
+
+    taps = range(-r + 1, r + 1)  # e.g. bilinear: {0, 1}; cubic: {-1..2}
+    wx = {t: kern(fx - t) for t in taps}
+    wy = {t: kern(fy - t) for t in taps}
+
+    acc = np.zeros(sx.shape, dtype=np.float64)
+    wsum = np.zeros(sx.shape, dtype=np.float64)
+    for ty in taps:
+        yy = iy0 + ty
+        in_y = (yy >= 0) & (yy < h)
+        yyc = np.clip(yy, 0, h - 1)
+        for tx in taps:
+            xx = ix0 + tx
+            ok = in_y & (xx >= 0) & (xx < w)
+            xxc = np.clip(xx, 0, w - 1)
+            v = src[yyc, xxc].astype(np.float64)
+            if nodata is not None:
+                ok = ok & (v != nodata)
+            wgt = wx[tx] * wy[ty] * ok
+            acc += np.where(ok, v, 0.0) * wgt
+            wsum += wgt
+    valid = wsum > 1e-10
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = acc / wsum
+    out = np.where(valid, out, nodata if nodata is not None else 0.0)
+    return out, valid
+
+
+def block_reduce(src, fy, fx, how="average", nodata=None):
+    """Reduce ``src`` by integer factors (fy, fx) with an area resampler.
+
+    Trailing rows/cols that don't fill a block are edge-padded (replicate),
+    matching overview behavior at the right/bottom borders closely enough
+    for maxdiff-style comparison.  ``mode`` ties resolve to the value first
+    seen in row-major scan order (``GWKTS_First``).
+    """
+    src = np.asarray(src)
+    h, w = src.shape
+    H = -(-h // fy) * fy
+    W = -(-w // fx) * fx
+    if H != h or W != w:
+        src = np.pad(src, ((0, H - h), (0, W - w)), mode="edge")
+    blocks = src.reshape(H // fy, fy, W // fx, fx).transpose(0, 2, 1, 3)
+    flat = blocks.reshape(H // fy, W // fx, fy * fx).astype(np.float64)
+    if nodata is not None:
+        maskv = flat != nodata
+        cnt = maskv.sum(axis=2)
+    else:
+        maskv = np.ones(flat.shape, dtype=bool)
+        cnt = np.full(flat.shape[:2], fy * fx)
+
+    if how == "average":
+        s = np.where(maskv, flat, 0.0).sum(axis=2)
+        out = np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)
+    elif how == "sum":
+        out = np.where(maskv, flat, 0.0).sum(axis=2)
+    elif how == "min":
+        out = np.where(maskv, flat, np.inf).min(axis=2)
+    elif how == "max":
+        out = np.where(maskv, flat, -np.inf).max(axis=2)
+    elif how == "rms":
+        s = np.where(maskv, flat * flat, 0.0).sum(axis=2)
+        out = np.sqrt(np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan))
+    elif how in ("med", "q1", "q3"):
+        q = {"med": 0.5, "q1": 0.25, "q3": 0.75}[how]
+        tmp = np.where(maskv, flat, np.nan)
+        out = np.nanquantile(tmp, q, axis=2)
+    elif how == "mode":
+        out = np.empty(flat.shape[:2], dtype=np.float64)
+        for i in range(flat.shape[0]):
+            for j in range(flat.shape[1]):
+                vals = flat[i, j][maskv[i, j]]
+                if len(vals) == 0:
+                    out[i, j] = np.nan
+                    continue
+                uniq, first_idx, counts = np.unique(
+                    vals, return_index=True, return_counts=True)
+                best = counts.max()
+                cand = counts == best
+                # GWKTS_First: among tied values pick the earliest-seen
+                out[i, j] = uniq[cand][np.argmin(first_idx[cand])]
+    else:
+        raise ValueError(f"unknown area resampler {how!r}")
+    return out
+
+
+def downsample2_average(src):
+    """2× average downsample (the pyramid reducer; overview AVERAGE)."""
+    return block_reduce(src, 2, 2, how="average")
+
+
+def copy_words_cast(arr, dtype):
+    """Float → integer cast with GDALCopyWords semantics: add 0.5,
+    truncate toward zero, clamp to the dtype range."""
+    arr = np.asarray(arr, dtype=np.float64)
+    info = np.iinfo(dtype)
+    v = np.trunc(arr + 0.5)
+    return np.clip(v, info.min, info.max).astype(dtype)
+
+
+def psnr(a, b, peak=255.0):
+    """Peak signal-to-noise ratio in dB (north-rule lossy gate)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(peak * peak / mse)
