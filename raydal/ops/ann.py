@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns.
+
+* Brute-force cosine top-k: the query matrix is broadcast once
+  (``ray.put``), each batch does one numpy matmul — the exact baseline.
+* LSH-bucketed variant: random-hyperplane signatures bucket vectors so
+  each query only scans its bucket (plus optional neighbor probes) — the
+  scale path; recall measured against the brute-force oracle in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["CosineTopK", "embeddings_matrix", "rhp_signature_batch",
+           "lsh_topk"]
+
+
+def embeddings_matrix(batch: pa.Table, col="embedding", dtype=np.float32):
+    """Zero-copy-ish list<float> column → (n, d) matrix.
+
+    float32 is the scale default; pass float64 when rank stability against
+    a double-precision oracle matters (error 1e-16 ≪ typical score gaps).
+    """
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.flatten(), dtype=dtype)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+class CosineTopK:
+    """Actor: top-k cosine scores of every batch row against Q query rows.
+
+    ``queries_ref`` is a ``ray.put`` handle of a (Q, d) float32 matrix
+    (or the matrix itself for local use); rows are L2-normalized once in
+    ``__init__``.  Emits ``(vec_id, query_idx, score, rank)`` for each
+    batch row's top-k *queries* — to get top-k vectors per query,
+    aggregate downstream with ``groupby(query_idx).map_groups(head-k)``
+    or use :func:`topk_vectors_per_query`.
+    """
+
+    def __init__(self, queries_ref, k=10, id_col="vec_id"):
+        try:
+            import ray
+            if isinstance(queries_ref, ray.ObjectRef):
+                queries_ref = ray.get(queries_ref)
+        except ImportError:
+            pass
+        q = np.asarray(queries_ref, dtype=np.float32)
+        self.q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True),
+                                1e-30)
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = embeddings_matrix(batch)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        scores = x @ self.q.T  # (n, Q)
+        ids = batch[self.id_col]
+        n, Q = scores.shape
+        kq = min(self.k, Q)
+        top = np.argpartition(-scores, kq - 1, axis=1)[:, :kq]
+        out_id, out_q, out_s, out_r = [], [], [], []
+        rowi = np.arange(n)[:, None]
+        tops = scores[rowi, top]
+        order = np.argsort(-tops, axis=1, kind="stable")
+        top = top[rowi, order]
+        tops = tops[rowi, order]
+        for i in range(n):
+            vid = ids[i].as_py()
+            for r in range(kq):
+                out_id.append(vid)
+                out_q.append(int(top[i, r]))
+                out_s.append(float(tops[i, r]))
+                out_r.append(r + 1)
+        return pa.Table.from_pydict({
+            self.id_col: pa.array(out_id),
+            "query_idx": pa.array(out_q, pa.int32()),
+            "score": pa.array(out_s, pa.float64()),
+            "rank": pa.array(out_r, pa.int32())})
+
+
+def topk_vectors_per_query(ds, queries, k=10, id_col="vec_id",
+                           dtype=np.float32):
+    """Brute-force: per query, the k best-scoring vectors in ``ds``.
+
+    Per-batch partial top-k (vectorized matmul) → tiny global reduce —
+    the partial+final pattern; only n_batches × Q × k rows shuffle.
+    """
+    import pandas as pd
+    import ray
+
+    q = np.asarray(queries, dtype=dtype)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    q_ref = ray.put(qn)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids_arrow = batch[id_col]
+        id_type = (ids_arrow.type if not isinstance(ids_arrow, pa.ChunkedArray)
+                   else ids_arrow.chunk(0).type if ids_arrow.num_chunks
+                   else pa.int64())
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict({
+                "query_idx": pa.array([], pa.int32()),
+                id_col: pa.array([], id_type),
+                "score": pa.array([], pa.float64())})
+        x = embeddings_matrix(batch, dtype=dtype)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        scores = x @ qm.T
+        ids = np.asarray(batch[id_col])
+        n = len(ids)
+        kk = min(k, n)
+        out = {"query_idx": [], id_col: [], "score": []}
+        for qi in range(qm.shape[0]):
+            s = scores[:, qi]
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out["query_idx"].extend([qi] * kk)
+            out[id_col].extend(ids[top].tolist())
+            out["score"].extend(s[top].tolist())
+        return pa.Table.from_pydict({
+            "query_idx": pa.array(out["query_idx"], pa.int32()),
+            id_col: pa.array(out[id_col]),
+            "score": pa.array(out["score"], pa.float64())})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("query_idx").map_groups(final, batch_format="pandas"))
+
+
+def rhp_signature_batch(batch: pa.Table, planes, col="embedding",
+                        out_col="lsh_bucket") -> pa.Table:
+    """Random-hyperplane LSH bucket id per vector (sign-bit packing)."""
+    x = embeddings_matrix(batch, col)
+    proj = x @ np.asarray(planes, dtype=np.float32).T
+    bits = (proj > 0).astype(np.uint64)
+    bucket = np.zeros(len(x), dtype=np.uint64)
+    for b in range(bits.shape[1]):
+        bucket = (bucket << np.uint64(1)) | bits[:, b]
+    return batch.append_column(out_col, pa.array(bucket.astype(np.int64)))
+
+
+def lsh_topk(ds, queries, k=10, n_planes=8, seed=7, id_col="vec_id"):
+    """LSH-bucketed ANN: scan only the buckets each query hashes to.
+
+    Candidate set = vectors sharing the query's bucket; scored exactly
+    within bucket.  Recall < 1 by construction; the scale path when the
+    brute-force matmul is too wide.
+    """
+    import pandas as pd
+    import ray
+
+    q = np.asarray(queries, dtype=np.float32)
+    d = q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, d)).astype(np.float32)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    qproj = qn @ planes.T
+    qbits = (qproj > 0).astype(np.uint64)
+    qbucket = np.zeros(len(q), dtype=np.uint64)
+    for b in range(n_planes):
+        qbucket = (qbucket << np.uint64(1)) | qbits[:, b]
+    wanted = {}
+    for qi, bk in enumerate(qbucket.astype(np.int64)):
+        wanted.setdefault(int(bk), []).append(qi)
+    q_ref = ray.put((qn, wanted))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm, want = ray.get(q_ref)
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict({
+                "query_idx": pa.array([], pa.int32()),
+                id_col: pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64())})
+        tbl = rhp_signature_batch(batch, planes)
+        buckets = np.asarray(tbl["lsh_bucket"])
+        out = {"query_idx": [], id_col: [], "score": []}
+        x = embeddings_matrix(batch)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        ids = np.asarray(batch[id_col])
+        for bk, qis in want.items():
+            sel = np.nonzero(buckets == bk)[0]
+            if len(sel) == 0:
+                continue
+            scores = x[sel] @ qm[qis].T
+            for c, qi in enumerate(qis):
+                s = scores[:, c]
+                kk = min(k, len(sel))
+                top = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else \
+                    np.arange(len(s))
+                out["query_idx"].extend([qi] * len(top))
+                out[id_col].extend(ids[sel][top].tolist())
+                out["score"].extend(s[top].tolist())
+        return pa.Table.from_pydict({
+            "query_idx": pa.array(out["query_idx"], pa.int32()),
+            id_col: pa.array(out[id_col]),
+            "score": pa.array(out["score"], pa.float64())})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("query_idx").map_groups(final, batch_format="pandas"))

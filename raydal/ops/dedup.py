@@ -1,0 +1,244 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+phash-Hamming near-dup.
+
+All are Ray-Data-shaped: a vectorized ``map_batches`` fingerprint stage
+followed by a ``groupby`` on the fingerprint (hash partition) — the
+shuffle moves only (key, id) pairs, never payloads.  MinHash/SimHash
+sketches are mergeable and computed per batch; LSH banding explodes to
+(band, band_hash, id) rows so candidate buckets co-locate in one shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "content_hash_batch", "exact_dedup",
+    "MinHasher", "minhash_batch", "lsh_bands_batch", "minhash_dedup",
+    "simhash_batch", "ngram_jaccard",
+    "phash_near_dup_batchfn",
+]
+
+_M61 = (1 << 61) - 1
+
+
+def _hash_u64(arr_u64, seed):
+    """splitmix64 over a uint64 numpy array (vectorized)."""
+    x = arr_u64 + np.uint64(0x9E3779B97F4A7C15 * (seed + 1) & 0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _text_tokens_u64(text):
+    """Whitespace tokens of one string → uint64 FNV-1a hashes."""
+    hs = np.empty(0, dtype=np.uint64)
+    toks = text.split()
+    if not toks:
+        return hs
+    m64 = (1 << 64) - 1
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = 0xCBF29CE484222325
+        for b in t.encode("utf-8", "ignore"):
+            h = ((h ^ b) * 0x100000001B3) & m64
+        out[i] = h
+    return out
+
+
+def _shingles(tok_hashes, n=3):
+    """n-gram shingle hashes from token hashes (rolling combine)."""
+    if len(tok_hashes) < n:
+        return tok_hashes.copy() if len(tok_hashes) else tok_hashes
+    acc = tok_hashes[: len(tok_hashes) - n + 1].copy()
+    for j in range(1, n):
+        acc = _hash_u64(acc ^ tok_hashes[j: len(tok_hashes) - n + 1 + j], j)
+    return acc
+
+
+def content_hash_batch(batch: pa.Table, col="text",
+                       out_col="content_hash") -> pa.Table:
+    """Append a 64-bit content hash of ``col`` (exact-dedup key).
+
+    Uses pyarrow's vectorized string → hash path (utf8 bytes through
+    FNV-1a via numpy on the buffer boundaries would also work; this stays
+    in Arrow).
+    """
+    import zlib
+
+    vals = batch[col].to_pylist()
+    out = np.fromiter(
+        (zlib.crc32(v.encode() if v else b"") ^ (len(v or "") << 32)
+         for v in vals), dtype=np.int64, count=len(vals))
+    return batch.append_column(out_col, pa.array(out, pa.int64()))
+
+
+def exact_dedup(ds, col="text", id_col="doc_id"):
+    """Exact dedup: hash-partition on content hash, keep min-id per group.
+
+    ``groupby(hash).map_groups(first-by-id)`` — the canonical
+    hash-partition + per-group-first; deterministic winner (min id).
+    """
+    import pandas as pd
+
+    ds = ds.map_batches(lambda t: content_hash_batch(t, col=col),
+                        batch_format="pyarrow")
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    return ds.groupby("content_hash").map_groups(keep_first,
+                                                 batch_format="pandas")
+
+
+class MinHasher:
+    """Stateful minhash machinery: permutation seeds fixed at init
+    (actor-pool state; one instance per actor)."""
+
+    def __init__(self, num_perm=64, shingle_n=3):
+        self.num_perm = num_perm
+        self.shingle_n = shingle_n
+
+    def signature(self, text):
+        sh = _shingles(_text_tokens_u64(text), self.shingle_n)
+        if len(sh) == 0:
+            return np.full(self.num_perm, np.uint64(_M61), dtype=np.uint64)
+        sig = np.empty(self.num_perm, dtype=np.uint64)
+        for p in range(self.num_perm):
+            sig[p] = _hash_u64(sh, p).min()
+        return sig
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t or "") for t in batch["text"].to_pylist()]
+        arr = pa.array([s.astype(np.int64).tolist() for s in sigs],
+                       pa.list_(pa.int64(), self.num_perm))
+        return batch.append_column("minhash", arr)
+
+
+def minhash_batch(batch, num_perm=64, shingle_n=3):
+    return MinHasher(num_perm, shingle_n)(batch)
+
+
+def lsh_bands_batch(batch: pa.Table, bands=16, id_col="doc_id") -> pa.Table:
+    """Explode minhash signatures to (band, band_hash, id) rows."""
+    sig = np.asarray(
+        batch["minhash"].combine_chunks().flatten()
+        if isinstance(batch["minhash"], pa.ChunkedArray)
+        else batch["minhash"].flatten(), dtype=np.int64)
+    n = batch.num_rows
+    num_perm = len(sig) // max(n, 1)
+    r = num_perm // bands
+    sig = sig.reshape(n, num_perm).astype(np.uint64)
+    ids = batch[id_col]
+    out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
+    out_id = pa.concat_arrays(
+        [ids.combine_chunks() if isinstance(ids, pa.ChunkedArray)
+         else ids] * bands)
+    bh = np.empty((bands, n), dtype=np.uint64)
+    for b in range(bands):
+        acc = np.zeros(n, dtype=np.uint64)
+        for j in range(b * r, (b + 1) * r):
+            acc = _hash_u64(acc ^ sig[:, j], j)
+        bh[b] = acc
+    return pa.Table.from_pydict({
+        "band": pa.array(out_band),
+        "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
+        id_col: out_id})
+
+
+def minhash_dedup(ds, id_col="doc_id", num_perm=64, bands=16, shingle_n=3,
+                  threshold=0.7):
+    """MinHash-LSH near-dup: signature → band explode → bucket groupby →
+    candidate pairs verified by signature-estimated Jaccard.
+
+    Returns a Dataset of ``(id_a, id_b, est_jaccard)`` candidate pairs
+    (id_a < id_b) whose estimated Jaccard ≥ threshold.  Connected-
+    component clustering is left to the caller (min-label propagation).
+    """
+    import pandas as pd
+
+    sigged = ds.map_batches(MinHasher, fn_constructor_kwargs={
+        "num_perm": num_perm, "shingle_n": shingle_n},
+        batch_format="pyarrow", concurrency=4)
+    sig_by_id = sigged.select_columns([id_col, "minhash"])
+    banded = sig_by_id.map_batches(
+        lambda t: lsh_bands_batch(t, bands=bands, id_col=id_col),
+        batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            empty = g[id_col].iloc[0:0]
+            return pd.DataFrame({"id_a": empty, "id_b": empty})
+        ids = sorted(g[id_col].tolist())
+        a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids))
+                     for j in range(i + 1, len(ids))])
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    cand = banded.groupby(["band", "band_hash"]).map_groups(
+        pairs, batch_format="pandas")
+    # distinct pairs, then verify via signatures (broadcast small sig map)
+    import ray
+
+    sig_tbl = sig_by_id.to_pandas()
+    sig_map = {row[id_col]: np.asarray(row["minhash"], dtype=np.int64)
+               for _, row in sig_tbl.iterrows()}
+    sig_ref = ray.put(sig_map)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        smap = ray.get(sig_ref)
+        est = [float((smap[a] == smap[b]).mean())
+               for a, b in zip(g["id_a"], g["id_b"])]
+        g = g.assign(est_jaccard=est)
+        return g[g["est_jaccard"] >= threshold]
+
+    return (cand.groupby(["id_a", "id_b"])
+                .map_groups(lambda g: g.head(1), batch_format="pandas")
+                .map_batches(verify, batch_format="pandas"))
+
+
+def simhash_batch(batch: pa.Table, col="text", out_col="simhash") -> pa.Table:
+    """64-bit SimHash of token multiset (vectorized bit-vote per doc)."""
+    out = np.empty(batch.num_rows, dtype=np.int64)
+    for i, t in enumerate(batch[col].to_pylist()):
+        hs = _text_tokens_u64(t or "")
+        if len(hs) == 0:
+            out[i] = 0
+            continue
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int32)
+        votes = (2 * bits - 1).sum(axis=0)
+        val = 0
+        for b in range(64):
+            if votes[b] > 0:
+                val |= (1 << b)
+        out[i] = val - (1 << 64) if val >= (1 << 63) else val
+    return batch.append_column(out_col, pa.array(out, pa.int64()))
+
+
+def ngram_jaccard(text_a, text_b, n=3):
+    """Exact n-gram (token shingle) Jaccard between two strings."""
+    sa = set(_shingles(_text_tokens_u64(text_a), n).tolist())
+    sb = set(_shingles(_text_tokens_u64(text_b), n).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(len(sa | sb), 1)
+
+
+def phash_near_dup_batchfn(batch: pa.Table, max_hamming=4,
+                           bucket_bits=16) -> pa.Table:
+    """Bucket images by phash prefix for near-dup candidate generation.
+
+    Emits (bucket, phash, image_id); a following groupby("bucket") then
+    verifies Hamming distance ≤ ``max_hamming`` within buckets.
+    """
+    ph = np.asarray(batch["phash"], dtype=np.int64).astype(np.uint64)
+    bucket = (ph >> np.uint64(64 - bucket_bits)).astype(np.int64)
+    return pa.Table.from_pydict({
+        "bucket": pa.array(bucket),
+        "phash": batch["phash"],
+        "image_id": batch["image_id"]})

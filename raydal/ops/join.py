@@ -1,0 +1,395 @@
+"""Spatial joins: broadcast zone join, PIP join, cell-partitioned join, kNN.
+
+Three physical strategies, chosen by side size (the layer-algebra
+semantics of ``ogr/ogrsf_frmts/generic/ogrlayer.cpp:3345`` — envelope
+pre-filter then exact predicate, ``:3427-3502`` — re-expressed for Ray):
+
+* **Broadcast join** (small method layer): :class:`ZoneIndex` is built once
+  on the driver, ``ray.put`` once, and read by every actor in
+  ``__init__`` — never re-shipped per batch.  Candidate lookup goes
+  through a cell→zones grid; the exact predicate is vectorized PIP /
+  polygon-intersects.
+* **Cell-partitioned join** (both sides large): both sides ``flat_map`` to
+  covering cells, one ``groupby(cell).map_groups`` joins co-located
+  groups; duplicate multi-cell pairs are suppressed with the PBSM
+  reference-point rule (a pair is reported only in the cell containing
+  the intersection's top-left corner).
+* **kNN** via cell-ring expansion (the quadtree analogue of the
+  reference's expanding per-quadrant search, ``alg/gdalgrid.cpp:347-426``):
+  probe ring k = 0, 1, 2, … until ``k`` hits are found and the next
+  ring's minimum possible distance exceeds the current kth distance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geo import cells, wkb as W
+
+__all__ = ["ZoneIndex", "SpatialJoinZones", "PIPJoinZones",
+           "cell_cover_bbox", "pbsm_keep_mask", "KnnJoin", "build_cell_points"]
+
+
+class ZoneIndex:
+    """Broadcast-side spatial index over a zones Arrow table.
+
+    Parses each zone's WKB once into numpy ring arrays, keeps per-zone
+    bboxes, and grids zone ids into WebMercatorQuad-style lon/lat cells at
+    ``index_z`` for candidate lookup.  Cell keys here are computed on a
+    simple equal-angle grid over the lon/lat window — the join only needs
+    a consistent bucketing, not projected cells.
+    """
+
+    def __init__(self, zones: pa.Table, index_z=7,
+                 wkb_col="wkb", id_col="zone_id", attrs=()):
+        self.index_z = index_z
+        self.ids = np.asarray(zones[id_col])
+        self.attrs = {a: np.asarray(zones[a]) for a in attrs}
+        self.polys = []   # per zone: list of polygons (list of rings)
+        n = len(self.ids)
+        self.bbox = np.empty((n, 4), dtype=np.float64)
+        for i, blob in enumerate(zones[wkb_col].to_pylist()):
+            polys = W.polygons_from_wkb(blob)
+            self.polys.append(polys)
+            allc = np.concatenate([r for p in polys for r in p])
+            self.bbox[i] = (allc[:, 0].min(), allc[:, 1].min(),
+                            allc[:, 0].max(), allc[:, 1].max())
+        # grid cells (equal-angle) covering each zone bbox
+        self.grid = {}
+        cx0, cy0, cx1, cy1 = self._cells_of_bbox(
+            self.bbox[:, 0], self.bbox[:, 1], self.bbox[:, 2], self.bbox[:, 3])
+        for i in range(n):
+            for gx in range(int(cx0[i]), int(cx1[i]) + 1):
+                for gy in range(int(cy0[i]), int(cy1[i]) + 1):
+                    self.grid.setdefault((gx, gy), []).append(i)
+
+    def _cells_of_bbox(self, xmin, ymin, xmax, ymax):
+        scale = (1 << self.index_z) / 360.0
+        cx0 = np.floor((np.asarray(xmin) + 180.0) * scale).astype(np.int64)
+        cx1 = np.floor((np.asarray(xmax) + 180.0) * scale).astype(np.int64)
+        cy0 = np.floor((np.asarray(ymin) + 90.0) * scale).astype(np.int64)
+        cy1 = np.floor((np.asarray(ymax) + 90.0) * scale).astype(np.int64)
+        return cx0, cy0, cx1, cy1
+
+    def candidates_for_bbox(self, xmin, ymin, xmax, ymax):
+        """Zone indices whose grid cells overlap the bbox (bbox-filtered)."""
+        cx0, cy0, cx1, cy1 = self._cells_of_bbox(xmin, ymin, xmax, ymax)
+        cand = set()
+        for gx in range(int(cx0), int(cx1) + 1):
+            for gy in range(int(cy0), int(cy1) + 1):
+                cand.update(self.grid.get((gx, gy), ()))
+        if not cand:
+            return np.empty(0, dtype=np.int64)
+        cand = np.fromiter(cand, dtype=np.int64)
+        b = self.bbox[cand]
+        keep = ((b[:, 0] <= xmax) & (b[:, 2] >= xmin)
+                & (b[:, 1] <= ymax) & (b[:, 3] >= ymin))
+        return cand[keep]
+
+    def candidates_for_points(self, px, py):
+        """For a point batch: dict zone_idx → point positions in its bbox."""
+        out = {}
+        scale = (1 << self.index_z) / 360.0
+        gx = np.floor((px + 180.0) * scale).astype(np.int64)
+        gy = np.floor((py + 90.0) * scale).astype(np.int64)
+        keys, inverse = np.unique(np.stack([gx, gy], 1), axis=0,
+                                  return_inverse=True)
+        for ki, (kx, ky) in enumerate(keys):
+            zids = self.grid.get((int(kx), int(ky)))
+            if not zids:
+                continue
+            pts = np.nonzero(inverse == ki)[0]
+            for zi in zids:
+                out.setdefault(zi, []).append(pts)
+        return {zi: np.concatenate(v) for zi, v in out.items()}
+
+
+class SpatialJoinZones:
+    """Actor: image footprints (bbox in zone CRS) × zones intersects-join.
+
+    Construct with ``zones_ref`` (a ``ray.put`` handle of
+    :class:`ZoneIndex`) so the index ships once per actor, or with the
+    index itself for local use.  Emits ``(image_id, zone_id)`` plus any
+    carried attrs.  The footprint is treated as its bbox rectangle in
+    zone space (axis-aligned), the exact predicate is
+    rectangle-polygon intersects.
+    """
+
+    def __init__(self, zones_ref, id_col="image_id"):
+        self.index = self._resolve(zones_ref)
+        self.id_col = id_col
+
+    @staticmethod
+    def _resolve(ref):
+        try:
+            import ray
+            if isinstance(ref, ray.ObjectRef):
+                return ray.get(ref)
+        except ImportError:
+            pass
+        return ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        xmin = np.asarray(batch["xmin"])
+        ymin = np.asarray(batch["ymin"])
+        xmax = np.asarray(batch["xmax"])
+        ymax = np.asarray(batch["ymax"])
+        ids = np.asarray(batch[self.id_col])
+        out_l, out_r = [], []
+        for i in range(batch.num_rows):
+            cand = self.index.candidates_for_bbox(xmin[i], ymin[i],
+                                                  xmax[i], ymax[i])
+            if len(cand) == 0:
+                continue
+            rect = W.box_polygon(xmin[i], ymin[i], xmax[i], ymax[i])
+            for zi in cand:
+                if any(W.polygon_intersects_polygon(rect, poly)
+                       for poly in self.index.polys[zi]):
+                    out_l.append(ids[i])
+                    out_r.append(self.index.ids[zi])
+        return pa.Table.from_pydict({
+            self.id_col: pa.array(out_l),
+            "zone_id": pa.array(out_r)})
+
+
+class PIPJoinZones:
+    """Actor: point-in-polygon join of a point batch against the zones.
+
+    Emits ``(point_id, zone_id, inside, on_boundary)`` per candidate hit:
+    ``inside`` is the crossing-number interior test
+    (``ogr/ogrlinearring.cpp:462`` parity, holes subtract), ``on_boundary``
+    the exact boundary test (``:543``).  ``Contains`` ≡ inside & ~boundary,
+    ``Intersects`` ≡ inside | boundary.
+    """
+
+    def __init__(self, zones_ref, x_col="x", y_col="y", id_col="point_id",
+                 emit="intersects"):
+        self.index = SpatialJoinZones._resolve(zones_ref)
+        self.x_col, self.y_col, self.id_col = x_col, y_col, id_col
+        self.emit = emit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = np.asarray(batch[self.x_col], dtype=np.float64)
+        py = np.asarray(batch[self.y_col], dtype=np.float64)
+        ids = np.asarray(batch[self.id_col])
+        cand = self.index.candidates_for_points(px, py)
+        out = {k: [] for k in (self.id_col, "zone_id", "inside",
+                               "on_boundary")}
+        for zi, pts in cand.items():
+            b = self.index.bbox[zi]
+            in_bb = ((px[pts] >= b[0]) & (px[pts] <= b[2])
+                     & (py[pts] >= b[1]) & (py[pts] <= b[3]))
+            pts = pts[in_bb]
+            if len(pts) == 0:
+                continue
+            x, y = px[pts], py[pts]
+            inside = np.zeros(len(pts), dtype=bool)
+            boundary = np.zeros(len(pts), dtype=bool)
+            for poly in self.index.polys[zi]:
+                inside |= W.points_in_polygon(poly, x, y)
+                for ring in poly:
+                    boundary |= W.points_on_ring_boundary(ring, x, y)
+            if self.emit == "intersects":
+                hit = inside | boundary
+            elif self.emit == "contains":
+                hit = inside & ~boundary
+            else:
+                hit = np.ones(len(pts), dtype=bool)
+            for j in np.nonzero(hit)[0]:
+                out[self.id_col].append(ids[pts[j]])
+                out["zone_id"].append(self.index.ids[zi])
+                out["inside"].append(bool(inside[j]))
+                out["on_boundary"].append(bool(boundary[j]))
+        return pa.Table.from_pydict({
+            self.id_col: pa.array(out[self.id_col]),
+            "zone_id": pa.array(out["zone_id"]),
+            "inside": pa.array(out["inside"], pa.bool_()),
+            "on_boundary": pa.array(out["on_boundary"], pa.bool_())})
+
+
+# ---------------------------------------------------------------------------
+# cell-partitioned large×large machinery
+
+
+def cell_cover_bbox(batch: pa.Table, z, carry_cols, cell_col="cell",
+                    planar_window=None) -> pa.Table:
+    """flat_map helper: one output row per cell covering each bbox row.
+
+    ``planar_window=(x0, y0, x1, y1)`` buckets on an equal-step grid over
+    that window (for lon/lat or arbitrary planar data); default uses
+    WebMercatorQuad cells via the projected bbox columns.
+    """
+    xmin = np.asarray(batch["xmin"], dtype=np.float64)
+    ymin = np.asarray(batch["ymin"], dtype=np.float64)
+    xmax = np.asarray(batch["xmax"], dtype=np.float64)
+    ymax = np.asarray(batch["ymax"], dtype=np.float64)
+    if planar_window is not None:
+        x0, y0, x1, y1 = planar_window
+        n = 1 << z
+        sx = n / (x1 - x0)
+        sy = n / (y1 - y0)
+        cx0 = np.clip(np.floor((xmin - x0) * sx), 0, n - 1).astype(np.int64)
+        cx1 = np.clip(np.floor((xmax - x0) * sx), 0, n - 1).astype(np.int64)
+        cy0 = np.clip(np.floor((ymin - y0) * sy), 0, n - 1).astype(np.int64)
+        cy1 = np.clip(np.floor((ymax - y0) * sy), 0, n - 1).astype(np.int64)
+    else:
+        tm = cells.web_mercator_quad(z)
+        cx0, cy0, cx1, cy1 = cells.tile_indices(tm, xmin, ymin, xmax, ymax)
+    nx = cx1 - cx0 + 1
+    ny = cy1 - cy0 + 1
+    counts = nx * ny
+    total = int(counts.sum())
+    row_idx = np.repeat(np.arange(batch.num_rows), counts)
+    offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    nx_r = np.repeat(nx, counts)
+    gx = np.repeat(cx0, counts) + offs % nx_r
+    gy = np.repeat(cy0, counts) + offs // nx_r
+    cols = {c: batch[c].take(pa.array(row_idx, pa.int64()))
+            for c in carry_cols}
+    cols[cell_col] = pa.array(cells.pack_cell(np.full(total, z), gx, gy))
+    return pa.Table.from_pydict(cols)
+
+
+def pbsm_keep_mask(cell, z, axmin, aymin, bxmin, bymin, planar_window=None):
+    """True where this cell is the canonical reporter for pair (a, b).
+
+    PBSM reference-point rule: report only in the cell that contains the
+    intersection bbox's min corner ``(max(axmin, bxmin), max(aymin,
+    bymin))``.
+    """
+    rx = np.maximum(np.asarray(axmin), np.asarray(bxmin))
+    ry = np.maximum(np.asarray(aymin), np.asarray(bymin))
+    if planar_window is not None:
+        x0, y0, x1, y1 = planar_window
+        n = 1 << z
+        gx = np.clip(np.floor((rx - x0) * n / (x1 - x0)), 0, n - 1)
+        gy = np.clip(np.floor((ry - y0) * n / (y1 - y0)), 0, n - 1)
+    else:
+        tm = cells.web_mercator_quad(z)
+        gx = np.clip(np.floor((rx - tm.top_left_x) / tm.tile_span_x),
+                     0, tm.matrix_w - 1)
+        gy = np.clip(np.floor((tm.top_left_y - ry) / tm.tile_span_y),
+                     0, tm.matrix_h - 1)
+    ref_cell = cells.pack_cell(np.full(len(gx), z), gx.astype(np.int64),
+                               gy.astype(np.int64))
+    return np.asarray(cell) == ref_cell
+
+
+# ---------------------------------------------------------------------------
+# kNN via cell-ring expansion
+
+
+def build_cell_points(ids, x, y, z, window):
+    """Group reference points by equal-step grid cell → broadcastable dict.
+
+    Returns ``{(gx, gy): (ids_arr, xy_arr)}`` plus the grid geometry —
+    the side-table index an actor pulls once via ``ray.put`` handle.
+    """
+    x0, y0, x1, y1 = window
+    n = 1 << z
+    gx = np.clip(np.floor((np.asarray(x) - x0) * n / (x1 - x0)),
+                 0, n - 1).astype(np.int64)
+    gy = np.clip(np.floor((np.asarray(y) - y0) * n / (y1 - y0)),
+                 0, n - 1).astype(np.int64)
+    order = np.lexsort((gy, gx))
+    ids = np.asarray(ids)[order]
+    xy = np.stack([np.asarray(x)[order], np.asarray(y)[order]], axis=1)
+    gx, gy = gx[order], gy[order]
+    grid = {}
+    keys, starts = np.unique(np.stack([gx, gy], 1), axis=0, return_index=True)
+    starts = list(starts) + [len(ids)]
+    for ki, (kx, ky) in enumerate(keys):
+        sl = slice(starts[ki], starts[ki + 1])
+        grid[(int(kx), int(ky))] = (ids[sl], xy[sl])
+    return {"grid": grid, "z": z, "window": window}
+
+
+class KnnJoin:
+    """Actor: k nearest reference points per probe, by cell-ring expansion.
+
+    Reference semantics model: the expanding-radius quadtree search of
+    gdal_grid (``alg/gdalgrid.cpp:347-426``) — expand ring by ring until
+    ``k`` candidates are found *and* the next ring cannot contain a closer
+    point.  Planar Euclidean distance; ties broken by reference id for
+    determinism.  Emits ``(probe_id, rank, neighbor_id, dist)``.
+    """
+
+    def __init__(self, index_ref, k=5, x_col="x", y_col="y",
+                 id_col="point_id"):
+        self.index = SpatialJoinZones._resolve(index_ref)
+        self.k = k
+        self.x_col, self.y_col, self.id_col = x_col, y_col, id_col
+        x0, y0, x1, y1 = self.index["window"]
+        n = 1 << self.index["z"]
+        self.cell_w = (x1 - x0) / n
+        self.cell_h = (y1 - y0) / n
+
+    def _knn_one(self, pxv, pyv, gx, gy):
+        grid = self.index["grid"]
+        n = 1 << self.index["z"]
+        best_ids, best_xy = [], []
+        ring = 0
+        while True:
+            found_any = False
+            for dx in range(-ring, ring + 1):
+                for dy in range(-ring, ring + 1):
+                    if max(abs(dx), abs(dy)) != ring:
+                        continue
+                    cx, cy = gx + dx, gy + dy
+                    if not (0 <= cx < n and 0 <= cy < n):
+                        continue
+                    ent = grid.get((cx, cy))
+                    if ent is None:
+                        continue
+                    best_ids.append(ent[0])
+                    best_xy.append(ent[1])
+                    found_any = True
+            if best_ids:
+                ids = np.concatenate(best_ids)
+                xy = np.concatenate(best_xy)
+                # squared distance for ordering: identical float ops to the
+                # SQL oracle's (dx*dx + dy*dy), so ranks agree bit-for-bit
+                dx = xy[:, 0] - pxv
+                dy = xy[:, 1] - pyv
+                d2 = dx * dx + dy * dy
+                if len(ids) >= self.k:
+                    order = np.lexsort((ids, d2))[:self.k]
+                    kth = d2[order[-1]]
+                    # can a closer point exist in the next ring?
+                    ring_min = ring * min(self.cell_w, self.cell_h)
+                    if kth <= ring_min * ring_min or ring >= n:
+                        return ids[order], np.sqrt(d2[order])
+            ring += 1
+            if ring > n:  # degenerate: fewer than k points exist
+                if best_ids:
+                    ids = np.concatenate(best_ids)
+                    xy = np.concatenate(best_xy)
+                    dx = xy[:, 0] - pxv
+                    dy = xy[:, 1] - pyv
+                    d2 = dx * dx + dy * dy
+                    order = np.lexsort((ids, d2))[:self.k]
+                    return ids[order], np.sqrt(d2[order])
+                return np.empty(0, dtype=object), np.empty(0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x0, y0, x1, y1 = self.index["window"]
+        n = 1 << self.index["z"]
+        px = np.asarray(batch[self.x_col], dtype=np.float64)
+        py = np.asarray(batch[self.y_col], dtype=np.float64)
+        ids = np.asarray(batch[self.id_col])  # native dtype preserved
+        out = {"probe_id": [], "rank": [], "neighbor_id": [], "dist": []}
+        gx = np.clip(np.floor((px - x0) * n / (x1 - x0)), 0, n - 1).astype(int)
+        gy = np.clip(np.floor((py - y0) * n / (y1 - y0)), 0, n - 1).astype(int)
+        for i in range(len(px)):
+            nid, nd = self._knn_one(px[i], py[i], gx[i], gy[i])
+            for r in range(len(nid)):
+                out["probe_id"].append(ids[i])
+                out["rank"].append(r + 1)
+                out["neighbor_id"].append(nid[r])
+                out["dist"].append(float(nd[r]))
+        return pa.Table.from_pydict({
+            "probe_id": pa.array(out["probe_id"]),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "neighbor_id": pa.array(out["neighbor_id"]),
+            "dist": pa.array(out["dist"], pa.float64())})

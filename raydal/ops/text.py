@@ -1,0 +1,117 @@
+"""Text-analysis operators for the documents table.
+
+Vectorized per batch (pandas string kernels / numpy); regexes and
+stopword sets are actor state compiled once in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["quality_score_batch", "token_count_batch", "LangId",
+           "fingerprint_batch"]
+
+
+def token_count_batch(batch: pa.Table, col="text") -> pa.Table:
+    """Whitespace token count + char count (SQL-oracle-matched semantics:
+    tokens = number of non-empty whitespace-separated pieces)."""
+    s = batch[col].to_pandas().fillna("")
+    toks = s.str.split().str.len().astype("int64")
+    return (batch.append_column("n_tokens", pa.array(toks.values))
+                 .append_column("n_chars2",
+                                pa.array(s.str.len().astype("int64").values)))
+
+
+def quality_score_batch(batch: pa.Table, col="text") -> pa.Table:
+    """Length / punctuation / digit / uppercase ratios + composite score.
+
+    All ratios are computed against the character count; semantics are
+    deliberately SQL-expressible (rational arithmetic only — no
+    transcendentals, so the DuckDB oracle reproduces them bit-for-bit):
+    punct set is ``.,!?;:`` and score = (n/(n+500)) * (1 - punct_ratio).
+    """
+    s = batch[col].to_pandas().fillna("")
+    n = s.str.len().astype("float64").values
+    punct = s.str.count(r"[.,!?;:]").astype("float64").values
+    digits = s.str.count(r"[0-9]").astype("float64").values
+    upper = s.str.count(r"[A-Z]").astype("float64").values
+    safe_n = np.maximum(n, 1.0)
+    punct_ratio = punct / safe_n
+    digit_ratio = digits / safe_n
+    upper_ratio = upper / safe_n
+    score = (n / (n + 500.0)) * (1.0 - punct_ratio)
+    out = batch
+    for name, arr in (("punct_ratio", punct_ratio),
+                      ("digit_ratio", digit_ratio),
+                      ("upper_ratio", upper_ratio),
+                      ("quality", score)):
+        out = out.append_column(name, pa.array(arr, pa.float64()))
+    return out
+
+
+class LangId:
+    """Actor: character n-gram language heuristic.
+
+    Profiles are tiny hand-built trigram/stopword sets for the languages
+    the documents fixture carries; state (compiled regex, profile dicts)
+    is built once per actor.  Emits ``lang_pred`` + ``lang_conf``.
+    """
+
+    PROFILES = {
+        "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for",
+               "was", "with", "as", "his", "on", "be"},
+        "de": {"der", "die", "und", "das", "ist", "nicht", "mit", "ein",
+               "von", "zu", "den", "auf", "sich", "des", "im"},
+        "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "dans",
+               "que", "pour", "qui", "des", "pas", "sur"},
+        "es": {"el", "la", "los", "las", "de", "y", "que", "en", "un",
+               "una", "es", "por", "con", "para", "del"},
+        "it": {"il", "la", "di", "e", "che", "un", "una", "per", "non",
+               "sono", "con", "del", "le", "si", "da"},
+    }
+
+    def __init__(self):
+        import re
+
+        self.word_re = re.compile(r"[a-zà-ÿ']+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, confs = [], []
+        for t in batch["text"].to_pylist():
+            words = self.word_re.findall((t or "").lower())
+            if not words:
+                preds.append("und")
+                confs.append(0.0)
+                continue
+            scores = {lang: sum(w in prof for w in words) / len(words)
+                      for lang, prof in self.PROFILES.items()}
+            best = max(scores, key=scores.get)
+            preds.append(best if scores[best] > 0.03 else "und")
+            confs.append(float(scores[best]))
+        return (batch.append_column("lang_pred", pa.array(preds))
+                     .append_column("lang_conf", pa.array(confs, pa.float64())))
+
+
+def fingerprint_batch(batch: pa.Table, col="text", window=8) -> pa.Table:
+    """Rolling-hash (Rabin-Karp style) document fingerprint: the minimum
+    of the window rolling hashes — a winnowing-flavored signature."""
+    B = np.uint64(1000003)
+    out = np.empty(batch.num_rows, dtype=np.int64)
+    for i, t in enumerate(batch[col].to_pylist()):
+        data = np.frombuffer((t or "").encode("utf-8", "ignore"),
+                             dtype=np.uint8).astype(np.uint64)
+        if len(data) < window:
+            h = np.uint64(0)
+            for b in data:
+                h = h * B + b
+            out[i] = int(h.astype(np.int64))
+            continue
+        # rolling hash over all windows, vectorized via powers
+        pows = B ** np.arange(window, dtype=np.uint64)[::-1]
+        n_win = len(data) - window + 1
+        idx = np.arange(window)[None, :] + np.arange(n_win)[:, None]
+        hashes = (data[idx] * pows[None, :]).sum(axis=1, dtype=np.uint64)
+        out[i] = int(hashes.min().astype(np.int64))
+    return batch.append_column("fingerprint", pa.array(out, pa.int64()))

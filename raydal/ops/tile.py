@@ -1,0 +1,179 @@
+"""Tile mosaic + pyramid reduction — the groupby-aggregate shuffle stage.
+
+Mosaic semantics: per pixel, the contribution of the highest image index
+wins ("last painted wins" under deterministic image_id order — the
+order-sensitivity note of SURVEY §7.4 resolved by making the merge an
+associative per-pixel argmax).  Because the merge is associative and
+commutative, hot tiles can be **salted**: stage 1 composes partials per
+``(cell, salt)``, stage 2 merges partials per ``cell`` — the two-stage
+reduce the north rule mandates for skew; each partial carries a per-pixel
+winner map so the merge is exact.
+
+Pyramid: per level ``groupby(parent_cell).map_groups`` composes the ≤4
+children (child key ``>>1``, gdal2tiles.py:1477 keying) and 2×-average
+downsamples — one groupby per level, driver-looped (the z+1→z barrier of
+``apps/gdalalg_raster_tile.cpp:3080``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..geo import cells
+from ..io.png import decode_png, encode_png
+from ..kernels.resample import copy_words_cast, downsample2_average
+
+__all__ = ["image_ord", "compose_group", "merge_partials_group",
+           "mosaic_tiles", "pyramid_level", "build_pyramid"]
+
+TILE = 256
+
+
+def image_ord(image_id):
+    """Deterministic paint-order integer for an image id (img-%012d)."""
+    s = str(image_id)
+    tail = s.rsplit("-", 1)[-1]
+    try:
+        return int(tail)
+    except ValueError:
+        return abs(hash(s)) % (1 << 31)
+
+
+def _unpack_mask(blob, ts=TILE):
+    bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8),
+                         count=ts * ts)
+    return bits.reshape(ts, ts).astype(bool)
+
+
+def _compose_rows(rgbs, masks, ords, ts=TILE):
+    """Per-pixel winner compose → (rgb uint8, winner int64 map)."""
+    winner = np.full((ts, ts), -1, dtype=np.int64)
+    out = np.zeros((ts, ts, 3), dtype=np.uint8)
+    order = np.argsort(ords, kind="stable")
+    for i in order:  # ascending ord; later (higher) overwrites
+        m = masks[i]
+        out[m] = rgbs[i][m]
+        winner[m] = ords[i]
+    return out, winner
+
+
+def compose_group(g: pd.DataFrame) -> pd.DataFrame:
+    """map_groups fn: all contributions of one (cell[, salt]) → one partial.
+
+    Emits (cell, z, tile_x, tile_y, tile_rgb, winner, n_contrib).
+    """
+    ts = TILE
+    rgbs = [np.frombuffer(b, dtype=np.uint8).reshape(ts, ts, 3)
+            for b in g["tile_rgb"]]
+    masks = [_unpack_mask(b, ts) for b in g["tile_mask"]]
+    ords = np.array([image_ord(i) for i in g["image_id"]])
+    rgb, winner = _compose_rows(rgbs, masks, ords, ts)
+    return pd.DataFrame({
+        "cell": [g["cell"].iloc[0]], "z": [g["z"].iloc[0]],
+        "tile_x": [g["tile_x"].iloc[0]], "tile_y": [g["tile_y"].iloc[0]],
+        "tile_rgb": [rgb.tobytes()], "winner": [winner.tobytes()],
+        "n_contrib": [len(g)]})
+
+
+def merge_partials_group(g: pd.DataFrame) -> pd.DataFrame:
+    """map_groups fn: merge salted partials of one cell (per-pixel argmax)."""
+    ts = TILE
+    rgb = np.zeros((ts, ts, 3), dtype=np.uint8)
+    winner = np.full((ts, ts), -1, dtype=np.int64)
+    for _, row in g.iterrows():
+        prgb = np.frombuffer(row["tile_rgb"], dtype=np.uint8).reshape(ts, ts, 3)
+        pwin = np.frombuffer(row["winner"], dtype=np.int64).reshape(ts, ts)
+        take = pwin > winner
+        rgb[take] = prgb[take]
+        winner[take] = pwin[take]
+    return pd.DataFrame({
+        "cell": [g["cell"].iloc[0]], "z": [g["z"].iloc[0]],
+        "tile_x": [g["tile_x"].iloc[0]], "tile_y": [g["tile_y"].iloc[0]],
+        "tile_rgb": [rgb.tobytes()], "winner": [winner.tobytes()],
+        "n_contrib": [int(g["n_contrib"].sum())]})
+
+
+def mosaic_tiles(contrib_ds, salt=0):
+    """Contributions (cell, z, x, y, image_id, tile_rgb, tile_mask) →
+    one composed row per cell.
+
+    ``salt > 0`` enables the two-stage skew-safe reduce: partials per
+    ``(cell, salt)`` with ``salt = image_ord % salt``, then a final merge
+    per cell.  With ``salt=0`` a single groupby composes directly.
+    """
+    if salt and salt > 1:
+        def add_salt(t: pa.Table) -> pa.Table:
+            s = np.array([image_ord(i) % salt
+                          for i in t["image_id"].to_pylist()],
+                         dtype=np.int32)
+            return t.append_column("salt", pa.array(s))
+
+        partials = (contrib_ds
+                    .map_batches(add_salt, batch_format="pyarrow")
+                    .groupby(["cell", "salt"])
+                    .map_groups(compose_group, batch_format="pandas"))
+        return partials.groupby("cell").map_groups(
+            merge_partials_group, batch_format="pandas")
+    return contrib_ds.groupby("cell").map_groups(
+        compose_group, batch_format="pandas")
+
+
+def _parent_key_batch(t: pa.Table) -> pa.Table:
+    cell = np.asarray(t["cell"], dtype=np.int64)
+    return t.append_column("parent",
+                           pa.array(cells.parent_cell(cell), pa.int64()))
+
+
+def _compose4_group(g: pd.DataFrame) -> pd.DataFrame:
+    """4 children (z+1) → 1 parent tile at z (2×2 compose + 2× average)."""
+    ts = TILE
+    parent = int(g["parent"].iloc[0])
+    pz, px, py = (int(v) for v in cells.unpack_cell(np.int64(parent)))
+    big = np.zeros((2 * ts, 2 * ts, 3), dtype=np.float64)
+    for _, row in g.iterrows():
+        cz, cx, cy = (int(v) for v in cells.unpack_cell(np.int64(row["cell"])))
+        ox = (cx - 2 * px) * ts
+        oy = (cy - 2 * py) * ts
+        rgb = np.frombuffer(row["tile_rgb"], dtype=np.uint8).reshape(ts, ts, 3)
+        big[oy:oy + ts, ox:ox + ts] = rgb
+    small = np.empty((ts, ts, 3), dtype=np.uint8)
+    for b in range(3):
+        small[:, :, b] = copy_words_cast(downsample2_average(big[:, :, b]),
+                                         np.uint8)
+    return pd.DataFrame({
+        "cell": [parent], "z": [pz], "tile_x": [px], "tile_y": [py],
+        "tile_rgb": [small.tobytes()],
+        "n_contrib": [int(g["n_contrib"].sum())]})
+
+
+def pyramid_level(tiles_ds):
+    """One pyramid step: tiles at z → composed tiles at z−1."""
+    return (tiles_ds
+            .map_batches(_parent_key_batch, batch_format="pyarrow")
+            .groupby("parent")
+            .map_groups(_compose4_group, batch_format="pandas"))
+
+
+def build_pyramid(base_tiles_ds, z_max, z_min):
+    """Full reduction z_max → z_min; returns {z: Dataset}.
+
+    Each level is materialized before reducing further (the per-level
+    barrier of the reference tiler); levels stay in the object store.
+    """
+    levels = {z_max: base_tiles_ds}
+    cur = base_tiles_ds
+    for z in range(z_max - 1, z_min - 1, -1):
+        cur = pyramid_level(cur).materialize()
+        levels[z] = cur
+    return levels
+
+
+def encode_tiles_batch(t: pa.Table) -> pa.Table:
+    """Raw tile_rgb → PNG bytes (sink-side encode stage)."""
+    pngs = [encode_png(np.frombuffer(b, dtype=np.uint8).reshape(TILE, TILE, 3))
+            for b in t["tile_rgb"].to_pylist()]
+    out = t.drop_columns([c for c in ("tile_rgb", "winner")
+                          if c in t.schema.names])
+    return out.append_column("png", pa.array(pngs, pa.binary()))

@@ -1,0 +1,901 @@
+"""The driver-facing query registry: Ray pipelines + DuckDB oracle SQL.
+
+Each entry implements one operator family from SURVEY.md §2 as an
+idiomatic Ray Data pipeline over the testdata tables, paired (where
+SQL-expressible) with an ANSI-SQL oracle the driver runs on DuckDB.
+
+Exact-match discipline (driver hashes values):
+
+* every integer output is int64, every float float64, timestamps us;
+* aggregate floats are rounded to a fixed scale on BOTH sides (partial
+  sums reorder float addition; rounding absorbs the ulp drift);
+* derived spatial data (points / rectangles) comes from *integer* LCG
+  arithmetic on table keys — exact in both engines — and only then
+  becomes float through identical expressions;
+* rank orderings use squared distance / float64 scores whose cross-engine
+  error (≤1e-15 rel) is far below observed score gaps.
+
+Queries with no SQL equivalent (WKB polygon PIP, warp checksums, MinHash,
+SimHash, LangId, phash dedup, LSH ANN) are registered without an oracle —
+the driver records rows-only checks and pytest carries their golden
+tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["QUERIES", "query_fns", "oracle_sqls"]
+
+_E = 20037508.342789244
+
+
+def _read(sf_dir, table, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
+
+
+def round_half_away(x, nd):
+    """DuckDB-parity ROUND: half away from zero at ``nd`` decimals."""
+    x = np.asarray(x, dtype=np.float64)
+    p = 10.0 ** nd
+    return np.where(x >= 0, np.floor(x * p + 0.5), np.ceil(x * p - 0.5)) / p
+
+
+def _round_cols(tbl: pa.Table, spec) -> pa.Table:
+    """Round float columns to fixed decimals with SQL ROUND semantics
+    (ulp absorber for reordered float sums + rounding-rule parity)."""
+    for col, nd in spec.items():
+        idx = tbl.schema.get_field_index(col)
+        vals = round_half_away(np.asarray(tbl[col], dtype=np.float64), nd)
+        tbl = tbl.set_column(idx, col, pa.array(vals, pa.float64()))
+    return tbl
+
+
+def _cast_i64(tbl: pa.Table, cols) -> pa.Table:
+    for col in cols:
+        idx = tbl.schema.get_field_index(col)
+        tbl = tbl.set_column(idx, col,
+                             tbl[col].cast(pa.int64()))
+    return tbl
+
+
+# ---------------------------------------------------------------------------
+# relational core (SURVEY §2.2 filters/projections, §2.5 aggregates,
+# §2.6 sort/limit, §2.7 set ops, §2.8 scalar fns)
+
+
+def q01_pricing_summary(sf_dir):
+    """Grouped aggregates (SUM/AVG/COUNT over lineitem, TPC-H Q1 shape)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(
+            t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                        Sum("l_extendedprice", alias_name="sum_base_price"),
+                        Sum("disc_price", alias_name="sum_disc_price"),
+                        Mean("l_quantity", alias_name="avg_qty"),
+                        Count(alias_name="count_order")))
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    tbl = _round_cols(tbl, {"sum_base_price": 2, "sum_disc_price": 2,
+                            "avg_qty": 6})
+    tbl = _cast_i64(tbl, ["sum_qty", "count_order"])
+    return tbl
+
+
+SQL_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_filter_project(sf_dir):
+    """Row-level filter + computed projection (vectorized, zero-copy)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"],
+                             pa.scalar(np.datetime64("1997-01-01", "us"))),
+            pc.greater_equal(t["l_discount"], pa.scalar(0.05)))
+        t = t.filter(m)
+        rev = round_half_away(
+            np.asarray(t["l_extendedprice"], dtype=np.float64)
+            * (1.0 - np.asarray(t["l_discount"], dtype=np.float64)), 2)
+        return pa.Table.from_pydict({
+            "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+            "l_linenumber": t["l_linenumber"].cast(pa.int64()),
+            "revenue": pa.array(rev, pa.float64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q02 = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       ROUND(l_extendedprice * (1 - l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_discount >= 0.05
+"""
+
+
+def q03_join_agg(sf_dir):
+    """Equi-join via broadcast small side (customer⋈nation⋈region)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    lut = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")
+    nk_to_region = dict(zip(lut["n_nationkey"], lut["r_name"]))
+    ref = ray.put(nk_to_region)
+
+    def add_region(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        nk = np.asarray(t["c_nationkey"])
+        rn = np.array([m[k] for k in nk], dtype=object)
+        return t.append_column("r_name", pa.array(rn, pa.string()))
+
+    out = (_read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+           .map_batches(add_region, batch_format="pyarrow")
+           .groupby("r_name")
+           .aggregate(Count(alias_name="n_customers"),
+                      Sum("c_acctbal", alias_name="sum_acctbal")))
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    tbl = _round_cols(tbl, {"sum_acctbal": 2})
+    return _cast_i64(tbl, ["n_customers"])
+
+
+SQL_Q03 = """
+SELECT r_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q04_top_orders(sf_dir):
+    """Global sort + limit (ORDER BY … DESC LIMIT k)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice",
+                                  "o_orderpriority"])
+    out = ds.sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(10)
+    return _cast_i64(pa.Table.from_pandas(out.to_pandas(),
+                                          preserve_index=False),
+                     ["o_orderkey"])
+
+
+SQL_Q04 = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q05_distinct(sf_dir):
+    """SELECT DISTINCT (ds.unique)."""
+    vals = sorted(_read(sf_dir, "customer",
+                        ["c_mktsegment"]).unique("c_mktsegment"))
+    return pa.Table.from_pydict({"c_mktsegment": pa.array(vals, pa.string())})
+
+
+SQL_Q05 = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def q06_union(sf_dir):
+    """UNION ALL of two sources (ds.union)."""
+    r = _read(sf_dir, "region", ["r_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow")
+    n = _read(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow")
+    return r.union(n)
+
+
+SQL_Q06 = ("SELECT r_name AS name FROM region "
+           "UNION ALL SELECT n_name AS name FROM nation")
+
+
+def q07_string_date(sf_dir):
+    """Scalar date/string functions + grouped aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority",
+                                  "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"]).cast(pa.int64())
+        return pa.Table.from_pydict({
+            "yr": yr, "o_orderpriority": t["o_orderpriority"],
+            "o_totalprice": t["o_totalprice"]})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby(["yr", "o_orderpriority"])
+             .aggregate(Count(alias_name="n"),
+                        Sum("o_totalprice", alias_name="total")))
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _cast_i64(_round_cols(tbl, {"total": 2}), ["n", "yr"])
+
+
+SQL_Q07 = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY yr, o_orderpriority
+"""
+
+
+def q08_events_hourly(sf_dir):
+    """Tumbling event-time window as groupby(key, floor(ts, 1h))."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        hr = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.Table.from_pydict({
+            "user_id": t["user_id"], "hour_ts": hr, "value": t["value"]})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby(["user_id", "hour_ts"])
+             .aggregate(Count(alias_name="n_events"),
+                        Sum("value", alias_name="sum_value")))
+    pdf = out.to_pandas()
+    pdf["hour_ts"] = pdf["hour_ts"].astype("datetime64[us]")
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    return _cast_i64(_round_cols(tbl, {"sum_value": 2}),
+                     ["user_id", "n_events"])
+
+
+SQL_Q08 = """
+SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY user_id, hour_ts
+"""
+
+
+def q09_stddev(sf_dir):
+    """STDDEV_SAMP / STDDEV_POP via Ray's mergeable Std aggregate."""
+    from ray.data.aggregate import Std
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = ds.groupby("l_returnflag").aggregate(
+        Std("l_quantity", ddof=1, alias_name="std_qty"),
+        Std("l_quantity", ddof=0, alias_name="std_qty_pop"))
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _round_cols(tbl, {"std_qty": 6, "std_qty_pop": 6})
+
+
+SQL_Q09 = """
+SELECT l_returnflag, ROUND(STDDEV_SAMP(l_quantity), 6) AS std_qty,
+       ROUND(STDDEV_POP(l_quantity), 6) AS std_qty_pop
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q10_left_join(sf_dir):
+    """LEFT JOIN via broadcast dict (nulls preserved on misses)."""
+    import ray
+
+    rich = (_read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+            .map_batches(lambda t: t.filter(
+                pc.greater(t["c_acctbal"], pa.scalar(9000.0))),
+                batch_format="pyarrow").to_pandas())
+    lut = dict(zip(rich["c_custkey"], rich["c_name"]))
+    ref = ray.put(lut)
+
+    def join(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ck = np.asarray(t["o_custkey"])
+        names = [m.get(k) for k in ck]
+        return pa.Table.from_pydict({
+            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "c_name": pa.array(names, pa.string())})
+
+    return _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        join, batch_format="pyarrow")
+
+
+SQL_Q10 = """
+SELECT o_orderkey, c_name
+FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
+  ON o_custkey = c_custkey
+"""
+
+
+def q18_like_filter(sf_dir):
+    """LIKE predicate + grouped count."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_type"])
+    out = (ds.map_batches(lambda t: t.filter(
+        pc.match_like(t["p_type"], "%ECONOMY%")), batch_format="pyarrow")
+        .groupby("p_brand").aggregate(Count(alias_name="n")))
+    return _cast_i64(pa.Table.from_pandas(out.to_pandas(),
+                                          preserve_index=False), ["n"])
+
+
+SQL_Q18 = ("SELECT p_brand, COUNT(*) AS n FROM part "
+           "WHERE p_type LIKE '%ECONOMY%' GROUP BY p_brand")
+
+
+def q19_between_in(sf_dir):
+    """BETWEEN + IN predicates, global aggregate."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_returnflag",
+                                    "l_extendedprice"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = (pc.and_(pc.and_(
+            pc.greater_equal(t["l_quantity"], pa.scalar(5.0)),
+            pc.less_equal(t["l_quantity"], pa.scalar(10.0))),
+            pc.is_in(t["l_returnflag"],
+                     value_set=pa.array(["A", "R"]))))
+        t = t.filter(m)
+        return pa.Table.from_pydict({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "total": pa.array(
+                [float(pc.sum(t["l_extendedprice"]).as_py() or 0.0)],
+                pa.float64())})
+
+    pdf = (ds.map_batches(fn, batch_format="pyarrow")).to_pandas()
+    return pa.Table.from_pydict({
+        "n": pa.array([int(pdf["n"].sum())], pa.int64()),
+        "total": pa.array([float(round_half_away(pdf["total"].sum(), 2))],
+                          pa.float64())})
+
+
+SQL_Q19 = """
+SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS total
+FROM lineitem
+WHERE l_quantity BETWEEN 5 AND 10 AND l_returnflag IN ('A', 'R')
+"""
+
+
+def q21_minmax(sf_dir):
+    """MIN/MAX grouped aggregates."""
+    from ray.data.aggregate import Count, Max, Min
+
+    out = (_read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+           .groupby("o_orderpriority")
+           .aggregate(Min("o_totalprice", alias_name="min_price"),
+                      Max("o_totalprice", alias_name="max_price"),
+                      Count(alias_name="n")))
+    return _cast_i64(pa.Table.from_pandas(out.to_pandas(),
+                                          preserve_index=False), ["n"])
+
+
+SQL_Q21 = """
+SELECT o_orderpriority, MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price, COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q22_anti_join(sf_dir):
+    """Anti-join via broadcast key set (customers without orders)."""
+    import ray
+
+    have = set(np.asarray(
+        _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")))
+    ref = ray.put(have)
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        ck = np.asarray(t["c_custkey"])
+        keep = np.array([k not in s for k in ck], dtype=bool)
+        return pa.Table.from_pydict({
+            "c_custkey": pa.array(ck[keep], pa.int64())})
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+SQL_Q22 = ("SELECT c_custkey FROM customer "
+           "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)")
+
+
+# ---------------------------------------------------------------------------
+# spatial: derived points/rects from integer key arithmetic (exact in SQL)
+
+_PT = ("-20 + (({k} * 48271) % 60000) / 1000.0",
+       "-10 + (({k} * 16807) % 60000) / 1000.0")
+
+
+def _derive_points(t: pa.Table, key_col) -> pa.Table:
+    k = np.asarray(t[key_col], dtype=np.int64)
+    x = -20 + ((k * 48271) % 60000) / 1000.0
+    y = -10 + ((k * 16807) % 60000) / 1000.0
+    return pa.Table.from_pydict({
+        key_col: pa.array(k, pa.int64()),
+        "x": pa.array(x, pa.float64()), "y": pa.array(y, pa.float64())})
+
+
+def _tile_assign_impl(sf_dir, z=8):
+    """Reference-parity tile assignment of derived supplier points at z=8.
+
+    Tile formula: ``clamp(floor((merc - origin)/span), 0, n-1)`` — the
+    point case of ``GetTileIndices`` (apps/gdalalg_raster_tile.cpp:274).
+    """
+    from .geo import cells
+    from .geo.crs import lonlat_to_mercator
+
+    ds = _read(sf_dir, "supplier", ["s_suppkey"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = _derive_points(t, "s_suppkey")
+        mx, my = lonlat_to_mercator(np.asarray(t["x"]), np.asarray(t["y"]))
+        tm = cells.web_mercator_quad(z)
+        tx = np.clip(np.floor((mx - tm.top_left_x) / tm.tile_span_x),
+                     0, tm.matrix_w - 1).astype(np.int64)
+        ty = np.clip(np.floor((tm.top_left_y - my) / tm.tile_span_y),
+                     0, tm.matrix_h - 1).astype(np.int64)
+        return pa.Table.from_pydict({
+            "s_suppkey": t["s_suppkey"],
+            "tile_x": pa.array(tx, pa.int64()),
+            "tile_y": pa.array(ty, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_SPAN8 = f"((2*{_E}/(256*256))*256)"
+SQL_Q11 = f"""
+WITH pts AS (
+  SELECT s_suppkey,
+         {_PT[0].format(k='s_suppkey')} AS x,
+         {_PT[1].format(k='s_suppkey')} AS y
+  FROM supplier)
+SELECT s_suppkey,
+  CAST(LEAST(GREATEST(floor((radians(x)*6378137.0 - (-{_E})) / {_SPAN8}), 0), 255) AS BIGINT) AS tile_x,
+  CAST(LEAST(GREATEST(floor(({_E} - 6378137.0*ln(tan(pi()/4 + radians(y)/2))) / {_SPAN8}), 0), 255) AS BIGINT) AS tile_y
+FROM pts
+"""
+
+
+def q12_point_in_rect(sf_dir):
+    """Spatial join: derived customer points × 12 derived rectangles.
+
+    Engine path: WKB box polygons → broadcast ZoneIndex → PIP actor
+    (crossing-number + boundary, closed-rectangle ≡ SQL BETWEEN).
+    """
+    import ray
+
+    from .geo import wkb as W
+    from .ops.join import PIPJoinZones, ZoneIndex
+
+    rects = _derived_rects()
+    zt = pa.Table.from_pydict({
+        "zone_id": pa.array(rects["rect_id"], pa.int64()),
+        "wkb": pa.array([W.polygon_wkb(W.box_polygon(x0, y0, x1, y1))
+                         for x0, y0, x1, y1 in rects["bounds"]],
+                        pa.binary())})
+    zi_ref = ray.put(ZoneIndex(zt, index_z=5))
+    pts = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: _derive_points(t, "c_custkey"), batch_format="pyarrow")
+    joined = pts.map_batches(
+        PIPJoinZones, fn_constructor_kwargs={
+            "zones_ref": zi_ref, "id_col": "c_custkey",
+            "emit": "intersects"},
+        batch_format="pyarrow", concurrency=2)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "c_custkey": t["c_custkey"].cast(pa.int64()),
+            "rect_id": t["zone_id"].cast(pa.int64())})
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+def _derived_rects():
+    j = np.arange(12)
+    x0 = -20.0 + (j * 7919) % 50
+    y0 = -10.0 + (j * 104729) % 50
+    w = 3.0 + j % 5
+    h = 2.0 + j % 7
+    return {"rect_id": j.astype(np.int64),
+            "bounds": list(zip(x0, y0, x0 + w, y0 + h))}
+
+
+SQL_Q12 = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         {_PT[0].format(k='c_custkey')} AS x,
+         {_PT[1].format(k='c_custkey')} AS y
+  FROM customer),
+rects AS (
+  SELECT j AS rect_id,
+         -20 + (j * 7919) % 50 AS x0,
+         -10 + (j * 104729) % 50 AS y0,
+         3 + j % 5 AS w, 2 + j % 7 AS h
+  FROM range(12) t(j))
+SELECT c_custkey, rect_id
+FROM pts, rects
+WHERE x BETWEEN x0 AND x0 + w AND y BETWEEN y0 AND y0 + h
+"""
+
+
+def q13_knn(sf_dir):
+    """kNN by cell-ring expansion: customer probes → 3 nearest suppliers."""
+    import ray
+
+    from .ops.join import KnnJoin, build_cell_points
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        lambda t: _derive_points(t, "s_suppkey"),
+        batch_format="pyarrow").to_pandas()
+    index = build_cell_points(sup["s_suppkey"].values.astype(np.int64),
+                              sup["x"].values, sup["y"].values,
+                              z=4, window=(-20.0, -10.0, 40.0, 50.0))
+    idx_ref = ray.put(index)
+    probes = (_read(sf_dir, "customer", ["c_custkey"])
+              .map_batches(lambda t: t.filter(
+                  pc.less_equal(t["c_custkey"], pa.scalar(300))),
+                  batch_format="pyarrow")
+              .map_batches(lambda t: _derive_points(t, "c_custkey"),
+                           batch_format="pyarrow"))
+    knn = probes.map_batches(
+        KnnJoin, fn_constructor_kwargs={
+            "index_ref": idx_ref, "k": 3, "id_col": "c_custkey"},
+        batch_format="pyarrow", concurrency=2)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "c_custkey": t["probe_id"].cast(pa.int64()),
+            "rank": t["rank"].cast(pa.int64()),
+            "s_suppkey": t["neighbor_id"].cast(pa.int64())})
+
+    return knn.map_batches(project, batch_format="pyarrow")
+
+
+SQL_Q13 = f"""
+WITH p AS (
+  SELECT c_custkey,
+         {_PT[0].format(k='c_custkey')} AS x,
+         {_PT[1].format(k='c_custkey')} AS y
+  FROM customer WHERE c_custkey <= 300),
+r AS (
+  SELECT s_suppkey,
+         {_PT[0].format(k='s_suppkey')} AS x,
+         {_PT[1].format(k='s_suppkey')} AS y
+  FROM supplier)
+SELECT c_custkey, rank, s_suppkey FROM (
+  SELECT p.c_custkey, r.s_suppkey,
+         row_number() OVER (
+           PARTITION BY p.c_custkey
+           ORDER BY (p.x-r.x)*(p.x-r.x) + (p.y-r.y)*(p.y-r.y), r.s_suppkey
+         ) AS rank
+  FROM p CROSS JOIN r) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup + text + ANN over documents/embeddings
+
+
+def q14_exact_dedup(sf_dir):
+    """Exact dedup: content-hash partition, min doc_id survives."""
+    from ray.data.aggregate import Min
+
+    from .ops.dedup import content_hash_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        content_hash_batch, batch_format="pyarrow")
+    out = ds.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({"doc_id": t["doc_id"].cast(pa.int64())})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_Q14 = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q15_text_stats(sf_dir):
+    """Quality scoring + token counting (rational-arithmetic parity)."""
+    from .ops.text import quality_score_batch, token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = token_count_batch(t)
+        t = quality_score_batch(t)
+        return pa.Table.from_pydict({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_tokens": t["n_tokens"].cast(pa.int64()),
+            "punct_ratio": t["punct_ratio"],
+            "digit_ratio": t["digit_ratio"],
+            "upper_ratio": t["upper_ratio"],
+            "quality": t["quality"]})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q15 = r"""
+WITH t AS (
+  SELECT doc_id, CAST(length(text) AS DOUBLE) AS n,
+    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '')) AS BIGINT) AS n_tokens,
+    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+         AS DOUBLE) AS punct,
+    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+         AS DOUBLE) AS dig,
+    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+         AS DOUBLE) AS up
+  FROM documents)
+SELECT doc_id, n_tokens,
+       punct / GREATEST(n, 1.0) AS punct_ratio,
+       dig / GREATEST(n, 1.0) AS digit_ratio,
+       up / GREATEST(n, 1.0) AS upper_ratio,
+       (n / (n + 500.0)) * (1.0 - punct / GREATEST(n, 1.0)) AS quality
+FROM t
+"""
+
+
+def q16_ann_topk(sf_dir):
+    """Brute-force cosine top-10 per query (queries = vec_id 0..4).
+
+    Scores computed in float64 (error ≪ score gaps ⇒ ranks match the
+    double-precision SQL oracle); score itself is not emitted.
+    """
+    import pyarrow.parquet as pq
+
+    from .ops.ann import topk_vectors_per_query
+
+    qtbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qsel = qtbl.filter(pc.less_equal(qtbl["vec_id"], 4)).sort_by("vec_id")
+    queries = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in qsel["embedding"].to_pylist()])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = topk_vectors_per_query(ds, queries, k=10, dtype=np.float64)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "query_vec_id": t["query_idx"].cast(pa.int64()),
+            "vec_id": t["vec_id"].cast(pa.int64()),
+            "rank": t["rank"].cast(pa.int64())})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_Q16 = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id <= 4)
+SELECT qid AS query_vec_id, vec_id, rank FROM (
+  SELECT q.qid, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+         ) AS rank
+  FROM embeddings e CROSS JOIN q) WHERE rank <= 10
+"""
+
+
+def q20_events_by_type(sf_dir):
+    """Grouped aggregate over the event stream."""
+    from ray.data.aggregate import Count, Sum
+
+    out = (_read(sf_dir, "events", ["event_type", "value"])
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="sum_value")))
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _cast_i64(_round_cols(tbl, {"sum_value": 2}), ["n"])
+
+
+SQL_Q20 = ("SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS "
+           "sum_value FROM events GROUP BY event_type")
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no SQL equivalent; pytest carries the goldens)
+
+
+def q30_langid(sf_dir):
+    from .ops.text import LangId
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=2).select_columns(
+        ["doc_id", "lang_pred"])
+
+
+def q31_simhash(sf_dir):
+    from .ops.dedup import simhash_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "simhash"])
+
+
+def q32_fingerprint(sf_dir):
+    from .ops.text import fingerprint_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"])
+
+
+def q33_minhash_pairs(sf_dir):
+    from .ops.dedup import minhash_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup(ds, threshold=0.5)
+
+
+def q34_images_tile_assign(sf_dir):
+    """Image footprints → (z, x, y) tiles at z=6 (reference formula)."""
+    import ray.data
+
+    from .ops.footprint import add_footprint, assign_tiles
+    from .pipelines import ensure_images_parquet
+
+    path = ensure_images_parquet(sf_dir)
+    return (ray.data.read_parquet(path,
+                                  columns=["image_id", "w", "h", "crs", "gt"])
+            .map_batches(lambda t: add_footprint(t, dst_crs=3857),
+                         batch_format="pyarrow")
+            .map_batches(lambda t: assign_tiles(t, z=6),
+                         batch_format="pyarrow")
+            .select_columns(["image_id", "z", "tile_x", "tile_y"]))
+
+
+def q35_images_zone_join(sf_dir):
+    """Image footprint × polygon-zone intersects join (broadcast index)."""
+    import ray
+    import ray.data
+
+    from .ops.footprint import add_footprint
+    from .ops.join import SpatialJoinZones
+    from .pipelines import ensure_images_parquet, ensure_zone_index
+
+    path = ensure_images_parquet(sf_dir)
+    zi_ref = ray.put(ensure_zone_index(200))
+    return (ray.data.read_parquet(path,
+                                  columns=["image_id", "w", "h", "crs", "gt"])
+            .map_batches(lambda t: add_footprint(t, dst_crs=4326),
+                         batch_format="pyarrow")
+            .map_batches(SpatialJoinZones,
+                         fn_constructor_kwargs={"zones_ref": zi_ref},
+                         batch_format="pyarrow", concurrency=2))
+
+
+def q36_images_warp(sf_dir):
+    """Decode + warp to EPSG:3857, per-image checksum fingerprints."""
+    import ray.data
+
+    from .ops.warp import WarpImages
+    from .pipelines import ensure_images_parquet
+
+    path = ensure_images_parquet(sf_dir)
+    return (ray.data.read_parquet(
+                path, columns=["image_id", "bytes", "caption", "w", "h",
+                               "crs", "gt"])
+            .limit(400)
+            .map_batches(WarpImages,
+                         fn_constructor_kwargs={"dst_crs": 3857},
+                         batch_format="pyarrow", batch_size=32,
+                         concurrency=2)
+            .select_columns(["image_id", "dst_w", "dst_h", "checksum_b0"]))
+
+
+def q37_phash_dups(sf_dir):
+    """Exact near-dup pairs by identical phash (planted every-97th)."""
+    import pandas as pd
+    import ray.data
+
+    from .pipelines import ensure_images_parquet
+
+    path = ensure_images_parquet(sf_dir)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=str),
+                                 "id_b": pd.Series([], dtype=str)})
+        ids = sorted(g["image_id"])
+        return pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})
+
+    return (ray.data.read_parquet(path, columns=["image_id", "phash"])
+            .groupby("phash").map_groups(pairs, batch_format="pandas"))
+
+
+def q38_pip_points_zones(sf_dir):
+    """Polygon PIP with holes/multi parts over fixture points."""
+    import ray
+    import ray.data
+
+    from .io.images import make_points_table, make_zones_table
+    from .ops.join import PIPJoinZones, ZoneIndex
+
+    zi_ref = ray.put(ZoneIndex(make_zones_table(200)))
+    pts = ray.data.from_arrow(make_points_table(2000))
+    return pts.map_batches(
+        PIPJoinZones, fn_constructor_kwargs={"zones_ref": zi_ref,
+                                             "emit": "intersects"},
+        batch_format="pyarrow", concurrency=2)
+
+
+def q39_ann_lsh(sf_dir):
+    """LSH-bucketed ANN (scale path; recall tested vs brute force)."""
+    import pyarrow.parquet as pq
+
+    from .ops.ann import lsh_topk
+
+    qtbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qsel = qtbl.filter(pc.less_equal(qtbl["vec_id"], 4)).sort_by("vec_id")
+    queries = np.stack([np.asarray(v, dtype=np.float32)
+                        for v in qsel["embedding"].to_pylist()])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_topk(ds, queries, k=10).select_columns(
+        ["query_idx", "vec_id", "rank"])
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
+    "q02_filter_project": (q02_filter_project, SQL_Q02),
+    "q03_join_agg": (q03_join_agg, SQL_Q03),
+    "q04_top_orders": (q04_top_orders, SQL_Q04),
+    "q05_distinct": (q05_distinct, SQL_Q05),
+    "q06_union": (q06_union, SQL_Q06),
+    "q07_string_date": (q07_string_date, SQL_Q07),
+    "q08_events_hourly": (q08_events_hourly, SQL_Q08),
+    "q09_stddev": (q09_stddev, SQL_Q09),
+    "q10_left_join": (q10_left_join, SQL_Q10),
+    "q11_tile_assign": (_tile_assign_impl, SQL_Q11),
+    "q12_point_in_rect": (q12_point_in_rect, SQL_Q12),
+    "q13_knn": (q13_knn, SQL_Q13),
+    "q14_exact_dedup": (q14_exact_dedup, SQL_Q14),
+    "q15_text_stats": (q15_text_stats, SQL_Q15),
+    "q16_ann_topk": (q16_ann_topk, SQL_Q16),
+    "q18_like_filter": (q18_like_filter, SQL_Q18),
+    "q19_between_in": (q19_between_in, SQL_Q19),
+    "q20_events_by_type": (q20_events_by_type, SQL_Q20),
+    "q21_minmax": (q21_minmax, SQL_Q21),
+    "q22_anti_join": (q22_anti_join, SQL_Q22),
+    # rows-only (no SQL equivalent)
+    "q30_langid": (q30_langid, None),
+    "q31_simhash": (q31_simhash, None),
+    "q32_fingerprint": (q32_fingerprint, None),
+    "q33_minhash_pairs": (q33_minhash_pairs, None),
+    "q34_images_tile_assign": (q34_images_tile_assign, None),
+    "q35_images_zone_join": (q35_images_zone_join, None),
+    "q36_images_warp": (q36_images_warp, None),
+    "q37_phash_dups": (q37_phash_dups, None),
+    "q38_pip_points_zones": (q38_pip_points_zones, None),
+    "q39_ann_lsh": (q39_ann_lsh, None),
+}
+
+
+def query_fns():
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sqls():
+    return {name: sql for name, (_, sql) in QUERIES.items()
+            if sql is not None}
