@@ -1,0 +1,133 @@
+"""Benchmark harness — headline spatial-join + tile-assignment throughput.
+
+Plain run: executes the flagship pipeline (decode → warp → tile-assign →
+zone-join) over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) plus a
+representative query set, then prints ONE JSON line::
+
+    {"metric": "flagship_wall_sec", "value": <sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "images_per_sec": ...}
+
+``--scaling``: runs the flagship twice in fresh subprocesses at 8 and 32
+CPUs (the sandbox stand-in for the N vs 4N node criterion) and reports
+throughput at both plus scaling efficiency.
+
+Image-table synthesis is cached under /tmp and warmed before timing, so
+the timed section measures the pipeline, not fixture generation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_flagship(sf_dir, num_cpus):
+    import ray
+
+    from raydal.pipelines import ensure_images_parquet, ensure_zone_index, \
+        flagship, image_count_for_sf
+
+    n_images = image_count_for_sf(sf_dir)
+    ensure_images_parquet(sf_dir)  # warm cache, untimed
+    zone_index = ensure_zone_index(500)  # static side table: load untimed
+
+    t0 = time.monotonic()
+    res = flagship(sf_dir, z=10, warp_sample=None, zone_index=zone_index)
+    per_zone = res["per_zone"].to_pandas()
+    warp = res["warp_summary"].to_pandas()
+    wall = time.monotonic() - t0
+    return {
+        "wall_sec": wall,
+        "images_per_sec": n_images / wall,
+        "n_images": n_images,
+        "n_zone_pairs": int(per_zone["n_images"].sum()),
+        "n_tile_assignments": int(res["tile_summary"]["n_assignments"][0].as_py()),
+        "warped_images": int(warp["n"].sum()),
+    }
+
+
+def run_queries(sf_dir):
+    from raydal.queries import query_fns
+
+    names = ["q01_pricing_summary", "q02_filter_project", "q08_events_hourly",
+             "q13_knn", "q14_exact_dedup", "q15_text_stats", "q16_ann_topk",
+             "q33_minhash_pairs", "q34_images_tile_assign",
+             "q35_images_zone_join"]
+    fns = query_fns()
+    out = {}
+    for name in names:
+        t0 = time.monotonic()
+        res = fns[name](sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main_plain():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    flag = run_flagship(sf_dir, num_cpus)
+    queries = run_queries(sf_dir) if os.environ.get(
+        "RAYDAL_BENCH_QUERIES", "1") == "1" else {}
+    ray.shutdown()
+    line = {
+        "metric": "flagship_wall_sec",
+        "value": round(flag["wall_sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "images_per_sec": round(flag["images_per_sec"], 2),
+        "n_images": flag["n_images"],
+        "n_tile_assignments": flag["n_tile_assignments"],
+        "n_zone_pairs": flag["n_zone_pairs"],
+    }
+    print(json.dumps(line))
+
+
+def main_scaling():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SF_DIR=sf_dir, RAYDAL_BENCH_QUERIES="0")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        if out.returncode != 0:
+            print(out.stdout)
+            print(out.stderr, file=sys.stderr)
+            raise SystemExit(1)
+        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+    thr8 = results[8]["images_per_sec"]
+    thr32 = results[32]["images_per_sec"]
+    eff = (thr32 / thr8) / (32 / 8)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "images_per_sec_8": thr8,
+        "images_per_sec_32": thr32,
+        "wall_sec_8": results[8]["value"],
+        "wall_sec_32": results[32]["value"],
+        "sf": sf_dir,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_plain()

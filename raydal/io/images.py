@@ -72,15 +72,24 @@ def _unit(i, salt):
     return (_mix64(i * 1315423911 + salt) & 0xFFFFFFFF) / 2.0 ** 32
 
 
-def image_spec(i):
+def image_spec(i, dims=None):
     """Deterministic spec for image ``i``: dims, fmt, CRS, geotransform.
 
     The geotransform is expressed in the image's own CRS; placement is
     computed in lon/lat and the footprint corner is projected.
+    ``dims`` overrides (w, h) — used by duplicate rows, whose pixel
+    payload (and therefore true dims) comes from their source image.
     """
     i = int(i)
-    w = _W_CYCLE[i % 4]
-    h = _H_CYCLE[(i // 4) % 4]
+    if dims is not None:
+        w, h = dims
+    else:
+        w = _W_CYCLE[i % 4]
+        h = _H_CYCLE[(i // 4) % 4]
+    if i >= 97 and i % 97 == 0 and dims is None:
+        # duplicate rows: pixels are copied from i-97, so dims must match
+        src = image_spec(i - 97)
+        return image_spec(i, dims=(src["w"], src["h"]))
     fmt = _FMT_CYCLE[i % 2]
     crs = _CRS_CYCLE[i % 3]
     if i % 10 == 7:  # hot-box skew: ~10% of images in one 1°×1° cell

@@ -73,21 +73,30 @@ def kernel_weights(name, x):
     return _KERNELS[name](np.asarray(x, dtype=np.float64))
 
 
-def resample_grid(src, sx, sy, resample="bilinear", nodata=None):
-    """Sample band ``src`` at fractional pixel coords (corner-based).
+def resample_grid(src, sx, sy, resample="bilinear", nodata=None,
+                  acc_dtype=np.float64):
+    """Sample band(s) ``src`` at fractional pixel coords (corner-based).
 
     ``sx``/``sy`` are continuous source pixel coordinates in the GDAL
     convention (integer values at pixel corners, pixel (i, j) spans
-    [i, i+1)).  Returns ``(values float64, valid bool)`` with the same
-    shape as ``sx``.  Contributions from outside the raster (or equal to
-    ``nodata``) are dropped and the remaining weights renormalized — the
-    density-style handling of the reference's masked kernels; all-invalid
-    pixels come back invalid.
+    [i, i+1)).  ``src`` may be 2-D (H, W) or multi-band 3-D (H, W, C) —
+    the coordinate/weight math is computed once and all channels gather
+    together (one fancy-index per tap).  Returns ``(values float64,
+    valid bool)``: values has shape ``sx.shape`` (+ ``(C,)`` for 3-D
+    input), valid has ``sx.shape``.  Contributions from outside the
+    raster (or equal to ``nodata``) are dropped and the remaining weights
+    renormalized — the density-style handling of the reference's masked
+    kernels; all-invalid pixels come back invalid.
     """
     src = np.asarray(src)
-    h, w = src.shape
+    multi = src.ndim == 3
+    h, w = src.shape[:2]
     sx = np.asarray(sx, dtype=np.float64)
     sy = np.asarray(sy, dtype=np.float64)
+
+    def _ex(mask):
+        """Broadcast a spatial mask/weight over trailing channels."""
+        return mask[..., None] if multi else mask
 
     if resample == "near":
         ix = np.floor(sx).astype(np.int64)
@@ -97,7 +106,8 @@ def resample_grid(src, sx, sy, resample="bilinear", nodata=None):
         iyc = np.clip(iy, 0, h - 1)
         vals = src[iyc, ixc].astype(np.float64)
         if nodata is not None:
-            valid &= vals != nodata
+            bad = (vals == nodata)
+            valid &= ~(bad.any(axis=-1) if multi else bad)
         return vals, valid
 
     r = KERNEL_RADIUS[resample]
@@ -114,26 +124,51 @@ def resample_grid(src, sx, sy, resample="bilinear", nodata=None):
     wx = {t: kern(fx - t) for t in taps}
     wy = {t: kern(fy - t) for t in taps}
 
-    acc = np.zeros(sx.shape, dtype=np.float64)
-    wsum = np.zeros(sx.shape, dtype=np.float64)
+    out_shape = sx.shape + ((src.shape[2],) if multi else ())
+    acc = np.zeros(out_shape, dtype=acc_dtype)
+    if nodata is None:
+        # fast path: validity is purely spatial; weights zeroed out of
+        # bounds make the (clipped-index) gathered values inert — no
+        # np.where in the inner loop, one spatial weight accumulator.
+        wsum2 = np.zeros(sx.shape, dtype=acc_dtype)
+        for ty in taps:
+            yy = iy0 + ty
+            in_y = (yy >= 0) & (yy < h)
+            yyc = np.clip(yy, 0, h - 1)
+            wyv = wy[ty]
+            for tx in taps:
+                xx = ix0 + tx
+                ok = in_y & (xx >= 0) & (xx < w)
+                xxc = np.clip(xx, 0, w - 1)
+                wgt = (wx[tx] * wyv).astype(acc_dtype, copy=False)
+                wgt *= ok
+                acc += src[yyc, xxc] * _ex(wgt)
+                wsum2 += wgt
+        valid = wsum2 > 1e-10
+        safe = np.maximum(wsum2, 1e-300)
+        out = acc / _ex(safe)
+        out[~valid] = 0.0
+        return out, valid
+    wsum = np.zeros(out_shape, dtype=np.float64)
     for ty in taps:
         yy = iy0 + ty
         in_y = (yy >= 0) & (yy < h)
         yyc = np.clip(yy, 0, h - 1)
+        wyv = wy[ty]
         for tx in taps:
             xx = ix0 + tx
             ok = in_y & (xx >= 0) & (xx < w)
             xxc = np.clip(xx, 0, w - 1)
             v = src[yyc, xxc].astype(np.float64)
-            if nodata is not None:
-                ok = ok & (v != nodata)
-            wgt = wx[tx] * wy[ty] * ok
-            acc += np.where(ok, v, 0.0) * wgt
-            wsum += wgt
-    valid = wsum > 1e-10
+            okv = _ex(ok) & (v != nodata)
+            wgtv = _ex(wx[tx] * wyv) * okv
+            acc += np.where(okv, v, 0.0) * wgtv
+            wsum += wgtv
+    valid_full = wsum > 1e-10
     with np.errstate(divide="ignore", invalid="ignore"):
         out = acc / wsum
-    out = np.where(valid, out, nodata if nodata is not None else 0.0)
+    out = np.where(valid_full, out, nodata)
+    valid = valid_full.any(axis=-1) if multi else valid_full
     return out, valid
 
 

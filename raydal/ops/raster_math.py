@@ -1,0 +1,214 @@
+"""Per-pixel raster math: pixel-function registry, dtype casts, DEM
+kernels, band statistics.
+
+* Pixel functions replicate the reference's VRT registry
+  (``frmts/vrt/pixelfunctions.cpp:2787+``): sum, diff, mul, div, min,
+  max, mean, median, mode, geometric_mean, harmonic_mean, norm_diff,
+  sqrt, log10, exp, pow, inv, mod, scale, replace_nodata — table-driven
+  numpy ufuncs applied inside ``map_batches``.
+* ``set_type`` follows GDALCopyWords float→int conversion (+0.5,
+  truncate, clamp — ``alg/gdalchecksum.cpp:65-80`` documents the rule).
+* DEM ops use the Horn 3×3 gradient (``apps/gdaldem_lib.cpp:767-797``):
+  hillshade, slope, aspect, TRI, TPI, roughness.  Tiles need a 1-px halo
+  for exactness at borders; without it edges carry nodata, the same
+  degradation the reference accepts tile-wise.
+* Band statistics are the classic partial+final (count/sum/sumsq/min/
+  max/histogram per batch → tiny merge), matching ``ComputeStatistics``
+  (``gcore/gdalrasterband.cpp:6491``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["PIXEL_FUNCTIONS", "apply_pixel_function", "set_type",
+           "reclassify", "hillshade", "slope", "aspect", "tri", "tpi",
+           "roughness", "stats_partial", "stats_merge", "stats_final"]
+
+
+def _nanguard(fn):
+    def wrapped(*bands, **kw):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return fn(*bands, **kw)
+    return wrapped
+
+
+PIXEL_FUNCTIONS = {
+    "sum": lambda *b, k=0.0: np.sum(b, axis=0) + k,
+    "diff": lambda a, b: a - b,
+    "mul": lambda *b: np.prod(np.stack(b), axis=0),
+    "div": _nanguard(lambda a, b: a / b),
+    "min": lambda *b: np.min(np.stack(b), axis=0),
+    "max": lambda *b: np.max(np.stack(b), axis=0),
+    "mean": lambda *b: np.mean(np.stack(b), axis=0),
+    "median": lambda *b: np.median(np.stack(b), axis=0),
+    "mode": lambda *b: _mode_stack(np.stack(b)),
+    "geometric_mean": _nanguard(
+        lambda *b: np.exp(np.mean(np.log(np.stack(b)), axis=0))),
+    "harmonic_mean": _nanguard(
+        lambda *b: len(b) / np.sum(1.0 / np.stack(b), axis=0)),
+    "norm_diff": _nanguard(lambda a, b: (a - b) / (a + b)),
+    "sqrt": lambda a: np.sqrt(a),
+    "log10": _nanguard(lambda a: np.log10(a)),
+    "exp": lambda a: np.exp(a),
+    "pow": lambda a, power=2.0: np.power(a, power),
+    "inv": _nanguard(lambda a: 1.0 / a),
+    "mod": lambda a, b: np.mod(a, b),
+    "scale": lambda a, scale=1.0, offset=0.0: a * scale + offset,
+    "replace_nodata": lambda a, nodata=0.0, to=np.nan: np.where(
+        a == nodata, to, a),
+}
+
+
+def _mode_stack(stack):
+    """Per-pixel mode across bands, first-seen tie-break (GWKTS_First)."""
+    out = stack[0].copy()
+    best = np.ones(stack.shape[1:], dtype=np.int32)
+    for i in range(stack.shape[0]):
+        cnt = (stack == stack[i]).sum(axis=0)
+        take = cnt > best
+        out[take] = stack[i][take]
+        best[take] = cnt[take]
+    return out
+
+
+def apply_pixel_function(name, *bands, **kwargs):
+    """Run a registered pixel function over float64 band arrays."""
+    fn = PIXEL_FUNCTIONS[name]
+    return fn(*[np.asarray(b, dtype=np.float64) for b in bands], **kwargs)
+
+
+def set_type(arr, dtype):
+    """Dtype cast with GDALCopyWords semantics (round-half then truncate,
+    clamp) for integer targets; plain cast for floats."""
+    arr = np.asarray(arr)
+    if np.issubdtype(np.dtype(dtype), np.integer):
+        info = np.iinfo(dtype)
+        v = np.trunc(arr.astype(np.float64) + 0.5)
+        return np.clip(v, info.min, info.max).astype(dtype)
+    return arr.astype(dtype)
+
+
+def reclassify(arr, table, default=None):
+    """Value→value remap (``frmts/vrt/vrtreclassifier.cpp`` semantics):
+    ``table`` maps either scalars or (lo, hi) inclusive ranges to outputs.
+    """
+    arr = np.asarray(arr, dtype=np.float64)
+    out = np.full(arr.shape, np.nan if default is None else default,
+                  dtype=np.float64)
+    untouched = np.ones(arr.shape, dtype=bool)
+    for key, val in table.items():
+        if isinstance(key, tuple):
+            m = (arr >= key[0]) & (arr <= key[1]) & untouched
+        else:
+            m = (arr == key) & untouched
+        out[m] = val
+        untouched &= ~m
+    if default is None:
+        out[untouched] = arr[untouched]
+    return out
+
+
+def _horn_gradients(z, xres, yres, z_factor=1.0):
+    """Horn 3×3 gradients (apps/gdaldem_lib.cpp:767-797 formula)."""
+    z = np.asarray(z, dtype=np.float64) * z_factor
+    p = np.pad(z, 1, mode="edge")
+    a = p[:-2, :-2]
+    b = p[:-2, 1:-1]
+    c = p[:-2, 2:]
+    d = p[1:-1, :-2]
+    f = p[1:-1, 2:]
+    g = p[2:, :-2]
+    h = p[2:, 1:-1]
+    i = p[2:, 2:]
+    dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8.0 * xres)
+    dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8.0 * yres)
+    return dzdx, dzdy
+
+
+def slope(z, xres, yres, z_factor=1.0, degrees=True):
+    dzdx, dzdy = _horn_gradients(z, xres, yres, z_factor)
+    s = np.sqrt(dzdx * dzdx + dzdy * dzdy)
+    return np.degrees(np.arctan(s)) if degrees else s
+
+
+def aspect(z, xres, yres):
+    dzdx, dzdy = _horn_gradients(z, xres, yres)
+    az = np.degrees(np.arctan2(dzdy, -dzdx))
+    # GDAL convention: 0 = north, clockwise
+    out = 90.0 - az
+    out = np.where(out < 0, out + 360.0, out)
+    out = np.where(out >= 360.0, out - 360.0, out)
+    return out
+
+
+def hillshade(z, xres, yres, azimuth=315.0, altitude=45.0, z_factor=1.0):
+    """Horn hillshade, 0-255 (gdaldem hillshade default constants)."""
+    dzdx, dzdy = _horn_gradients(z, xres, yres, z_factor)
+    slope_rad = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
+    aspect_rad = np.arctan2(dzdy, -dzdx)
+    az = np.radians(360.0 - azimuth + 90.0)
+    alt = np.radians(altitude)
+    shaded = (np.sin(alt) * np.cos(slope_rad)
+              + np.cos(alt) * np.sin(slope_rad)
+              * np.cos(az - aspect_rad))
+    return set_type(np.clip(shaded, 0, 1) * 254.0 + 1.0, np.uint8)
+
+
+def _pad_windows(z):
+    p = np.pad(np.asarray(z, dtype=np.float64), 1, mode="edge")
+    return [p[dy:dy + z.shape[0], dx:dx + z.shape[1]]
+            for dy in range(3) for dx in range(3)]
+
+
+def tri(z):
+    """Terrain ruggedness: mean |neighbor − center| (Wilson variant)."""
+    w = _pad_windows(z)
+    center = w[4]
+    diffs = [np.abs(w[i] - center) for i in range(9) if i != 4]
+    return np.mean(diffs, axis=0)
+
+
+def tpi(z):
+    """Topographic position: center − mean(neighbors)."""
+    w = _pad_windows(z)
+    center = w[4]
+    return center - np.mean([w[i] for i in range(9) if i != 4], axis=0)
+
+
+def roughness(z):
+    """max − min over the 3×3 window."""
+    w = np.stack(_pad_windows(z))
+    return w.max(axis=0) - w.min(axis=0)
+
+
+# ---------------------------------------------------------------------------
+# band statistics: partial + final (ComputeStatistics shape)
+
+
+def stats_partial(arr, nodata=None, hist_bins=256, hist_range=(0, 256)):
+    arr = np.asarray(arr, dtype=np.float64).ravel()
+    if nodata is not None:
+        arr = arr[arr != nodata]
+    hist, _ = np.histogram(arr, bins=hist_bins, range=hist_range)
+    if len(arr) == 0:
+        return {"count": 0, "sum": 0.0, "sumsq": 0.0, "min": np.inf,
+                "max": -np.inf, "hist": hist}
+    return {"count": int(len(arr)), "sum": float(arr.sum()),
+            "sumsq": float((arr * arr).sum()), "min": float(arr.min()),
+            "max": float(arr.max()), "hist": hist}
+
+
+def stats_merge(a, b):
+    return {"count": a["count"] + b["count"], "sum": a["sum"] + b["sum"],
+            "sumsq": a["sumsq"] + b["sumsq"],
+            "min": min(a["min"], b["min"]), "max": max(a["max"], b["max"]),
+            "hist": a["hist"] + b["hist"]}
+
+
+def stats_final(p):
+    n = max(p["count"], 1)
+    mean = p["sum"] / n
+    var = max(p["sumsq"] / n - mean * mean, 0.0)
+    return {"count": p["count"], "min": p["min"], "max": p["max"],
+            "mean": mean, "std": float(np.sqrt(var)), "hist": p["hist"]}

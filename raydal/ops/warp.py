@@ -20,10 +20,14 @@ import numpy as np
 import pyarrow as pa
 
 from ..geo import affine, cells
+from ..geo import wkb as W
 from ..geo.crs import Transformer
 from ..io.codecs import decode
+from ..io.png import encode_png
 from ..kernels.checksum import checksum
 from ..kernels.resample import copy_words_cast, resample_grid
+from .footprint import footprint_corners
+from .join import SpatialJoinZones
 
 __all__ = ["WarpImages", "WarpToTiles", "suggest_output_grid", "warp_array"]
 
@@ -43,18 +47,22 @@ def suggest_output_grid(gt, w, h, src_crs, dst_crs, densify=21):
 
 
 def warp_array(src_band, src_gt, src_crs, dst_gt, dst_w, dst_h, dst_crs,
-               resample="bilinear", nodata=None, transformer=None):
+               resample="bilinear", nodata=None, transformer=None,
+               acc_dtype=np.float64):
     """Warp one band onto an explicit destination grid.
 
-    Returns (values float64 (dst_h, dst_w), valid bool).  ``transformer``
-    (dst→src) may be supplied from actor state to skip construction.
+    Returns (values (dst_h, dst_w), valid bool).  ``transformer``
+    (dst→src) may be supplied from actor state to skip construction;
+    ``acc_dtype=float32`` halves kernel memory traffic when float64
+    accumulation precision isn't needed (uint8 payloads).
     """
     tf = transformer or Transformer(dst_crs, src_crs)
     X, Y = affine.pixel_centers(dst_gt, dst_w, dst_h)
     sx_w, sy_w = tf.transform(X, Y)
     inv = affine.invert_gt(src_gt)
     sx, sy = affine.apply_gt(inv, sx_w, sy_w)
-    return resample_grid(src_band, sx, sy, resample, nodata=nodata)
+    return resample_grid(src_band, sx, sy, resample, nodata=nodata,
+                         acc_dtype=acc_dtype)
 
 
 class _TransformerCache:
@@ -106,14 +114,11 @@ class WarpImages:
             dst_gt, dw, dh = suggest_output_grid(gt, w, h, src_crs,
                                                  self.dst_crs)
             tf = self.tfs.get(self.dst_crs, src_crs)
-            bands = []
-            valid = None
-            for b in range(3):
-                vals, ok = warp_array(px[:, :, b].astype(np.float64), gt,
-                                      src_crs, dst_gt, dw, dh, self.dst_crs,
-                                      self.resample, transformer=tf)
-                bands.append(vals)
-                valid = ok if valid is None else valid
+            # one transform + one multi-band gather per image
+            vals, valid = warp_array(px, gt, src_crs, dst_gt, dw, dh,
+                                     self.dst_crs, self.resample,
+                                     transformer=tf)
+            bands = [vals[:, :, b] for b in range(3)]
             b0 = copy_words_cast(np.where(valid, bands[0], 0.0), np.uint8)
             out["image_id"].append(batch["image_id"][i].as_py())
             out["caption"].append(batch["caption"][i].as_py())
@@ -125,7 +130,6 @@ class WarpImages:
                 out[name].append(float(sel.mean()) if sel.size else 0.0)
             out["checksum_b0"].append(checksum(b0))
             if self.keep_pixels:
-                from ..io.png import encode_png
                 out["warped_png"].append(encode_png(b0))
         schema_overrides = {"dst_w": pa.int32(), "dst_h": pa.int32(),
                             "checksum_b0": pa.int32()}
@@ -137,6 +141,100 @@ class WarpImages:
             else:
                 arrays.append(pa.array(v, schema_overrides.get(k)))
         return pa.Table.from_arrays(arrays, names=names)
+
+
+class FlagshipActor:
+    """Fused headline stage: decode → warp → tile-cover → zone-join, one
+    pass over the image bytes.
+
+    This is the scalable shape of the flagship pipeline: the heavy table
+    (binary ``bytes``) is read and decoded exactly once; everything the
+    downstream aggregations need leaves as *small* per-image columns
+    (stats + covered-cell list + joined-zone list), so the only shuffles
+    are over (cell, n) / (zone_id) rows.  The actor holds the transformer
+    cache and the broadcast ``ZoneIndex`` (``ray.put`` once, fetched in
+    ``__init__``).
+    """
+
+    def __init__(self, zones_ref, z=10, dst_crs=3857, resample="bilinear"):
+        self.index = SpatialJoinZones._resolve(zones_ref)
+        self.z = z
+        self.tm = cells.web_mercator_quad(z)
+        self.dst_crs = dst_crs
+        self.resample = resample
+        self.tfs = _TransformerCache()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        gt_col = np.asarray(batch["gt"].combine_chunks().flatten()
+                            if isinstance(batch["gt"], pa.ChunkedArray)
+                            else batch["gt"].flatten(),
+                            dtype=np.float64).reshape(n, 6)
+        ids = batch["image_id"].to_pylist()
+        caps = batch["caption"].to_pylist()
+        crss = batch["crs"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        out = {k: [] for k in ("image_id", "caption", "dst_w", "dst_h",
+                               "valid_frac", "checksum_b0", "cells",
+                               "zones")}
+        for i in range(n):
+            px = decode(blobs[i])
+            if px.ndim == 2:
+                px = px[:, :, None].repeat(3, axis=2)
+            gt = tuple(gt_col[i])
+            src_crs = crss[i]
+            h, w = px.shape[:2]
+            dst_gt, dw, dh = suggest_output_grid(gt, w, h, src_crs,
+                                                 self.dst_crs)
+            tf = self.tfs.get(self.dst_crs, src_crs)
+            vals, valid = warp_array(px, gt, src_crs, dst_gt, dw, dh,
+                                     self.dst_crs, self.resample,
+                                     transformer=tf)
+            b0 = copy_words_cast(
+                np.where(valid, vals[:, :, 0], 0.0), np.uint8)
+            # tile cover at z from the warped grid's extent (EPSG:3857)
+            xmin = dst_gt[0]
+            ymax = dst_gt[3]
+            xmax = xmin + dst_gt[1] * dw
+            ymin = ymax + dst_gt[5] * dh
+            tx0, ty0, tx1, ty1 = (int(v) for v in cells.tile_indices(
+                self.tm, xmin, ymin, xmax, ymax))
+            cov = [int(cells.pack_cell(self.z, tx, ty))
+                   for ty in range(ty0, ty1 + 1)
+                   for tx in range(tx0, tx1 + 1)]
+            # zone join on the lon/lat footprint bbox (same 9-point edge
+            # sampling as ops.footprint.add_footprint, for parity)
+            tf_ll = self.tfs.get(src_crs, 4326)
+            pts = footprint_corners(np.asarray(gt)[None, :],
+                                    np.array([w]), np.array([h]))[0]
+            lxs, lys = tf_ll.transform(pts[:, 0], pts[:, 1])
+            lx0, ly0, lx1, ly1 = (lxs.min(), lys.min(),
+                                  lxs.max(), lys.max())
+            zcand = self.index.candidates_for_bbox(lx0, ly0, lx1, ly1)
+            zones = []
+            if len(zcand):
+                rect = W.box_polygon(lx0, ly0, lx1, ly1)
+                for zi in zcand:
+                    if any(W.polygon_intersects_polygon(rect, poly)
+                           for poly in self.index.polys[zi]):
+                        zones.append(str(self.index.ids[zi]))
+            out["image_id"].append(ids[i])
+            out["caption"].append(caps[i])
+            out["dst_w"].append(dw)
+            out["dst_h"].append(dh)
+            out["valid_frac"].append(float(valid.mean()))
+            out["checksum_b0"].append(checksum(b0))
+            out["cells"].append(cov)
+            out["zones"].append(zones)
+        return pa.Table.from_pydict({
+            "image_id": pa.array(out["image_id"], pa.string()),
+            "caption": pa.array(out["caption"], pa.string()),
+            "dst_w": pa.array(out["dst_w"], pa.int32()),
+            "dst_h": pa.array(out["dst_h"], pa.int32()),
+            "valid_frac": pa.array(out["valid_frac"], pa.float64()),
+            "checksum_b0": pa.array(out["checksum_b0"], pa.int32()),
+            "cells": pa.array(out["cells"], pa.list_(pa.int64())),
+            "zones": pa.array(out["zones"], pa.list_(pa.string()))})
 
 
 class WarpToTiles:
@@ -184,17 +282,12 @@ class WarpToTiles:
                         if px.ndim == 2:
                             px = px[:, :, None].repeat(3, axis=2)
                     tile_gt = self.tm.tile_gt(tx, ty)
-                    rgb = np.zeros((ts, ts, 3), dtype=np.uint8)
-                    valid = None
-                    for b in range(3):
-                        vals, ok = warp_array(
-                            px[:, :, b].astype(np.float64), gt, src_crs,
-                            tile_gt, ts, ts, 3857, self.resample,
-                            transformer=tf_inv)
-                        rgb[:, :, b] = copy_words_cast(
-                            np.where(ok, vals, 0.0), np.uint8)
-                        valid = ok if valid is None else valid
-                    if valid is None or not valid.any():
+                    vals, valid = warp_array(px, gt, src_crs, tile_gt,
+                                             ts, ts, 3857, self.resample,
+                                             transformer=tf_inv)
+                    rgb = copy_words_cast(
+                        np.where(valid[:, :, None], vals, 0.0), np.uint8)
+                    if not valid.any():
                         continue
                     rows["cell"].append(int(cells.pack_cell(self.z, tx, ty)))
                     rows["z"].append(self.z)

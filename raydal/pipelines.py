@@ -67,9 +67,14 @@ def ensure_images_parquet(sf_dir=None, n=None, use_ray=True):
         def gen(batch: pa.Table) -> pa.Table:
             return imgfix.synthesize_images_batch(np.asarray(batch["id"]))
 
-        (ray.data.range(n)
+        # ~2500 rows (~50-80 MB) per output file: block-sized for the read
+        # side — hundreds of tiny files would dominate the pipeline with
+        # per-task overhead at read time.
+        n_files = max(1, n // 640)
+        (ray.data.range(n, override_num_blocks=max(n_files * 4, 8))
          .map_batches(gen, batch_format="pyarrow", batch_size=256)
-         .write_parquet(tmp))
+         .repartition(n_files)
+         .write_parquet(tmp, row_group_size=128))
     else:
         imgfix.write_images_parquet(os.path.join(tmp, "part-0.parquet"), n)
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
@@ -86,62 +91,88 @@ def ensure_zone_index(n_zones=500):
     return ZoneIndex(imgfix.make_zones_table(n_zones))
 
 
-def flagship(sf_dir, z=10, n_zones=500, warp_sample=None, concurrency=4,
+def flagship(sf_dir, z=10, n_zones=500, warp_sample=None, concurrency=None,
              zone_index=None):
     """Run the headline pipeline; returns a dict of small result tables.
 
-    ``warp_sample``: if set, only that many images go through the full
-    decode+warp actor stage (the assignment+join always covers all rows) —
-    used by smoke runs; bench leaves it None (warp everything).
+    Physical plan (the scalable shape — ONE pass over the heavy bytes):
+
+    1. ``read_parquet`` of the full image table, row-group-split into
+       ~4×pool blocks.
+    2. ``map_batches(FlagshipActor, concurrency=N)`` — fused decode →
+       warp → tile-cover → broadcast zone-join; emits small per-image
+       rows (stats + cell list + zone list).  This stage is ~all of the
+       compute, so N→4N scaling tracks the actor pool.
+    3. The per-image table (tiny) is materialized once; three cheap
+       aggregations (tile-cell groupby, per-zone counts, warp summary)
+       run off it.
+
+    ``warp_sample``: if set, limit the heavy stage to that many images
+    (smoke runs).
     """
     import ray
     import ray.data
     from ray.data.aggregate import Count, Sum
 
-    path = ensure_images_parquet(sf_dir)
-    meta_cols = ["image_id", "w", "h", "crs", "gt"]
-    # ---- tile assignment over footprints (no pixel decode needed) ----
-    meta = ray.data.read_parquet(path, columns=meta_cols)
-    assigned = (meta
-                .map_batches(lambda t: add_footprint(t, dst_crs=3857),
-                             batch_format="pyarrow")
-                .map_batches(lambda t: assign_tiles(t, z=z),
-                             batch_format="pyarrow"))
-    tiles_per_cell = assigned.groupby("cell").aggregate(Count(alias_name="n"))
-    agg = tiles_per_cell.aggregate(Count(alias_name="n_cells"),
-                                   Sum("n", alias_name="n_assignments"))
-    tile_summary = pa.Table.from_pydict({
-        "n_cells": pa.array([int(agg["n_cells"])], pa.int64()),
-        "n_assignments": pa.array([int(agg["n_assignments"])], pa.int64())})
+    from .ops.warp import FlagshipActor
 
-    # ---- zone join over lon/lat footprints (broadcast small side) ----
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
+    path = ensure_images_parquet(sf_dir)
     zi = zone_index or ensure_zone_index(n_zones)
     zi_ref = ray.put(zi)
-    joined = (meta
-              .map_batches(lambda t: add_footprint(t, dst_crs=4326),
-                           batch_format="pyarrow")
-              .map_batches(SpatialJoinZones,
-                           fn_constructor_kwargs={"zones_ref": zi_ref},
-                           batch_format="pyarrow", concurrency=concurrency))
-    per_zone = joined.groupby("zone_id").aggregate(
-        Count(alias_name="n_images"))
 
-    # ---- decode + warp actor pool ----
     full = ray.data.read_parquet(
-        path, columns=["image_id", "bytes", "caption", "w", "h", "crs", "gt"])
+        path, columns=["image_id", "bytes", "caption", "w", "h", "crs", "gt"],
+        override_num_blocks=max(concurrency * 8, 16))
     if warp_sample:
         full = full.limit(warp_sample)
-    warped = full.map_batches(
-        WarpImages, fn_constructor_kwargs={"dst_crs": 3857,
-                                           "resample": "bilinear"},
-        batch_format="pyarrow", batch_size=32, concurrency=concurrency)
-    warp_summary = warped.map_batches(
-        lambda t: pa.Table.from_pydict({
-            "n": pa.array([t.num_rows], pa.int64()),
-            "valid_px_frac": pa.array(
-                [float(np.asarray(t["valid_frac"]).mean())]
-                if t.num_rows else [0.0], pa.float64())}),
-        batch_format="pyarrow")
+    per_image = full.map_batches(
+        FlagshipActor,
+        fn_constructor_kwargs={"zones_ref": zi_ref, "z": z},
+        batch_format="pyarrow", batch_size=64,
+        concurrency=concurrency)
+
+    # --- single-pass streaming consumption -------------------------------
+    # All three summaries have BOUNDED key cardinality (cells ≤ 4^z at the
+    # fixed zoom, zones ≤ n_zones, warp stats O(1)), so the final reduce is
+    # a driver-side partial merge over per-batch numpy partials — the
+    # median-cut-histogram pattern — consuming the actor stream exactly
+    # once with no materialization barrier.  Unbounded-key reductions (the
+    # tile pyramid compose) use the distributed groupby path in
+    # raydal.ops.tile instead.
+    from collections import Counter
+
+    cell_counts = Counter()
+    zone_counts = Counter()
+    n_img = 0
+    sum_vf = 0.0
+    for t in per_image.iter_batches(batch_size=4096,
+                                    batch_format="pyarrow"):
+        cells_col = (t["cells"].combine_chunks()
+                     if isinstance(t["cells"], pa.ChunkedArray)
+                     else t["cells"])
+        flat = np.asarray(cells_col.flatten(), dtype=np.int64)
+        uc, cnt = np.unique(flat, return_counts=True)
+        cell_counts.update(dict(zip(uc.tolist(), cnt.tolist())))
+        zc = (t["zones"].combine_chunks()
+              if isinstance(t["zones"], pa.ChunkedArray) else t["zones"])
+        zflat = zc.flatten().to_pylist()
+        zone_counts.update(zflat)
+        n_img += t.num_rows
+        sum_vf += float(np.asarray(t["valid_frac"]).sum())
+
+    tile_summary = pa.Table.from_pydict({
+        "n_cells": pa.array([len(cell_counts)], pa.int64()),
+        "n_assignments": pa.array([int(sum(cell_counts.values()))],
+                                  pa.int64())})
+    zk = sorted(zone_counts)
+    per_zone = pa.Table.from_pydict({
+        "zone_id": pa.array(zk, pa.string()),
+        "n_images": pa.array([zone_counts[k] for k in zk], pa.int64())})
+    warp_summary = pa.Table.from_pydict({
+        "n": pa.array([n_img], pa.int64()),
+        "valid_px_frac": pa.array([sum_vf / max(n_img, 1)], pa.float64())})
 
     return {
         "tile_summary": tile_summary,

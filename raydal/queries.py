@@ -854,6 +854,154 @@ def q39_ann_lsh(sf_dir):
         ["query_idx", "vec_id", "rank"])
 
 
+
+
+def q40_rasterize_counts(sf_dir):
+    """Scanline-rasterize burned-pixel counts per derived rectangle, z=6.
+
+    Engine: each rect flat-maps to covering WebMercator tiles; the
+    even-odd scanline fill burns each tile; counts sum per rect via
+    groupby.  Oracle: closed-form pixel-center count (the half-open
+    [x0, x1) center rule has an exact integer formula).
+    """
+    import ray.data
+
+    from .geo import cells as C
+    from .geo.crs import lonlat_to_mercator
+    from .geo.wkb import box_polygon
+    from .ops.rasterize import fill_polygon_even_odd
+    from ray.data.aggregate import Sum
+
+    rects = _derived_rects()
+    tbl = pa.Table.from_pydict({
+        "rect_id": pa.array(rects["rect_id"], pa.int64()),
+        "x0": pa.array([b[0] for b in rects["bounds"]], pa.float64()),
+        "y0": pa.array([b[1] for b in rects["bounds"]], pa.float64()),
+        "x1": pa.array([b[2] for b in rects["bounds"]], pa.float64()),
+        "y1": pa.array([b[3] for b in rects["bounds"]], pa.float64())})
+    ds = ray.data.from_arrow(tbl)
+    z = 6
+    tm = C.web_mercator_quad(z)
+
+    def per_rect(t: pa.Table) -> pa.Table:
+        out_id, out_n = [], []
+        for i in range(t.num_rows):
+            x0, y0, x1, y1 = (t[c][i].as_py() for c in ("x0", "y0",
+                                                        "x1", "y1"))
+            mx0, my0 = lonlat_to_mercator(x0, y0)
+            mx1, my1 = lonlat_to_mercator(x1, y1)
+            tx0, ty0, tx1, ty1 = (int(v) for v in C.tile_indices(
+                tm, float(mx0), float(my0), float(mx1), float(my1)))
+            total = 0
+            for ty in range(ty0, ty1 + 1):
+                for tx in range(tx0, tx1 + 1):
+                    gt = tm.tile_gt(tx, ty)
+                    inv_x0 = (float(mx0) - gt[0]) / gt[1]
+                    inv_x1 = (float(mx1) - gt[0]) / gt[1]
+                    inv_y0 = (float(my1) - gt[3]) / gt[5]  # top
+                    inv_y1 = (float(my0) - gt[3]) / gt[5]  # bottom
+                    ring = [np.array([
+                        [inv_x0, inv_y0], [inv_x1, inv_y0],
+                        [inv_x1, inv_y1], [inv_x0, inv_y1],
+                        [inv_x0, inv_y0]])]
+                    grid = fill_polygon_even_odd(ring, 256, 256)
+                    total += int(grid.sum())
+            out_id.append(t["rect_id"][i].as_py())
+            out_n.append(total)
+        return pa.Table.from_pydict({
+            "rect_id": pa.array(out_id, pa.int64()),
+            "burned_px": pa.array(out_n, pa.int64())})
+
+    return ds.map_batches(per_rect, batch_format="pyarrow")
+
+
+_RES6 = f"(((2*{_E}/(256*64))*256)/256)"
+SQL_Q40 = f"""
+WITH rects AS (
+  SELECT j AS rect_id,
+         CAST(-20 + (j * 7919) % 50 AS DOUBLE) AS x0,
+         CAST(-10 + (j * 104729) % 50 AS DOUBLE) AS y0,
+         CAST(-20 + (j * 7919) % 50 + 3 + j % 5 AS DOUBLE) AS x1,
+         CAST(-10 + (j * 104729) % 50 + 2 + j % 7 AS DOUBLE) AS y1
+  FROM range(12) t(j)),
+m AS (
+  SELECT rect_id,
+         radians(x0)*6378137.0 AS mx0,
+         radians(x1)*6378137.0 AS mx1,
+         6378137.0*ln(tan(pi()/4 + radians(y0)/2)) AS my0,
+         6378137.0*ln(tan(pi()/4 + radians(y1)/2)) AS my1
+  FROM rects)
+SELECT rect_id,
+  CAST(GREATEST(ceil((mx1 - (-{_E})) / {_RES6} - 0.5) - 1
+        - ceil((mx0 - (-{_E})) / {_RES6} - 0.5) + 1, 0) *
+       GREATEST(ceil(({_E} - my0) / {_RES6} - 0.5) - 1
+        - ceil(({_E} - my1) / {_RES6} - 0.5) + 1, 0) AS BIGINT)
+  AS burned_px
+FROM m
+"""
+
+
+def q41_polygonize_rects(sf_dir):
+    """rasterize → polygonize → cross-tile dissolve round-trip
+    (rows-only; pytest asserts pixel-count conservation)."""
+    import ray.data
+
+    from .geo.wkb import box_polygon, polygon_wkb
+    from .ops.polygonize import dissolve_across_tiles, polygonize_tiles
+    from .ops.rasterize import rasterize_zones
+
+    rects = _derived_rects()
+    zones = pa.Table.from_pydict({
+        "zone_id": pa.array([f"r{j}" for j in rects["rect_id"]]),
+        "wkb": pa.array([polygon_wkb(box_polygon(*b))
+                         for b in rects["bounds"]], pa.binary()),
+        "pop": pa.array([1] * 12, pa.int64())})
+    burned = rasterize_zones(ray.data.from_arrow(zones), z=6,
+                             value_col="pop", merge="add")
+    comps = polygonize_tiles(burned)
+    out = dissolve_across_tiles(comps)
+    return pa.Table.from_pandas(
+        out[["comp_id", "value", "n_pixels", "n_tiles"]],
+        preserve_index=False)
+
+
+def q42_image_band_stats(sf_dir):
+    """Per-image band statistics (ComputeStatistics partial+final shape);
+    rows-only — pixel data has no SQL representation."""
+    import ray.data
+
+    from .io.codecs import decode
+    from .ops.raster_math import stats_final, stats_partial
+    from .pipelines import ensure_images_parquet
+
+    path = ensure_images_parquet(sf_dir)
+
+    def per_image(t: pa.Table) -> pa.Table:
+        out = {"image_id": [], "px_count": [], "px_min": [], "px_max": [],
+               "px_mean": [], "px_std": []}
+        for i in range(t.num_rows):
+            px = decode(t["bytes"][i].as_py())
+            band = px[:, :, 0] if px.ndim == 3 else px
+            st = stats_final(stats_partial(band.astype(np.float64)))
+            out["image_id"].append(t["image_id"][i].as_py())
+            out["px_count"].append(st["count"])
+            out["px_min"].append(st["min"])
+            out["px_max"].append(st["max"])
+            out["px_mean"].append(round(st["mean"], 6))
+            out["px_std"].append(round(st["std"], 6))
+        return pa.Table.from_pydict({
+            "image_id": pa.array(out["image_id"], pa.string()),
+            "px_count": pa.array(out["px_count"], pa.int64()),
+            "px_min": pa.array(out["px_min"], pa.float64()),
+            "px_max": pa.array(out["px_max"], pa.float64()),
+            "px_mean": pa.array(out["px_mean"], pa.float64()),
+            "px_std": pa.array(out["px_std"], pa.float64())})
+
+    return (ray.data.read_parquet(path, columns=["image_id", "bytes"])
+            .limit(500)
+            .map_batches(per_image, batch_format="pyarrow", batch_size=64))
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -889,6 +1037,9 @@ QUERIES = {
     "q37_phash_dups": (q37_phash_dups, None),
     "q38_pip_points_zones": (q38_pip_points_zones, None),
     "q39_ann_lsh": (q39_ann_lsh, None),
+    "q40_rasterize_counts": (q40_rasterize_counts, SQL_Q40),
+    "q41_polygonize_rects": (q41_polygonize_rects, None),
+    "q42_image_band_stats": (q42_image_band_stats, None),
 }
 
 
