@@ -1,0 +1,299 @@
+"""Vector geometry operators over WKB columns (GEOS-free, numpy).
+
+The per-geometry surface of the reference's ``vector geom`` subcommands
+(``apps/gdalalg_vector_geom.cpp:38-44``) and ogr2ogr's geometry stage
+(validate → reproject → clip order, ``apps/ogr2ogr_lib.cpp:6427``),
+reimplemented on ring coordinate arrays:
+
+* ``reproject_wkb_batch`` — in-WKB coordinate transform, the
+  ``OGRWKBUpdatePoints`` pattern (``ogr/ogr_wkb.h:45-58``): parse → one
+  vectorized transform over all coords → rebuild bytes.  Actor-pool
+  stage (:class:`VectorReproject`) holding the transformer cache.
+* ``explode_batch`` — Multi* → one row per part
+  (``apps/gdalalg_vector_explode_collections.cpp``).
+* ``swap_xy``, ``segmentize`` (max-length densify), ``simplify``
+  (Douglas-Peucker, the non-topology-preserving ``Simplify`` of
+  ``ogr/ogrgeometry.cpp:6360``), ``centroid`` (area-weighted,
+  ``:6106``), ``convex_hull`` (Andrew monotone chain, ``:4186``),
+  ``buffer`` for points and convex rings (edge offset + arc join;
+  concave input raises — GEOS-grade buffering is out of scope and
+  documented as such).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geo import wkb as W
+from ..geo.crs import Transformer
+
+__all__ = ["VectorReproject", "reproject_wkb", "explode_batch", "swap_xy",
+           "segmentize", "simplify_dp", "centroid", "convex_hull",
+           "buffer_point", "buffer_convex", "geometry_stats_batch"]
+
+
+def _map_coords(parsed, fn):
+    t, payload = parsed
+    if t in (W.POINT, W.LINESTRING):
+        return (t, fn(payload))
+    if t == W.POLYGON:
+        return (t, [fn(r) for r in payload])
+    return (t, [_map_coords(p, fn) for p in payload])
+
+
+def _rebuild(parsed):
+    t, payload = parsed
+    if t == W.POINT:
+        return W.point_wkb(payload[0, 0], payload[0, 1])
+    if t == W.LINESTRING:
+        return W.linestring_wkb(payload)
+    if t == W.POLYGON:
+        return W.polygon_wkb(payload)
+    if t == W.MULTIPOLYGON:
+        return W.multipolygon_wkb([p for (_, p) in payload])
+    raise ValueError(f"rebuild unsupported for type {t}")
+
+
+def reproject_wkb(blob, transformer):
+    """Transform every coordinate of one WKB blob (any supported type)."""
+    parsed = W.parse_wkb(blob)
+
+    def tx(coords):
+        x, y = transformer.transform(coords[:, 0], coords[:, 1])
+        return np.stack([x, y], axis=1)
+
+    return _rebuild(_map_coords(parsed, tx))
+
+
+class VectorReproject:
+    """Actor: reproject a WKB column; transformer built once per actor."""
+
+    def __init__(self, src_crs, dst_crs, wkb_col="wkb"):
+        self.tf = Transformer(src_crs, dst_crs)
+        self.wkb_col = wkb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [reproject_wkb(b, self.tf)
+               for b in batch[self.wkb_col].to_pylist()]
+        idx = batch.schema.get_field_index(self.wkb_col)
+        return batch.set_column(idx, self.wkb_col,
+                                pa.array(out, pa.binary()))
+
+
+def explode_batch(batch: pa.Table, wkb_col="wkb") -> pa.Table:
+    """Multi* → one output row per part; singles pass through.
+
+    Appends ``part_index`` (0-based); other columns replicate.
+    """
+    take_idx, parts, part_no = [], [], []
+    for i, blob in enumerate(batch[wkb_col].to_pylist()):
+        t, payload = W.parse_wkb(blob)
+        if t in (W.MULTIPOINT, W.MULTILINESTRING, W.MULTIPOLYGON,
+                 W.GEOMETRYCOLLECTION):
+            for j, sub in enumerate(payload):
+                take_idx.append(i)
+                parts.append(_rebuild(sub))
+                part_no.append(j)
+        else:
+            take_idx.append(i)
+            parts.append(blob)
+            part_no.append(0)
+    out = batch.take(pa.array(take_idx, pa.int64()))
+    idx = out.schema.get_field_index(wkb_col)
+    out = out.set_column(idx, wkb_col, pa.array(parts, pa.binary()))
+    return out.append_column("part_index", pa.array(part_no, pa.int64()))
+
+
+def swap_xy(blob):
+    return _rebuild(_map_coords(W.parse_wkb(blob),
+                                lambda c: c[:, ::-1].copy()))
+
+
+def segmentize(coords, max_len):
+    """Insert vertices so no segment exceeds ``max_len`` (planar)."""
+    coords = np.asarray(coords, dtype=np.float64)
+    out = [coords[0]]
+    for i in range(1, len(coords)):
+        seg = coords[i] - coords[i - 1]
+        d = float(np.hypot(*seg))
+        n = int(np.ceil(d / max_len))
+        for k in range(1, n + 1):
+            out.append(coords[i - 1] + seg * (k / n))
+    return np.asarray(out)
+
+
+def simplify_dp(coords, tol):
+    """Douglas-Peucker simplification of a (closed or open) line."""
+    coords = np.asarray(coords, dtype=np.float64)
+    if len(coords) < 3:
+        return coords.copy()
+    keep = np.zeros(len(coords), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(coords) - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        seg = coords[b] - coords[a]
+        L = np.hypot(*seg)
+        pts = coords[a + 1:b]
+        if L == 0:
+            d = np.hypot(pts[:, 0] - coords[a, 0], pts[:, 1] - coords[a, 1])
+        else:
+            d = np.abs(np.cross(seg, pts - coords[a])) / L
+        imax = int(np.argmax(d))
+        if d[imax] > tol:
+            m = a + 1 + imax
+            keep[m] = True
+            stack.append((a, m))
+            stack.append((m, b))
+    return coords[keep]
+
+
+def _ring_centroid_area(ring):
+    """(abs area, centroid) of one ring, orientation-independent."""
+    x, y = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    cross = x * y1 - x1 * y
+    a = cross.sum() / 2.0
+    if a == 0:
+        return 0.0, (float(x.mean()), float(y.mean()))
+    cx = ((x + x1) * cross).sum() / (6.0 * a)
+    cy = ((y + y1) * cross).sum() / (6.0 * a)
+    return abs(a), (cx, cy)
+
+
+def centroid(rings):
+    """Area-weighted polygon centroid: outer ring minus holes."""
+    a0, c0 = _ring_centroid_area(rings[0])
+    num_x = a0 * c0[0]
+    num_y = a0 * c0[1]
+    den = a0
+    for hole in rings[1:]:
+        ah, ch = _ring_centroid_area(hole)
+        num_x -= ah * ch[0]
+        num_y -= ah * ch[1]
+        den -= ah
+    if den == 0:
+        allc = np.concatenate(rings)
+        return float(allc[:, 0].mean()), float(allc[:, 1].mean())
+    return float(num_x / den), float(num_y / den)
+
+
+def convex_hull(coords):
+    """Andrew monotone chain; returns closed CCW ring."""
+    pts = np.unique(np.asarray(coords, dtype=np.float64), axis=0)
+    if len(pts) < 3:
+        return np.vstack([pts, pts[:1]])
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2],
+                                             p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.array(lower[:-1] + upper[:-1])
+    return np.vstack([hull, hull[:1]])
+
+
+def buffer_point(x, y, dist, quad_segs=8):
+    """Point buffer: a 4*quad_segs-gon circle (GEOS default segmentation)."""
+    n = 4 * quad_segs
+    ang = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+    ring = np.stack([x + dist * np.cos(ang), y + dist * np.sin(ang)],
+                    axis=1)
+    return np.vstack([ring, ring[:1]])
+
+
+def _is_convex(ring):
+    a = ring[:-1]
+    b = np.roll(a, -1, axis=0)
+    c = np.roll(a, -2, axis=0)
+    cross = np.cross(b - a, c - b)
+    return (cross >= -1e-12).all() or (cross <= 1e-12).all()
+
+
+def buffer_convex(ring, dist, quad_segs=8):
+    """Positive buffer of a convex ring: offset edges + vertex arcs.
+
+    Exact for convex input; raises ``NotImplementedError`` for concave
+    rings (GEOS-grade buffering is a documented non-goal of this build).
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    if not _is_convex(ring):
+        raise NotImplementedError(
+            "buffer of concave rings requires a full offset-curve "
+            "algorithm; only point and convex-ring buffers ship in round 1")
+    a = ring[:-1]
+    b = np.roll(a, -1, axis=0)
+    # ensure CCW
+    area2 = np.cross(a, b).sum()
+    if area2 < 0:
+        ring = ring[::-1].copy()
+        a = ring[:-1]
+        b = np.roll(a, -1, axis=0)
+    edges = b - a
+    # CCW interior lies left of each edge → outward normal is the right
+    # normal (dy, -dx)
+    nrm = np.stack([edges[:, 1], -edges[:, 0]], axis=1)
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-30)
+    out = []
+    m = len(a)
+    for i in range(m):
+        out.append(a[i] + nrm[i] * dist)
+        out.append(b[i] + nrm[i] * dist)
+        # arc from this edge normal to the next edge's normal at vertex b
+        ang0 = np.arctan2(nrm[i][1], nrm[i][0])
+        ang1 = np.arctan2(nrm[(i + 1) % m][1], nrm[(i + 1) % m][0])
+        while ang1 < ang0:
+            ang1 += 2 * np.pi
+        steps = max(int(np.ceil((ang1 - ang0) / (np.pi / 2 / quad_segs))), 1)
+        for s in range(1, steps):
+            t = ang0 + (ang1 - ang0) * s / steps
+            out.append(b[i] + dist * np.array([np.cos(t), np.sin(t)]))
+    out = np.asarray(out)
+    return np.vstack([out, out[:1]])
+
+
+def geometry_stats_batch(batch: pa.Table, wkb_col="wkb") -> pa.Table:
+    """Per-geometry derived columns: area, n_parts, n_rings, n_vertices,
+    centroid — the OGR special fields (OGR_GEOM_AREA etc.) as a batch op.
+    """
+    areas, parts, rings_n, verts, cx, cy = [], [], [], [], [], []
+    for blob in batch[wkb_col].to_pylist():
+        t = W.wkb_geom_type(blob)
+        if t in (W.POLYGON, W.MULTIPOLYGON):
+            polys = W.polygons_from_wkb(blob)
+            areas.append(sum(W.polygon_area(p) for p in polys))
+            parts.append(len(polys))
+            rings_n.append(sum(len(p) for p in polys))
+            verts.append(sum(len(r) for p in polys for r in p))
+            c = centroid(polys[0])
+            cx.append(c[0])
+            cy.append(c[1])
+        else:
+            parsed = W.parse_wkb(blob)
+            coords = np.concatenate(list(W._iter_coord_arrays(parsed)))
+            areas.append(0.0)
+            parts.append(1)
+            rings_n.append(0)
+            verts.append(len(coords))
+            cx.append(float(coords[:, 0].mean()))
+            cy.append(float(coords[:, 1].mean()))
+    out = batch
+    for name, vals, typ in (("geom_area", areas, pa.float64()),
+                            ("n_parts", parts, pa.int64()),
+                            ("n_rings", rings_n, pa.int64()),
+                            ("n_vertices", verts, pa.int64()),
+                            ("centroid_x", cx, pa.float64()),
+                            ("centroid_y", cy, pa.float64())):
+        out = out.append_column(name, pa.array(vals, typ))
+    return out

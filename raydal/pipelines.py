@@ -179,3 +179,71 @@ def flagship(sf_dir, z=10, n_zones=500, warp_sample=None, concurrency=None,
         "per_zone": per_zone,
         "warp_summary": warp_summary,
     }
+
+
+def tile_pyramid(sf_dir, z_max=8, z_min=6, salt=4, out_dir=None,
+                 limit_images=None, concurrency=None):
+    """End-to-end tiling job: warp images into z_max tiles, mosaic with the
+    salted two-stage reduce, reduce the pyramid to z_min, and (optionally)
+    write a resumable z/x/y parquet layout with lineage manifests.
+
+    This is the workload the north rule names: the tile reduction is a
+    ``groupby(cell)`` shuffle whose hot cells (the 1°×1° skew box) are
+    salted into ``(cell, salt)`` partials first; each pyramid level is a
+    ``groupby(parent)`` reduce with a per-level barrier
+    (apps/gdalalg_raster_tile.cpp:3080 semantics).
+
+    Returns {"levels": {z: Dataset}, "write_summary": DataFrame | None}.
+    """
+    import ray
+    import ray.data
+
+    from .lineage import checkpointed_write
+    from .ops.tile import build_pyramid, mosaic_tiles
+    from .ops.warp import WarpToTiles
+
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
+    path = ensure_images_parquet(sf_dir)
+    full = ray.data.read_parquet(
+        path, columns=["image_id", "bytes", "w", "h", "crs", "gt"],
+        override_num_blocks=max(concurrency * 4, 16))
+    if limit_images:
+        full = full.limit(limit_images)
+    contrib = full.map_batches(
+        WarpToTiles, fn_constructor_kwargs={"z": z_max},
+        batch_format="pyarrow", batch_size=32, concurrency=concurrency)
+    base = mosaic_tiles(contrib, salt=salt).materialize()
+    levels = build_pyramid(base, z_max, z_min)
+
+    write_summary = None
+    if out_dir is not None:
+        import pandas as pd
+
+        from .ops.tile import encode_tiles_batch
+
+        frames = []
+        fingerprint = f"{path}:{z_max}:{z_min}:{limit_images}"
+        for z, ds in levels.items():
+            tiles = ds.map_batches(encode_tiles_batch,
+                                   batch_format="pyarrow")
+            # partition id = the tile's z_min ancestor cell → one output
+            # file per coarse tile subtree, deterministic and resumable
+            def part_col(t, z=z):
+                import numpy as np
+                import pyarrow as _pa
+
+                from .geo import cells as C
+
+                cell = np.asarray(t["cell"], dtype=np.int64)
+                anc = cell
+                for _ in range(z - z_min):
+                    anc = C.parent_cell(anc)
+                return t.append_column("part_id", _pa.array(anc))
+
+            tiles = tiles.map_batches(part_col, batch_format="pyarrow")
+            frames.append(checkpointed_write(
+                tiles, os.path.join(out_dir, f"z{z}"), "part_id",
+                fingerprint))
+        write_summary = pd.concat(frames, ignore_index=True)
+    return {"levels": levels, "write_summary": write_summary}

@@ -1002,6 +1002,249 @@ def q42_image_band_stats(sf_dir):
             .map_batches(per_image, batch_format="pyarrow", batch_size=64))
 
 
+
+
+# ---------------------------------------------------------------------------
+# streaming-shaped + vector-geometry queries
+
+
+def q23_running_sum(sf_dir):
+    """Per-user running sum over the ordered event stream
+    (``groupby(key).map_groups`` over ts-sorted groups — the engine's
+    window primitive; identical sequential accumulation to the SQL
+    window, so doubles match bit-for-bit before rounding)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        rs = round_half_away(g["value"].cumsum().values, 2)
+        return pd.DataFrame({"event_id": g["event_id"].astype("int64"),
+                             "run_sum": rs})
+
+    return ds.groupby("user_id").map_groups(run, batch_format="pandas")
+
+
+SQL_Q23 = """
+SELECT event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING), 2) AS run_sum
+FROM events
+"""
+
+
+def q24_sessions(sf_dir):
+    """Sessionization: a >30-minute silence starts a new session
+    (tumbling/session window over the event-time-ordered log)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "session_no": gap.cumsum().astype("int64")})
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+SQL_Q24 = """
+SELECT event_id,
+       CAST(SUM(CASE WHEN prev_ts IS NULL
+                      OR ts - prev_ts <= INTERVAL 30 MINUTE THEN 0
+                     ELSE 1 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+FROM (SELECT event_id, user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events)
+"""
+
+
+def q25_asof_join(sf_dir):
+    """As-of join: each event matched to the latest order (by date ≤ ts)
+    of customer ``user_id % 1500`` — broadcast sorted side + vectorized
+    searchsorted per key (the merge_asof pattern without a shuffle)."""
+    import ray
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate"])
+              .to_pandas().sort_values(["o_custkey", "o_orderdate",
+                                        "o_orderkey"]))
+    # latest order per (custkey, date): ASOF picks max date ≤ ts; among
+    # equal dates DuckDB takes an arbitrary one — make it deterministic by
+    # keeping the last orderkey per (custkey, date) on BOTH sides
+    orders = orders.groupby(["o_custkey", "o_orderdate"], as_index=False)                    .last()
+    by_key = {k: (g["o_orderdate"].values.astype("datetime64[us]"),
+                  g["o_orderkey"].values)
+              for k, g in orders.groupby("o_custkey")}
+    ref = ray.put(by_key)
+
+    def join(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        uid = np.asarray(t["user_id"], dtype=np.int64)
+        ts = np.asarray(t["ts"]).astype("datetime64[us]")
+        eid = np.asarray(t["event_id"], dtype=np.int64)
+        keys = uid % 1500
+        out_order = np.full(len(eid), -1, dtype=np.int64)
+        for k in np.unique(keys):
+            ent = m.get(int(k))
+            if ent is None:
+                continue
+            sel = keys == k
+            pos = np.searchsorted(ent[0], ts[sel], side="right") - 1
+            ok = pos >= 0
+            vals = np.full(sel.sum(), -1, dtype=np.int64)
+            vals[ok] = ent[1][pos[ok]]
+            out_order[sel] = vals
+        return pa.Table.from_pydict({
+            "event_id": pa.array(eid, pa.int64()),
+            "o_orderkey": pa.array(
+                np.where(out_order >= 0, out_order, None).tolist(),
+                pa.int64())})
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "ts"])         .map_batches(join, batch_format="pyarrow")
+
+
+SQL_Q25 = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate)
+SELECT e.event_id, o.o_orderkey
+FROM events e
+ASOF LEFT JOIN o
+  ON (e.user_id % 1500) = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def q28_vector_reproject(sf_dir):
+    """In-WKB vector reprojection (OGRWKBUpdatePoints pattern): derived
+    customer points → WKB → reproject actor 4326→3857 → coords."""
+    from .geo import wkb as W
+    from .ops.vector import VectorReproject
+
+    pts = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: _derive_points(t, "c_custkey"), batch_format="pyarrow")
+
+    def to_wkb(t: pa.Table) -> pa.Table:
+        blobs = [W.point_wkb(x, y) for x, y in
+                 zip(np.asarray(t["x"]), np.asarray(t["y"]))]
+        return pa.Table.from_pydict({
+            "c_custkey": t["c_custkey"],
+            "wkb": pa.array(blobs, pa.binary())})
+
+    def from_wkb(t: pa.Table) -> pa.Table:
+        xs, ys = [], []
+        for b in t["wkb"].to_pylist():
+            _, c = W.parse_wkb(b)
+            xs.append(c[0, 0])
+            ys.append(c[0, 1])
+        return pa.Table.from_pydict({
+            "c_custkey": t["c_custkey"].cast(pa.int64()),
+            "mx": pa.array(round_half_away(np.array(xs), 4), pa.float64()),
+            "my": pa.array(round_half_away(np.array(ys), 4), pa.float64())})
+
+    return (pts.map_batches(to_wkb, batch_format="pyarrow")
+            .map_batches(VectorReproject,
+                         fn_constructor_kwargs={"src_crs": 4326,
+                                                "dst_crs": 3857},
+                         batch_format="pyarrow", concurrency=2)
+            .map_batches(from_wkb, batch_format="pyarrow"))
+
+
+SQL_Q28 = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         {_PT[0].format(k='c_custkey')} AS x,
+         {_PT[1].format(k='c_custkey')} AS y
+  FROM customer)
+SELECT c_custkey,
+       ROUND(radians(x)*6378137.0, 4) AS mx,
+       ROUND(6378137.0*ln(tan(pi()/4 + radians(y)/2)), 4) AS my
+FROM pts
+"""
+
+
+def q43_tile_pyramid(sf_dir):
+    """Tile pyramid reduce (salted mosaic + per-level groupby); rows-only
+    — pytest covers pixel-exactness of the compose."""
+    from .pipelines import tile_pyramid
+
+    res = tile_pyramid(sf_dir, z_max=8, z_min=6, salt=4, limit_images=80)
+    frames = []
+    for z, ds in res["levels"].items():
+        pdf = ds.to_pandas()[["z", "tile_x", "tile_y", "n_contrib"]]
+        frames.append(pdf)
+    out = pd.concat(frames, ignore_index=True)
+    return pa.Table.from_pydict({
+        "z": pa.array(out["z"].astype("int64")),
+        "tile_x": pa.array(out["tile_x"].astype("int64")),
+        "tile_y": pa.array(out["tile_y"].astype("int64")),
+        "n_contrib": pa.array(out["n_contrib"].astype("int64"))})
+
+
+def q44_zone_geometry_stats(sf_dir):
+    """Per-zone geometry scalars (area/parts/vertices/centroid)."""
+    import ray.data
+
+    from .io.images import make_zones_table
+    from .ops.vector import geometry_stats_batch
+
+    ds = ray.data.from_arrow(make_zones_table(300))
+    out = ds.map_batches(geometry_stats_batch, batch_format="pyarrow")
+    return out.select_columns(["zone_id", "geom_area", "n_parts",
+                               "n_vertices"])
+
+
+def q45_explode_zones(sf_dir):
+    """Explode multi-part zones to one row per part."""
+    import ray.data
+
+    from .io.images import make_zones_table
+    from .ops.vector import explode_batch
+
+    ds = ray.data.from_arrow(make_zones_table(300))
+    out = ds.map_batches(explode_batch, batch_format="pyarrow")
+    return out.select_columns(["zone_id", "part_index", "kind"])
+
+
+def q46_embed_neardup(sf_dir):
+    """Embedding-cosine near-dup pairs (sim > 0.5 among vec_id < 100)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        from .ops.ann import embeddings_matrix
+
+        keep = pc.less(t["vec_id"], 100)
+        t = t.filter(keep)
+        x = embeddings_matrix(t, dtype=np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        sims = x @ x.T
+        ids = np.asarray(t["vec_id"], dtype=np.int64)
+        ai, bi = np.nonzero(np.triu(sims > 0.5, k=1))
+        return pa.Table.from_pydict({
+            "id_a": pa.array(ids[ai], pa.int64()),
+            "id_b": pa.array(ids[bi], pa.int64())})
+
+    # single partial per batch, union across batches is exact because the
+    # filter keeps <=100 vectors (they fit one batch at this scale; the
+    # scale path is rhp_signature bucketing in ops.ann.lsh_topk)
+    import ray.data
+
+    tbl = pa.concat_tables([pairs(t) for t in
+                            ds.iter_batches(batch_size=1 << 20,
+                                            batch_format="pyarrow")])
+    return tbl
+
+
+SQL_Q46 = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 100 AND b.vec_id < 100
+  AND list_cosine_similarity(a.embedding, b.embedding) > 0.5
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1037,9 +1280,17 @@ QUERIES = {
     "q37_phash_dups": (q37_phash_dups, None),
     "q38_pip_points_zones": (q38_pip_points_zones, None),
     "q39_ann_lsh": (q39_ann_lsh, None),
+    "q23_running_sum": (q23_running_sum, SQL_Q23),
+    "q24_sessions": (q24_sessions, SQL_Q24),
+    "q25_asof_join": (q25_asof_join, SQL_Q25),
+    "q28_vector_reproject": (q28_vector_reproject, SQL_Q28),
     "q40_rasterize_counts": (q40_rasterize_counts, SQL_Q40),
     "q41_polygonize_rects": (q41_polygonize_rects, None),
     "q42_image_band_stats": (q42_image_band_stats, None),
+    "q43_tile_pyramid": (q43_tile_pyramid, None),
+    "q44_zone_geometry_stats": (q44_zone_geometry_stats, None),
+    "q45_explode_zones": (q45_explode_zones, None),
+    "q46_embed_neardup": (q46_embed_neardup, SQL_Q46),
 }
 
 
