@@ -238,12 +238,13 @@ def hilbert_d(order, x, y):
 
 def lonlat_to_cell(lon, lat, z):
     """Packed WebMercatorQuad cell containing each (lon, lat) point."""
-    from .crs import lonlat_to_mercator
-
-    mx, my = lonlat_to_mercator(lon, lat)
+    mx, my = _crs.lonlat_to_mercator(lon, lat)
     tm = web_mercator_quad(z)
     tx = np.clip(np.floor((mx - tm.top_left_x) / tm.tile_span_x),
                  0, tm.matrix_w - 1).astype(np.int64)
     ty = np.clip(np.floor((tm.top_left_y - my) / tm.tile_span_y),
                  0, tm.matrix_h - 1).astype(np.int64)
     return pack_cell(np.full_like(tx, z), tx, ty)
+
+
+from . import crs as _crs  # noqa: E402  (no cycle: crs does not import cells)

@@ -1,1 +1,2 @@
-from . import ann, dedup, footprint, join, text, tile, warp  # noqa: F401
+from . import (ann, color, dedup, fill, footprint, grid, join, polygonize,
+               raster_math, rasterize, text, tile, vector, warp)  # noqa: F401

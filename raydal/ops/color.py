@@ -1,0 +1,101 @@
+"""Color operations: LUT color-map, median-cut palette, rgb→palette.
+
+* :func:`apply_color_map` — palette/color-relief LUT application
+  (``apps/gdalalg_raster_color_map.cpp`` semantics: exact-match LUT, or
+  linear color-relief interpolation between breakpoints).
+* Median-cut quantization (``alg/gdalmediancut.cpp``): the global color
+  histogram is a mergeable per-batch partial (5-bit RGB boxes like the
+  reference), the box-splitting finish runs on the driver — partial+final.
+* :func:`rgb_to_palette` — nearest palette entry per pixel (vectorized).
+  Error-diffusion dithering (``alg/gdaldither.cpp``) is inherently
+  sequential per scanline and is a documented non-goal this round.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["apply_color_map", "color_relief", "histogram_partial_rgb",
+           "median_cut", "rgb_to_palette"]
+
+
+def apply_color_map(band, lut):
+    """uint8 band → RGB via a (256, 3) LUT."""
+    lut = np.asarray(lut, dtype=np.uint8)
+    return lut[np.asarray(band).astype(np.uint8)]
+
+
+def color_relief(band, breakpoints):
+    """DEM color-relief: linear interpolation between (value, r, g, b)
+    breakpoints (gdaldem color-relief default mode)."""
+    bp = np.asarray(sorted(breakpoints), dtype=np.float64)
+    v = np.asarray(band, dtype=np.float64)
+    out = np.empty((*v.shape, 3), dtype=np.uint8)
+    for c in range(3):
+        out[..., c] = np.clip(
+            np.interp(v, bp[:, 0], bp[:, c + 1]), 0, 255).astype(np.uint8)
+    return out
+
+
+def histogram_partial_rgb(img, bits=5):
+    """Mergeable color histogram partial: (2^bits)^3 counts (uint64)."""
+    img = np.asarray(img)
+    shift = 8 - bits
+    r = img[..., 0].ravel() >> shift
+    g = img[..., 1].ravel() >> shift
+    b = img[..., 2].ravel() >> shift
+    n = 1 << bits
+    idx = (r.astype(np.int64) * n + g) * n + b
+    return np.bincount(idx, minlength=n ** 3).astype(np.int64)
+
+
+def median_cut(hist, n_colors=256, bits=5):
+    """Driver-side finish: split populated color boxes by the widest axis
+    at the median until ``n_colors`` boxes; returns (n, 3) uint8 palette.
+    """
+    n = 1 << bits
+    idx = np.nonzero(hist)[0]
+    counts = hist[idx]
+    r = (idx // (n * n)).astype(np.int64)
+    g = ((idx // n) % n).astype(np.int64)
+    b = (idx % n).astype(np.int64)
+    cols = np.stack([r, g, b], axis=1)
+    boxes = [(cols, counts)]
+    while len(boxes) < n_colors:
+        # split the box with the largest population that can still split
+        boxes.sort(key=lambda bc: -int(bc[1].sum()))
+        for bi, (c, w) in enumerate(boxes):
+            spans = c.max(axis=0) - c.min(axis=0) if len(c) else [0, 0, 0]
+            if len(c) > 1 and max(spans) > 0:
+                axis = int(np.argmax(spans))
+                order = np.argsort(c[:, axis], kind="stable")
+                c, w = c[order], w[order]
+                cum = np.cumsum(w)
+                split = int(np.searchsorted(cum, cum[-1] / 2.0)) + 1
+                split = min(max(split, 1), len(c) - 1)
+                boxes[bi] = (c[:split], w[:split])
+                boxes.append((c[split:], w[split:]))
+                break
+        else:
+            break  # nothing splittable
+    pal = np.empty((len(boxes), 3), dtype=np.uint8)
+    shift = 8 - bits
+    for i, (c, w) in enumerate(boxes):
+        avg = (c * w[:, None]).sum(axis=0) / max(w.sum(), 1)
+        pal[i] = np.clip((avg + 0.5) * (1 << shift), 0, 255).astype(np.uint8)
+    return pal
+
+
+def rgb_to_palette(img, palette):
+    """Nearest palette index per pixel (squared-distance argmin)."""
+    img = np.asarray(img, dtype=np.int32)
+    pal = np.asarray(palette, dtype=np.int32)
+    flat = img.reshape(-1, 3)
+    # (P, K) distances in chunks to bound memory
+    out = np.empty(len(flat), dtype=np.uint8 if len(pal) <= 256
+                   else np.int32)
+    chunk = 1 << 16
+    for s in range(0, len(flat), chunk):
+        d = ((flat[s:s + chunk, None, :] - pal[None, :, :]) ** 2).sum(axis=2)
+        out[s:s + chunk] = np.argmin(d, axis=1)
+    return out.reshape(img.shape[:2])

@@ -23,6 +23,7 @@ import pyarrow as pa
 
 from ..geo import cells, wkb as W
 from ..geo.affine import invert_gt
+from ..geo.crs import lonlat_to_mercator
 
 __all__ = ["fill_polygon_even_odd", "burn_point", "burn_line_all_touched",
            "burn_polygons_tile", "rasterize_zones", "TILE"]
@@ -152,8 +153,6 @@ def rasterize_zones(zones_ds, z, value_col="pop", merge="add",
     order.  Returns rows ``(cell, z, tile_x, tile_y, data)`` where data is
     the float64 tile grid bytes.
     """
-    from ..geo.crs import lonlat_to_mercator
-
     tm = cells.web_mercator_quad(z, tile_size)
 
     def to_tiles(t: pa.Table) -> pa.Table:

@@ -1,0 +1,138 @@
+"""Composable pipeline steps — the engine's analogue of the reference's
+unified-CLI step registry.
+
+The reference registers raster steps (``apps/gdalalg_raster_pipeline.cpp:
+346-370``) and vector steps (``apps/gdalalg_vector_pipeline.cpp:292-309``)
+as named, composable ``RunStep`` objects; ``gdal pipeline`` chains them.
+Here a :class:`Step` is ``(Dataset, **params) -> Dataset``; a pipeline is
+an ordered list applied left to right.  Ray Data's lazy plan plays the
+VRT role (``frmts/vrt`` — the un-executed chain IS the virtual dataset),
+so composing steps costs nothing until a sink consumes the stream.
+
+The registry exposes the stages that operate dataset→dataset; geometry
+kernels and actor classes remain directly importable for advanced use.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+__all__ = ["Step", "STEP_REGISTRY", "register_step", "run_pipeline"]
+
+
+@dataclass
+class Step:
+    name: str
+    fn: Callable
+    params: dict = field(default_factory=dict)
+
+    def __call__(self, ds):
+        return self.fn(ds, **self.params)
+
+
+STEP_REGISTRY: dict[str, Callable] = {}
+
+
+def register_step(name):
+    def deco(fn):
+        STEP_REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def run_pipeline(ds, steps):
+    """Apply steps — each a Step, a (name, params) pair, or a name."""
+    for s in steps:
+        if isinstance(s, Step):
+            ds = s(ds)
+        elif isinstance(s, tuple):
+            ds = STEP_REGISTRY[s[0]](ds, **(s[1] or {}))
+        else:
+            ds = STEP_REGISTRY[s](ds)
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# built-in steps (names follow the reference's CLI verbs)
+
+
+@register_step("footprint")
+def _footprint(ds, dst_crs=3857):
+    from .ops.footprint import add_footprint
+
+    return ds.map_batches(lambda t: add_footprint(t, dst_crs=dst_crs),
+                          batch_format="pyarrow")
+
+
+@register_step("tile-assign")
+def _assign(ds, z=10, carry_cols=("image_id",)):
+    from .ops.footprint import assign_tiles
+
+    return ds.map_batches(
+        lambda t: assign_tiles(t, z=z, carry_cols=carry_cols),
+        batch_format="pyarrow")
+
+
+@register_step("vector-reproject")
+def _vreproject(ds, src_crs, dst_crs, wkb_col="wkb", concurrency=2):
+    from .ops.vector import VectorReproject
+
+    return ds.map_batches(VectorReproject,
+                          fn_constructor_kwargs={"src_crs": src_crs,
+                                                 "dst_crs": dst_crs,
+                                                 "wkb_col": wkb_col},
+                          batch_format="pyarrow", concurrency=concurrency)
+
+
+@register_step("explode-collections")
+def _explode(ds, wkb_col="wkb"):
+    from .ops.vector import explode_batch
+
+    return ds.map_batches(lambda t: explode_batch(t, wkb_col=wkb_col),
+                          batch_format="pyarrow")
+
+
+@register_step("geom-stats")
+def _geom_stats(ds, wkb_col="wkb"):
+    from .ops.vector import geometry_stats_batch
+
+    return ds.map_batches(lambda t: geometry_stats_batch(t, wkb_col),
+                          batch_format="pyarrow")
+
+
+@register_step("warp")
+def _warp(ds, dst_crs=3857, resample="bilinear", concurrency=4,
+          batch_size=32):
+    from .ops.warp import WarpImages
+
+    return ds.map_batches(WarpImages,
+                          fn_constructor_kwargs={"dst_crs": dst_crs,
+                                                 "resample": resample},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+@register_step("text-quality")
+def _quality(ds, col="text"):
+    from .ops.text import quality_score_batch, token_count_batch
+
+    return (ds.map_batches(lambda t: token_count_batch(t, col),
+                           batch_format="pyarrow")
+              .map_batches(lambda t: quality_score_batch(t, col),
+                           batch_format="pyarrow"))
+
+
+@register_step("lang-id")
+def _langid(ds, concurrency=2):
+    from .ops.text import LangId
+
+    return ds.map_batches(LangId, batch_format="pyarrow",
+                          concurrency=concurrency)
+
+
+@register_step("exact-dedup")
+def _dedup(ds, col="text", id_col="doc_id"):
+    from .ops.dedup import exact_dedup
+
+    return exact_dedup(ds, col=col, id_col=id_col)

@@ -1245,6 +1245,269 @@ WHERE a.vec_id < 100 AND b.vec_id < 100
 """
 
 
+
+
+def q47_grid_idw(sf_dir):
+    """gdal_grid-style IDW: supplier points (value = s_acctbal) → raster
+    grid; rows-only (pytest carries the closed-form oracle)."""
+    import ray
+    import ray.data
+
+    from .ops.grid import GridInterpolate
+    from .ops.join import build_cell_points
+
+    sup = (_read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+           .map_batches(lambda t: _derive_points(t, "s_suppkey")
+                        .append_column("v", t["s_acctbal"]),
+                        batch_format="pyarrow").to_pandas())
+    index = build_cell_points(sup["v"].values, sup["x"].values,
+                              sup["y"].values, z=4,
+                              window=(-20.0, -10.0, 40.0, 50.0))
+    idx_ref = ray.put(index)
+    tiles = pa.Table.from_pydict({
+        "tile_id": pa.array(np.arange(9), pa.int64()),
+        "x0": pa.array([-20.0 + 20 * (i % 3) for i in range(9)]),
+        "y0": pa.array([-10.0 + 20 * (i // 3) for i in range(9)]),
+        "x1": pa.array([0.0 + 20 * (i % 3) for i in range(9)]),
+        "y1": pa.array([10.0 + 20 * (i // 3) for i in range(9)])})
+    ds = ray.data.from_arrow(tiles)
+    out = ds.map_batches(GridInterpolate,
+                         fn_constructor_kwargs={
+                             "index_ref": idx_ref, "algorithm": "invdist",
+                             "w": 32, "h": 32, "radius": 15.0},
+                         batch_format="pyarrow", concurrency=2)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        sums, mx = [], []
+        for b in t["data"].to_pylist():
+            a = np.frombuffer(b, dtype=np.float64)
+            sums.append(round(float(a.sum()), 2))
+            mx.append(round(float(a.max()), 4))
+        return pa.Table.from_pydict({
+            "tile_id": t["tile_id"],
+            "grid_sum": pa.array(sums, pa.float64()),
+            "grid_max": pa.array(mx, pa.float64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def q48_stride_sample(sf_dir):
+    """Deterministic decimation sampling (ApproxOK-style every-Nth)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = (np.asarray(t["doc_id"]) % 20) == 0
+        t = t.filter(pa.array(mask))
+        return pa.Table.from_pydict({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_chars": t["n_chars"].cast(pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q48 = ("SELECT doc_id, n_chars FROM documents WHERE doc_id % 20 = 0")
+
+
+def q49_string_funcs(sf_dir):
+    """Scalar string functions: UPPER/SUBSTR/CONCAT/LENGTH (swq op set)."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        name = t["c_name"]
+        up5 = pc.utf8_upper(pc.utf8_slice_codeunits(name, 0, 5))
+        tag = pc.binary_join_element_wise(
+            up5, t["c_mktsegment"], pa.scalar("/"))
+        return pa.Table.from_pydict({
+            "c_custkey": t["c_custkey"].cast(pa.int64()),
+            "tag": tag,
+            "name_len": pc.utf8_length(name).cast(pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q49 = """
+SELECT c_custkey,
+       UPPER(SUBSTR(c_name, 1, 5)) || '/' || c_mktsegment AS tag,
+       CAST(LENGTH(c_name) AS BIGINT) AS name_len
+FROM customer
+"""
+
+
+def q50_color_palette(sf_dir):
+    """Median-cut palette over the image corpus: per-batch RGB histogram
+    partials → merged → driver-side box split (partial+final)."""
+    import ray.data
+
+    from .io.codecs import decode
+    from .ops.color import histogram_partial_rgb, median_cut
+    from .pipelines import ensure_images_parquet
+
+    path = ensure_images_parquet(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        acc = None
+        for b in t["bytes"].to_pylist():
+            px = decode(b)
+            h = histogram_partial_rgb(px if px.ndim == 3
+                                      else px[:, :, None].repeat(3, 2))
+            acc = h if acc is None else acc + h
+        if acc is None:
+            acc = np.zeros(32 ** 3, dtype=np.int64)
+        return pa.Table.from_pydict({
+            "hist": pa.array([acc.tolist()],
+                             pa.list_(pa.int64(), 32 ** 3))})
+
+    parts = (ray.data.read_parquet(path, columns=["bytes"]).limit(100)
+             .map_batches(partial, batch_format="pyarrow", batch_size=32)
+             .to_pandas())
+    total = np.zeros(32 ** 3, dtype=np.int64)
+    for hrow in parts["hist"]:
+        total += np.asarray(hrow, dtype=np.int64)
+    pal = median_cut(total, n_colors=16)
+    return pa.Table.from_pydict({
+        "palette_idx": pa.array(np.arange(len(pal)), pa.int64()),
+        "r": pa.array(pal[:, 0].astype(np.int64)),
+        "g": pa.array(pal[:, 1].astype(np.int64)),
+        "b": pa.array(pal[:, 2].astype(np.int64))})
+
+
+def q51_hilbert_order(sf_dir):
+    """Spatial-locality sort: Hilbert code of each image footprint center,
+    global ds.sort — the FlatGeobuf packed-R-tree bulk-sort analogue."""
+    import ray.data
+
+    from .geo import cells as C
+    from .geo.crs import lonlat_to_mercator
+    from .ops.footprint import add_footprint
+    from .pipelines import ensure_images_parquet
+
+    path = ensure_images_parquet(sf_dir)
+
+    def hilbert(t: pa.Table) -> pa.Table:
+        cx = (np.asarray(t["xmin"]) + np.asarray(t["xmax"])) / 2
+        cy = (np.asarray(t["ymin"]) + np.asarray(t["ymax"])) / 2
+        E = 20037508.342789244
+        order = 16
+        n = 1 << order
+        gx = np.clip(((cx + E) / (2 * E) * n), 0, n - 1).astype(np.int64)
+        gy = np.clip(((E - cy) / (2 * E) * n), 0, n - 1).astype(np.int64)
+        return pa.Table.from_pydict({
+            "image_id": t["image_id"],
+            "hilbert": pa.array(C.hilbert_d(order, gx, gy), pa.int64())})
+
+    ds = (ray.data.read_parquet(path,
+                                columns=["image_id", "w", "h", "crs", "gt"])
+          .map_batches(lambda t: add_footprint(t, dst_crs=3857),
+                       batch_format="pyarrow")
+          .map_batches(hilbert, batch_format="pyarrow")
+          .sort("hilbert"))
+    pdf = ds.to_pandas()
+    pdf["rank"] = np.arange(len(pdf), dtype=np.int64)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def q52_resize_checksums(sf_dir):
+    """`raster resize` to 48×48 per image (RIO bilinear) + checksum."""
+    import ray.data
+
+    from .io.codecs import decode
+    from .kernels.checksum import checksum
+    from .kernels.resample import copy_words_cast, resample_grid
+    from .pipelines import ensure_images_parquet
+
+    path = ensure_images_parquet(sf_dir)
+
+    def resize(t: pa.Table) -> pa.Table:
+        ids, cks = [], []
+        for i in range(t.num_rows):
+            px = decode(t["bytes"][i].as_py())
+            band = (px[:, :, 0] if px.ndim == 3 else px).astype(np.float64)
+            h, w = band.shape
+            sy, sx = np.mgrid[0:48, 0:48]
+            sxf = (sx + 0.5) * (w / 48.0)
+            syf = (sy + 0.5) * (h / 48.0)
+            vals, ok = resample_grid(band, sxf, syf, "bilinear")
+            small = copy_words_cast(vals, np.uint8)
+            ids.append(t["image_id"][i].as_py())
+            cks.append(checksum(small))
+        return pa.Table.from_pydict({
+            "image_id": pa.array(ids, pa.string()),
+            "checksum48": pa.array(cks, pa.int64())})
+
+    return (ray.data.read_parquet(path, columns=["image_id", "bytes"])
+            .limit(300)
+            .map_batches(resize, batch_format="pyarrow", batch_size=64))
+
+
+def q53_sieve_proximity(sf_dir):
+    """sieve + proximity over rasterized rectangles (per-tile cleanup)."""
+    import ray.data
+
+    from .geo.wkb import box_polygon, polygon_wkb
+    from .ops.fill import proximity, sieve
+    from .ops.rasterize import rasterize_zones
+
+    rects = _derived_rects()
+    zones = pa.Table.from_pydict({
+        "zone_id": pa.array([f"r{j}" for j in rects["rect_id"]]),
+        "wkb": pa.array([polygon_wkb(box_polygon(*b))
+                         for b in rects["bounds"]], pa.binary()),
+        "pop": pa.array(list(range(1, 13)), pa.int64())})
+    burned = rasterize_zones(ray.data.from_arrow(zones), z=5,
+                             value_col="pop", merge="replace")
+
+    def cleanup(t: pa.Table) -> pa.Table:
+        out = {"cell": [], "n_nonzero": [], "sieved_nonzero": [],
+               "mean_prox": []}
+        for i in range(t.num_rows):
+            a = np.frombuffer(t["data"][i].as_py(),
+                              dtype=np.float64).reshape(256, 256)
+            s = sieve(a.astype(np.int64), threshold=8)
+            p = proximity(a, max_dist=64.0, nodata=64.0)
+            out["cell"].append(t["cell"][i].as_py())
+            out["n_nonzero"].append(int((a != 0).sum()))
+            out["sieved_nonzero"].append(int((s != 0).sum()))
+            out["mean_prox"].append(round(float(p.mean()), 4))
+        return pa.Table.from_pydict({
+            "cell": pa.array(out["cell"], pa.int64()),
+            "n_nonzero": pa.array(out["n_nonzero"], pa.int64()),
+            "sieved_nonzero": pa.array(out["sieved_nonzero"], pa.int64()),
+            "mean_prox": pa.array(out["mean_prox"], pa.float64())})
+
+    return burned.map_batches(cleanup, batch_format="pyarrow")
+
+
+def q54_hillshade(sf_dir):
+    """DEM hillshade/slope over per-image gray bands (Horn kernels)."""
+    import ray.data
+
+    from .io.codecs import decode
+    from .kernels.checksum import checksum
+    from .ops.raster_math import hillshade, slope
+    from .pipelines import ensure_images_parquet
+
+    path = ensure_images_parquet(sf_dir)
+
+    def dem(t: pa.Table) -> pa.Table:
+        ids, hs_cks, max_slope = [], [], []
+        for i in range(t.num_rows):
+            px = decode(t["bytes"][i].as_py())
+            band = (px[:, :, 0] if px.ndim == 3 else px).astype(np.float64)
+            hs = hillshade(band, 1.0, 1.0)
+            sl = slope(band, 1.0, 1.0)
+            ids.append(t["image_id"][i].as_py())
+            hs_cks.append(checksum(hs))
+            max_slope.append(round(float(sl.max()), 4))
+        return pa.Table.from_pydict({
+            "image_id": pa.array(ids, pa.string()),
+            "hillshade_cks": pa.array(hs_cks, pa.int64()),
+            "max_slope": pa.array(max_slope, pa.float64())})
+
+    return (ray.data.read_parquet(path, columns=["image_id", "bytes"])
+            .limit(200)
+            .map_batches(dem, batch_format="pyarrow", batch_size=64))
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1291,6 +1554,14 @@ QUERIES = {
     "q44_zone_geometry_stats": (q44_zone_geometry_stats, None),
     "q45_explode_zones": (q45_explode_zones, None),
     "q46_embed_neardup": (q46_embed_neardup, SQL_Q46),
+    "q47_grid_idw": (q47_grid_idw, None),
+    "q48_stride_sample": (q48_stride_sample, SQL_Q48),
+    "q49_string_funcs": (q49_string_funcs, SQL_Q49),
+    "q50_color_palette": (q50_color_palette, None),
+    "q51_hilbert_order": (q51_hilbert_order, None),
+    "q52_resize_checksums": (q52_resize_checksums, None),
+    "q53_sieve_proximity": (q53_sieve_proximity, None),
+    "q54_hillshade": (q54_hillshade, None),
 }
 
 
