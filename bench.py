@@ -98,9 +98,12 @@ def main_plain():
 
 
 def main_scaling():
+    """Same job, fresh process per level; best-of-2 per level in
+    alternating order (the shared box is noisy — single runs vary ±30%)."""
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    results = {}
-    for ncpu in (8, 32):
+    best = {}
+
+    def run(ncpu):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_SF_DIR=sf_dir, RAYDAL_BENCH_QUERIES="0")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
@@ -110,9 +113,14 @@ def main_scaling():
             print(out.stdout)
             print(out.stderr, file=sys.stderr)
             raise SystemExit(1)
-        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
-    thr8 = results[8]["images_per_sec"]
-    thr32 = results[32]["images_per_sec"]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    for ncpu in (8, 32, 8, 32):
+        r = run(ncpu)
+        if ncpu not in best or r["images_per_sec"] > best[ncpu]["images_per_sec"]:
+            best[ncpu] = r
+    thr8 = best[8]["images_per_sec"]
+    thr32 = best[32]["images_per_sec"]
     eff = (thr32 / thr8) / (32 / 8)
     print(json.dumps({
         "metric": "scaling_efficiency",
@@ -120,8 +128,9 @@ def main_scaling():
         "unit": "ratio",
         "images_per_sec_8": thr8,
         "images_per_sec_32": thr32,
-        "wall_sec_8": results[8]["value"],
-        "wall_sec_32": results[32]["value"],
+        "wall_sec_8": best[8]["value"],
+        "wall_sec_32": best[32]["value"],
+        "runs_per_level": 2,
         "sf": sf_dir,
     }))
 

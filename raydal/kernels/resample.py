@@ -23,7 +23,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = [
-    "KERNEL_RADIUS", "kernel_weights", "resample_grid", "block_reduce",
+    "KERNEL_RADIUS", "kernel_weights", "resample_grid",
+    "bilinear_sample_fast", "block_reduce",
     "downsample2_average", "copy_words_cast", "psnr",
 ]
 
@@ -252,3 +253,49 @@ def psnr(a, b, peak=255.0):
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(peak * peak / mse)
+
+
+def bilinear_sample_fast(src, sx, sy):
+    """Specialized bilinear gather for uint8 multi-band sources.
+
+    Edge handling is clamp-to-edge (replicate) instead of the generic
+    path's weight renormalization — identical in the interior, within one
+    quantization step at borders; use for throughput-critical stages
+    (the flagship actor), keep :func:`resample_grid` as the
+    reference-parity kernel.  float32 arithmetic (error ≤1e-5 ≪ the
+    copy-words rounding step for 8-bit payloads).
+
+    Returns (values float32 (..., C) or (...,), valid bool).
+    """
+    src = np.asarray(src)
+    multi = src.ndim == 3
+    h, w = src.shape[:2]
+    sx = np.asarray(sx, dtype=np.float64)
+    sy = np.asarray(sy, dtype=np.float64)
+    ux = (sx - 0.5).astype(np.float32)
+    uy = (sy - 0.5).astype(np.float32)
+    valid = (sx >= 0.0) & (sx <= w) & (sy >= 0.0) & (sy <= h)
+    np.clip(ux, 0.0, w - 1.0, out=ux)
+    np.clip(uy, 0.0, h - 1.0, out=uy)
+    x0 = ux.astype(np.int32)
+    y0 = uy.astype(np.int32)
+    np.clip(x0, 0, w - 2, out=x0) if w > 1 else None
+    np.clip(y0, 0, h - 2, out=y0) if h > 1 else None
+    fx = ux - x0
+    fy = uy - y0
+    flat = src.reshape(-1, src.shape[2]) if multi else src.reshape(-1)
+    idx = (y0.astype(np.int64) * w + x0).ravel()
+    v00 = flat[idx]
+    v01 = flat[idx + (1 if w > 1 else 0)]
+    v10 = flat[idx + (w if h > 1 else 0)]
+    v11 = flat[idx + ((w + 1) if (h > 1 and w > 1) else 0)]
+    fxr = fx.ravel().astype(np.float32)
+    fyr = fy.ravel().astype(np.float32)
+    if multi:
+        fxr = fxr[:, None]
+        fyr = fyr[:, None]
+    top = v00 + (v01.astype(np.float32) - v00) * fxr
+    bot = v10 + (v11.astype(np.float32) - v10) * fxr
+    out = top + (bot - top) * fyr
+    out_shape = sx.shape + ((src.shape[2],) if multi else ())
+    return out.reshape(out_shape), valid

@@ -35,6 +35,18 @@ def _hash_u64(arr_u64, seed):
     return x
 
 
+_SEEDS_CACHE = {}
+
+
+def _perm_seeds(num_perm):
+    """(P, 1) uint64 seed constants for the vectorized signature."""
+    if num_perm not in _SEEDS_CACHE:
+        _SEEDS_CACHE[num_perm] = np.array(
+            [(0x9E3779B97F4A7C15 * (p + 1)) & 0xFFFFFFFFFFFFFFFF
+             for p in range(num_perm)], dtype=np.uint64)[:, None]
+    return _SEEDS_CACHE[num_perm]
+
+
 def _text_tokens_u64(text):
     """Whitespace tokens of one string → uint64 FNV-1a hashes."""
     hs = np.empty(0, dtype=np.uint64)
@@ -108,10 +120,15 @@ class MinHasher:
         sh = _shingles(_text_tokens_u64(text), self.shingle_n)
         if len(sh) == 0:
             return np.full(self.num_perm, np.uint64(_M61), dtype=np.uint64)
-        sig = np.empty(self.num_perm, dtype=np.uint64)
-        for p in range(self.num_perm):
-            sig[p] = _hash_u64(sh, p).min()
-        return sig
+        # all permutations at once: (P, S) mix then row-min — identical
+        # values to the per-permutation loop (same splitmix constants)
+        x = sh[None, :] + _perm_seeds(self.num_perm)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return x.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = [self.signature(t or "") for t in batch["text"].to_pylist()]

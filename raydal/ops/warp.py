@@ -25,7 +25,8 @@ from ..geo.crs import Transformer
 from ..io.codecs import decode
 from ..io.png import encode_png
 from ..kernels.checksum import checksum
-from ..kernels.resample import copy_words_cast, resample_grid
+from ..kernels.resample import (bilinear_sample_fast,
+                                copy_words_cast, resample_grid)
 from .footprint import footprint_corners
 from .join import SpatialJoinZones
 
@@ -187,9 +188,17 @@ class FlagshipActor:
             dst_gt, dw, dh = suggest_output_grid(gt, w, h, src_crs,
                                                  self.dst_crs)
             tf = self.tfs.get(self.dst_crs, src_crs)
-            vals, valid = warp_array(px, gt, src_crs, dst_gt, dw, dh,
-                                     self.dst_crs, self.resample,
-                                     transformer=tf)
+            if self.resample == "bilinear":
+                # throughput path: specialized uint8 bilinear gather
+                X, Y = affine.pixel_centers(dst_gt, dw, dh)
+                sx_w, sy_w = tf.transform(X, Y)
+                inv_gt = affine.invert_gt(gt)
+                sxp, syp = affine.apply_gt(inv_gt, sx_w, sy_w)
+                vals, valid = bilinear_sample_fast(px, sxp, syp)
+            else:
+                vals, valid = warp_array(px, gt, src_crs, dst_gt, dw, dh,
+                                         self.dst_crs, self.resample,
+                                         transformer=tf)
             b0 = copy_words_cast(
                 np.where(valid, vals[:, :, 0], 0.0), np.uint8)
             # tile cover at z from the warped grid's extent (EPSG:3857)

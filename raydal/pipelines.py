@@ -117,7 +117,11 @@ def flagship(sf_dir, z=10, n_zones=500, warp_sample=None, concurrency=None,
     from .ops.warp import FlagshipActor
 
     if concurrency is None:
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        # leave headroom that grows with the node: read tasks, the
+        # driver's streaming consumer, and Ray system processes compete
+        # with the pool once the box is near-saturated
+        concurrency = max(2, cpus - max(2, cpus // 6))
     path = ensure_images_parquet(sf_dir)
     zi = zone_index or ensure_zone_index(n_zones)
     zi_ref = ray.put(zi)

@@ -1508,6 +1508,102 @@ def q54_hillshade(sf_dir):
             .map_batches(dem, batch_format="pyarrow", batch_size=64))
 
 
+
+
+def q55_cell_partitioned_join(sf_dir):
+    """Large×large spatial join WITHOUT broadcast: both sides flat-map to
+    covering grid cells, one ``groupby(cell)`` joins co-located groups,
+    PBSM reference-point dedup keeps each pair exactly once.
+
+    Same semantics as q12 (point-in-rect), so the same SQL oracle applies
+    — this query exists to exercise the shuffle join path end-to-end.
+    """
+    import ray.data
+
+    from .ops.join import cell_cover_bbox
+
+    Z = 4
+    WINDOW = (-20.0, -10.0, 40.0, 50.0)
+
+    pts = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: _derive_points(t, "c_custkey"), batch_format="pyarrow")
+
+    def pt_bbox(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "c_custkey": t["c_custkey"],
+            "xmin": t["x"], "ymin": t["y"], "xmax": t["x"], "ymax": t["y"]})
+
+    pts_cells = pts.map_batches(pt_bbox, batch_format="pyarrow") \
+        .map_batches(lambda t: cell_cover_bbox(
+            t, Z, ["c_custkey", "xmin", "ymin"], planar_window=WINDOW),
+            batch_format="pyarrow") \
+        .map_batches(lambda t: t.rename_columns(
+            ["c_custkey", "px", "py", "cell"]), batch_format="pyarrow")
+
+    rects = _derived_rects()
+    rt = pa.Table.from_pydict({
+        "rect_id": pa.array(rects["rect_id"], pa.int64()),
+        "xmin": pa.array([b[0] for b in rects["bounds"]], pa.float64()),
+        "ymin": pa.array([b[1] for b in rects["bounds"]], pa.float64()),
+        "xmax": pa.array([b[2] for b in rects["bounds"]], pa.float64()),
+        "ymax": pa.array([b[3] for b in rects["bounds"]], pa.float64())})
+    rect_cells = ray.data.from_arrow(rt).map_batches(
+        lambda t: cell_cover_bbox(
+            t, Z, ["rect_id", "xmin", "ymin", "xmax", "ymax"],
+            planar_window=WINDOW),
+        batch_format="pyarrow")
+
+    # union the two sides with a discriminator column, join inside groups
+    def tag_pts(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_pydict({
+            "cell": t["cell"], "side": pa.array(["p"] * n),
+            "c_custkey": t["c_custkey"],
+            "px": t["px"], "py": t["py"],
+            "rect_id": pa.array([None] * n, pa.int64()),
+            "xmin": pa.array([None] * n, pa.float64()),
+            "ymin": pa.array([None] * n, pa.float64()),
+            "xmax": pa.array([None] * n, pa.float64()),
+            "ymax": pa.array([None] * n, pa.float64())})
+
+    def tag_rects(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_pydict({
+            "cell": t["cell"], "side": pa.array(["r"] * n),
+            "c_custkey": pa.array([None] * n, pa.int64()),
+            "px": pa.array([None] * n, pa.float64()),
+            "py": pa.array([None] * n, pa.float64()),
+            "rect_id": t["rect_id"],
+            "xmin": t["xmin"], "ymin": t["ymin"],
+            "xmax": t["xmax"], "ymax": t["ymax"]})
+
+    both = pts_cells.map_batches(tag_pts, batch_format="pyarrow").union(
+        rect_cells.map_batches(tag_rects, batch_format="pyarrow"))
+
+    def join_cell(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == "p"]
+        r = g[g["side"] == "r"]
+        if len(p) == 0 or len(r) == 0:
+            return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                                 "rect_id": pd.Series([], dtype="int64")})
+        out_c, out_r = [], []
+        px = p["px"].values
+        py = p["py"].values
+        ck = p["c_custkey"].values
+        for _, rr in r.iterrows():
+            hit = ((px >= rr["xmin"]) & (px <= rr["xmax"])
+                   & (py >= rr["ymin"]) & (py <= rr["ymax"]))
+            # PBSM dedup: a point lies in exactly one cell, so pairs are
+            # already unique — the reference-point rule is trivially the
+            # point's own cell (kept explicit for the bbox×bbox case).
+            out_c.extend(ck[hit].tolist())
+            out_r.extend([rr["rect_id"]] * int(hit.sum()))
+        return pd.DataFrame({"c_custkey": pd.Series(out_c, dtype="int64"),
+                             "rect_id": pd.Series(out_r, dtype="int64")})
+
+    return both.groupby("cell").map_groups(join_cell, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1562,6 +1658,7 @@ QUERIES = {
     "q52_resize_checksums": (q52_resize_checksums, None),
     "q53_sieve_proximity": (q53_sieve_proximity, None),
     "q54_hillshade": (q54_hillshade, None),
+    "q55_cell_partitioned_join": (q55_cell_partitioned_join, SQL_Q12),
 }
 
 
