@@ -48,19 +48,23 @@ def _perm_seeds(num_perm):
 
 
 def _text_tokens_u64(text):
-    """Whitespace tokens of one string → uint64 FNV-1a hashes."""
-    hs = np.empty(0, dtype=np.uint64)
+    """Whitespace tokens of one string → uint64 hashes.
+
+    Two C-speed crc32 passes (forward + salted) combined into 64 bits —
+    deterministic across processes and ~100× faster than a per-byte
+    Python FNV loop on long documents.
+    """
+    import zlib
+
     toks = text.split()
     if not toks:
-        return hs
-    m64 = (1 << 64) - 1
+        return np.empty(0, dtype=np.uint64)
     out = np.empty(len(toks), dtype=np.uint64)
+    crc = zlib.crc32
     for i, t in enumerate(toks):
-        h = 0xCBF29CE484222325
-        for b in t.encode("utf-8", "ignore"):
-            h = ((h ^ b) * 0x100000001B3) & m64
-        out[i] = h
-    return out
+        b = t.encode("utf-8", "ignore")
+        out[i] = crc(b) | (crc(b, 0x5F3759DF) << 32)
+    return _hash_u64(out, 0)  # final mix for bit dispersion
 
 
 def _shingles(tok_hashes, n=3):

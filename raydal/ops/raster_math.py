@@ -23,7 +23,8 @@ import numpy as np
 
 __all__ = ["PIXEL_FUNCTIONS", "apply_pixel_function", "set_type",
            "reclassify", "hillshade", "slope", "aspect", "tri", "tpi",
-           "roughness", "stats_partial", "stats_merge", "stats_final"]
+           "roughness", "stats_partial", "stats_merge", "stats_final",
+           "pansharpen", "clean_collar"]
 
 
 def _nanguard(fn):
@@ -212,3 +213,63 @@ def stats_final(p):
     var = max(p["sumsq"] / n - mean * mean, 0.0)
     return {"count": p["count"], "min": p["min"], "max": p["max"],
             "mean": mean, "std": float(np.sqrt(var)), "hist": p["hist"]}
+
+
+def pansharpen(pan, rgb, weights=(1 / 3, 1 / 3, 1 / 3), bit_depth=8):
+    """Weighted-Brovey pan-sharpening (``alg/gdalpansharpen.cpp``):
+    ``out_b = rgb_b * pan / pseudo_pan`` with
+    ``pseudo_pan = Σ w_b · rgb_b``.  ``pan`` (H, W) at the target
+    resolution, ``rgb`` (H, W, 3) upsampled to match."""
+    pan = np.asarray(pan, dtype=np.float64)
+    rgb = np.asarray(rgb, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    pseudo = (rgb * w[None, None, :]).sum(axis=2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(pseudo > 0, pan / pseudo, 0.0)
+    out = rgb * ratio[:, :, None]
+    return set_type(np.clip(out, 0, (1 << bit_depth) - 1), np.uint8)
+
+
+def clean_collar(img, threshold=15, color="black", pixel_distance=2):
+    """Trim the near-black/near-white collar reachable from the borders
+    (``apps/gdalalg_raster_clean_collar.cpp`` semantics): border-connected
+    pixels within ``threshold`` of the collar color become 0 (black) /
+    255 (white); interior pixels of the same color survive.  Returns
+    (cleaned, collar_mask)."""
+    img = np.asarray(img)
+    gray = img.mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
+    if color == "black":
+        near = gray <= threshold
+        fill_value = 0
+    else:
+        near = gray >= 255 - threshold
+        fill_value = 255
+    h, w = near.shape
+    collar = np.zeros_like(near)
+    # flood from borders across `near` pixels (iterative dilation —
+    # bounded by image diameter; collars converge in a few dozen passes)
+    frontier = np.zeros_like(near)
+    frontier[0, :] = near[0, :]
+    frontier[-1, :] = near[-1, :]
+    frontier[:, 0] = near[:, 0]
+    frontier[:, -1] = near[:, -1]
+    collar |= frontier
+    while frontier.any():
+        grow = np.zeros_like(near)
+        grow[:-1, :] |= collar[1:, :]
+        grow[1:, :] |= collar[:-1, :]
+        grow[:, :-1] |= collar[:, 1:]
+        grow[:, 1:] |= collar[:, :-1]
+        frontier = grow & near & ~collar
+        collar |= frontier
+    if pixel_distance:
+        for _ in range(pixel_distance):
+            grow = np.zeros_like(collar)
+            grow[:-1, :] |= collar[1:, :]
+            grow[1:, :] |= collar[:-1, :]
+            grow[:, :-1] |= collar[:, 1:]
+            grow[:, 1:] |= collar[:, :-1]
+            collar |= grow & near
+    out = img.copy()
+    out[collar] = fill_value
+    return out, collar

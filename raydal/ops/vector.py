@@ -27,10 +27,12 @@ import pyarrow as pa
 
 from ..geo import wkb as W
 from ..geo.crs import Transformer
+from .polygonize import trace_boundary
 
 __all__ = ["VectorReproject", "reproject_wkb", "explode_batch", "swap_xy",
            "segmentize", "simplify_dp", "centroid", "convex_hull",
-           "buffer_point", "buffer_convex", "geometry_stats_batch"]
+           "buffer_point", "buffer_convex", "geometry_stats_batch",
+           "raster_footprint"]
 
 
 def _map_coords(parsed, fn):
@@ -297,3 +299,26 @@ def geometry_stats_batch(batch: pa.Table, wkb_col="wkb") -> pa.Table:
                             ("centroid_y", cy, pa.float64())):
         out = out.append_column(name, pa.array(vals, typ))
     return out
+
+
+def raster_footprint(valid_mask, gt, simplify_tol=0.0, hull=False):
+    """Raster footprint: valid mask → boundary polygon (world coords).
+
+    The ``gdal footprint`` chain (``apps/gdal_footprint_lib.cpp:143-191``):
+    mask → polygonize boundary → optional Douglas-Peucker simplify →
+    optional convex hull.  Returns a closed ring (N, 2) or None for an
+    empty mask.
+    """
+    mask = np.asarray(valid_mask, dtype=bool)
+    if not mask.any():
+        return None
+    ring_px = trace_boundary(mask)
+    if simplify_tol > 0:
+        ring_px = simplify_dp(ring_px, simplify_tol)
+        if (ring_px[0] != ring_px[-1]).any():
+            ring_px = np.vstack([ring_px, ring_px[:1]])
+    if hull:
+        ring_px = convex_hull(ring_px)
+    gx = gt[0] + ring_px[:, 0] * gt[1] + ring_px[:, 1] * gt[2]
+    gy = gt[3] + ring_px[:, 0] * gt[4] + ring_px[:, 1] * gt[5]
+    return np.stack([gx, gy], axis=1)
