@@ -63,7 +63,11 @@ def _text_tokens_u64(text):
     crc = zlib.crc32
     for i, t in enumerate(toks):
         b = t.encode("utf-8", "ignore")
-        out[i] = crc(b) | (crc(b, 0x5F3759DF) << 32)
+        # crc of the reversed bytes is an independent linear functional of
+        # the message bits (a salted crc is NOT: crc(b, salt) ==
+        # crc(b) ^ f(salt, len) by linearity), so the pair carries a full
+        # 64 bits of content entropy
+        out[i] = crc(b) | (crc(b[::-1]) << 32)
     return _hash_u64(out, 0)  # final mix for bit dispersion
 
 

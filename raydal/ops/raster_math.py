@@ -227,7 +227,8 @@ def pansharpen(pan, rgb, weights=(1 / 3, 1 / 3, 1 / 3), bit_depth=8):
     with np.errstate(divide="ignore", invalid="ignore"):
         ratio = np.where(pseudo > 0, pan / pseudo, 0.0)
     out = rgb * ratio[:, :, None]
-    return set_type(np.clip(out, 0, (1 << bit_depth) - 1), np.uint8)
+    dtype = np.uint8 if bit_depth <= 8 else np.uint16
+    return set_type(np.clip(out, 0, (1 << bit_depth) - 1), dtype)
 
 
 def clean_collar(img, threshold=15, color="black", pixel_distance=2):
@@ -246,30 +247,40 @@ def clean_collar(img, threshold=15, color="black", pixel_distance=2):
         fill_value = 255
     h, w = near.shape
     collar = np.zeros_like(near)
-    # flood from borders across `near` pixels (iterative dilation —
-    # bounded by image diameter; collars converge in a few dozen passes)
-    frontier = np.zeros_like(near)
-    frontier[0, :] = near[0, :]
-    frontier[-1, :] = near[-1, :]
-    frontier[:, 0] = near[:, 0]
-    frontier[:, -1] = near[:, -1]
-    collar |= frontier
-    while frontier.any():
-        grow = np.zeros_like(near)
-        grow[:-1, :] |= collar[1:, :]
-        grow[1:, :] |= collar[:-1, :]
-        grow[:, :-1] |= collar[:, 1:]
-        grow[:, 1:] |= collar[:, :-1]
-        frontier = grow & near & ~collar
-        collar |= frontier
-    if pixel_distance:
-        for _ in range(pixel_distance):
-            grow = np.zeros_like(collar)
-            grow[:-1, :] |= collar[1:, :]
-            grow[1:, :] |= collar[:-1, :]
-            grow[:, :-1] |= collar[:, 1:]
-            grow[:, 1:] |= collar[:, :-1]
-            collar |= grow & near
+    collar[0, :] = near[0, :]
+    collar[-1, :] = near[-1, :]
+    collar[:, 0] = near[:, 0]
+    collar[:, -1] = near[:, -1]
+
+    def _dilate(mask):
+        grow = np.zeros_like(mask)
+        grow[:-1, :] |= mask[1:, :]
+        grow[1:, :] |= mask[:-1, :]
+        grow[:, :-1] |= mask[:, 1:]
+        grow[:, 1:] |= mask[:, :-1]
+        return grow
+
+    # Flood through `near` pixels; the search may additionally jump over
+    # up to `pixel_distance` non-collar-colored pixels (the reference's
+    # --pixel-distance semantics), so after each flood fixpoint the
+    # reachable set dilates over ANY pixels by that budget and flooding
+    # resumes from newly reached near pixels.
+    while True:
+        # flood to fixpoint across near pixels
+        while True:
+            frontier = _dilate(collar) & near & ~collar
+            if not frontier.any():
+                break
+            collar |= frontier
+        if not pixel_distance:
+            break
+        reach = collar.copy()
+        for _ in range(pixel_distance + 1):
+            reach |= _dilate(reach)
+        jumped = reach & near & ~collar
+        if not jumped.any():
+            break
+        collar |= jumped
     out = img.copy()
     out[collar] = fill_value
     return out, collar

@@ -27,7 +27,7 @@ import pyarrow as pa
 
 from ..geo import wkb as W
 from ..geo.crs import Transformer
-from .polygonize import trace_boundary
+from .polygonize import label_components, trace_boundary
 
 __all__ = ["VectorReproject", "reproject_wkb", "explode_batch", "swap_xy",
            "segmentize", "simplify_dp", "centroid", "convex_hull",
@@ -302,23 +302,32 @@ def geometry_stats_batch(batch: pa.Table, wkb_col="wkb") -> pa.Table:
 
 
 def raster_footprint(valid_mask, gt, simplify_tol=0.0, hull=False):
-    """Raster footprint: valid mask → boundary polygon (world coords).
+    """Raster footprint: valid mask → boundary polygons (world coords).
 
     The ``gdal footprint`` chain (``apps/gdal_footprint_lib.cpp:143-191``):
-    mask → polygonize boundary → optional Douglas-Peucker simplify →
-    optional convex hull.  Returns a closed ring (N, 2) or None for an
-    empty mask.
+    mask → per-component polygonize boundary → optional Douglas-Peucker
+    simplify → optional convex hull (of all components together, like the
+    reference's convex-hull mode).  Returns a list of closed rings, one
+    per connected component ([] for an empty mask); with ``hull=True`` a
+    single-ring list.
     """
     mask = np.asarray(valid_mask, dtype=bool)
     if not mask.any():
-        return None
-    ring_px = trace_boundary(mask)
-    if simplify_tol > 0:
-        ring_px = simplify_dp(ring_px, simplify_tol)
-        if (ring_px[0] != ring_px[-1]).any():
-            ring_px = np.vstack([ring_px, ring_px[:1]])
+        return []
+    labels = label_components(mask.astype(np.int8), 4, background=0)
+    rings = []
+    for lab in range(1, labels.max() + 1):
+        ring_px = trace_boundary(labels == lab)
+        if simplify_tol > 0:
+            ring_px = simplify_dp(ring_px, simplify_tol)
+            if (ring_px[0] != ring_px[-1]).any():
+                ring_px = np.vstack([ring_px, ring_px[:1]])
+        rings.append(ring_px)
     if hull:
-        ring_px = convex_hull(ring_px)
-    gx = gt[0] + ring_px[:, 0] * gt[1] + ring_px[:, 1] * gt[2]
-    gy = gt[3] + ring_px[:, 0] * gt[4] + ring_px[:, 1] * gt[5]
-    return np.stack([gx, gy], axis=1)
+        rings = [convex_hull(np.concatenate(rings))]
+    out = []
+    for ring_px in rings:
+        gx = gt[0] + ring_px[:, 0] * gt[1] + ring_px[:, 1] * gt[2]
+        gy = gt[3] + ring_px[:, 0] * gt[4] + ring_px[:, 1] * gt[5]
+        out.append(np.stack([gx, gy], axis=1))
+    return out
