@@ -1,2 +1,3 @@
-from . import (ann, color, dedup, fill, footprint, grid, join, polygonize,
+from . import (ann, color, contour, dedup, fill, footprint, grid, join,
+               polygonize,
                raster_math, rasterize, text, tile, vector, warp)  # noqa: F401

@@ -1604,6 +1604,43 @@ def q55_cell_partitioned_join(sf_dir):
     return both.groupby("cell").map_groups(join_cell, batch_format="pandas")
 
 
+
+
+def q56_contour(sf_dir):
+    """Marching-squares contours of per-image gray bands: total iso-line
+    length + polyline count at two levels (rows-only)."""
+    import ray.data
+
+    from .io.codecs import decode
+    from .ops.contour import chain_segments, contour_length, \
+        contour_segments
+    from .pipelines import ensure_images_parquet
+
+    path = ensure_images_parquet(sf_dir)
+
+    def per_image(t: pa.Table) -> pa.Table:
+        out = {"image_id": [], "level": [], "iso_length": [], "n_lines": []}
+        for i in range(t.num_rows):
+            px = decode(t["bytes"][i].as_py())
+            band = (px[:, :, 0] if px.ndim == 3 else px).astype(np.float64)
+            for level in (64.0, 128.0):
+                segs = contour_segments(band, level)
+                out["image_id"].append(t["image_id"][i].as_py())
+                out["level"].append(level)
+                out["iso_length"].append(
+                    round(contour_length(segs), 4))
+                out["n_lines"].append(len(chain_segments(segs)))
+        return pa.Table.from_pydict({
+            "image_id": pa.array(out["image_id"], pa.string()),
+            "level": pa.array(out["level"], pa.float64()),
+            "iso_length": pa.array(out["iso_length"], pa.float64()),
+            "n_lines": pa.array(out["n_lines"], pa.int64())})
+
+    return (ray.data.read_parquet(path, columns=["image_id", "bytes"])
+            .limit(100)
+            .map_batches(per_image, batch_format="pyarrow", batch_size=32))
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1659,6 +1696,7 @@ QUERIES = {
     "q53_sieve_proximity": (q53_sieve_proximity, None),
     "q54_hillshade": (q54_hillshade, None),
     "q55_cell_partitioned_join": (q55_cell_partitioned_join, SQL_Q12),
+    "q56_contour": (q56_contour, None),
 }
 
 
