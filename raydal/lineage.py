@@ -102,4 +102,7 @@ def checkpointed_write(ds, out_dir, part_col, fingerprint):
                             "rows": [manifest_entries(out_dir)[p]["rows"]
                                      for p in sorted(done)],
                             "skipped": [True] * len(done)})
-    return pd.concat([summary, skipped], ignore_index=True)
+    out = pd.concat([summary, skipped], ignore_index=True)
+    # empty frames concat to object/float dtype — pin the flag to bool
+    out["skipped"] = out["skipped"].fillna(False).astype(bool)
+    return out
