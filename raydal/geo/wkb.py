@@ -296,7 +296,17 @@ def points_in_polygon(rings, px, py, method="crossing"):
 
 def _segments_cross(a, b):
     """Any proper-or-touching crossing between segment sets a (Sa,2,2) and
-    b (Sb,2,2)?  Standard orientation test, vectorized over all pairs."""
+    b (Sb,2,2)?  Standard orientation test, vectorized over all pairs.
+
+    Zero-length segments (repeated consecutive vertices — common in real
+    data) are dropped: they contribute no boundary, and keeping them
+    poisons the collinear-overlap test (r = 0 makes every pair look
+    collinearly overlapping).
+    """
+    a = a[np.any(a[:, 0, :] != a[:, 1, :], axis=1)]
+    b = b[np.any(b[:, 0, :] != b[:, 1, :], axis=1)]
+    if len(a) == 0 or len(b) == 0:
+        return False
     p, r = a[:, 0, :], a[:, 1, :] - a[:, 0, :]
     q, s = b[:, 0, :], b[:, 1, :] - b[:, 0, :]
 

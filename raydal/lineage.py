@@ -79,6 +79,12 @@ def checkpointed_write(ds, out_dir, part_col, fingerprint):
 
     def write_group(g: pd.DataFrame) -> pd.DataFrame:
         pid = g[part_col].iloc[0]
+        # normalize (e.g. float64 from a nullable int column) so the
+        # filename, the manifest entry, and completed_partitions agree
+        if isinstance(pid, float) and float(pid).is_integer():
+            pid = int(pid)
+        elif hasattr(pid, "item"):
+            pid = pid.item()
         t0 = time.monotonic()
         g = g.sort_values([c for c in g.columns]).reset_index(drop=True)
         final = os.path.join(out_dir, f"part-{pid}.parquet")
@@ -98,8 +104,9 @@ def checkpointed_write(ds, out_dir, part_col, fingerprint):
 
     summary = ds.groupby(part_col).map_groups(
         write_group, batch_format="pandas").to_pandas()
+    entries = manifest_entries(out_dir)
     skipped = pd.DataFrame({"part": sorted(done),
-                            "rows": [manifest_entries(out_dir)[p]["rows"]
+                            "rows": [entries[p]["rows"]
                                      for p in sorted(done)],
                             "skipped": [True] * len(done)})
     out = pd.concat([summary, skipped], ignore_index=True)

@@ -31,6 +31,17 @@ __all__ = ["ZoneIndex", "SpatialJoinZones", "PIPJoinZones",
            "cell_cover_bbox", "pbsm_keep_mask", "KnnJoin", "build_cell_points"]
 
 
+def _planar_grid_idx(v, lo, hi, n):
+    """Equal-step grid bucket of ``v`` over [lo, hi) into n cells.
+
+    One shared implementation for the cover, PBSM reference-point, point
+    index, and kNN probe paths — identical float expression everywhere so
+    the bucketings can never drift apart.
+    """
+    return np.clip(np.floor((np.asarray(v) - lo) * n / (hi - lo)),
+                   0, n - 1).astype(np.int64)
+
+
 class ZoneIndex:
     """Broadcast-side spatial index over a zones Arrow table.
 
@@ -136,6 +147,9 @@ class SpatialJoinZones:
         xmax = np.asarray(batch["xmax"])
         ymax = np.asarray(batch["ymax"])
         ids = np.asarray(batch[self.id_col])
+        id_type = batch.schema.field(self.id_col).type
+        zid_type = (pa.int64() if np.issubdtype(self.index.ids.dtype,
+                                                np.integer) else pa.string())
         out_l, out_r = [], []
         for i in range(batch.num_rows):
             cand = self.index.candidates_for_bbox(xmin[i], ymin[i],
@@ -149,8 +163,8 @@ class SpatialJoinZones:
                     out_l.append(ids[i])
                     out_r.append(self.index.ids[zi])
         return pa.Table.from_pydict({
-            self.id_col: pa.array(out_l),
-            "zone_id": pa.array(out_r)})
+            self.id_col: pa.array(out_l, id_type),
+            "zone_id": pa.array(out_r, zid_type)})
 
 
 class PIPJoinZones:
@@ -173,6 +187,9 @@ class PIPJoinZones:
         px = np.asarray(batch[self.x_col], dtype=np.float64)
         py = np.asarray(batch[self.y_col], dtype=np.float64)
         ids = np.asarray(batch[self.id_col])
+        id_type = batch.schema.field(self.id_col).type
+        zid_type = (pa.int64() if np.issubdtype(self.index.ids.dtype,
+                                                np.integer) else pa.string())
         cand = self.index.candidates_for_points(px, py)
         out = {k: [] for k in (self.id_col, "zone_id", "inside",
                                "on_boundary")}
@@ -202,8 +219,8 @@ class PIPJoinZones:
                 out["inside"].append(bool(inside[j]))
                 out["on_boundary"].append(bool(boundary[j]))
         return pa.Table.from_pydict({
-            self.id_col: pa.array(out[self.id_col]),
-            "zone_id": pa.array(out["zone_id"]),
+            self.id_col: pa.array(out[self.id_col], id_type),
+            "zone_id": pa.array(out["zone_id"], zid_type),
             "inside": pa.array(out["inside"], pa.bool_()),
             "on_boundary": pa.array(out["on_boundary"], pa.bool_())})
 
@@ -227,12 +244,10 @@ def cell_cover_bbox(batch: pa.Table, z, carry_cols, cell_col="cell",
     if planar_window is not None:
         x0, y0, x1, y1 = planar_window
         n = 1 << z
-        sx = n / (x1 - x0)
-        sy = n / (y1 - y0)
-        cx0 = np.clip(np.floor((xmin - x0) * sx), 0, n - 1).astype(np.int64)
-        cx1 = np.clip(np.floor((xmax - x0) * sx), 0, n - 1).astype(np.int64)
-        cy0 = np.clip(np.floor((ymin - y0) * sy), 0, n - 1).astype(np.int64)
-        cy1 = np.clip(np.floor((ymax - y0) * sy), 0, n - 1).astype(np.int64)
+        cx0 = _planar_grid_idx(xmin, x0, x1, n)
+        cx1 = _planar_grid_idx(xmax, x0, x1, n)
+        cy0 = _planar_grid_idx(ymin, y0, y1, n)
+        cy1 = _planar_grid_idx(ymax, y0, y1, n)
     else:
         tm = cells.web_mercator_quad(z)
         cx0, cy0, cx1, cy1 = cells.tile_indices(tm, xmin, ymin, xmax, ymax)
@@ -262,15 +277,15 @@ def pbsm_keep_mask(cell, z, axmin, aymin, bxmin, bymin, planar_window=None):
     ry = np.maximum(np.asarray(aymin), np.asarray(bymin))
     if planar_window is not None:
         x0, y0, x1, y1 = planar_window
-        n = 1 << z
-        gx = np.clip(np.floor((rx - x0) * n / (x1 - x0)), 0, n - 1)
-        gy = np.clip(np.floor((ry - y0) * n / (y1 - y0)), 0, n - 1)
+        gx = _planar_grid_idx(rx, x0, x1, 1 << z)
+        gy = _planar_grid_idx(ry, y0, y1, 1 << z)
     else:
+        # must bucket with the SAME epsilon rule as cells.tile_indices
+        # (used by the cover path) or boundary-adjacent pairs land in a
+        # cell where neither side was flat-mapped and vanish
         tm = cells.web_mercator_quad(z)
-        gx = np.clip(np.floor((rx - tm.top_left_x) / tm.tile_span_x),
-                     0, tm.matrix_w - 1)
-        gy = np.clip(np.floor((tm.top_left_y - ry) / tm.tile_span_y),
-                     0, tm.matrix_h - 1)
+        gx0, gy0, _, _ = cells.tile_indices(tm, rx, ry, rx, ry)
+        gx, gy = gx0, gy0
     ref_cell = cells.pack_cell(np.full(len(gx), z), gx.astype(np.int64),
                                gy.astype(np.int64))
     return np.asarray(cell) == ref_cell
@@ -288,10 +303,8 @@ def build_cell_points(ids, x, y, z, window):
     """
     x0, y0, x1, y1 = window
     n = 1 << z
-    gx = np.clip(np.floor((np.asarray(x) - x0) * n / (x1 - x0)),
-                 0, n - 1).astype(np.int64)
-    gy = np.clip(np.floor((np.asarray(y) - y0) * n / (y1 - y0)),
-                 0, n - 1).astype(np.int64)
+    gx = _planar_grid_idx(x, x0, x1, n)
+    gy = _planar_grid_idx(y, y0, y1, n)
     order = np.lexsort((gy, gx))
     ids = np.asarray(ids)[order]
     xy = np.stack([np.asarray(x)[order], np.asarray(y)[order]], axis=1)
@@ -328,10 +341,11 @@ class KnnJoin:
     def _knn_one(self, pxv, pyv, gx, gy):
         grid = self.index["grid"]
         n = 1 << self.index["z"]
-        best_ids, best_xy = [], []
+        ids = None
+        d2 = None
         ring = 0
         while True:
-            found_any = False
+            new_ids, new_xy = [], []
             for dx in range(-ring, ring + 1):
                 for dy in range(-ring, ring + 1):
                     if max(abs(dx), abs(dy)) != ring:
@@ -340,34 +354,31 @@ class KnnJoin:
                     if not (0 <= cx < n and 0 <= cy < n):
                         continue
                     ent = grid.get((cx, cy))
-                    if ent is None:
-                        continue
-                    best_ids.append(ent[0])
-                    best_xy.append(ent[1])
-                    found_any = True
-            if best_ids:
-                ids = np.concatenate(best_ids)
-                xy = np.concatenate(best_xy)
-                # squared distance for ordering: identical float ops to the
-                # SQL oracle's (dx*dx + dy*dy), so ranks agree bit-for-bit
-                dx = xy[:, 0] - pxv
-                dy = xy[:, 1] - pyv
-                d2 = dx * dx + dy * dy
-                if len(ids) >= self.k:
-                    order = np.lexsort((ids, d2))[:self.k]
-                    kth = d2[order[-1]]
-                    # can a closer point exist in the next ring?
-                    ring_min = ring * min(self.cell_w, self.cell_h)
-                    if kth <= ring_min * ring_min or ring >= n:
-                        return ids[order], np.sqrt(d2[order])
+                    if ent is not None:
+                        new_ids.append(ent[0])
+                        new_xy.append(ent[1])
+            if new_ids:
+                # incremental: only the new ring's distances are computed;
+                # squared distance keeps the SQL oracle's float ops exactly
+                nids = np.concatenate(new_ids)
+                nxy = np.concatenate(new_xy)
+                ddx = nxy[:, 0] - pxv
+                ddy = nxy[:, 1] - pyv
+                nd2 = ddx * ddx + ddy * ddy
+                ids = nids if ids is None else np.concatenate([ids, nids])
+                d2 = nd2 if d2 is None else np.concatenate([d2, nd2])
+            if ids is not None and len(ids) >= self.k:
+                order = np.lexsort((ids, d2))[:self.k]
+                kth = d2[order[-1]]
+                # stop only when NO future point can tie or beat the kth:
+                # a next-ring point at exactly ring_min distance could win
+                # the id tie-break, so the comparison is strict
+                ring_min = ring * min(self.cell_w, self.cell_h)
+                if kth < ring_min * ring_min or ring >= n:
+                    return ids[order], np.sqrt(d2[order])
             ring += 1
             if ring > n:  # degenerate: fewer than k points exist
-                if best_ids:
-                    ids = np.concatenate(best_ids)
-                    xy = np.concatenate(best_xy)
-                    dx = xy[:, 0] - pxv
-                    dy = xy[:, 1] - pyv
-                    d2 = dx * dx + dy * dy
+                if ids is not None:
                     order = np.lexsort((ids, d2))[:self.k]
                     return ids[order], np.sqrt(d2[order])
                 return np.empty(0, dtype=object), np.empty(0)
@@ -379,8 +390,8 @@ class KnnJoin:
         py = np.asarray(batch[self.y_col], dtype=np.float64)
         ids = np.asarray(batch[self.id_col])  # native dtype preserved
         out = {"probe_id": [], "rank": [], "neighbor_id": [], "dist": []}
-        gx = np.clip(np.floor((px - x0) * n / (x1 - x0)), 0, n - 1).astype(int)
-        gy = np.clip(np.floor((py - y0) * n / (y1 - y0)), 0, n - 1).astype(int)
+        gx = _planar_grid_idx(px, x0, x1, n)
+        gy = _planar_grid_idx(py, y0, y1, n)
         for i in range(len(px)):
             nid, nd = self._knn_one(px[i], py[i], gx[i], gy[i])
             for r in range(len(nid)):
@@ -388,8 +399,18 @@ class KnnJoin:
                 out["rank"].append(r + 1)
                 out["neighbor_id"].append(nid[r])
                 out["dist"].append(float(nd[r]))
+        probe_type = batch.schema.field(self.id_col).type
+        nbr_dtype = self.index["grid"]
+        nbr_type = None
+        for ent in nbr_dtype.values():
+            arr = np.asarray(ent[0])
+            nbr_type = (pa.int64() if np.issubdtype(arr.dtype, np.integer)
+                        else pa.float64() if np.issubdtype(arr.dtype,
+                                                           np.floating)
+                        else pa.string())
+            break
         return pa.Table.from_pydict({
-            "probe_id": pa.array(out["probe_id"]),
+            "probe_id": pa.array(out["probe_id"], probe_type),
             "rank": pa.array(out["rank"], pa.int64()),
-            "neighbor_id": pa.array(out["neighbor_id"]),
+            "neighbor_id": pa.array(out["neighbor_id"], nbr_type),
             "dist": pa.array(out["dist"], pa.float64())})

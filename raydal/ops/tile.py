@@ -32,13 +32,20 @@ TILE = 256
 
 
 def image_ord(image_id):
-    """Deterministic paint-order integer for an image id (img-%012d)."""
+    """Deterministic paint-order integer for an image id (img-%012d).
+
+    The fallback must be stable ACROSS PROCESSES (salt bucket and winner
+    map are computed in different Ray workers) — crc32, never ``hash``
+    (which is per-process randomized for strings).
+    """
+    import zlib
+
     s = str(image_id)
     tail = s.rsplit("-", 1)[-1]
     try:
         return int(tail)
     except ValueError:
-        return abs(hash(s)) % (1 << 31)
+        return zlib.crc32(s.encode("utf-8")) & 0x7FFFFFFF
 
 
 def _unpack_mask(blob, ts=TILE):

@@ -1641,6 +1641,38 @@ def q56_contour(sf_dir):
             .map_batches(per_image, batch_format="pyarrow", batch_size=32))
 
 
+
+
+def q57_warp_kernels(sf_dir):
+    """Warp a sample through every resampling kernel (near/bilinear/
+    cubic/cubicspline/lanczos) — checksum fingerprints per kernel
+    (rows-only; kernel formulas unit-tested against closed forms)."""
+    import ray.data
+
+    from .ops.warp import WarpImages
+    from .pipelines import ensure_images_parquet
+
+    path = ensure_images_parquet(sf_dir)
+    cols = ["image_id", "bytes", "caption", "w", "h", "crs", "gt"]
+    frames = []
+    for kernel in ("near", "bilinear", "cubic", "cubicspline", "lanczos"):
+        out = (ray.data.read_parquet(path, columns=cols).limit(60)
+               .map_batches(WarpImages,
+                            fn_constructor_kwargs={"dst_crs": 3857,
+                                                   "resample": kernel},
+                            batch_format="pyarrow", batch_size=32,
+                            concurrency=2)
+               .select_columns(["image_id", "checksum_b0"])
+               .to_pandas())
+        out["kernel"] = kernel
+        frames.append(out)
+    pdf = pd.concat(frames, ignore_index=True)
+    return pa.Table.from_pydict({
+        "image_id": pa.array(pdf["image_id"], pa.string()),
+        "kernel": pa.array(pdf["kernel"], pa.string()),
+        "checksum_b0": pa.array(pdf["checksum_b0"].astype("int64"))})
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1697,6 +1729,7 @@ QUERIES = {
     "q54_hillshade": (q54_hillshade, None),
     "q55_cell_partitioned_join": (q55_cell_partitioned_join, SQL_Q12),
     "q56_contour": (q56_contour, None),
+    "q57_warp_kernels": (q57_warp_kernels, None),
 }
 
 
