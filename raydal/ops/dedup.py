@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 __all__ = [
     "content_hash_batch", "exact_dedup",
@@ -85,16 +84,21 @@ def content_hash_batch(batch: pa.Table, col="text",
                        out_col="content_hash") -> pa.Table:
     """Append a 64-bit content hash of ``col`` (exact-dedup key).
 
-    Uses pyarrow's vectorized string → hash path (utf8 bytes through
-    FNV-1a via numpy on the buffer boundaries would also work; this stays
-    in Arrow).
+    Forward + reversed crc32 give two independent linear functionals of
+    the content → full 64-bit collision resistance (2^-64 per pair, not
+    the 2^-32 a single crc gives).  At extreme corpus sizes a
+    text-equality verify inside the hash group upgrades this to exact.
     """
     import zlib
 
     vals = batch[col].to_pylist()
-    out = np.fromiter(
-        (zlib.crc32(v.encode() if v else b"") ^ (len(v or "") << 32)
-         for v in vals), dtype=np.int64, count=len(vals))
+
+    def h64(v):
+        b = v.encode() if v else b""
+        return (zlib.crc32(b) | (zlib.crc32(b[::-1]) << 32)) - (1 << 63)
+
+    out = np.fromiter((h64(v) for v in vals), dtype=np.int64,
+                      count=len(vals))
     return batch.append_column(out_col, pa.array(out, pa.int64()))
 
 
@@ -150,13 +154,18 @@ def minhash_batch(batch, num_perm=64, shingle_n=3):
 
 
 def lsh_bands_batch(batch: pa.Table, bands=16, id_col="doc_id") -> pa.Table:
-    """Explode minhash signatures to (band, band_hash, id) rows."""
+    """Explode minhash signatures to (band, band_hash, id) rows.
+
+    ``bands`` must divide ``num_perm`` (else trailing permutations would
+    silently drop out of every band)."""
     sig = np.asarray(
         batch["minhash"].combine_chunks().flatten()
         if isinstance(batch["minhash"], pa.ChunkedArray)
         else batch["minhash"].flatten(), dtype=np.int64)
     n = batch.num_rows
     num_perm = len(sig) // max(n, 1)
+    if n and num_perm % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
     r = num_perm // bands
     sig = sig.reshape(n, num_perm).astype(np.uint64)
     ids = batch[id_col]
@@ -190,7 +199,9 @@ def minhash_dedup(ds, id_col="doc_id", num_perm=64, bands=16, shingle_n=3,
     sigged = ds.map_batches(MinHasher, fn_constructor_kwargs={
         "num_perm": num_perm, "shingle_n": shingle_n},
         batch_format="pyarrow", concurrency=4)
-    sig_by_id = sigged.select_columns([id_col, "minhash"])
+    # signatures are the dominant cost and feed two consumers (banding +
+    # the verify side-table) — materialize once, never recompute
+    sig_by_id = sigged.select_columns([id_col, "minhash"]).materialize()
     banded = sig_by_id.map_batches(
         lambda t: lsh_bands_batch(t, bands=bands, id_col=id_col),
         batch_format="pyarrow")
@@ -254,16 +265,36 @@ def ngram_jaccard(text_a, text_b, n=3):
     return len(sa & sb) / max(len(sa | sb), 1)
 
 
-def phash_near_dup_batchfn(batch: pa.Table, max_hamming=4,
-                           bucket_bits=16) -> pa.Table:
-    """Bucket images by phash prefix for near-dup candidate generation.
+def phash_near_dup_batchfn(batch: pa.Table, max_hamming=4) -> pa.Table:
+    """Band images by phash for near-dup candidate generation.
 
-    Emits (bucket, phash, image_id); a following groupby("bucket") then
-    verifies Hamming distance ≤ ``max_hamming`` within buckets.
+    Pigeonhole banding: the 64-bit phash splits into ``max_hamming + 1``
+    disjoint bands; any pair within ``max_hamming`` bit flips agrees on at
+    least one whole band, so emitting one (band, band_bits, id) row per
+    band guarantees every qualifying pair co-locates in ≥1 bucket of the
+    following ``groupby(["band", "band_bits"])`` (which then verifies the
+    full Hamming distance).
     """
     ph = np.asarray(batch["phash"], dtype=np.int64).astype(np.uint64)
-    bucket = (ph >> np.uint64(64 - bucket_bits)).astype(np.int64)
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    n = len(ph)
+    bands, bits, ids = [], [], []
+    id_col = batch["image_id"]
+    for b in range(n_bands):
+        shift = np.uint64(b * width)
+        w = np.uint64(64 - width if b == n_bands - 1 else width)
+        mask = np.uint64((1 << int(w)) - 1)
+        bands.append(np.full(n, b, dtype=np.int32))
+        bits.append(((ph >> shift) & mask).astype(np.int64))
+    out_id = pa.concat_arrays(
+        [id_col.combine_chunks() if isinstance(id_col, pa.ChunkedArray)
+         else id_col] * n_bands)
     return pa.Table.from_pydict({
-        "bucket": pa.array(bucket),
-        "phash": batch["phash"],
-        "image_id": batch["image_id"]})
+        "band": pa.array(np.concatenate(bands)),
+        "band_bits": pa.array(np.concatenate(bits)),
+        "phash": pa.concat_arrays(
+            [batch["phash"].combine_chunks()
+             if isinstance(batch["phash"], pa.ChunkedArray)
+             else batch["phash"]] * n_bands),
+        "image_id": out_id})

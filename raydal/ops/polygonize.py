@@ -116,24 +116,48 @@ def trace_boundary(mask):
     h, w = mask.shape
     m = np.zeros((h + 2, w + 2), dtype=bool)
     m[1:-1, 1:-1] = mask
+
+    def add(a, b):
+        edges.setdefault(a, []).append(b)
+
     for y, x in zip(ys + 1, xs + 1):
-        # for each exposed side, an edge in CCW orientation
+        # for each exposed side, an edge in CCW orientation; corners can
+        # carry TWO outgoing edges at 8-connected diagonal pinches, so the
+        # map is corner → list
         if not m[y - 1, x]:
-            edges[(x - 1, y - 1)] = (x, y - 1)      # top, left→right
+            add((x - 1, y - 1), (x, y - 1))      # top, left→right
         if not m[y + 1, x]:
-            edges[(x, y)] = (x - 1, y)              # bottom, right→left
+            add((x, y), (x - 1, y))              # bottom, right→left
         if not m[y, x - 1]:
-            edges[(x - 1, y)] = (x - 1, y - 1)      # left, bottom→top
+            add((x - 1, y), (x - 1, y - 1))      # left, bottom→top
         if not m[y, x + 1]:
-            edges[(x, y - 1)] = (x, y)              # right, top→bottom
+            add((x, y - 1), (x, y))              # right, top→bottom
     start = min(edges)
     ring = [start]
-    cur = edges.pop(start)
+    outs = edges.pop(start)
+    cur = outs[0]
+    if len(outs) > 1:
+        edges[start] = outs[1:]
+    prev = start
     while cur != start and edges:
         ring.append(cur)
-        nxt = edges.pop(cur, None)
-        if nxt is None:
+        cands = edges.pop(cur, None)
+        if cands is None:
             break
+        if len(cands) == 1:
+            nxt = cands[0]
+        else:
+            # diagonal pinch: two outgoing edges share this corner — take
+            # the sharpest left turn relative to the incoming direction so
+            # the walk stays on the outer boundary (interior kept left)
+            inx, iny = cur[0] - prev[0], cur[1] - prev[1]
+            def turn(c):
+                ox, oy = c[0] - cur[0], c[1] - cur[1]
+                return inx * oy - iny * ox
+            cands = sorted(cands, key=turn)
+            nxt = cands[0]
+            edges[cur] = [c for c in cands if c is not nxt]
+        prev = cur
         cur = nxt
     ring.append(start)
     # edge keys are already expressed in original (unpadded) pixel-corner
@@ -253,28 +277,46 @@ def polygonize_tiles(tiles_ds, tile_size=256, connectivity=4,
     return tiles_ds.map_batches(per_tile, batch_format="pyarrow")
 
 
-def dissolve_across_tiles(comps_ds, max_rounds=8):
+def dissolve_across_tiles(comps_ds):
     """Merge per-tile components that touch across tile borders.
 
-    Iterated min-label propagation: each round, every border run maps its
-    members to the minimum component label seen; converges in
-    O(diameter-in-tiles) rounds.  Returns one row per dissolved
-    component: (comp_id, value, n_pixels, xmin, ymin, xmax, ymax,
-    n_tiles).
+    Interior components (no border runs) are final already and aggregate
+    distributed-side; only border-touching components (bounded by total
+    tile perimeter, not raster area) come to the driver, where min-label
+    propagation runs **to fixpoint** (no silent round cap — a component
+    chained across T tiles needs up to T rounds).  Returns one row per
+    dissolved component: (comp_id, value, n_pixels, xmin, ymin, xmax,
+    ymax, n_tiles).
     """
-    import ray
+    if hasattr(comps_ds, "map_batches"):  # Ray Dataset input
+        def split_border(t: pa.Table) -> pa.Table:
+            runs = (t["edge_runs"].combine_chunks()
+                    if isinstance(t["edge_runs"], pa.ChunkedArray)
+                    else t["edge_runs"])
+            n_runs = np.asarray(
+                pa.compute.list_value_length(runs), dtype=np.int64)
+            return t.append_column("is_border",
+                                   pa.array(n_runs > 0, pa.bool_()))
 
-    df = comps_ds.to_pandas() if hasattr(comps_ds, "to_pandas") else comps_ds
-    label = {c: c for c in df["comp_id"]}
+        marked = comps_ds.map_batches(split_border, batch_format="pyarrow")
+        df = marked.to_pandas()
+        interior = df[~df["is_border"]]
+        border = df[df["is_border"]]
+    else:
+        df = comps_ds
+        has_runs = df["edge_runs"].map(len) > 0
+        interior = df[~has_runs]
+        border = df[has_runs]
 
-    # run → members mapping (small driver-side index of border runs only;
-    # interior components never enter it)
+    label = {c: c for c in border["comp_id"]}
     run_members = {}
-    for _, row in df.iterrows():
+    for _, row in border.iterrows():
         for r in row["edge_runs"]:
             run_members.setdefault(r, []).append(row["comp_id"])
 
-    for _ in range(max_rounds):
+    # fixpoint propagation; bound only as a runaway guard (diameter of the
+    # tile graph can never exceed the number of border components)
+    for _ in range(max(len(label), 1)):
         changed = False
         for r, members in run_members.items():
             if len(members) < 2:
@@ -286,9 +328,13 @@ def dissolve_across_tiles(comps_ds, max_rounds=8):
                     changed = True
         if not changed:
             break
+    else:
+        raise RuntimeError("edge-dissolve did not converge")
 
-    df = df.assign(dissolved=[label[c] for c in df["comp_id"]])
-    agg = df.groupby(["dissolved", "value"]).agg(
+    border = border.assign(dissolved=[label[c] for c in border["comp_id"]])
+    interior = interior.assign(dissolved=interior["comp_id"])
+    both = pd.concat([border, interior], ignore_index=True)
+    agg = both.groupby(["dissolved", "value"]).agg(
         n_pixels=("n_pixels", "sum"), xmin=("xmin", "min"),
         ymin=("ymin", "min"), xmax=("xmax", "max"), ymax=("ymax", "max"),
         n_tiles=("cell", "nunique")).reset_index()

@@ -158,6 +158,8 @@ def rasterize_zones(zones_ds, z, value_col="pop", merge="add",
     def to_tiles(t: pa.Table) -> pa.Table:
         rows = {"cell": [], "tile_x": [], "tile_y": [], "zone_id": [],
                 "wkb": [], "value": []}
+        vals_np = (np.asarray(t[value_col], dtype=np.float64)
+                   if value_col else None)
         for i in range(t.num_rows):
             blob = t["wkb"][i].as_py()
             xmin, ymin, xmax, ymax = W.wkb_bbox(blob)
@@ -173,8 +175,7 @@ def rasterize_zones(zones_ds, z, value_col="pop", merge="add",
                     rows["zone_id"].append(t["zone_id"][i].as_py())
                     rows["wkb"].append(blob)
                     rows["value"].append(
-                        float(np.asarray(t[value_col])[i])
-                        if value_col else 1.0)
+                        float(vals_np[i]) if value_col else 1.0)
         return pa.Table.from_pydict({
             "cell": pa.array(rows["cell"], pa.int64()),
             "tile_x": pa.array(rows["tile_x"], pa.int64()),

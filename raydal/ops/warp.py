@@ -294,10 +294,10 @@ class WarpToTiles:
                     vals, valid = warp_array(px, gt, src_crs, tile_gt,
                                              ts, ts, 3857, self.resample,
                                              transformer=tf_inv)
-                    rgb = copy_words_cast(
-                        np.where(valid[:, :, None], vals, 0.0), np.uint8)
                     if not valid.any():
                         continue
+                    rgb = copy_words_cast(
+                        np.where(valid[:, :, None], vals, 0.0), np.uint8)
                     rows["cell"].append(int(cells.pack_cell(self.z, tx, ty)))
                     rows["z"].append(self.z)
                     rows["tile_x"].append(tx)

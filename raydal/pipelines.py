@@ -56,7 +56,9 @@ def ensure_images_parquet(sf_dir=None, n=None, use_ray=True):
     if os.path.exists(marker):
         return out
     os.makedirs(_CACHE_ROOT, exist_ok=True)
-    tmp = out + ".tmp"
+    # per-writer tmp dir: concurrent callers must never share a staging
+    # path (one writer's rmtree would eat the other's in-progress files)
+    tmp = f"{out}.tmp.{os.getpid()}"
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)

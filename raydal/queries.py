@@ -1400,7 +1400,8 @@ def q51_hilbert_order(sf_dir):
           .map_batches(lambda t: add_footprint(t, dst_crs=3857),
                        batch_format="pyarrow")
           .map_batches(hilbert, batch_format="pyarrow")
-          .sort("hilbert"))
+          .sort(["hilbert", "image_id"]))  # id tie-break: equal codes are
+    # common for co-located footprints and must rank deterministically
     pdf = ds.to_pandas()
     pdf["rank"] = np.arange(len(pdf), dtype=np.int64)
     return pa.Table.from_pandas(pdf, preserve_index=False)

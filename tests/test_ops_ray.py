@@ -246,6 +246,34 @@ class TestDedupRay:
         assert ((pairs["id_a"] == 0) & (pairs["id_b"] == 40)).any()
 
 
+class TestPhashBanding:
+    def test_banding_guarantees_candidate_recall(self):
+        """Pigeonhole property: every pair within max_hamming shares at
+        least one (band, band_bits) bucket."""
+        import pyarrow as pa
+
+        from raydal.ops.dedup import phash_near_dup_batchfn
+
+        rng = np.random.default_rng(4)
+        base = int(rng.integers(0, 2 ** 63))
+        variants = [base]
+        for k in range(1, 5):  # flip up to 4 distinct bits
+            v = base
+            for b in rng.choice(64, size=k, replace=False):
+                v ^= (1 << int(b))
+            variants.append(v - (1 << 64) if v >= (1 << 63) else v)
+        t = pa.Table.from_pydict({
+            "phash": pa.array(variants, pa.int64()),
+            "image_id": pa.array([f"im{i}" for i in range(len(variants))])})
+        banded = phash_near_dup_batchfn(t, max_hamming=4).to_pandas()
+        base_rows = banded[banded["image_id"] == "im0"]
+        base_buckets = set(zip(base_rows["band"], base_rows["band_bits"]))
+        for i in range(1, len(variants)):
+            rows = banded[banded["image_id"] == f"im{i}"]
+            buckets = set(zip(rows["band"], rows["band_bits"]))
+            assert buckets & base_buckets, f"pair (im0, im{i}) not colocated"
+
+
 class TestAnnRecall:
     def test_lsh_recall_vs_bruteforce(self, ray_session):
         import ray.data

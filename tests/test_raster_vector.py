@@ -7,7 +7,7 @@ import pytest
 from raydal.geo import cells, wkb as W
 from raydal.ops.polygonize import (dissolve_across_tiles, label_components,
                                    polygonize_array, polygonize_tiles,
-                                   trace_boundary)
+                                   trace_boundary)  # noqa: F401
 from raydal.ops.rasterize import (burn_line_all_touched, burn_point,
                                   burn_polygons_tile, fill_polygon_even_odd,
                                   rasterize_zones)
@@ -113,6 +113,19 @@ class TestPolygonize:
         assert ys.min() == 2 and ys.max() == 4
         # closed ring
         assert (ring[0] == ring[-1]).all()
+
+    def test_8conn_diagonal_pinch_boundary(self):
+        """Regression: diagonal pinch corners carry two boundary edges;
+        the trace must pass through them and stay closed."""
+        a = np.array([[1, 0], [0, 1]], dtype=np.int8)
+        lab = label_components(a, 8, background=0)
+        assert lab.max() == 1
+        ring = trace_boundary(lab == 1)
+        assert (ring[0] == ring[-1]).all()
+        from raydal.geo.wkb import polygon_area
+        assert polygon_area([ring]) == 2.0
+        comps = polygonize_array(a, connectivity=8, background=0)
+        assert [c["n_pixels"] for c in comps] == [2]
 
     def test_polygonize_hole_detection(self):
         a = np.zeros((8, 8))
