@@ -179,9 +179,9 @@ def synthesize_images_batch(indices):
         spec = image_spec(i)
         px = image_pixels(i)
         gray = px.mean(axis=2)
-        dup_src = i - 97 if (i >= 97 and i % 97 == 0) else i
-        ph = average_hash(image_pixels(dup_src).mean(axis=2)) if dup_src != i \
-            else average_hash(gray)
+        # duplicate rows already carry the source's pixels (image_pixels
+        # recurses), so hashing `gray` IS the source phash
+        ph = average_hash(gray)
         ids.append(f"img-{i:012d}")
         blobs.append(encode(px, spec["fmt"]))
         ws.append(spec["w"])

@@ -35,6 +35,9 @@ def encode_png(arr, level=1):
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ch = arr.shape
+    if ch not in _COLOR_TYPE:
+        raise ValueError(f"unsupported channel count {ch}; "
+                         "expected 1 (gray), 3 (RGB) or 4 (RGBA)")
     ctype = _COLOR_TYPE[ch]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
     # filter byte 0 per scanline

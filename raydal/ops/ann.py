@@ -25,8 +25,11 @@ def embeddings_matrix(batch: pa.Table, col="embedding", dtype=np.float32):
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    flat = np.asarray(arr.flatten(), dtype=dtype)
     n = len(arr)
+    if n == 0:
+        d = getattr(arr.type, "list_size", 0) or 0
+        return np.empty((0, d), dtype=dtype)
+    flat = np.asarray(arr.flatten(), dtype=dtype)
     return flat.reshape(n, -1)
 
 
@@ -55,6 +58,13 @@ class CosineTopK:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        id_type = batch.schema.field(self.id_col).type
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict({
+                self.id_col: pa.array([], id_type),
+                "query_idx": pa.array([], pa.int32()),
+                "score": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int32())})
         x = embeddings_matrix(batch)
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
         scores = x @ self.q.T  # (n, Q)
@@ -176,7 +186,7 @@ def lsh_topk(ds, queries, k=10, n_planes=8, seed=7, id_col="vec_id"):
         if batch.num_rows == 0:
             return pa.Table.from_pydict({
                 "query_idx": pa.array([], pa.int32()),
-                id_col: pa.array([], pa.int64()),
+                id_col: pa.array([], batch.schema.field(id_col).type),
                 "score": pa.array([], pa.float64())})
         tbl = rhp_signature_batch(batch, planes)
         buckets = np.asarray(tbl["lsh_bucket"])

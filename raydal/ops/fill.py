@@ -108,10 +108,7 @@ def fillnodata(arr, nodata, max_dist=16, smoothing_iterations=0):
         val = np.full((h, w), np.nan)
         dist = np.full((h, w), np.inf)
         step = np.hypot(dy, dx)
-        ys = range(h) if dy >= 0 else range(h - 1, -1, -1)
-        # propagate along the direction with a rolling pass
-        prev_val = np.full(w if dy != 0 else h, np.nan)
-        # simpler: iterate scanlines in direction order
+        # iterate scanlines in direction order
         if dy == 0:
             rng = range(w) if dx > 0 else range(w - 1, -1, -1)
             cur_val = np.full(h, np.nan)
@@ -150,16 +147,25 @@ def fillnodata(arr, nodata, max_dist=16, smoothing_iterations=0):
     filled = invalid & (wgt_acc > 0)
     arr[filled] = fill_acc[filled] / wgt_acc[filled]
     for _ in range(smoothing_iterations):
-        p = np.pad(arr, 1, mode="edge")
-        avg = sum(p[dy:dy + h, dx:dx + w]
-                  for dy in range(3) for dx in range(3)) / 9.0
+        # 3x3 average over VALID pixels only — unfilled nodata neighbors
+        # must not bleed sentinel values into the smoothed result
+        ok = (arr != nodata).astype(np.float64)
+        p = np.pad(arr * ok, 1, mode="edge")
+        pw = np.pad(ok, 1, mode="edge")
+        s = sum(p[dy:dy + h, dx:dx + w]
+                for dy in range(3) for dx in range(3))
+        n_ok = sum(pw[dy:dy + h, dx:dx + w]
+                   for dy in range(3) for dx in range(3))
+        with np.errstate(invalid="ignore"):
+            avg = np.where(n_ok > 0, s / n_ok, arr)
         arr[filled] = avg[filled]
     return arr
 
 
 def sieve(arr, threshold, connectivity=4):
     """Remove components smaller than ``threshold`` pixels by merging them
-    into their largest border neighbor (GDALSieveFilter semantics)."""
+    into their largest border neighbor (GDALSieveFilter semantics); the
+    neighbor search uses the same connectivity as the labeling."""
     arr = np.asarray(arr).copy()
     labels = label_components(arr, connectivity)
     nlab = labels.max()
@@ -171,12 +177,17 @@ def sieve(arr, threshold, connectivity=4):
         mask = labels == lab
         if not mask.any():
             continue
-        # border neighbors
+        # border neighbors (4- or 8-neighborhood per `connectivity`)
         grow = np.zeros_like(mask)
         grow[:-1, :] |= mask[1:, :]
         grow[1:, :] |= mask[:-1, :]
         grow[:, :-1] |= mask[:, 1:]
         grow[:, 1:] |= mask[:, :-1]
+        if connectivity == 8:
+            grow[:-1, :-1] |= mask[1:, 1:]
+            grow[:-1, 1:] |= mask[1:, :-1]
+            grow[1:, :-1] |= mask[:-1, 1:]
+            grow[1:, 1:] |= mask[:-1, :-1]
         border = grow & ~mask
         if not border.any():
             continue

@@ -117,5 +117,8 @@ def assign_tiles(batch: pa.Table, z, carry_cols=("image_id",),
     cols["z"] = pa.array(np.full(total, z, dtype=np.int32))
     cols["tile_x"] = pa.array(tile_x.astype(np.int64))
     cols["tile_y"] = pa.array(tile_y_out.astype(np.int64))
-    cols["cell"] = pa.array(cells.pack_cell(np.full(total, z), tile_x, tile_y))
+    # cell packs the SAME y the tile_y column carries, so unpack_cell and
+    # the columns always agree regardless of the xyz/tms convention
+    cols["cell"] = pa.array(cells.pack_cell(np.full(total, z), tile_x,
+                                            tile_y_out))
     return pa.Table.from_pydict(cols)

@@ -63,11 +63,13 @@ def grid_tile(index, algorithm, x0, y0, x1, y1, w, h, radius=None,
     if len(vals) == 0:
         return out
     vals = np.asarray(vals, dtype=np.float64)
+    # dx is row-invariant: hoist it (and its square) out of the row loop
+    dx = px[None, :] - xy[:, 0:1]
+    dx2 = dx * dx
     # distance matrix per row of pixels (keeps memory bounded)
     for r in range(h):
-        dx = px[None, :] - xy[:, 0:1]
         dy = py[r] - xy[:, 1:2]
-        d2 = dx * dx + dy * dy  # (N, w)
+        d2 = dx2 + dy * dy  # (N, w)
         if algorithm == "nearest":
             k = np.argmin(d2, axis=0)
             dmin = d2[k, np.arange(w)]
@@ -93,10 +95,11 @@ def grid_tile(index, algorithm, x0, y0, x1, y1, w, h, radius=None,
                 row = np.where(cnt > 0, row, nodata)
         elif algorithm == "invdist":
             inr = d2 <= radius * radius
-            wgt = np.where(inr, 1.0 / np.power(d2 + smoothing * smoothing,
-                                               power / 2.0), 0.0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                wgt = np.where(inr, 1.0 / np.power(
+                    d2 + smoothing * smoothing, power / 2.0), 0.0)
             exact = d2 < 1e-18
-            row = np.empty(w)
+            wgt = np.where(np.isfinite(wgt), wgt, 0.0)
             wsum = wgt.sum(axis=0)
             num = (wgt * vals[:, None]).sum(axis=0)
             with np.errstate(invalid="ignore", divide="ignore"):
