@@ -7,8 +7,10 @@ Replicates ``GDALChecksumImage`` (``alg/gdalchecksum.cpp:44,150-185``):
   ``(y * nXSize + x) % 11`` (the reference re-seeds ``iPrime`` per line
   exactly this way, ``:161-163``);
 * floating data goes through the GDALCopyWords float→Int32 convention
-  (``:65-80``): non-finite → INT_MIN, else add 0.5, clamp to ±2147483647,
-  truncate toward zero;
+  (``:64-85``): non-finite → INT_MIN, else add 0.5, clamp to ±2147483647,
+  then **floor** (``static_cast<GInt32>(floor(dfVal))``);
+* integer data is clamped to the Int32 range exactly as the reference's
+  GDT_Int32 read path does;
 * checksum accumulates ``int_val % prime`` and is masked ``& 0xffff``
   after every line.
 """
@@ -28,7 +30,7 @@ def _int_from_double(a):
     finite = np.isfinite(a)
     v = a[finite] + 0.5
     v = np.clip(v, -2147483647.0, 2147483647.0)
-    out[finite] = np.trunc(v).astype(np.int64)
+    out[finite] = np.floor(v).astype(np.int64)
     out[~finite] = np.iinfo(np.int32).min
     return out
 
@@ -47,7 +49,8 @@ def checksum(arr):
     if np.issubdtype(arr.dtype, np.floating):
         vals = _int_from_double(arr)
     else:
-        vals = arr.astype(np.int64)
+        # the reference reads integer bands through GDT_Int32 → clamp
+        vals = np.clip(arr.astype(np.int64), -2147483648, 2147483647)
     idx = (np.arange(h, dtype=np.int64)[:, None] * w
            + np.arange(w, dtype=np.int64)[None, :]) % 11
     mods = vals % _PRIMES[idx]

@@ -28,7 +28,8 @@ def apply_color_map(band, lut):
 def color_relief(band, breakpoints):
     """DEM color-relief: linear interpolation between (value, r, g, b)
     breakpoints (gdaldem color-relief default mode)."""
-    bp = np.asarray(sorted(breakpoints), dtype=np.float64)
+    bp = np.asarray(breakpoints, dtype=np.float64)
+    bp = bp[np.argsort(bp[:, 0])]
     v = np.asarray(band, dtype=np.float64)
     out = np.empty((*v.shape, 3), dtype=np.uint8)
     for c in range(3):
@@ -81,8 +82,11 @@ def median_cut(hist, n_colors=256, bits=5):
     pal = np.empty((len(boxes), 3), dtype=np.uint8)
     shift = 8 - bits
     for i, (c, w) in enumerate(boxes):
-        avg = (c * w[:, None]).sum(axis=0) / max(w.sum(), 1)
-        pal[i] = np.clip((avg + 0.5) * (1 << shift), 0, 255).astype(np.uint8)
+        # reference midpoint rule ((min+max)<<shift)/2 — preserves exact
+        # black/white (alg/gdalmediancut.cpp), unlike a +0.5 box center
+        lo = c.min(axis=0) if len(c) else np.zeros(3, dtype=np.int64)
+        hi = c.max(axis=0) if len(c) else np.zeros(3, dtype=np.int64)
+        pal[i] = np.clip(((lo + hi) << shift) // 2, 0, 255).astype(np.uint8)
     return pal
 
 

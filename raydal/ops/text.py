@@ -19,9 +19,11 @@ def token_count_batch(batch: pa.Table, col="text") -> pa.Table:
     tokens = number of non-empty whitespace-separated pieces)."""
     s = batch[col].to_pandas().fillna("")
     toks = s.str.split().str.len().astype("int64")
-    return (batch.append_column("n_tokens", pa.array(toks.values))
-                 .append_column("n_chars2",
-                                pa.array(s.str.len().astype("int64").values)))
+    out = batch.append_column("n_tokens", pa.array(toks.values))
+    # computed char count; suffixed so it can't shadow a source n_chars
+    # column (the documents table ships one)
+    return out.append_column("n_chars_computed",
+                             pa.array(s.str.len().astype("int64").values))
 
 
 def quality_score_batch(batch: pa.Table, col="text") -> pa.Table:

@@ -5,10 +5,11 @@ The per-geometry surface of the reference's ``vector geom`` subcommands
 (validate → reproject → clip order, ``apps/ogr2ogr_lib.cpp:6427``),
 reimplemented on ring coordinate arrays:
 
-* ``reproject_wkb_batch`` — in-WKB coordinate transform, the
-  ``OGRWKBUpdatePoints`` pattern (``ogr/ogr_wkb.h:45-58``): parse → one
-  vectorized transform over all coords → rebuild bytes.  Actor-pool
-  stage (:class:`VectorReproject`) holding the transformer cache.
+* ``reproject_wkb`` — in-WKB coordinate transform, the
+  ``OGRWKBUpdatePoints`` pattern (``ogr/ogr_wkb.h:45-58``); the
+  actor-pool stage (:class:`VectorReproject`) concatenates every
+  coordinate of the batch, transforms ONCE, and splits back — one
+  vectorized transform per batch, not per ring.
 * ``explode_batch`` — Multi* → one row per part
   (``apps/gdalalg_vector_explode_collections.cpp``).
 * ``swap_xy``, ``segmentize`` (max-length densify), ``simplify``
@@ -44,6 +45,9 @@ def _map_coords(parsed, fn):
     return (t, [_map_coords(p, fn) for p in payload])
 
 
+import struct as _struct
+
+
 def _rebuild(parsed):
     t, payload = parsed
     if t == W.POINT:
@@ -54,6 +58,9 @@ def _rebuild(parsed):
         return W.polygon_wkb(payload)
     if t == W.MULTIPOLYGON:
         return W.multipolygon_wkb([p for (_, p) in payload])
+    if t in (W.MULTIPOINT, W.MULTILINESTRING, W.GEOMETRYCOLLECTION):
+        parts = [_rebuild(sub) for sub in payload]
+        return (_struct.pack("<BII", 1, t, len(parts)) + b"".join(parts))
     raise ValueError(f"rebuild unsupported for type {t}")
 
 
@@ -76,8 +83,45 @@ class VectorReproject:
         self.wkb_col = wkb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = [reproject_wkb(b, self.tf)
-               for b in batch[self.wkb_col].to_pylist()]
+        # batch-vectorized: gather every ring of every geometry, transform
+        # all coordinates in one call, then rebuild per geometry
+        parsed = [W.parse_wkb(b) for b in batch[self.wkb_col].to_pylist()]
+        chunks = []
+
+        def collect(node):
+            t, payload = node
+            if t in (W.POINT, W.LINESTRING):
+                chunks.append(payload)
+            elif t == W.POLYGON:
+                chunks.extend(payload)
+            else:
+                for sub in payload:
+                    collect(sub)
+
+        for p in parsed:
+            collect(p)
+        if chunks:
+            allc = np.concatenate(chunks)
+            tx, ty = self.tf.transform(allc[:, 0], allc[:, 1])
+            allc = np.stack([tx, ty], axis=1)
+            offsets = np.cumsum([0] + [len(c) for c in chunks])
+            it = iter(range(len(chunks)))
+
+            def replace(node):
+                t, payload = node
+                if t in (W.POINT, W.LINESTRING):
+                    k = next(it)
+                    return (t, allc[offsets[k]:offsets[k + 1]])
+                if t == W.POLYGON:
+                    out_rings = []
+                    for _ in payload:
+                        k = next(it)
+                        out_rings.append(allc[offsets[k]:offsets[k + 1]])
+                    return (t, out_rings)
+                return (t, [replace(sub) for sub in payload])
+
+            parsed = [replace(p) for p in parsed]
+        out = [_rebuild(p) for p in parsed]
         idx = batch.schema.get_field_index(self.wkb_col)
         return batch.set_column(idx, self.wkb_col,
                                 pa.array(out, pa.binary()))
@@ -119,8 +163,8 @@ def segmentize(coords, max_len):
     for i in range(1, len(coords)):
         seg = coords[i] - coords[i - 1]
         d = float(np.hypot(*seg))
-        n = int(np.ceil(d / max_len))
-        for k in range(1, n + 1):
+        n = max(int(np.ceil(d / max_len)), 1)  # zero-length segments must
+        for k in range(1, n + 1):              # still emit their endpoint
             out.append(coords[i - 1] + seg * (k / n))
     return np.asarray(out)
 
@@ -278,14 +322,29 @@ def geometry_stats_batch(batch: pa.Table, wkb_col="wkb") -> pa.Table:
             parts.append(len(polys))
             rings_n.append(sum(len(p) for p in polys))
             verts.append(sum(len(r) for p in polys for r in p))
-            c = centroid(polys[0])
-            cx.append(c[0])
-            cy.append(c[1])
+            # area-weighted centroid across ALL parts
+            num_x = num_y = den = 0.0
+            for p in polys:
+                a = W.polygon_area(p)
+                c = centroid(p)
+                num_x += a * c[0]
+                num_y += a * c[1]
+                den += a
+            if den > 0:
+                cx.append(num_x / den)
+                cy.append(num_y / den)
+            else:
+                allc = np.concatenate([r for p in polys for r in p])
+                cx.append(float(allc[:, 0].mean()))
+                cy.append(float(allc[:, 1].mean()))
         else:
             parsed = W.parse_wkb(blob)
-            coords = np.concatenate(list(W._iter_coord_arrays(parsed)))
+            coord_arrays = list(W._iter_coord_arrays(parsed))
+            coords = np.concatenate(coord_arrays)
             areas.append(0.0)
-            parts.append(1)
+            parts.append(len(coord_arrays)
+                         if t in (W.MULTIPOINT, W.MULTILINESTRING,
+                                  W.GEOMETRYCOLLECTION) else 1)
             rings_n.append(0)
             verts.append(len(coords))
             cx.append(float(coords[:, 0].mean()))
