@@ -1674,6 +1674,110 @@ def q57_warp_kernels(sf_dir):
         "checksum_b0": pa.array(pdf["checksum_b0"].astype("int64"))})
 
 
+
+
+def q58_having(sf_dir):
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    from ray.data.aggregate import Count
+
+    out = (_read(sf_dir, "orders", ["o_custkey"])
+           .groupby("o_custkey").aggregate(Count(alias_name="n")))
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n"], pa.scalar(15)))
+        return pa.Table.from_pydict({
+            "o_custkey": t["o_custkey"].cast(pa.int64()),
+            "n": t["n"].cast(pa.int64())})
+
+    return out.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_Q58 = ("SELECT o_custkey, COUNT(*) AS n FROM orders "
+           "GROUP BY o_custkey HAVING COUNT(*) >= 15")
+
+
+def q59_semi_join_in(sf_dir):
+    """IN-subquery semi-join via broadcast key set (top-value orders)."""
+    import ray
+
+    top = (_read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+           .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+           .limit(100).to_pandas())
+    keys = set(top["o_orderkey"])
+    ref = ray.put(keys)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        ok = np.array([k in ks for k in np.asarray(t["l_orderkey"])],
+                      dtype=bool)
+        t = t.filter(pa.array(ok))
+        return pa.Table.from_pydict({
+            "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+            "l_linenumber": t["l_linenumber"].cast(pa.int64()),
+            "l_quantity": t["l_quantity"]})
+
+    return _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_quantity"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+SQL_Q59 = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)
+"""
+
+
+def q60_case_buckets(sf_dir):
+    """CASE WHEN bucketing + grouped aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = np.asarray(t["l_quantity"], dtype=np.float64)
+        bucket = np.where(q < 10, "small",
+                          np.where(q < 30, "medium", "large"))
+        return pa.Table.from_pydict({
+            "bucket": pa.array(bucket, pa.string()),
+            "l_extendedprice": t["l_extendedprice"]})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("bucket")
+             .aggregate(Count(alias_name="n"),
+                        Sum("l_extendedprice", alias_name="total")))
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _cast_i64(_round_cols(tbl, {"total": 2}), ["n"])
+
+
+SQL_Q60 = """
+SELECT CASE WHEN l_quantity < 10 THEN 'small'
+            WHEN l_quantity < 30 THEN 'medium'
+            ELSE 'large' END AS bucket,
+       COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS total
+FROM lineitem GROUP BY bucket
+"""
+
+
+def q61_group_median(sf_dir):
+    """Per-group median (linear-interpolated, the SQL quantile_cont rule)."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": [g["lang"].iloc[0]],
+            "median_chars": [round_half_away(
+                g["n_chars"].quantile(0.5, interpolation="linear"), 4)]})
+
+    return ds.groupby("lang").map_groups(med, batch_format="pandas")
+
+
+SQL_Q61 = ("SELECT lang, ROUND(quantile_cont(n_chars, 0.5), 4) AS "
+           "median_chars FROM documents GROUP BY lang")
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1731,6 +1835,10 @@ QUERIES = {
     "q55_cell_partitioned_join": (q55_cell_partitioned_join, SQL_Q12),
     "q56_contour": (q56_contour, None),
     "q57_warp_kernels": (q57_warp_kernels, None),
+    "q58_having": (q58_having, SQL_Q58),
+    "q59_semi_join_in": (q59_semi_join_in, SQL_Q59),
+    "q60_case_buckets": (q60_case_buckets, SQL_Q60),
+    "q61_group_median": (q61_group_median, SQL_Q61),
 }
 
 
