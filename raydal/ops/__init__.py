@@ -1,3 +1,3 @@
 from . import (ann, color, contour, dedup, fill, footprint, grid, join,
-               polygonize,
+               polygonize, stencil,
                raster_math, rasterize, text, tile, vector, warp)  # noqa: F401
