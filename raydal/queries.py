@@ -1778,6 +1778,46 @@ SQL_Q61 = ("SELECT lang, ROUND(quantile_cont(n_chars, 0.5), 4) AS "
            "median_chars FROM documents GROUP BY lang")
 
 
+
+
+def q62_halo_hillshade(sf_dir):
+    """Seam-exact hillshade over rasterized-zone tiles via the halo
+    exchange (rows-only; seam exactness proven in test_stencil.py)."""
+    import ray.data
+
+    from .geo.wkb import box_polygon, polygon_wkb
+    from .kernels.checksum import checksum
+    from .ops.raster_math import hillshade
+    from .ops.rasterize import rasterize_zones
+    from .ops.stencil import apply_with_halo
+
+    rects = _derived_rects()
+    zones = pa.Table.from_pydict({
+        "zone_id": pa.array([f"r{j}" for j in rects["rect_id"]]),
+        "wkb": pa.array([polygon_wkb(box_polygon(*b))
+                         for b in rects["bounds"]], pa.binary()),
+        "pop": pa.array(list(range(10, 130, 10)), pa.int64())})
+    burned = rasterize_zones(ray.data.from_arrow(zones), z=6,
+                             value_col="pop", merge="add")
+    shaded = apply_with_halo(
+        burned.select_columns(["cell", "data"]),
+        lambda p: hillshade(p, 1.0, 1.0).astype(np.float64),
+        tile_size=256, r=1)
+
+    def fingerprint(t: pa.Table) -> pa.Table:
+        cells_, cks = [], []
+        for i in range(t.num_rows):
+            arr = np.frombuffer(t["data"][i].as_py(),
+                                dtype=np.float64).reshape(256, 256)
+            cells_.append(t["cell"][i].as_py())
+            cks.append(checksum(arr.astype(np.uint8)))
+        return pa.Table.from_pydict({
+            "cell": pa.array(cells_, pa.int64()),
+            "hillshade_cks": pa.array(cks, pa.int64())})
+
+    return shaded.map_batches(fingerprint, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1839,6 +1879,7 @@ QUERIES = {
     "q59_semi_join_in": (q59_semi_join_in, SQL_Q59),
     "q60_case_buckets": (q60_case_buckets, SQL_Q60),
     "q61_group_median": (q61_group_median, SQL_Q61),
+    "q62_halo_hillshade": (q62_halo_hillshade, None),
 }
 
 
