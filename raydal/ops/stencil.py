@@ -39,11 +39,12 @@ def emit_halo_strips(t: pa.Table, tile_size=256, r=1) -> pa.Table:
         cell = t["cell"][i].as_py()
         z, x, y = (int(v) for v in cells.unpack_cell(np.int64(cell)))
         n = 1 << z
-        arr = np.frombuffer(t["data"][i].as_py(),
+        blob = t["data"][i].as_py()
+        arr = np.frombuffer(blob,
                             dtype=np.float64).reshape(tile_size, tile_size)
         out_cell.append(cell)
         out_kind.append("tile")
-        out_data.append(arr.tobytes())
+        out_data.append(blob)  # forward original bytes, no re-serialize
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 if dy == 0 and dx == 0:
@@ -74,34 +75,40 @@ def apply_with_halo(tiles_ds, fn, tile_size=256, r=1, fill=0.0):
     """Run ``fn(padded) -> array`` over every tile with an exact r-px apron.
 
     ``fn`` receives a ``(tile+2r, tile+2r)`` float64 array (missing
-    neighbors padded with ``fill`` — edge-of-world behaves like the
-    reference's edge replicate/nodata) and must return an array whose
-    central ``tile×tile`` window is taken as the tile's result.  Returns
-    rows (cell, data).
+    neighbors padded with the constant ``fill`` — note this differs from
+    the reference's edge-replicate at the world boundary; interior seams
+    are exact, boundary tiles see a ``fill`` apron) and must return an
+    array whose central ``tile×tile`` window is taken as the tile's
+    result.  Input must carry exactly ONE tile row per cell (mosaic
+    first if sources overlap — enforced).  Returns rows (cell, data).
     """
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
         ts = tile_size
         pad = np.full((ts + 2 * r, ts + 2 * r), fill, dtype=np.float64)
         center = None
-        for _, row in g.iterrows():
-            if row["kind"] == "tile":
-                center = np.frombuffer(row["data"],
+        strips = []
+        # single pass: locate the center tile and collect strips
+        for kind, data in zip(g["kind"].values, g["data"].values):
+            if kind == "tile":
+                if center is not None:
+                    raise ValueError(
+                        "apply_with_halo: multiple tile rows for one cell "
+                        "— mosaic overlapping sources before the stencil")
+                center = np.frombuffer(data,
                                        dtype=np.float64).reshape(ts, ts)
+            else:
+                strips.append((kind, data))
         if center is None:
             # strips arriving for a tile that has no data of its own: the
             # neighbor exists but this cell is empty — nothing to emit
             return pd.DataFrame({"cell": pd.Series([], dtype="int64"),
                                  "data": pd.Series([], dtype=object)})
         pad[r:r + ts, r:r + ts] = center
-        for _, row in g.iterrows():
-            kind = row["kind"]
-            if kind == "tile":
-                continue
+        for kind, data in strips:
             dy, dx = (int(v) for v in kind.split(","))
             h = r if dy != 0 else ts
             w = r if dx != 0 else ts
-            strip = np.frombuffer(row["data"],
-                                  dtype=np.float64).reshape(h, w)
+            strip = np.frombuffer(data, dtype=np.float64).reshape(h, w)
             ys = slice(0, r) if dy < 0 else \
                 (slice(r + ts, 2 * r + ts) if dy > 0 else slice(r, r + ts))
             xs = slice(0, r) if dx < 0 else \

@@ -21,13 +21,13 @@ import pyarrow as pa
 
 from ..geo import affine, cells
 from ..geo import wkb as W
-from ..geo.crs import Transformer
+from ..geo.crs import Transformer, _norm_crs
 from ..io.codecs import decode
 from ..io.png import encode_png
 from ..kernels.checksum import checksum
 from ..kernels.resample import (bilinear_sample_fast,
                                 copy_words_cast, resample_grid)
-from .footprint import footprint_corners
+from .footprint import _flatten_gt, footprint_corners
 from .join import SpatialJoinZones
 
 __all__ = ["WarpImages", "WarpToTiles", "suggest_output_grid", "warp_array"]
@@ -95,10 +95,7 @@ class WarpImages:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        gt_col = np.asarray(batch["gt"].combine_chunks().flatten()
-                            if isinstance(batch["gt"], pa.ChunkedArray)
-                            else batch["gt"].flatten(),
-                            dtype=np.float64).reshape(n, 6)
+        gt_col = _flatten_gt(batch)
         out = {k: [] for k in ("image_id", "caption", "dst_w", "dst_h",
                                "valid_frac", "mean_r", "mean_g", "mean_b",
                                "checksum_b0")}
@@ -126,8 +123,8 @@ class WarpImages:
             out["dst_w"].append(dw)
             out["dst_h"].append(dh)
             out["valid_frac"].append(float(valid.mean()))
-            for name, vals in zip(("mean_r", "mean_g", "mean_b"), bands):
-                sel = vals[valid]
+            for name, band in zip(("mean_r", "mean_g", "mean_b"), bands):
+                sel = band[valid]
                 out[name].append(float(sel.mean()) if sel.size else 0.0)
             out["checksum_b0"].append(checksum(b0))
             if self.keep_pixels:
@@ -158,6 +155,10 @@ class FlagshipActor:
     """
 
     def __init__(self, zones_ref, z=10, dst_crs=3857, resample="bilinear"):
+        if _norm_crs(dst_crs) != 3857:
+            raise ValueError(
+                "FlagshipActor tile cover uses the WebMercatorQuad matrix; "
+                "dst_crs must be EPSG:3857")
         self.index = SpatialJoinZones._resolve(zones_ref)
         self.z = z
         self.tm = cells.web_mercator_quad(z)
@@ -167,10 +168,7 @@ class FlagshipActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        gt_col = np.asarray(batch["gt"].combine_chunks().flatten()
-                            if isinstance(batch["gt"], pa.ChunkedArray)
-                            else batch["gt"].flatten(),
-                            dtype=np.float64).reshape(n, 6)
+        gt_col = _flatten_gt(batch)
         ids = batch["image_id"].to_pylist()
         caps = batch["caption"].to_pylist()
         crss = batch["crs"].to_pylist()
@@ -269,10 +267,7 @@ class WarpToTiles:
         rows = {k: [] for k in ("cell", "z", "tile_x", "tile_y", "image_id",
                                 "tile_rgb", "tile_mask")}
         n = batch.num_rows
-        gt_col = np.asarray(batch["gt"].combine_chunks().flatten()
-                            if isinstance(batch["gt"], pa.ChunkedArray)
-                            else batch["gt"].flatten(),
-                            dtype=np.float64).reshape(n, 6)
+        gt_col = _flatten_gt(batch)
         for i in range(n):
             src_crs = batch["crs"][i].as_py()
             gt = tuple(gt_col[i])
@@ -290,6 +285,7 @@ class WarpToTiles:
                         px = decode(batch["bytes"][i].as_py())
                         if px.ndim == 2:
                             px = px[:, :, None].repeat(3, axis=2)
+                        px = px[:, :, :3]  # tile consumers are RGB-only
                     tile_gt = self.tm.tile_gt(tx, ty)
                     vals, valid = warp_array(px, gt, src_crs, tile_gt,
                                              ts, ts, 3857, self.resample,

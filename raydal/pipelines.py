@@ -7,15 +7,11 @@ data): synthesis is itself a Ray stage, cached once per scale under
 ``/tmp`` so the *timed* pipeline starts from a columnar read like a real
 deployment reads Lance.
 
-Stages (all streaming, no full materialization of the input):
-
-1. ``read_parquet`` (Lance-equivalent source) — prunes to needed columns.
-2. ``map_batches(add_footprint)`` — stateless, vectorized corner math.
-3a. ``map_batches(assign_tiles)`` → groupby(cell) count — the
-    tile-assignment shuffle (pre-aggregated per batch before the groupby).
-3b. ``map_batches(WarpImages, concurrency=N)`` — actor pool decode+warp.
-3c. ``map_batches(SpatialJoinZones)`` — broadcast zone index join.
-4. small aggregates only are materialized.
+Physical plan (see :func:`flagship`): ONE fused actor-pool pass over the
+image bytes (decode → warp → tile-cover → broadcast zone join) followed
+by a single-pass streaming reduce of bounded-cardinality partials; the
+unbounded tile reduction lives in :func:`tile_pyramid` (salted two-stage
+groupby).
 """
 
 from __future__ import annotations
@@ -114,7 +110,6 @@ def flagship(sf_dir, z=10, n_zones=500, warp_sample=None, concurrency=None,
     """
     import ray
     import ray.data
-    from ray.data.aggregate import Count, Sum
 
     from .ops.warp import FlagshipActor
 
