@@ -75,7 +75,8 @@ def kernel_weights(name, x):
 
 
 def resample_grid(src, sx, sy, resample="bilinear", nodata=None,
-                  acc_dtype=np.float64):
+                  acc_dtype=np.float64, gdal_edges=False,
+                  xscale=1.0, yscale=1.0):
     """Sample band(s) ``src`` at fractional pixel coords (corner-based).
 
     ``sx``/``sy`` are continuous source pixel coordinates in the GDAL
@@ -99,6 +100,22 @@ def resample_grid(src, sx, sy, resample="bilinear", nodata=None,
         """Broadcast a spatial mask/weight over trailing channels."""
         return mask[..., None] if multi else mask
 
+    if gdal_edges and resample == "cubic" and xscale >= 0.95 and \
+            yscale >= 0.95:
+        # GWKCubicResample4Sample (alg/gdalwarpkernel.cpp:3005-3008):
+        # where the full 4x4 support crosses the raster edge, GDAL falls
+        # back to bilinear instead of renormalizing the cubic weights.
+        out, valid = resample_grid(src, sx, sy, "cubic", nodata, acc_dtype)
+        i0 = np.floor(sx - 0.5).astype(np.int64)
+        j0 = np.floor(sy - 0.5).astype(np.int64)
+        edge = (i0 - 1 < 0) | (i0 + 2 >= w) | (j0 - 1 < 0) | (j0 + 2 >= h)
+        if edge.any():
+            bo, bv = resample_grid(src, sx, sy, "bilinear", nodata, acc_dtype)
+            em = edge[..., None] if multi else edge
+            out = np.where(em, bo, out)
+            valid = np.where(edge, bv, valid)
+        return out, valid
+
     if resample == "near":
         ix = np.floor(sx).astype(np.int64)
         iy = np.floor(sy).astype(np.int64)
@@ -121,9 +138,26 @@ def resample_grid(src, sx, sy, resample="bilinear", nodata=None,
     fx = ux - ix0
     fy = uy - iy0
 
-    taps = range(-r + 1, r + 1)  # e.g. bilinear: {0, 1}; cubic: {-1..2}
-    wx = {t: kern(fx - t) for t in taps}
-    wy = {t: kern(fy - t) for t in taps}
+    # GWKResample (alg/gdalwarpkernel.cpp:3789-3845): when downsampling
+    # (scale < 1) the kernel is dilated — weight K((t - frac) * scale)
+    # over an expanded radius ceil(r / scale); weights are normalized by
+    # their sum, so zero-weight fringe taps are harmless.
+    xs = min(1.0, float(xscale))
+    ys = min(1.0, float(yscale))
+    if xs < 1.0:
+        rx = int(np.ceil(r / xs))
+        taps_x = range(-rx, rx + 1)
+        wx = {t: kern((t - fx) * xs) for t in taps_x}
+    else:
+        taps_x = range(-r + 1, r + 1)  # bilinear: {0, 1}; cubic: {-1..2}
+        wx = {t: kern(fx - t) for t in taps_x}
+    if ys < 1.0:
+        ry = int(np.ceil(r / ys))
+        taps_y = range(-ry, ry + 1)
+        wy = {t: kern((t - fy) * ys) for t in taps_y}
+    else:
+        taps_y = range(-r + 1, r + 1)
+        wy = {t: kern(fy - t) for t in taps_y}
 
     out_shape = sx.shape + ((src.shape[2],) if multi else ())
     acc = np.zeros(out_shape, dtype=acc_dtype)
@@ -132,12 +166,12 @@ def resample_grid(src, sx, sy, resample="bilinear", nodata=None,
         # bounds make the (clipped-index) gathered values inert — no
         # np.where in the inner loop, one spatial weight accumulator.
         wsum2 = np.zeros(sx.shape, dtype=acc_dtype)
-        for ty in taps:
+        for ty in taps_y:
             yy = iy0 + ty
             in_y = (yy >= 0) & (yy < h)
             yyc = np.clip(yy, 0, h - 1)
             wyv = wy[ty]
-            for tx in taps:
+            for tx in taps_x:
                 xx = ix0 + tx
                 ok = in_y & (xx >= 0) & (xx < w)
                 xxc = np.clip(xx, 0, w - 1)
@@ -151,12 +185,12 @@ def resample_grid(src, sx, sy, resample="bilinear", nodata=None,
         out[~valid] = 0.0
         return out, valid
     wsum = np.zeros(out_shape, dtype=np.float64)
-    for ty in taps:
+    for ty in taps_y:
         yy = iy0 + ty
         in_y = (yy >= 0) & (yy < h)
         yyc = np.clip(yy, 0, h - 1)
         wyv = wy[ty]
-        for tx in taps:
+        for tx in taps_x:
             xx = ix0 + tx
             ok = in_y & (xx >= 0) & (xx < w)
             xxc = np.clip(xx, 0, w - 1)
@@ -209,10 +243,19 @@ def block_reduce(src, fy, fx, how="average", nodata=None):
         s = np.where(maskv, flat * flat, 0.0).sum(axis=2)
         out = np.sqrt(np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan))
     elif how in ("med", "q1", "q3"):
+        # GWKAOM_Quant (alg/gdalwarpkernel.cpp:7605-7607): discrete
+        # selection sorted[ceil(q*n - 1)], NOT interpolated quantile.
         q = {"med": 0.5, "q1": 0.25, "q3": 0.75}[how]
-        tmp = np.where(maskv, flat, np.nan)
-        out = np.nanquantile(tmp, q, axis=2)
+        srt = np.sort(np.where(maskv, flat, np.inf), axis=2)
+        n = cnt
+        idx = np.ceil(q * n - 1).astype(np.int64)
+        idx = np.clip(idx, 0, flat.shape[2] - 1)
+        out = np.take_along_axis(srt, idx[..., None], axis=2)[..., 0]
+        out = np.where(n > 0, out, np.nan)
     elif how == "mode":
+        # GWKTS_First (alg/gdalwarpkernel.cpp:7392-7420): incremental
+        # scan — the winner is the value that FIRST REACHES the maximal
+        # count in row-major order (not earliest-first-occurrence).
         out = np.empty(flat.shape[:2], dtype=np.float64)
         for i in range(flat.shape[0]):
             for j in range(flat.shape[1]):
@@ -220,12 +263,15 @@ def block_reduce(src, fy, fx, how="average", nodata=None):
                 if len(vals) == 0:
                     out[i, j] = np.nan
                     continue
-                uniq, first_idx, counts = np.unique(
-                    vals, return_index=True, return_counts=True)
-                best = counts.max()
-                cand = counts == best
-                # GWKTS_First: among tied values pick the earliest-seen
-                out[i, j] = uniq[cand][np.argmin(first_idx[cand])]
+                counts = {}
+                best_val, best_cnt = vals[0], 0
+                for v in vals:
+                    c = counts.get(v, 0) + 1
+                    counts[v] = c
+                    if c > best_cnt:
+                        best_cnt = c
+                        best_val = v
+                out[i, j] = best_val
     else:
         raise ValueError(f"unknown area resampler {how!r}")
     return out
@@ -238,10 +284,12 @@ def downsample2_average(src):
 
 def copy_words_cast(arr, dtype):
     """Float → integer cast with GDALCopyWords semantics: add 0.5,
-    truncate toward zero, clamp to the dtype range."""
+    floor, clamp to the dtype range (same convention the reference's
+    checksum float path uses; verified on utmsmall-int16-neg goldens
+    where trunc-toward-zero gives off-by-one on negatives)."""
     arr = np.asarray(arr, dtype=np.float64)
     info = np.iinfo(dtype)
-    v = np.trunc(arr + 0.5)
+    v = np.floor(arr + 0.5)
     return np.clip(v, info.min, info.max).astype(dtype)
 
 

@@ -93,6 +93,69 @@ def burn_point(out, px, py, value=1.0, merge="replace"):
     return out
 
 
+def burn_line_bresenham(out, coords_px, value=1.0, merge="replace"):
+    """Default (non-all-touched) line burn — ``GDALdllImageLine``
+    (``alg/llrasterize.cpp:239-352``): integer Bresenham between the
+    floor()ed endpoints; intermediate vertices burn once (the endpoint
+    of every segment but the last is skipped to avoid double-burn in
+    ADD mode).  The vertex list is traversed in REVERSE, replicating
+    ``GDALCollectRingsFromGeometry`` (``alg/gdalrasterize.cpp:144-149``)
+    which pushes linestring points back-to-front — observable because
+    Bresenham is asymmetric (validated against the published rasterize
+    checksum 6452, ``autotest/alg/rasterize.py:70``)."""
+    h, w = out.shape
+    c = np.asarray(coords_px, dtype=np.float64)[::-1]
+    nseg = len(c) - 1
+    for j in range(nseg):
+        ix = int(np.floor(c[j, 0]))
+        iy = int(np.floor(c[j, 1]))
+        ix1 = int(np.floor(c[j + 1, 0]))
+        iy1 = int(np.floor(c[j + 1, 1]))
+        dx = abs(ix1 - ix)
+        dy = abs(iy1 - iy)
+        xstep = -1 if ix > ix1 else 1
+        ystep = -1 if iy > iy1 else 1
+        if dx >= dy:
+            xerr = dy << 1
+            yerr = xerr - (dx << 1)
+            err = xerr - dx
+            if j != nseg - 1:
+                dx -= 1
+            while dx >= 0:
+                dx -= 1
+                if 0 <= ix < w and 0 <= iy < h:
+                    if merge == "add":
+                        out[iy, ix] += value
+                    else:
+                        out[iy, ix] = value
+                ix += xstep
+                if err > 0:
+                    iy += ystep
+                    err += yerr
+                else:
+                    err += xerr
+        else:
+            xerr = dx << 1
+            yerr = xerr - (dy << 1)
+            err = xerr - dy
+            if j != nseg - 1:
+                dy -= 1
+            while dy >= 0:
+                dy -= 1
+                if 0 <= ix < w and 0 <= iy < h:
+                    if merge == "add":
+                        out[iy, ix] += value
+                    else:
+                        out[iy, ix] = value
+                iy += ystep
+                if err > 0:
+                    ix += xstep
+                    err += yerr
+                else:
+                    err += xerr
+    return out
+
+
 def burn_line_all_touched(out, coords_px, value=1.0, merge="replace"):
     """Burn every pixel a polyline touches (DDA walk per segment)."""
     h, w = out.shape

@@ -90,11 +90,17 @@ class TestBlockReduce:
         np.testing.assert_allclose(rs.block_reduce(a, 2, 2, "max"), [[6, 8]])
 
     def test_mode_first_tiebreak(self):
-        # GWKTS_First: 1 and 2 both appear twice; 1 is seen first in scan order
+        # GWKTS_First is INCREMENTAL (alg/gdalwarpkernel.cpp:7392-7420):
+        # the winner is the value that first REACHES the max count in scan
+        # order.  [1,2,2,1]: 2 reaches count 2 before 1 does -> 2 wins.
+        # (Validated against utmsmall_mode.tiff / int16-neg_mode goldens.)
         a = np.array([[1, 2], [2, 1]], dtype=np.float64)
-        assert rs.block_reduce(a, 2, 2, "mode")[0, 0] == 1.0
+        assert rs.block_reduce(a, 2, 2, "mode")[0, 0] == 2.0
         b = np.array([[2, 1], [1, 2]], dtype=np.float64)
-        assert rs.block_reduce(b, 2, 2, "mode")[0, 0] == 2.0
+        assert rs.block_reduce(b, 2, 2, "mode")[0, 0] == 1.0
+        # no tie: clear majority wins regardless of order
+        c = np.array([[3, 3], [1, 3]], dtype=np.float64)
+        assert rs.block_reduce(c, 2, 2, "mode")[0, 0] == 3.0
 
     def test_rms(self):
         a = np.array([[3.0, 4.0]])

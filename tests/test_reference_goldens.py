@@ -1,0 +1,182 @@
+"""Parity tests against REFERENCE-PUBLISHED golden values.
+
+Every expected number/raster in this module is published by the reference
+repo itself (checksums hardcoded in ``autotest/gcore/tiff_read.py:44-76``,
+``autotest/alg/rasterize.py:70``; golden warp rasters shipped as
+``autotest/alg/data/utmsmall_*.tif(f)`` with tolerance maxdiff ≤ 1 per
+``autotest/alg/warp.py:41-48``).  None of these expectations were derived
+from this repo's own code — they are independent oracles for the TIFF
+reader, the GDAL checksum, all five point resampling kernels (up- and
+down-sampling), the eight area reducers, and the rasterizer.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from raydal.io.tiff import read_tiff
+from raydal.kernels.checksum import checksum
+from raydal.kernels.resample import (block_reduce, copy_words_cast,
+                                     resample_grid)
+from raydal.ops.rasterize import burn_line_bresenham, fill_polygon_even_odd
+
+GCORE = "/root/reference/autotest/gcore/data/"
+ALG = "/root/reference/autotest/alg/data/"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(GCORE), reason="reference fixtures not present")
+
+
+def _tiff(path):
+    with open(path, "rb") as f:
+        return read_tiff(f.read())
+
+
+# ---- TIFF reader + GDALChecksumImage vs autotest/gcore/tiff_read.py ----
+
+TIFF_CHECKSUMS = [
+    # (filename, band, published checksum) — tiff_read.py init_list
+    ("byte.tif", 1, 4672),
+    ("int16.tif", 1, 4672),
+    ("uint16.tif", 1, 4672),
+    ("int32.tif", 1, 4672),
+    ("uint32.tif", 1, 4672),
+    ("float16.tif", 1, 4672),
+    ("float32.tif", 1, 4672),
+    ("float64.tif", 1, 4672),
+    ("contig_strip.tif", 2, 15234),
+    ("seperate_strip.tif", 2, 15234),
+    ("contig_tiled.tif", 2, 15234),
+    ("separate_tiled.tif", 2, 15234),
+    ("empty1bit.tif", 1, 0),
+    ("gtiff/float32_lzw_predictor_3_big_endian.tif", 1, 4672),
+]
+
+
+@pytest.mark.parametrize("fn,band,expected", TIFF_CHECKSUMS,
+                         ids=[t[0] for t in TIFF_CHECKSUMS])
+def test_tiff_checksum_parity(fn, band, expected):
+    img = _tiff(GCORE + fn)
+    assert checksum(img.bands[band - 1]) == expected
+
+
+def test_tiff_geotransform():
+    # byte.tif GT is published all over autotest (e.g. gcore/tiff_read.py)
+    img = _tiff(GCORE + "byte.tif")
+    assert img.geotransform == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+    assert (img.width, img.height) == (20, 20)
+
+
+# ---- Warp kernels vs autotest/alg golden rasters (maxdiff ≤ 1) ----
+
+SRC_GT = (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+
+
+def _warp_affine(src, dst_w, dst_h, dst_gt, resample, dtype=np.uint8, **kw):
+    jj, ii = np.meshgrid(np.arange(dst_h), np.arange(dst_w), indexing="ij")
+    gx = dst_gt[0] + (ii + 0.5) * dst_gt[1]
+    gy = dst_gt[3] + (jj + 0.5) * dst_gt[5]
+    sx = (gx - SRC_GT[0]) / SRC_GT[1]
+    sy = (gy - SRC_GT[3]) / SRC_GT[5]
+    vals, _ = resample_grid(src, sx, sy, resample=resample, **kw)
+    return copy_words_cast(vals, dtype)
+
+
+@pytest.fixture(scope="module")
+def utmsmall():
+    return _tiff(GCORE + "utmsmall.tif").bands[0]
+
+
+UPSAMPLE_GOLDENS = [  # autotest/alg/warp.py test_warp_1..6
+    ("utmsmall_near.tiff", "near"),
+    ("utmsmall_blinear.tiff", "bilinear"),
+    ("utmsmall_cubic.tiff", "cubic"),
+    ("utmsmall_cubicspline.tiff", "cubicspline"),
+    ("utmsmall_lanczos.tiff", "lanczos"),
+]
+
+
+@pytest.mark.parametrize("fn,alg", UPSAMPLE_GOLDENS,
+                         ids=[t[1] for t in UPSAMPLE_GOLDENS])
+def test_warp_upsample_golden(utmsmall, fn, alg):
+    ref = _tiff(ALG + fn).bands[0]
+    mine = _warp_affine(utmsmall, 500, 500, (440720, 10, 0, 3751320, 0, -10),
+                        alg, gdal_edges=True)
+    assert int(np.abs(mine.astype(int) - ref.astype(int)).max()) <= 1
+
+
+DOWNSAMPLE_GOLDENS = [  # autotest/alg/warp.py test_warp_*_downsize
+    ("utmsmall_bilinear_2.tif", "bilinear", 50, 50, 0.5, 0.5, -120),
+    ("utmsmall_cubic_2.tif", "cubic", 50, 50, 0.5, 0.5, -120),
+    ("utmsmall_cubicspline_2.tif", "cubicspline", 50, 50, 0.5, 0.5, -120),
+    ("utmsmall_lanczos_2.tif", "lanczos", 50, 50, 0.5, 0.5, -120),
+    ("utmsmall_lanczos_50_75.tif", "lanczos", 50, 75, 0.5, 0.75, -80),
+]
+
+
+@pytest.mark.parametrize("fn,alg,w,h,xs,ys,gy", DOWNSAMPLE_GOLDENS,
+                         ids=[t[0] for t in DOWNSAMPLE_GOLDENS])
+def test_warp_downsample_golden(utmsmall, fn, alg, w, h, xs, ys, gy):
+    ref = _tiff(ALG + fn).bands[0]
+    mine = _warp_affine(utmsmall, w, h, (440720, 120, 0, 3751320, 0, gy),
+                        alg, gdal_edges=True, xscale=xs, yscale=ys)
+    assert int(np.abs(mine.astype(int) - ref.astype(int)).max()) <= 1
+
+
+AREA_GOLDENS = [  # autotest/alg/warp.py average/mode/min/max/med/q1/q3
+    ("utmsmall_average.tiff", "average"),
+    ("utmsmall_mode.tiff", "mode"),
+    ("utmsmall_min.tif", "min"),
+    ("utmsmall_max.tif", "max"),
+    ("utmsmall_med.tif", "med"),
+    ("utmsmall_Q1.tif", "q1"),
+    ("utmsmall_Q3.tif", "q3"),
+]
+
+
+@pytest.mark.parametrize("fn,how", AREA_GOLDENS,
+                         ids=[t[1] for t in AREA_GOLDENS])
+def test_warp_area_reducer_golden(utmsmall, fn, how):
+    ref = _tiff(ALG + fn).bands[0]
+    mine = copy_words_cast(block_reduce(utmsmall, 2, 2, how=how), np.uint8)
+    assert int(np.abs(mine.astype(int) - ref.astype(int)).max()) <= 1
+
+
+INT16_NEG_GOLDENS = [  # negative-value semantics (floor(v+0.5) cast)
+    ("utmsmall-int16-neg_min.tif", "min"),
+    ("utmsmall-int16-neg_max.tif", "max"),
+    ("utmsmall-int16-neg_med.tif", "med"),
+    ("utmsmall-int16-neg_Q1.tif", "q1"),
+    ("utmsmall-int16-neg_Q3.tif", "q3"),
+    ("utmsmall-int16-neg_mode.tiff", "mode"),
+]
+
+
+@pytest.mark.parametrize("fn,how", INT16_NEG_GOLDENS,
+                         ids=[t[1] for t in INT16_NEG_GOLDENS])
+def test_warp_area_reducer_int16_negative(fn, how):
+    neg = _tiff(ALG + "utmsmall-int16-neg.tiff").bands[0]
+    ref = _tiff(ALG + fn).bands[0]
+    mine = copy_words_cast(block_reduce(neg, 2, 2, how=how), np.int16)
+    assert int(np.abs(mine.astype(int) - ref.astype(int)).max()) == 0
+
+
+# ---- Rasterize vs autotest/alg/rasterize.py test_rasterize_1 ----
+
+def test_rasterize_published_checksum():
+    """100x100 byte raster, GT (1000,1,0,1100,0,-1); polygon
+    POLYGON((1020 1030,1020 1045,1050 1045,1050 1030)) + linestring
+    LINESTRING(1000 1000, 1100 1050) burned at 220 must checksum 6452
+    (autotest/alg/rasterize.py:70)."""
+    def to_px(coords):
+        return [(x - 1000.0, 1100.0 - y) for x, y in coords]
+
+    out = np.zeros((100, 100))
+    poly = to_px([(1020, 1030), (1020, 1045), (1050, 1045), (1050, 1030),
+                  (1020, 1030)])
+    fill_polygon_even_odd([poly], 100, 100, out=out, value=220)
+    burn_line_bresenham(out, to_px([(1000, 1000), (1100, 1050)]), value=220)
+    assert checksum(copy_words_cast(out, np.uint8)) == 6452
