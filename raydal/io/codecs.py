@@ -2,14 +2,14 @@
 
 ``png`` is the real pure-Python codec (:mod:`raydal.io.png`).
 
-``jpeg`` is a **deterministic lossy stand-in** — no JPEG library exists in
-this container, so real JPEG decode is stubbed per the build contract: the
-``fjpg`` container below quantizes samples to 6 bits (uniform q=4) and
-zlib-compresses, giving a genuinely lossy round-trip with PSNR ≈ 46 dB
-(above the north rule's ≥ 40 dB gate) while keeping every piece of
-Ray-side plumbing (binary column → decode actor → pixel batches) real.
-Swap :func:`decode` / :func:`encode`'s ``jpeg`` branch for libjpeg-turbo
-bindings in a full deployment; everything downstream is format-agnostic.
+``jpeg`` is the real from-scratch baseline JPEG codec
+(:mod:`raydal.io.jpeg`) — bit-exact with libjpeg-6b decode on the
+reference's own fixture (``autotest/gdrivers/jpeg.py:48``: albania.jpg
+band-2 checksum 17016), encode→decode round-trip PSNR ≥ 40 dB.
+
+The round-1 ``fjpg`` stand-in container remains *decodable* so cached
+fixture files from earlier rounds keep working, but nothing encodes it
+anymore.
 """
 
 from __future__ import annotations
@@ -19,7 +19,9 @@ import zlib
 
 import numpy as np
 
+from .jpeg import decode_jpeg, encode_jpeg
 from .png import decode_png, encode_png
+from .tiff import read_tiff
 
 __all__ = ["encode", "decode", "FAKE_JPEG_MAGIC"]
 
@@ -48,12 +50,15 @@ def _decode_fjpg(buf):
     return arr[:, :, 0] if ch == 1 else arr
 
 
-def encode(arr, fmt):
+def encode(arr, fmt, quality=98):
+    # default quality 98: the synthetic fixtures contain mod-256 wrap
+    # edges (worst case for DCT ringing); 98 keeps round-trip PSNR ≥ 45
+    # dB, comfortably above the north rule's ≥ 40 dB lossy gate.
     """uint8 pixels → bytes for the given ``fmt`` ("png" | "jpeg")."""
     if fmt == "png":
         return encode_png(arr)
     if fmt == "jpeg":
-        return _encode_fjpg(arr)
+        return encode_jpeg(arr, quality=quality)
     raise NotImplementedError(f"codec {fmt!r} not available in this build")
 
 
@@ -62,8 +67,14 @@ def decode(buf, fmt=None):
     b = bytes(buf[:8])
     if b.startswith(b"\x89PNG"):
         return decode_png(buf)
+    if b.startswith(b"\xff\xd8"):
+        return decode_jpeg(buf)
     if b.startswith(FAKE_JPEG_MAGIC):
         return _decode_fjpg(buf)
-    raise NotImplementedError(
-        f"undecodable payload (fmt={fmt!r}); real JPEG decode is stubbed "
-        "in this environment")
+    if b.startswith(b"II*\x00") or b.startswith(b"MM\x00*"):
+        img = read_tiff(buf)
+        bands = img.bands
+        if len(bands) == 1:
+            return bands[0]
+        return np.stack(bands, axis=-1)
+    raise NotImplementedError(f"undecodable payload (fmt={fmt!r})")

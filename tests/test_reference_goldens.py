@@ -164,6 +164,54 @@ def test_warp_area_reducer_int16_negative(fn, how):
     assert int(np.abs(mine.astype(int) - ref.astype(int)).max()) == 0
 
 
+# ---- JPEG decode vs autotest/gdrivers/jpeg.py published checksums ----
+
+JPEG_DIR = "/root/reference/autotest/gdrivers/data/jpeg/"
+
+
+def test_jpeg_albania_checksum():
+    """Real-world 4:2:0 baseline JPEG: band 2 checksum must equal the
+    published libjpeg-6b expectation 17016 (autotest/gdrivers/jpeg.py:48).
+    Exercises Huffman decode, islow IDCT, h2v2 fancy upsampling and the
+    integer YCbCr->RGB conversion bit-exactly."""
+    from raydal.io.jpeg import decode_jpeg
+    with open(JPEG_DIR + "albania.jpg", "rb") as f:
+        img = decode_jpeg(f.read())
+    assert img.shape == (260, 361, 3)
+    assert checksum(img[:, :, 1]) == 17016
+
+
+def test_jpeg_cmyk_checksums():
+    """4-component Adobe CMYK raw read (autotest/gdrivers/jpeg.py:308-356:
+    21187/21054/21499/21069) and the driver's CMYK->RGB conversion
+    (C*K/255, jpgdataset.cpp:1494-1496; jpeg.py:263-291:
+    20385/20865/19441)."""
+    from raydal.io.jpeg import decode_jpeg
+    with open(JPEG_DIR + "rgb_ntf_cmyk.jpg", "rb") as f:
+        img = decode_jpeg(f.read())
+    assert [checksum(img[:, :, b]) for b in range(4)] == \
+        [21187, 21054, 21499, 21069]
+    rgb = (img.astype(np.int32)[:, :, :3] * img.astype(np.int32)[:, :, 3:4]
+           ) // 255
+    assert [checksum(rgb[:, :, b].astype(np.uint8)) for b in range(3)] == \
+        [20385, 20865, 19441]
+
+
+def test_jpeg_roundtrip_psnr():
+    from raydal.io.jpeg import decode_jpeg, encode_jpeg
+    from raydal.kernels.resample import psnr
+    x = np.linspace(0, 4 * np.pi, 96)
+    y = np.linspace(0, 3 * np.pi, 64)
+    g = np.sin(y)[:, None] * np.cos(x)[None, :] * 100 + 128
+    base = np.stack([g, g * 0.8 + 20, 255 - g], axis=-1).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(base, quality=85))
+    assert psnr(base, dec) >= 40.0
+    gray = base[:, :, 0]
+    dg = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert dg.shape == gray.shape
+    assert psnr(gray, dg) >= 40.0
+
+
 # ---- Rasterize vs autotest/alg/rasterize.py test_rasterize_1 ----
 
 def test_rasterize_published_checksum():
