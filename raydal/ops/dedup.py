@@ -185,56 +185,132 @@ def lsh_bands_batch(batch: pa.Table, bands=16, id_col="doc_id") -> pa.Table:
         id_col: out_id})
 
 
-def minhash_dedup(ds, id_col="doc_id", num_perm=64, bands=16, shingle_n=3,
-                  threshold=0.7):
-    """MinHash-LSH near-dup: signature → band explode → bucket groupby →
-    candidate pairs verified by signature-estimated Jaccard.
+def band_hashes_for_sigs(sig_mat, bands):
+    """(N, num_perm) uint64 signatures → (N, bands) uint64 band hashes.
 
-    Returns a Dataset of ``(id_a, id_b, est_jaccard)`` candidate pairs
-    (id_a < id_b) whose estimated Jaccard ≥ threshold.  Connected-
-    component clustering is left to the caller (min-label propagation).
+    Same chain as :func:`lsh_bands_batch` (acc = hash(acc ^ sig[j], j)
+    over the band's permutation slice) — used to recompute, locally from
+    two signatures, WHICH bands put a pair in the same bucket."""
+    n, num_perm = sig_mat.shape
+    r = num_perm // bands
+    out = np.empty((n, bands), dtype=np.uint64)
+    for b in range(bands):
+        acc = np.zeros(n, dtype=np.uint64)
+        for j in range(b * r, (b + 1) * r):
+            acc = _hash_u64(acc ^ sig_mat[:, j], j)
+        out[:, b] = acc
+    return out
+
+
+def minhash_dedup(ds, id_col="doc_id", num_perm=64, bands=16, shingle_n=3,
+                  threshold=0.7, bucket_cap=512, num_shards=64):
+    """MinHash-LSH near-dup: signature → band explode → ONE shard
+    shuffle → per-shard vectorized bucket scan with in-place
+    verification.
+
+    Returns a Dataset of ``(id_a, id_b, est_jaccard)`` pairs (id_a <
+    id_b) whose signature-estimated Jaccard ≥ threshold.  Connected-
+    component clustering is left to the caller.
+
+    Scale shape (the whole pipeline is one streaming pass + one
+    all-to-all):
+
+    * signatures are computed per batch (stateless task pool) and travel
+      WITH their banded rows — no side table, no driver materialization;
+    * banded rows shuffle once, hash-partitioned by ``band_hash %
+      num_shards``; every LSH bucket lands wholly in one shard;
+    * inside a shard, buckets are runs after one lexsort; pairs, their
+      estimated Jaccard, and the emit decision are pure numpy;
+    * hot buckets are capped at ``bucket_cap`` members (deterministic:
+      lexicographically-first ids participate) BEFORE the O(m²) pair
+      expansion — exact and local, no global count pass;
+    * cross-band duplicate pairs are eliminated WITHOUT a second
+      shuffle: both signatures are present, so each shard recomputes
+      the pair's band hashes and emits it only from the SMALLEST
+      agreeing band.  Output is globally duplicate-free by
+      construction.
+
+    ``num_shards`` bounds per-shard memory (corpus × bands /
+    num_shards rows); raise it for large corpora.
     """
     import pandas as pd
 
-    sigged = ds.map_batches(MinHasher, fn_constructor_kwargs={
-        "num_perm": num_perm, "shingle_n": shingle_n},
-        batch_format="pyarrow", concurrency=4)
-    # signatures are the dominant cost and feed two consumers (banding +
-    # the verify side-table) — materialize once, never recompute
-    sig_by_id = sigged.select_columns([id_col, "minhash"]).materialize()
-    banded = sig_by_id.map_batches(
-        lambda t: lsh_bands_batch(t, bands=bands, id_col=id_col),
-        batch_format="pyarrow")
+    def sig_and_band(t: pa.Table) -> pa.Table:
+        hasher = MinHasher(num_perm, shingle_n)
+        sigt = hasher(t)
+        banded = lsh_bands_batch(sigt, bands=bands, id_col=id_col)
+        arr = sigt["minhash"].combine_chunks() if isinstance(
+            sigt["minhash"], pa.ChunkedArray) else sigt["minhash"]
+        flat = np.asarray(arr.flatten(), dtype=np.int64)
+        mat = flat.reshape(t.num_rows, -1) if t.num_rows else \
+            flat.reshape(0, 1)
+        blobs = [mat[i].tobytes() for i in range(t.num_rows)]
+        # lsh_bands_batch emits band-major rows, each band block in
+        # input row order — tile the sig blobs to match
+        shard = (np.asarray(banded["band_hash"], dtype=np.int64)
+                 % num_shards).astype(np.int32)
+        return banded.append_column(
+            "sigbin", pa.array(blobs * bands, pa.binary())).append_column(
+            "shard", pa.array(shard))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    banded = ds.map_batches(sig_and_band, batch_format="pyarrow")
+
+    def scan_shard(g: pd.DataFrame) -> pd.DataFrame:
+        id_dtype = g[id_col].dtype if len(g) else object
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype=id_dtype),
+            "id_b": pd.Series([], dtype=id_dtype),
+            "est_jaccard": pd.Series([], dtype=np.float64)})
         if len(g) < 2:
-            empty = g[id_col].iloc[0:0]
-            return pd.DataFrame({"id_a": empty, "id_b": empty})
-        ids = sorted(g[id_col].tolist())
-        a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids))
-                     for j in range(i + 1, len(ids))])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+            return empty
+        g = g.sort_values(["band", "band_hash", id_col],
+                          kind="mergesort").reset_index(drop=True)
+        key_b = g["band"].to_numpy()
+        key_h = g["band_hash"].to_numpy()
+        new_run = np.empty(len(g), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (key_b[1:] != key_b[:-1]) | (key_h[1:] != key_h[:-1])
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(g))
+        sig_mat = np.stack([np.frombuffer(v, dtype=np.int64)
+                            for v in g["sigbin"]]).astype(np.uint64)
+        ids = g[id_col].to_numpy()
+        out_a, out_b, out_e = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            if m > bucket_cap:  # hot-bucket cap before O(m²)
+                e = s + bucket_cap
+                m = bucket_cap
+            iu = np.triu_indices(m, 1)
+            ai = s + iu[0]
+            bi = s + iu[1]
+            est = (sig_mat[ai] == sig_mat[bi]).mean(axis=1)
+            keep = est >= threshold
+            if not keep.any():
+                continue
+            ai, bi, est = ai[keep], bi[keep], est[keep]
+            # emit only from the smallest band where the pair agrees —
+            # makes output globally unique with zero extra shuffles
+            bh_a = band_hashes_for_sigs(sig_mat[ai], bands)
+            bh_b = band_hashes_for_sigs(sig_mat[bi], bands)
+            first_band = np.argmax(bh_a == bh_b, axis=1)
+            mine = first_band == key_b[s]
+            if not mine.any():
+                continue
+            out_a.append(ids[ai[mine]])
+            out_b.append(ids[bi[mine]])
+            out_e.append(est[mine])
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "est_jaccard": np.concatenate(out_e)})
 
-    cand = banded.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
-    # distinct pairs, then verify via signatures (broadcast small sig map)
-    import ray
-
-    sig_tbl = sig_by_id.to_pandas()
-    sig_map = {row[id_col]: np.asarray(row["minhash"], dtype=np.int64)
-               for _, row in sig_tbl.iterrows()}
-    sig_ref = ray.put(sig_map)
-
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        smap = ray.get(sig_ref)
-        est = [float((smap[a] == smap[b]).mean())
-               for a, b in zip(g["id_a"], g["id_b"])]
-        g = g.assign(est_jaccard=est)
-        return g[g["est_jaccard"] >= threshold]
-
-    return (cand.groupby(["id_a", "id_b"])
-                .map_groups(lambda g: g.head(1), batch_format="pandas")
-                .map_batches(verify, batch_format="pandas"))
+    return banded.groupby("shard").map_groups(
+        scan_shard, batch_format="pandas")
 
 
 def simhash_batch(batch: pa.Table, col="text", out_col="simhash") -> pa.Table:

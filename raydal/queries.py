@@ -741,9 +741,17 @@ def q32_fingerprint(sf_dir):
 
 
 def q33_minhash_pairs(sf_dir):
+    import ray
+    import ray.data
+
     from .ops.dedup import minhash_dedup
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # split the read so the fused signature+banding stage parallelizes
+    # across the pool (documents.parquet is few row groups)
+    nblocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"], override_num_blocks=nblocks)
     return minhash_dedup(ds, threshold=0.5)
 
 
