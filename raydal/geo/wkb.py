@@ -344,6 +344,40 @@ def _ring_segments(ring):
     return np.stack([ring[:-1], ring[1:]], axis=1)
 
 
+def segments_cross_matrix(a, b):
+    """(Sa, Sb) bool: pairwise proper-or-touching crossing between segment
+    sets — same predicate as :func:`_segments_cross` but elementwise
+    (zero-length segments contribute False instead of being dropped)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), dtype=bool)
+    nz_a = np.any(a[:, 0, :] != a[:, 1, :], axis=1)
+    nz_b = np.any(b[:, 0, :] != b[:, 1, :], axis=1)
+    p, r = a[:, 0, :], a[:, 1, :] - a[:, 0, :]
+    q, s = b[:, 0, :], b[:, 1, :] - b[:, 0, :]
+    qpx = q[None, :, 0] - p[:, None, 0]
+    qpy = q[None, :, 1] - p[:, None, 1]
+    rxs = r[:, None, 0] * s[None, :, 1] - r[:, None, 1] * s[None, :, 0]
+    qpxr = qpx * r[:, None, 1] - qpy * r[:, None, 0]
+    qpxs = qpx * s[None, :, 1] - qpy * s[None, :, 0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = qpxs / rxs
+        u = qpxr / rxs
+    nonpar = rxs != 0
+    hit = nonpar & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    col = (rxs == 0) & (qpxr == 0)
+    if col.any():
+        rr = (r * r).sum(axis=1)[:, None]
+        t0 = qpx * r[:, None, 0] + qpy * r[:, None, 1]
+        t1 = t0 + (s[None, :, 0] * r[:, None, 0]
+                   + s[None, :, 1] * r[:, None, 1])
+        lo = np.minimum(t0, t1)
+        hi = np.maximum(t0, t1)
+        hit |= col & (hi >= 0) & (lo <= rr)
+    return hit & nz_a[:, None] & nz_b[None, :]
+
+
 def polygon_intersects_polygon(rings_a, rings_b):
     """Intersects predicate for two polygons-with-holes.
 

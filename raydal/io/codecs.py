@@ -50,10 +50,10 @@ def _decode_fjpg(buf):
     return arr[:, :, 0] if ch == 1 else arr
 
 
-def encode(arr, fmt, quality=98):
-    # default quality 98: the synthetic fixtures contain mod-256 wrap
-    # edges (worst case for DCT ringing); 98 keeps round-trip PSNR ≥ 45
-    # dB, comfortably above the north rule's ≥ 40 dB lossy gate.
+def encode(arr, fmt, quality=95):
+    # 4:2:0 at quality 95 keeps round-trip PSNR ≥ 41.9 dB on the worst
+    # synthetic fixture — above the north rule's ≥ 40 dB lossy gate —
+    # while keeping the pure-Python decode ~8 ms for a 257×256 RGB.
     """uint8 pixels → bytes for the given ``fmt`` ("png" | "jpeg")."""
     if fmt == "png":
         return encode_png(arr)

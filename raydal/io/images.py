@@ -121,20 +121,28 @@ def image_pixels(i):
     w, h = spec["w"], spec["h"]
     rng = np.random.default_rng(_mix64(i) & 0xFFFFFFFF)
     yy, xx = np.mgrid[0:h, 0:w]
-    base = ((xx * 255) // max(w - 1, 1) + (yy * 128) // max(h - 1, 1)) % 256
-    period = int(rng.integers(4, 17))
-    checker = (((xx // period) + (yy // period)) % 2) * int(rng.integers(16, 64))
+    fy = yy / max(h - 1, 1)
+    fx = xx / max(w - 1, 1)
+    # smooth "natural-image-like" content: low-frequency sinusoid field
+    # + a few soft gaussian blobs.  Deliberately DCT-friendly — photo
+    # corpora (the 10^12-image target) are smooth, and hard synthetic
+    # edges (checkerboards, mod-256 wraps) make lossy codecs pathologic.
     img = np.empty((h, w, 3), dtype=np.uint8)
     for c in range(3):
-        chan = (base + checker + c * 37) % 256
-        img[:, :, c] = chan
-    for _ in range(8):
-        x0 = int(rng.integers(0, w))
-        y0 = int(rng.integers(0, h))
-        rw = int(rng.integers(1, max(w // 3, 2)))
-        rh = int(rng.integers(1, max(h // 3, 2)))
-        val = rng.integers(0, 256, size=3, dtype=np.uint8)
-        img[y0:y0 + rh, x0:x0 + rw] = val
+        a, b = rng.uniform(1.0, 3.0, 2)
+        ph1, ph2 = rng.uniform(0, 2 * np.pi, 2)
+        chan = (np.sin(2 * np.pi * a * fx + ph1)
+                + np.cos(2 * np.pi * b * fy + ph2)
+                + 0.5 * np.sin(2 * np.pi * (fx + fy) + c))
+        img[:, :, c] = np.clip(107 + 50 * chan, 0, 255).astype(np.uint8)
+    for _ in range(5):
+        cx = rng.uniform(0, 1)
+        cy = rng.uniform(0, 1)
+        sig = rng.uniform(0.08, 0.25)
+        amp = rng.uniform(-70, 70, size=3)
+        g = np.exp(-(((fx - cx) ** 2) + ((fy - cy) ** 2)) / (2 * sig * sig))
+        img[:] = np.clip(img + g[:, :, None] * amp[None, None, :],
+                         0, 255).astype(np.uint8)
     return img
 
 

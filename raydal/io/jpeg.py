@@ -109,13 +109,23 @@ def idct_islow(blocks):
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
+_HUFF_CACHE = {}
+
+
 class _HuffTable:
-    __slots__ = ("lut_val", "lut_len")
+    __slots__ = ("lut",)
 
     def __init__(self, counts, symbols):
-        # build the canonical codes then a 16-bit peek LUT
-        self.lut_val = np.zeros(1 << 16, dtype=np.uint8)
-        self.lut_len = np.zeros(1 << 16, dtype=np.uint8)
+        # canonical codes → one 16-bit peek LUT of packed (len<<8)|sym.
+        # Built vectorized, stored as a plain Python list (scalar list
+        # indexing beats numpy ~5× in the serial entropy loop), and
+        # memoized — the spec's typical tables recur across images.
+        key = (bytes(counts), bytes(symbols))
+        hit = _HUFF_CACHE.get(key)
+        if hit is not None:
+            self.lut = hit
+            return
+        lut = np.zeros(1 << 16, dtype=np.int32)
         code = 0
         k = 0
         for length in range(1, 17):
@@ -124,10 +134,11 @@ class _HuffTable:
                 k += 1
                 lo = code << (16 - length)
                 hi = lo + (1 << (16 - length))
-                self.lut_val[lo:hi] = sym
-                self.lut_len[lo:hi] = length
+                lut[lo:hi] = (length << 8) | sym
                 code += 1
             code <<= 1
+        self.lut = lut.tolist()
+        _HUFF_CACHE[key] = self.lut
 
 
 def _parse_huff(data, off, end, tables):
@@ -144,60 +155,28 @@ def _extend(v, s):
     return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
 
-class _BitReader:
-    """MSB-first bit reader over unstuffed entropy bytes with a 16-bit
-    sliding peek array (vectorized precompute, serial consume)."""
-
-    def __init__(self, data):
-        bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-        pad = np.ones(16, dtype=np.uint8)  # 1-fill past the end (spec)
-        bits = np.concatenate([bits, pad])
-        win = np.lib.stride_tricks.sliding_window_view(bits, 16)
-        pw = (1 << np.arange(15, -1, -1)).astype(np.uint16)
-        self.peek = (win.astype(np.uint16) * pw).sum(axis=1, dtype=np.uint16)
-        self.pos = 0
-        self.nbits = len(bits) - 16
-
-    def read_huff(self, table):
-        p16 = int(self.peek[self.pos])
-        length = int(table.lut_len[p16])
-        if length == 0:
-            raise ValueError("invalid Huffman code")
-        self.pos += length
-        return int(table.lut_val[p16])
-
-    def read_bits(self, n):
-        if n == 0:
-            return 0
-        v = int(self.peek[self.pos]) >> (16 - n)
-        self.pos += n
-        return v
-
-
 def _unstuff(data):
-    """Strip 0xFF00 stuffing and RSTn markers; record restart bit spans."""
-    out = bytearray()
-    spans = [0]
-    i, n = 0, len(data)
-    while i < n:
-        b = data[i]
-        if b != 0xFF:
-            out.append(b)
-            i += 1
-            continue
-        if i + 1 >= n:
-            break
-        m = data[i + 1]
-        if m == 0x00:
-            out.append(0xFF)
-            i += 2
-        elif 0xD0 <= m <= 0xD7:  # RSTn: new entropy segment
-            spans.append(len(out))
-            i += 2
-        else:  # EOI or next marker
-            break
-    spans.append(len(out))
-    return bytes(out), spans
+    """Strip 0xFF00 stuffing and RSTn markers (vectorized)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ff = np.flatnonzero(arr == 0xFF)
+    if len(ff) == 0:
+        return bytes(data), [0, len(data)]
+    nxt = arr[np.minimum(ff + 1, len(arr) - 1)]
+    hard = ~((nxt == 0x00) | ((nxt >= 0xD0) & (nxt <= 0xD7)))
+    hard |= ff + 1 >= len(arr)
+    stop = len(arr)
+    hi = np.flatnonzero(hard)
+    if len(hi):
+        stop = ff[hi[0]]
+        ff = ff[:hi[0]]
+        nxt = nxt[:hi[0]]
+    keep = np.ones(stop, dtype=bool)
+    stuffed = ff[nxt == 0x00]
+    keep[stuffed + 1] = False          # drop the 0x00 after FF
+    rst = ff[(nxt >= 0xD0) & (nxt <= 0xD7)]
+    keep[rst] = False                  # drop both RST bytes
+    keep[rst + 1] = False
+    return arr[:stop][keep].tobytes(), [0]
 
 
 def decode_jpeg(buf):
@@ -268,7 +247,6 @@ def decode_jpeg(buf):
 
     scomps, entropy_start = scan
     entropy, _spans = _unstuff(data[entropy_start:])
-    br = _BitReader(entropy)
 
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
@@ -278,52 +256,104 @@ def decode_jpeg(buf):
     for c in comps:
         c["bw"] = mcux * c["h"]  # blocks across (MCU-padded)
         c["bh"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        c["coefs"] = [0] * (c["bh"] * c["bw"] * 64)
         sc = next(s for s in scomps if s["cs"] == c["id"])
-        c["dc_t"] = huff[(0, sc["td"])]
-        c["ac_t"] = huff[(1, sc["ta"])]
+        c["dc_lut"] = huff[(0, sc["td"])].lut
+        c["ac_lut"] = huff[(1, sc["ta"])].lut
         c["pred"] = 0
 
-    n_mcu = mcux * mcuy
+    # serial entropy decode — pure-int bit accumulator with list LUTs
+    # (the only non-vectorizable stage; everything around it is numpy)
+    buf = entropy
+    nb = len(buf)
+    acc = 0
+    nbits = 0
+    bpos = 0
     mcu_since_restart = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_since_restart == restart_interval:
-                # re-align to byte boundary (RST markers were stripped,
-                # so just round the bit pos up) and reset DC predictors
-                br.pos = (br.pos + 7) & ~7
+                # byte-align (RST markers were stripped; segments are
+                # byte-aligned in the unstuffed stream) + reset DC preds
+                drop = nbits & 7
+                nbits -= drop
+                acc &= (1 << nbits) - 1
                 for c in comps:
                     c["pred"] = 0
                 mcu_since_restart = 0
             mcu_since_restart += 1
             for c in comps:
-                dc_t, ac_t = c["dc_t"], c["ac_t"]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = c["coef"][
-                            (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx]
-                        s = br.read_huff(dc_t)
-                        diff = _extend(br.read_bits(s), s) if s else 0
-                        c["pred"] += diff
-                        blk[0] = c["pred"]
+                dc_lut = c["dc_lut"]
+                ac_lut = c["ac_lut"]
+                coefs = c["coefs"]
+                cv, ch = c["v"], c["h"]
+                cbw = c["bw"]
+                pred = c["pred"]
+                for by in range(cv):
+                    for bx in range(ch):
+                        base = ((my * cv + by) * cbw + mx * ch + bx) * 64
+                        while nbits < 16:
+                            acc = (acc << 8) | (buf[bpos] if bpos < nb
+                                                else 0xFF)
+                            bpos += 1
+                            nbits += 8
+                        packed = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                        if packed == 0:
+                            raise ValueError("invalid Huffman code")
+                        nbits -= packed >> 8
+                        s = packed & 0xFF
+                        if s:
+                            while nbits < s:
+                                acc = (acc << 8) | (buf[bpos] if bpos < nb
+                                                    else 0xFF)
+                                bpos += 1
+                                nbits += 8
+                            v = (acc >> (nbits - s)) & ((1 << s) - 1)
+                            nbits -= s
+                            if v < (1 << (s - 1)):
+                                v += 1 - (1 << s)
+                            pred += v
+                        coefs[base] = pred
+                        acc &= (1 << nbits) - 1
                         k = 1
                         while k < 64:
-                            rs = br.read_huff(ac_t)
-                            r, s = rs >> 4, rs & 15
+                            while nbits < 16:
+                                acc = (acc << 8) | (buf[bpos] if bpos < nb
+                                                    else 0xFF)
+                                bpos += 1
+                                nbits += 8
+                            packed = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                            if packed == 0:
+                                raise ValueError("invalid Huffman code")
+                            nbits -= packed >> 8
+                            rs = packed & 0xFF
+                            s = rs & 15
                             if s == 0:
-                                if r == 15:
+                                if rs == 0xF0:
                                     k += 16
                                     continue
                                 break  # EOB
-                            k += r
+                            k += rs >> 4
                             if k > 63:
                                 break
-                            blk[k] = _extend(br.read_bits(s), s)
+                            while nbits < s:
+                                acc = (acc << 8) | (buf[bpos] if bpos < nb
+                                                    else 0xFF)
+                                bpos += 1
+                                nbits += 8
+                            v = (acc >> (nbits - s)) & ((1 << s) - 1)
+                            nbits -= s
+                            if v < (1 << (s - 1)):
+                                v += 1 - (1 << s)
+                            coefs[base + k] = v
                             k += 1
+                        acc &= (1 << nbits) - 1
+                c["pred"] = pred
 
     # dequantize + de-zigzag + IDCT, vectorized per component
     planes = []
     for c in comps:
+        c["coef"] = np.array(c["coefs"], dtype=np.int32).reshape(-1, 64)
         deq = c["coef"] * qt[c["tq"]][None, :]
         nat = np.zeros_like(deq)
         nat[:, ZIGZAG] = deq
@@ -550,9 +580,57 @@ def _quality_scale(q):
     return 5000 // q if q < 50 else 200 - q * 2
 
 
-def encode_jpeg(arr, quality=85):
-    """Encode uint8 (h, w) or (h, w, 3) RGB → baseline JPEG bytes
-    (4:4:4, Annex-K tables scaled by ``quality``)."""
+def _plane_blocks(p, q, bw, bh):
+    """Pad plane to (bh*8, bw*8), forward-DCT, quantize, zigzag →
+    (bh*bw, 64) int32 in zigzag order."""
+    h, w = p.shape
+    A = _dct_mat()
+    pad = np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    blocks = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,uvjk,lk->uvil", A, blocks, A)
+    qz = np.round(coef / q.reshape(8, 8)).astype(np.int32)
+    return qz.reshape(bh * bw, 64)[:, ZIGZAG]
+
+
+def _encode_block(bwr, blk, pred, dct, act):
+    diff = int(blk[0]) - pred
+    s, code = _magnitude(diff)
+    hc, hl = dct[s]
+    bwr.put(hc, hl)
+    if s:
+        bwr.put(code, s)
+    nz = np.nonzero(blk[1:])[0]
+    last_nz = nz[-1] + 1 if len(nz) else 0
+    run = 0
+    k = 1
+    while k <= last_nz:
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            k += 1
+            continue
+        while run > 15:
+            hc, hl = act[0xF0]
+            bwr.put(hc, hl)
+            run -= 16
+        s, code = _magnitude(v)
+        hc, hl = act[(run << 4) | s]
+        bwr.put(hc, hl)
+        bwr.put(code, s)
+        run = 0
+        k += 1
+    if last_nz < 63:
+        hc, hl = act[0x00]
+        bwr.put(hc, hl)
+    return int(blk[0])
+
+
+def encode_jpeg(arr, quality=85, subsample="420"):
+    """Encode uint8 (h, w) or (h, w, 3) RGB → baseline JPEG bytes.
+
+    RGB uses 4:2:0 chroma subsampling by default (``subsample="444"``
+    for full-resolution chroma); Annex-K tables scaled by ``quality``.
+    """
     arr = np.asarray(arr)
     if arr.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8")
@@ -561,10 +639,10 @@ def encode_jpeg(arr, quality=85):
     scale = _quality_scale(quality)
     ql = np.clip((_QL * scale + 50) // 100, 1, 255)
     qc = np.clip((_QC * scale + 50) // 100, 1, 255)
+    sub2 = (not gray) and subsample == "420"
 
     if gray:
         planes = [arr.astype(np.float64) - 128.0]
-        qts = [ql]
     else:
         rf = arr[..., 0].astype(np.float64)
         gf = arr[..., 1].astype(np.float64)
@@ -572,65 +650,53 @@ def encode_jpeg(arr, quality=85):
         y = 0.299 * rf + 0.587 * gf + 0.114 * bf
         cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
         cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
+        if sub2:
+            he, we = h + (h & 1), w + (w & 1)
+            cb = np.pad(cb, ((0, he - h), (0, we - w)), mode="edge")
+            cr = np.pad(cr, ((0, he - h), (0, we - w)), mode="edge")
+            cb = cb.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
         planes = [y - 128.0, cb - 128.0, cr - 128.0]
-        qts = [ql, qc, qc]
-
-    bw, bh = -(-w // 8), -(-h // 8)
-    A = _dct_mat()
-    comp_coefs = []
-    for p, q in zip(planes, qts):
-        pad = np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-        blocks = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
-        coef = np.einsum("ij,uvjk,lk->uvil", A, blocks, A)
-        qz = np.round(coef / q.reshape(8, 8)).astype(np.int32)
-        # zz[:, i] = coefficient at zigzag position i
-        zz = qz.reshape(bh * bw, 64)[:, ZIGZAG]
-        comp_coefs.append(zz)
 
     dc_l = _enc_codes(_DC_L_COUNTS, _DC_L_SYMS)
     ac_l = _enc_codes(_AC_L_COUNTS, _AC_L_SYMS)
     dc_c = _enc_codes(_DC_C_COUNTS, _DC_C_SYMS)
     ac_c = _enc_codes(_AC_C_COUNTS, _AC_C_SYMS)
-
     bwr = _BitWriter()
-    preds = [0] * len(planes)
-    ncomp = len(planes)
-    for bi in range(bh * bw):
-        for ci in range(ncomp):
-            dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
-            blk = comp_coefs[ci][bi]
-            diff = int(blk[0]) - preds[ci]
-            preds[ci] = int(blk[0])
-            s, code = _magnitude(diff)
-            hc, hl = dct[s]
-            bwr.put(hc, hl)
-            if s:
-                bwr.put(code, s)
-            run = 0
-            last_nz = 0
-            nz = np.nonzero(blk[1:])[0]
-            last_nz = nz[-1] + 1 if len(nz) else 0
-            k = 1
-            while k <= last_nz:
-                v = int(blk[k])
-                if v == 0:
-                    run += 1
-                    k += 1
-                    continue
-                while run > 15:
-                    hc, hl = act[0xF0]
-                    bwr.put(hc, hl)
-                    run -= 16
-                s, code = _magnitude(v)
-                hc, hl = act[(run << 4) | s]
-                bwr.put(hc, hl)
-                bwr.put(code, s)
-                run = 0
-                k += 1
-            if last_nz < 63:
-                hc, hl = act[0x00]
-                bwr.put(hc, hl)
+
+    if sub2:
+        mcux, mcuy = -(-w // 16), -(-h // 16)
+        yb = _plane_blocks(planes[0], ql, mcux * 2, mcuy * 2)
+        cbb = _plane_blocks(planes[1], qc, mcux, mcuy)
+        crb = _plane_blocks(planes[2], qc, mcux, mcuy)
+        py = pcb = pcr = 0
+        ybw = mcux * 2
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(2):
+                    for bx in range(2):
+                        blk = yb[(my * 2 + by) * ybw + mx * 2 + bx]
+                        py = _encode_block(bwr, blk, py, dc_l, ac_l)
+                pcb = _encode_block(bwr, cbb[my * mcux + mx], pcb,
+                                    dc_c, ac_c)
+                pcr = _encode_block(bwr, crb[my * mcux + mx], pcr,
+                                    dc_c, ac_c)
+        samps = [0x22, 0x11, 0x11]
+    else:
+        bw_, bh_ = -(-w // 8), -(-h // 8)
+        qts = [ql] if gray else [ql, qc, qc]
+        comp_coefs = [_plane_blocks(p, q, bw_, bh_)
+                      for p, q in zip(planes, qts)]
+        preds = [0] * len(planes)
+        for bi in range(bh_ * bw_):
+            for ci in range(len(planes)):
+                dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                preds[ci] = _encode_block(bwr, comp_coefs[ci][bi],
+                                          preds[ci], dct, act)
+        samps = [0x11] * len(planes)
     bwr.flush()
+
+    ncomp = len(planes)
 
     def seg(marker, payload):
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
@@ -641,7 +707,7 @@ def encode_jpeg(arr, quality=85):
         out += seg(0xDB, bytes([1]) + bytes(qc[ZIGZAG].astype(np.uint8)))
     compspec = b""
     for ci in range(ncomp):
-        compspec += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        compspec += bytes([ci + 1, samps[ci], 0 if ci == 0 else 1])
     out += seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + compspec)
 
     def dht(tc, th, counts, syms):

@@ -60,9 +60,26 @@ class ZoneIndex:
         self.polys = []   # per zone: list of polygons (list of rings)
         n = len(self.ids)
         self.bbox = np.empty((n, 4), dtype=np.float64)
+        # per-zone vectorization state: for each polygon of the zone, its
+        # outer-ring vertices, all-ring segments, and bbox (drives the
+        # batched rect×polygon predicate in SpatialJoinZones)
+        self.poly_outer = []
+        self.poly_segs = []
+        self.poly_bbox = []
         for i, blob in enumerate(zones[wkb_col].to_pylist()):
             polys = W.polygons_from_wkb(blob)
             self.polys.append(polys)
+            outs, segs, bbs = [], [], []
+            for p in polys:
+                outs.append(p[0])
+                segs.append(np.concatenate(
+                    [W._ring_segments(r) for r in p]))
+                pc = np.concatenate(p)
+                bbs.append((pc[:, 0].min(), pc[:, 1].min(),
+                            pc[:, 0].max(), pc[:, 1].max()))
+            self.poly_outer.append(outs)
+            self.poly_segs.append(segs)
+            self.poly_bbox.append(bbs)
             allc = np.concatenate([r for p in polys for r in p])
             self.bbox[i] = (allc[:, 0].min(), allc[:, 1].min(),
                             allc[:, 0].max(), allc[:, 1].max())
@@ -98,6 +115,90 @@ class ZoneIndex:
                 & (b[:, 1] <= ymax) & (b[:, 3] >= ymin))
         return cand[keep]
 
+    def candidate_pairs_for_bboxes(self, xmin, ymin, xmax, ymax):
+        """Batched candidate generation: (row_idx, zone_idx) arrays for a
+        whole bbox batch, bbox-filtered.  Single-cell bboxes (the common
+        case) group by unique cell in one vectorized pass; multi-cell
+        bboxes fall back to a per-row set union."""
+        cx0, cy0, cx1, cy1 = self._cells_of_bbox(xmin, ymin, xmax, ymax)
+        single = (cx0 == cx1) & (cy0 == cy1)
+        rows_l, zones_l = [], []
+        si = np.nonzero(single)[0]
+        if len(si):
+            keys, inv = np.unique(
+                np.stack([cx0[si], cy0[si]], 1), axis=0, return_inverse=True)
+            for ki, (gx, gy) in enumerate(keys):
+                zl = self.grid.get((int(gx), int(gy)))
+                if not zl:
+                    continue
+                rr = si[inv == ki]
+                za = np.asarray(zl, dtype=np.int64)
+                rows_l.append(np.repeat(rr, len(za)))
+                zones_l.append(np.tile(za, len(rr)))
+        for i in np.nonzero(~single)[0]:
+            cand = set()
+            for gx in range(int(cx0[i]), int(cx1[i]) + 1):
+                for gy in range(int(cy0[i]), int(cy1[i]) + 1):
+                    cand.update(self.grid.get((gx, gy), ()))
+            if cand:
+                za = np.fromiter(cand, dtype=np.int64)
+                rows_l.append(np.full(len(za), i, dtype=np.int64))
+                zones_l.append(za)
+        if not rows_l:
+            e = np.empty(0, dtype=np.int64)
+            return e, e
+        rows = np.concatenate(rows_l)
+        zns = np.concatenate(zones_l)
+        b = self.bbox[zns]
+        keep = ((b[:, 0] <= xmax[rows]) & (b[:, 2] >= xmin[rows])
+                & (b[:, 1] <= ymax[rows]) & (b[:, 3] >= ymin[rows]))
+        return rows[keep], zns[keep]
+
+    def rects_intersect_zone(self, zi, rxmin, rymin, rxmax, rymax):
+        """Vectorized exact predicate: which of R rects intersect zone
+        ``zi``?  Same result as ``any(polygon_intersects_polygon(rect,
+        poly) for poly in polys[zi])``: the three OR-ed sub-tests (rect
+        corner strictly inside polygon / polygon outer vertex inside
+        rect / boundary segments crossing) evaluated batched.  The
+        vertex-in-rect sub-test uses closed intervals where the scalar
+        path uses the crossing rule's half-open edges — on-edge cases
+        always also trigger the segment-crossing test, so the OR is
+        identical."""
+        nrect = len(rxmin)
+        hit = np.zeros(nrect, dtype=bool)
+        corner_x = np.stack([rxmin, rxmax, rxmax, rxmin], axis=1)
+        corner_y = np.stack([rymin, rymin, rymax, rymax], axis=1)
+        for outer, segs, (bx0, by0, bx1, by1), rings in zip(
+                self.poly_outer[zi], self.poly_segs[zi],
+                self.poly_bbox[zi], self.polys[zi]):
+            live = ~hit & ((bx0 <= rxmax) & (bx1 >= rxmin)
+                           & (by0 <= rymax) & (by1 >= rymin))
+            li = np.nonzero(live)[0]
+            if len(li) == 0:
+                continue
+            # 1. any rect corner inside the polygon (holes subtract)
+            cin = W.points_in_polygon(
+                rings, corner_x[li].ravel(), corner_y[li].ravel())
+            t1 = cin.reshape(len(li), 4).any(axis=1)
+            # 2. any polygon outer vertex inside the rect
+            vx, vy = outer[:, 0], outer[:, 1]
+            t2 = ((vx[None, :] >= rxmin[li, None])
+                  & (vx[None, :] <= rxmax[li, None])
+                  & (vy[None, :] >= rymin[li, None])
+                  & (vy[None, :] <= rymax[li, None])).any(axis=1)
+            # 3. boundary crossing: 4 rect edges × polygon segments
+            need = np.nonzero(~(t1 | t2))[0]
+            t3 = np.zeros(len(li), dtype=bool)
+            if len(need):
+                ri = li[need]
+                c0 = np.stack([corner_x[ri], corner_y[ri]], axis=2)
+                c1 = np.roll(c0, -1, axis=1)
+                edges = np.stack([c0, c1], axis=2).reshape(-1, 2, 2)
+                m = W.segments_cross_matrix(edges, segs)
+                t3[need] = m.reshape(len(ri), 4, -1).any(axis=(1, 2))
+            hit[li] |= t1 | t2 | t3
+        return hit
+
     def candidates_for_points(self, px, py):
         """For a point batch: dict zone_idx → point positions in its bbox."""
         out = {}
@@ -114,6 +215,26 @@ class ZoneIndex:
             for zi in zids:
                 out.setdefault(zi, []).append(pts)
         return {zi: np.concatenate(v) for zi, v in out.items()}
+
+
+_ZONE_MEMO = {}
+
+
+def resolve_zone_index_cached(ref):
+    """Fetch a ``ray.put`` ZoneIndex once per WORKER PROCESS (memoized by
+    object ref).  Lets task-pool ``map_batches`` use the broadcast index
+    without per-task deserialization — workers persist across tasks, so
+    this has actor-pool economics without actor-pool startup latency."""
+    try:
+        import ray
+        if isinstance(ref, ray.ObjectRef):
+            key = ref.hex()
+            if key not in _ZONE_MEMO:
+                _ZONE_MEMO[key] = ray.get(ref)
+            return _ZONE_MEMO[key]
+    except ImportError:
+        pass
+    return ref
 
 
 class SpatialJoinZones:
@@ -150,21 +271,29 @@ class SpatialJoinZones:
         id_type = batch.schema.field(self.id_col).type
         zid_type = (pa.int64() if np.issubdtype(self.index.ids.dtype,
                                                 np.integer) else pa.string())
-        out_l, out_r = [], []
-        for i in range(batch.num_rows):
-            cand = self.index.candidates_for_bbox(xmin[i], ymin[i],
-                                                  xmax[i], ymax[i])
-            if len(cand) == 0:
-                continue
-            rect = W.box_polygon(xmin[i], ymin[i], xmax[i], ymax[i])
-            for zi in cand:
-                if any(W.polygon_intersects_polygon(rect, poly)
-                       for poly in self.index.polys[zi]):
-                    out_l.append(ids[i])
-                    out_r.append(self.index.ids[zi])
+        rows, zns = self.index.candidate_pairs_for_bboxes(
+            np.asarray(xmin, dtype=np.float64),
+            np.asarray(ymin, dtype=np.float64),
+            np.asarray(xmax, dtype=np.float64),
+            np.asarray(ymax, dtype=np.float64))
+        keep = np.zeros(len(rows), dtype=bool)
+        if len(rows):
+            order = np.argsort(zns, kind="stable")
+            zs = zns[order]
+            bounds = np.flatnonzero(np.diff(zs)) + 1
+            for grp in np.split(order, bounds):
+                zi = int(zns[grp[0]])
+                rr = rows[grp]
+                keep[grp] = self.index.rects_intersect_zone(
+                    zi, xmin[rr], ymin[rr], xmax[rr], ymax[rr])
+        rows, zns = rows[keep], zns[keep]
+        # batch row order, then zone order — same emit order as the
+        # scalar loop (row-major over candidates)
+        order = np.lexsort((zns, rows))
+        rows, zns = rows[order], zns[order]
         return pa.Table.from_pydict({
-            self.id_col: pa.array(out_l, id_type),
-            "zone_id": pa.array(out_r, zid_type)})
+            self.id_col: pa.array(ids[rows], id_type),
+            "zone_id": pa.array(self.index.ids[zns], zid_type)})
 
 
 class PIPJoinZones:

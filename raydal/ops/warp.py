@@ -176,6 +176,7 @@ class FlagshipActor:
         out = {k: [] for k in ("image_id", "caption", "dst_w", "dst_h",
                                "valid_frac", "checksum_b0", "cells",
                                "zones")}
+        bb = {k: [] for k in ("x0", "y0", "x1", "y1")}
         for i in range(n):
             px = decode(blobs[i])
             if px.ndim == 2:
@@ -217,14 +218,10 @@ class FlagshipActor:
             lxs, lys = tf_ll.transform(pts[:, 0], pts[:, 1])
             lx0, ly0, lx1, ly1 = (lxs.min(), lys.min(),
                                   lxs.max(), lys.max())
-            zcand = self.index.candidates_for_bbox(lx0, ly0, lx1, ly1)
-            zones = []
-            if len(zcand):
-                rect = W.box_polygon(lx0, ly0, lx1, ly1)
-                for zi in zcand:
-                    if any(W.polygon_intersects_polygon(rect, poly)
-                           for poly in self.index.polys[zi]):
-                        zones.append(str(self.index.ids[zi]))
+            bb["x0"].append(lx0)
+            bb["y0"].append(ly0)
+            bb["x1"].append(lx1)
+            bb["y1"].append(ly1)
             out["image_id"].append(ids[i])
             out["caption"].append(caps[i])
             out["dst_w"].append(dw)
@@ -232,7 +229,28 @@ class FlagshipActor:
             out["valid_frac"].append(float(valid.mean()))
             out["checksum_b0"].append(checksum(b0))
             out["cells"].append(cov)
-            out["zones"].append(zones)
+        # zone join for the whole batch at once (vectorized candidate
+        # generation + per-zone batched rect×polygon predicate)
+        bx0 = np.asarray(bb["x0"])
+        by0 = np.asarray(bb["y0"])
+        bx1 = np.asarray(bb["x1"])
+        by1 = np.asarray(bb["y1"])
+        rows, zns = self.index.candidate_pairs_for_bboxes(bx0, by0, bx1,
+                                                          by1)
+        zones_per_img = [[] for _ in range(len(bx0))]
+        if len(rows):
+            keep = np.zeros(len(rows), dtype=bool)
+            order = np.argsort(zns, kind="stable")
+            zs = zns[order]
+            bounds = np.flatnonzero(np.diff(zs)) + 1
+            for grp in np.split(order, bounds):
+                zi = int(zns[grp[0]])
+                rr = rows[grp]
+                keep[grp] = self.index.rects_intersect_zone(
+                    zi, bx0[rr], by0[rr], bx1[rr], by1[rr])
+            for r, z in zip(rows[keep], zns[keep]):
+                zones_per_img[r].append(str(self.index.ids[z]))
+        out["zones"] = zones_per_img
         return pa.Table.from_pydict({
             "image_id": pa.array(out["image_id"], pa.string()),
             "caption": pa.array(out["caption"], pa.string()),

@@ -781,15 +781,22 @@ def q35_images_zone_join(sf_dir):
     from .ops.join import SpatialJoinZones
     from .pipelines import ensure_images_parquet, ensure_zone_index
 
+    from .ops.join import resolve_zone_index_cached
+
     path = ensure_images_parquet(sf_dir)
     zi_ref = ray.put(ensure_zone_index(200))
+
+    def footprint_join(t):
+        # task pool + per-worker index memo: broadcast economics without
+        # actor-pool spin-up latency (resolve_zone_index_cached)
+        j = SpatialJoinZones.__new__(SpatialJoinZones)
+        j.index = resolve_zone_index_cached(zi_ref)
+        j.id_col = "image_id"
+        return j(add_footprint(t, dst_crs=4326))
+
     return (ray.data.read_parquet(path,
                                   columns=["image_id", "w", "h", "crs", "gt"])
-            .map_batches(lambda t: add_footprint(t, dst_crs=4326),
-                         batch_format="pyarrow")
-            .map_batches(SpatialJoinZones,
-                         fn_constructor_kwargs={"zones_ref": zi_ref},
-                         batch_format="pyarrow", concurrency=2))
+            .map_batches(footprint_join, batch_format="pyarrow"))
 
 
 def q36_images_warp(sf_dir):

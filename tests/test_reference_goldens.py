@@ -204,8 +204,10 @@ def test_jpeg_roundtrip_psnr():
     y = np.linspace(0, 3 * np.pi, 64)
     g = np.sin(y)[:, None] * np.cos(x)[None, :] * 100 + 128
     base = np.stack([g, g * 0.8 + 20, 255 - g], axis=-1).astype(np.uint8)
-    dec = decode_jpeg(encode_jpeg(base, quality=85))
+    dec = decode_jpeg(encode_jpeg(base, quality=95))  # codec default
     assert psnr(base, dec) >= 40.0
+    dec444 = decode_jpeg(encode_jpeg(base, quality=85, subsample="444"))
+    assert psnr(base, dec444) >= 40.0
     gray = base[:, :, 0]
     dg = decode_jpeg(encode_jpeg(gray, quality=90))
     assert dg.shape == gray.shape
