@@ -299,15 +299,55 @@ def dissolve_across_tiles(comps_ds):
                                    pa.array(n_runs > 0, pa.bool_()))
 
         marked = comps_ds.map_batches(split_border, batch_format="pyarrow")
-        df = marked.to_pandas()
-        interior = df[~df["is_border"]]
-        border = df[df["is_border"]]
-    else:
-        df = comps_ds
-        has_runs = df["edge_runs"].map(len) > 0
-        interior = df[~has_runs]
-        border = df[has_runs]
+        # interior components are final already — they aggregate
+        # distributed-side (a pure projection to the output schema) and
+        # NEVER reach the driver.  Only border-touching components (a
+        # set bounded by total tile perimeter, not raster area) come
+        # back for min-label propagation.
+        import pyarrow.compute as pc
 
+        def finalize_interior(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.invert(t["is_border"]))
+            return pa.Table.from_pydict({
+                "comp_id": t["comp_id"], "value": t["value"],
+                "n_pixels": t["n_pixels"], "xmin": t["xmin"],
+                "ymin": t["ymin"], "xmax": t["xmax"], "ymax": t["ymax"],
+                "n_tiles": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+        interior_ds = marked.map_batches(finalize_interior,
+                                         batch_format="pyarrow")
+
+        def only_border(t: pa.Table) -> pa.Table:
+            return t.filter(t["is_border"])
+
+        border = marked.map_batches(only_border,
+                                    batch_format="pyarrow").to_pandas()
+        border_agg = _dissolve_border(border)
+        import ray.data
+        return interior_ds.union(
+            ray.data.from_arrow(pa.Table.from_pandas(
+                border_agg, preserve_index=False).cast(
+                pa.schema([("comp_id", pa.string()),
+                           ("value", pa.float64()),
+                           ("n_pixels", pa.int64()),
+                           ("xmin", pa.float64()), ("ymin", pa.float64()),
+                           ("xmax", pa.float64()), ("ymax", pa.float64()),
+                           ("n_tiles", pa.int64())]))))
+
+    df = comps_ds
+    has_runs = df["edge_runs"].map(len) > 0
+    interior = df[~has_runs]
+    border = df[has_runs]
+
+    border_agg = _dissolve_border(border)
+    interior_final = interior.assign(n_tiles=1)[
+        ["comp_id", "value", "n_pixels", "xmin", "ymin", "xmax", "ymax",
+         "n_tiles"]]
+    return pd.concat([interior_final, border_agg], ignore_index=True)
+
+
+def _dissolve_border(border):
+    """Min-label propagation + aggregation over border components only."""
     label = {c: c for c in border["comp_id"]}
     run_members = {}
     for _, row in border.iterrows():
@@ -332,10 +372,10 @@ def dissolve_across_tiles(comps_ds):
         raise RuntimeError("edge-dissolve did not converge")
 
     border = border.assign(dissolved=[label[c] for c in border["comp_id"]])
-    interior = interior.assign(dissolved=interior["comp_id"])
-    both = pd.concat([border, interior], ignore_index=True)
-    agg = both.groupby(["dissolved", "value"]).agg(
+    agg = border.groupby(["dissolved", "value"]).agg(
         n_pixels=("n_pixels", "sum"), xmin=("xmin", "min"),
         ymin=("ymin", "min"), xmax=("xmax", "max"), ymax=("ymax", "max"),
         n_tiles=("cell", "nunique")).reset_index()
-    return agg.rename(columns={"dissolved": "comp_id"})
+    agg = agg.rename(columns={"dissolved": "comp_id"})
+    return agg[["comp_id", "value", "n_pixels", "xmin", "ymin", "xmax",
+                "ymax", "n_tiles"]]

@@ -974,10 +974,8 @@ def q41_polygonize_rects(sf_dir):
     burned = rasterize_zones(ray.data.from_arrow(zones), z=6,
                              value_col="pop", merge="add")
     comps = polygonize_tiles(burned)
-    out = dissolve_across_tiles(comps)
-    return pa.Table.from_pandas(
-        out[["comp_id", "value", "n_pixels", "n_tiles"]],
-        preserve_index=False)
+    out = dissolve_across_tiles(comps)  # Dataset: interior never driver-side
+    return out.select_columns(["comp_id", "value", "n_pixels", "n_tiles"])
 
 
 def q42_image_band_stats(sf_dir):

@@ -162,3 +162,46 @@ class TestPolygonize:
         assert band["n_tiles"] == 2
         inner = dissolved[dissolved["value"] == 7.0].iloc[0]
         assert inner["n_tiles"] == 1
+
+    def test_dissolve_interior_stays_distributed(self, ray_session,
+                                                 monkeypatch):
+        """With interior components ≫ border components, only the border
+        set may reach the driver: spy on Dataset.to_pandas and assert the
+        largest driver materialization is bounded by the border count."""
+        import ray.data
+
+        ts = 16
+        z = 5
+        # tile A: 16 interior blobs + 1 band touching the right edge;
+        # tile B: the band's continuation + 16 more interior blobs
+        a = np.zeros((ts, ts))
+        b = np.zeros((ts, ts))
+        for k in range(16):
+            y = 2 + (k % 4) * 3
+            x = 2 + (k // 4) * 3
+            a[y, x] = 10.0 + k
+            b[y, x] = 40.0 + k
+        a[14:15, 10:] = 2.0
+        b[14:15, :5] = 2.0
+        tiles = pa.Table.from_pydict({
+            "cell": pa.array([int(cells.pack_cell(z, 3, 2)),
+                              int(cells.pack_cell(z, 4, 2))], pa.int64()),
+            "data": pa.array([a.tobytes(), b.tobytes()], pa.binary())})
+        comps = polygonize_tiles(ray.data.from_arrow(tiles), tile_size=ts)
+
+        pulled = []
+        orig = ray.data.Dataset.to_pandas
+
+        def spy(self, *args, **kwargs):
+            df = orig(self, *args, **kwargs)
+            pulled.append(len(df))
+            return df
+
+        monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+        out = dissolve_across_tiles(comps)
+        result = orig(out)  # consume WITHOUT the spy counting it
+        # 32 interior + 1 dissolved border component
+        assert len(result) == 33
+        assert result[result["value"] == 2.0].iloc[0]["n_tiles"] == 2
+        # driver saw only the 2 border rows, never the 32 interior rows
+        assert pulled and max(pulled) == 2
