@@ -345,34 +345,41 @@ SQL_Q18 = ("SELECT p_brand, COUNT(*) AS n FROM part "
 
 
 def q19_between_in(sf_dir):
-    """BETWEEN + IN predicates, global aggregate."""
+    """BETWEEN + IN predicates, grouped aggregate (52 groups at sf0.01 —
+    a value-rich oracle, not a single global row)."""
+    from ray.data.aggregate import Count, Sum
+
     ds = _read(sf_dir, "lineitem", ["l_quantity", "l_returnflag",
                                     "l_extendedprice"])
 
     def fn(t: pa.Table) -> pa.Table:
         m = (pc.and_(pc.and_(
             pc.greater_equal(t["l_quantity"], pa.scalar(5.0)),
-            pc.less_equal(t["l_quantity"], pa.scalar(10.0))),
+            pc.less_equal(t["l_quantity"], pa.scalar(30.0))),
             pc.is_in(t["l_returnflag"],
                      value_set=pa.array(["A", "R"]))))
         t = t.filter(m)
+        q = pc.cast(pc.floor(t["l_quantity"]), pa.int64())
         return pa.Table.from_pydict({
-            "n": pa.array([t.num_rows], pa.int64()),
-            "total": pa.array(
-                [float(pc.sum(t["l_extendedprice"]).as_py() or 0.0)],
-                pa.float64())})
+            "l_returnflag": t["l_returnflag"], "q": q,
+            "l_extendedprice": t["l_extendedprice"]})
 
-    pdf = (ds.map_batches(fn, batch_format="pyarrow")).to_pandas()
-    return pa.Table.from_pydict({
-        "n": pa.array([int(pdf["n"].sum())], pa.int64()),
-        "total": pa.array([float(round_half_away(pdf["total"].sum(), 2))],
-                          pa.float64())})
+    out = (ds.map_batches(fn, batch_format="pyarrow")
+           .groupby(["l_returnflag", "q"])
+           .aggregate(Count(alias_name="n"),
+                      Sum("l_extendedprice", alias_name="total")))
+    pdf = out.to_pandas()
+    pdf["total"] = round_half_away(pdf["total"], 2)
+    return _cast_i64(pa.Table.from_pandas(pdf, preserve_index=False),
+                     ["n", "q"])
 
 
 SQL_Q19 = """
-SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS total
+SELECT l_returnflag, CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+       COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS total
 FROM lineitem
-WHERE l_quantity BETWEEN 5 AND 10 AND l_returnflag IN ('A', 'R')
+WHERE l_quantity BETWEEN 5 AND 30 AND l_returnflag IN ('A', 'R')
+GROUP BY l_returnflag, CAST(FLOOR(l_quantity) AS BIGINT)
 """
 
 
@@ -397,11 +404,15 @@ FROM orders GROUP BY o_orderpriority
 
 
 def q22_anti_join(sf_dir):
-    """Anti-join via broadcast key set (customers without orders)."""
+    """Anti-join via broadcast key set: customers with no order above
+    400k (202 rows at sf0.01 — non-vacuous).  The build side is the
+    FILTERED distinct key set (bounded by the selectivity of the
+    predicate); the unfiltered large×large path is q63's shuffle join."""
     import ray
 
-    have = set(np.asarray(
-        _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    big = orders.filter(expr="o_totalprice > 400000.0")
+    have = set(np.asarray(big.unique("o_custkey")))
     ref = ray.put(have)
 
     def fn(t: pa.Table) -> pa.Table:
@@ -415,8 +426,8 @@ def q22_anti_join(sf_dir):
         fn, batch_format="pyarrow")
 
 
-SQL_Q22 = ("SELECT c_custkey FROM customer "
-           "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)")
+SQL_Q22 = ("SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+           "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000)")
 
 
 # ---------------------------------------------------------------------------
@@ -1222,39 +1233,46 @@ def q45_explode_zones(sf_dir):
 
 
 def q46_embed_neardup(sf_dir):
-    """Embedding-cosine near-dup pairs (sim > 0.5 among vec_id < 100)."""
+    """Embedding-cosine near-dup pairs (sim > 0.25 among vec_id < 100;
+    107 pairs at sf0.01).
+
+    Cross-batch-safe by construction: the ≤100-row filtered subset is
+    repartitioned to ONE block before the pairwise stage, so pairs can
+    never be silently dropped across block boundaries.  The scale path
+    for unbounded inputs is rhp_signature bucketing in ops.ann.lsh_topk.
+    """
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def pairs(t: pa.Table) -> pa.Table:
         from .ops.ann import embeddings_matrix
 
-        keep = pc.less(t["vec_id"], 100)
-        t = t.filter(keep)
+        if t.num_rows == 0:
+            return pa.Table.from_pydict({
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64())})
         x = embeddings_matrix(t, dtype=np.float64)
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
         sims = x @ x.T
         ids = np.asarray(t["vec_id"], dtype=np.int64)
-        ai, bi = np.nonzero(np.triu(sims > 0.5, k=1))
+        ai, bi = np.nonzero(np.triu(sims > 0.25, k=1))
+        lo = np.minimum(ids[ai], ids[bi])
+        hi = np.maximum(ids[ai], ids[bi])
         return pa.Table.from_pydict({
-            "id_a": pa.array(ids[ai], pa.int64()),
-            "id_b": pa.array(ids[bi], pa.int64())})
+            "id_a": pa.array(lo, pa.int64()),
+            "id_b": pa.array(hi, pa.int64())})
 
-    # single partial per batch, union across batches is exact because the
-    # filter keeps <=100 vectors (they fit one batch at this scale; the
-    # scale path is rhp_signature bucketing in ops.ann.lsh_topk)
-    import ray.data
-
-    tbl = pa.concat_tables([pairs(t) for t in
-                            ds.iter_batches(batch_size=1 << 20,
-                                            batch_format="pyarrow")])
-    return tbl
+    return (ds.filter(expr="vec_id < 100")
+            .repartition(1)
+            .map_batches(pairs, batch_format="pyarrow",
+                         batch_size=1 << 20))
 
 
 SQL_Q46 = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b
+SELECT LEAST(a.vec_id, b.vec_id) AS id_a,
+       GREATEST(a.vec_id, b.vec_id) AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE a.vec_id < 100 AND b.vec_id < 100
-  AND list_cosine_similarity(a.embedding, b.embedding) > 0.5
+  AND list_cosine_similarity(a.embedding, b.embedding) > 0.25
 """
 
 
@@ -1833,6 +1851,41 @@ def q62_halo_hillshade(sf_dir):
 
 # ---------------------------------------------------------------------------
 
+def q63_shuffle_join(sf_dir):
+    """Large×large shuffle equi-join: lineitem ⋈ orders on orderkey,
+    BOTH sides unfiltered, no driver-side build — a distributed hash
+    join (`Dataset.join`), per-partition Acero probe.  Emits one row per
+    lineitem with the order's date fields (60k rows at sf0.01)."""
+    import ray
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(16, cpus // 2))
+    j = li.join(orders, "inner", nparts,
+                on=("l_orderkey",), right_on=("o_orderkey",),
+                aggregator_ray_remote_args={"num_cpus": 0.25})
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "l_extendedprice": t["l_extendedprice"],
+            "o_totalprice": t["o_totalprice"],
+            "o_orderpriority": t["o_orderpriority"]})
+
+    return j.map_batches(project, batch_format="pyarrow")
+
+
+SQL_Q63 = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice,
+       o_orderpriority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -1893,6 +1946,7 @@ QUERIES = {
     "q60_case_buckets": (q60_case_buckets, SQL_Q60),
     "q61_group_median": (q61_group_median, SQL_Q61),
     "q62_halo_hillshade": (q62_halo_hillshade, None),
+    "q63_shuffle_join": (q63_shuffle_join, SQL_Q63),
 }
 
 
