@@ -1886,6 +1886,121 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 """
 
 
+def _algebra_rects():
+    """Two deterministic SQL-expressible rect sets for layer algebra:
+    40 subject rects × 12 pairwise-disjoint method rects, 43
+    intersecting pairs."""
+    j = np.arange(40)
+    ax0 = -20.0 + (j * 7919) % 50
+    ay0 = -10.0 + (j * 104729) % 50
+    a = (j.astype(np.int64), ax0, ay0, ax0 + 10.0 + j % 5,
+         ay0 + 8.0 + j % 7)
+    k = np.arange(12)
+    bx0 = -25.0 + (k * 4409) % 55
+    by0 = -15.0 + (k * 8191) % 55
+    b = (k.astype(np.int64), bx0, by0, bx0 + 6.0 + k % 4, by0 + 5.0 + k % 3)
+    return a, b
+
+
+_SQL_RECTS = """
+a AS (SELECT j AS feat_id,
+        -20 + (j * 7919) % 50 AS x0, -10 + (j * 104729) % 50 AS y0,
+        -20 + (j * 7919) % 50 + 10 + j % 5 AS x1,
+        -10 + (j * 104729) % 50 + 8 + j % 7 AS y1
+      FROM (SELECT UNNEST(RANGE(0, 40)) AS j)),
+b AS (SELECT k AS zone_id,
+        -25 + (k * 4409) % 55 AS x0, -15 + (k * 8191) % 55 AS y0,
+        -25 + (k * 4409) % 55 + 6 + k % 4 AS x1,
+        -15 + (k * 8191) % 55 + 5 + k % 3 AS y1
+      FROM (SELECT UNNEST(RANGE(0, 12)) AS k))
+"""
+
+
+def _rect_wkb_table(ids, x0, y0, x1, y1, id_name):
+    from .geo.wkb import box_polygon, polygon_wkb
+
+    return pa.Table.from_pydict({
+        id_name: pa.array(ids, pa.int64()),
+        "wkb": pa.array([polygon_wkb(box_polygon(a, b, c, d))
+                         for a, b, c, d in zip(x0, y0, x1, y1)],
+                        pa.binary())})
+
+
+def q64_intersection_area(sf_dir):
+    """Layer-algebra Intersection with GEOMETRY outputs: per intersecting
+    (feat, zone) pair the clipped polygon's area (ogrlayer.cpp:3345
+    semantics), via broadcast method layer + Sutherland-Hodgman clip.
+    Oracle: arithmetic rect-overlap areas in SQL."""
+    import ray.data
+
+    from .ops.layer_algebra import layer_intersection
+
+    (aj, ax0, ay0, ax1, ay1), (bk, bx0, by0, bx1, by1) = _algebra_rects()
+    ds = ray.data.from_arrow(_rect_wkb_table(aj, ax0, ay0, ax1, ay1,
+                                             "feat_id"))
+    out = layer_intersection(
+        ds, _rect_wkb_table(bk, bx0, by0, bx1, by1, "zone_id"))
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "feat_id": t["feat_id"], "zone_id": t["zone_id"],
+            "area": pa.array(round_half_away(np.asarray(t["area"]), 6),
+                             pa.float64())})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_Q64 = f"""
+WITH {_SQL_RECTS}
+SELECT a.feat_id, b.zone_id,
+       ROUND((LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0))
+             * (LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0)), 6) AS area
+FROM a JOIN b ON LEAST(a.x1, b.x1) > GREATEST(a.x0, b.x0)
+             AND LEAST(a.y1, b.y1) > GREATEST(a.y0, b.y0)
+"""
+
+
+def q65_erase_area(sf_dir):
+    """Layer-algebra Erase with geometry outputs: each feature minus the
+    method layer (rect complement decomposition), remaining area per
+    feature.  Oracle: inclusion-exclusion in SQL (method rects verified
+    pairwise disjoint by the test suite)."""
+    import ray.data
+
+    from .ops.layer_algebra import layer_erase
+
+    (aj, ax0, ay0, ax1, ay1), (bk, bx0, by0, bx1, by1) = _algebra_rects()
+    ds = ray.data.from_arrow(_rect_wkb_table(aj, ax0, ay0, ax1, ay1,
+                                             "feat_id"))
+    out = layer_erase(
+        ds, _rect_wkb_table(bk, bx0, by0, bx1, by1, "zone_id"))
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "feat_id": t["feat_id"],
+            "area": pa.array(round_half_away(np.asarray(t["area"]), 6),
+                             pa.float64())})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_Q65 = f"""
+WITH {_SQL_RECTS},
+cut AS (
+  SELECT a.feat_id, SUM(
+      (LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0))
+    * (LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0))) AS removed
+  FROM a JOIN b ON LEAST(a.x1, b.x1) > GREATEST(a.x0, b.x0)
+               AND LEAST(a.y1, b.y1) > GREATEST(a.y0, b.y0)
+  GROUP BY a.feat_id)
+SELECT a.feat_id,
+       ROUND((a.x1 - a.x0) * (a.y1 - a.y0)
+             - COALESCE(cut.removed, 0), 6) AS area
+FROM a LEFT JOIN cut USING (feat_id)
+WHERE (a.x1 - a.x0) * (a.y1 - a.y0) - COALESCE(cut.removed, 0) > 1e-12
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -1947,6 +2062,8 @@ QUERIES = {
     "q61_group_median": (q61_group_median, SQL_Q61),
     "q62_halo_hillshade": (q62_halo_hillshade, None),
     "q63_shuffle_join": (q63_shuffle_join, SQL_Q63),
+    "q64_intersection_area": (q64_intersection_area, SQL_Q64),
+    "q65_erase_area": (q65_erase_area, SQL_Q65),
 }
 
 
