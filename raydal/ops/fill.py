@@ -191,12 +191,19 @@ def sieve(arr, threshold, connectivity=4):
         border = grow & ~mask
         if not border.any():
             continue
-        neigh_labels = labels[border]
-        counts = np.bincount(neigh_labels.ravel())
-        target = int(np.argmax(counts))
-        if target == 0:
+        # GDALSieveFilter merges into the LARGEST neighbor polygon by
+        # total pixel count (alg/gdalsievefilter.cpp), not the neighbor
+        # sharing the most border pixels; ties resolve to the smallest
+        # label for determinism.
+        neigh = np.unique(labels[border])
+        neigh = neigh[neigh > 0]
+        if len(neigh) == 0:
             continue
+        target = int(neigh[np.argmax(sizes[neigh])])
         tv = arr[labels == target].flat[0]
         arr[mask] = tv
+        labels[mask] = target           # chained merges see the absorber
+        sizes[target] += sizes[lab]
+        sizes[lab] = 0
         labels[mask] = target
     return arr

@@ -113,8 +113,17 @@ def grid_tile(index, algorithm, x0, y0, x1, y1, w, h, radius=None,
             part = np.argpartition(d2, k - 1, axis=0)[:k]
             dk = np.take_along_axis(d2, part, axis=0)
             vk = vals[part]
-            wgt = 1.0 / np.power(dk + 1e-18, power / 2.0)
-            row = (wgt * vk).sum(axis=0) / wgt.sum(axis=0)
+            # GDAL invdistnn bounds the neighbor search by radius
+            # (alg/gdalgrid.cpp GDALGridInverseDistanceToAPowerNearest
+            # Neighbor): beyond-radius neighbors contribute nothing and
+            # a pixel with no in-radius neighbor emits nodata.
+            inr = dk <= radius * radius
+            wgt = np.where(inr, 1.0 / np.power(dk + 1e-18, power / 2.0),
+                           0.0)
+            wsum = wgt.sum(axis=0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                row = np.where(wsum > 0,
+                               (wgt * vk).sum(axis=0) / wsum, nodata)
         else:
             raise ValueError(f"unknown grid algorithm {algorithm!r}")
         out[r] = row

@@ -45,7 +45,13 @@ def image_ord(image_id):
     try:
         return int(tail)
     except ValueError:
-        return zlib.crc32(s.encode("utf-8")) & 0x7FFFFFFF
+        # 63-bit: forward + reversed crc32 (independent linear
+        # functionals — same trick as dedup's content hash) so two
+        # arbitrary ids virtually never collide; a 31-bit fallback made
+        # paint order depend on shuffle arrival for colliding ids.
+        b = s.encode("utf-8")
+        return (zlib.crc32(b) | (zlib.crc32(b[::-1]) << 32)) \
+            & 0x7FFFFFFFFFFFFFFF
 
 
 def _unpack_mask(blob, ts=TILE):
@@ -134,24 +140,41 @@ def _parent_key_batch(t: pa.Table) -> pa.Table:
 
 
 def _compose4_group(g: pd.DataFrame) -> pd.DataFrame:
-    """4 children (z+1) → 1 parent tile at z (2×2 compose + 2× average)."""
+    """4 children (z+1) → 1 parent tile at z (2×2 compose + 2× average).
+
+    Validity (the ``winner`` map: −1 = never painted) propagates up the
+    pyramid: each parent pixel averages only its VALID child pixels —
+    missing children / uncovered pixels no longer darken coverage edges
+    — and the parent's own winner map marks pixels with no valid child
+    as −1."""
     ts = TILE
     parent = int(g["parent"].iloc[0])
     pz, px, py = (int(v) for v in cells.unpack_cell(np.int64(parent)))
     big = np.zeros((2 * ts, 2 * ts, 3), dtype=np.float64)
+    valid = np.zeros((2 * ts, 2 * ts), dtype=bool)
     for _, row in g.iterrows():
         cz, cx, cy = (int(v) for v in cells.unpack_cell(np.int64(row["cell"])))
         ox = (cx - 2 * px) * ts
         oy = (cy - 2 * py) * ts
         rgb = np.frombuffer(row["tile_rgb"], dtype=np.uint8).reshape(ts, ts, 3)
         big[oy:oy + ts, ox:ox + ts] = rgb
-    small = np.empty((ts, ts, 3), dtype=np.uint8)
+        if "winner" in row and row["winner"] is not None:
+            w = np.frombuffer(row["winner"], dtype=np.int64).reshape(ts, ts)
+            valid[oy:oy + ts, ox:ox + ts] = w >= 0
+        else:
+            valid[oy:oy + ts, ox:ox + ts] = True
+    vblk = valid.reshape(ts, 2, ts, 2)
+    cnt = vblk.sum(axis=(1, 3)).astype(np.float64)
+    small = np.zeros((ts, ts, 3), dtype=np.uint8)
     for b in range(3):
-        small[:, :, b] = copy_words_cast(downsample2_average(big[:, :, b]),
-                                         np.uint8)
+        s = (big[:, :, b] * valid).reshape(ts, 2, ts, 2).sum(axis=(1, 3))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            avg = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
+        small[:, :, b] = copy_words_cast(avg, np.uint8)
+    pwin = np.where(cnt > 0, 0, -1).astype(np.int64)
     return pd.DataFrame({
         "cell": [parent], "z": [pz], "tile_x": [px], "tile_y": [py],
-        "tile_rgb": [small.tobytes()],
+        "tile_rgb": [small.tobytes()], "winner": [pwin.tobytes()],
         "n_contrib": [int(g["n_contrib"].sum())]})
 
 

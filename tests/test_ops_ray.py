@@ -180,6 +180,7 @@ class TestMosaicPyramid:
         prow = pdf.iloc[0]
         parent = int(prow["cell"])
         big = np.zeros((2 * TILE, 2 * TILE, 3), dtype=np.float64)
+        valid = np.zeros((2 * TILE, 2 * TILE), dtype=bool)
         pz, pxx, pyy = (int(v) for v in cells.unpack_cell(np.int64(parent)))
         for _, crow in cdf.iterrows():
             cz, cx, cy = (int(v) for v in
@@ -187,16 +188,31 @@ class TestMosaicPyramid:
             if cz == 6 and cx >> 1 == pxx and cy >> 1 == pyy:
                 rgb = np.frombuffer(crow["tile_rgb"],
                                     dtype=np.uint8).reshape(TILE, TILE, 3)
-                big[(cy - 2 * pyy) * TILE:(cy - 2 * pyy + 1) * TILE,
-                    (cx - 2 * pxx) * TILE:(cx - 2 * pxx + 1) * TILE] = rgb
-        from raydal.kernels.resample import copy_words_cast, \
-            downsample2_average
-        expect = np.stack([copy_words_cast(
-            downsample2_average(big[:, :, b]), np.uint8)
-            for b in range(3)], axis=2)
+                w = np.frombuffer(crow["winner"],
+                                  dtype=np.int64).reshape(TILE, TILE)
+                sl = (slice((cy - 2 * pyy) * TILE,
+                            (cy - 2 * pyy + 1) * TILE),
+                      slice((cx - 2 * pxx) * TILE,
+                            (cx - 2 * pxx + 1) * TILE))
+                big[sl] = rgb
+                valid[sl] = w >= 0
+        # validity-aware 2x average: only painted child pixels count
+        from raydal.kernels.resample import copy_words_cast
+        vblk = valid.reshape(TILE, 2, TILE, 2)
+        cnt = vblk.sum(axis=(1, 3)).astype(np.float64)
+        expect = np.zeros((TILE, TILE, 3), dtype=np.uint8)
+        for b in range(3):
+            s = (big[:, :, b] * valid).reshape(
+                TILE, 2, TILE, 2).sum(axis=(1, 3))
+            avg = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
+            expect[:, :, b] = copy_words_cast(avg, np.uint8)
         got = np.frombuffer(prow["tile_rgb"],
                             dtype=np.uint8).reshape(TILE, TILE, 3)
         np.testing.assert_array_equal(got, expect)
+        # parent validity marks exactly the blocks with any valid child
+        pw = np.frombuffer(prow["winner"],
+                           dtype=np.int64).reshape(TILE, TILE)
+        np.testing.assert_array_equal(pw >= 0, cnt > 0)
 
 
 class TestDedupRay:
