@@ -103,3 +103,62 @@ def rgb_to_palette(img, palette):
         d = ((flat[s:s + chunk, None, :] - pal[None, :, :]) ** 2).sum(axis=2)
         out[s:s + chunk] = np.argmin(d, axis=1)
     return out.reshape(img.shape[:2])
+
+
+def _nearest_color_cube(palette, n_bits=5):
+    """(2^b)^3 cube cell → nearest palette index by L1 distance, first
+    index on ties (FindNearestColor, ``alg/gdaldither.cpp:651-676``);
+    cell sample value is ``i*255//(levels-1)`` (``:629-640``)."""
+    pal = np.asarray(palette, dtype=np.int64)  # (C, 3) RGB
+    lv = 1 << n_bits
+    samp = (np.arange(lv) * 255) // (lv - 1)
+    rr, gg, bb = np.meshgrid(samp, samp, samp, indexing="ij")
+    pts = np.stack([rr, gg, bb], axis=-1).reshape(-1, 1, 3)
+    dist = np.abs(pts - pal[None, :, :]).sum(axis=2)
+    return np.argmin(dist, axis=1).reshape(lv, lv, lv).astype(np.uint8)
+
+
+def dither_rgb_to_pct(img, palette, n_bits=5):
+    """GDALDitherRGB2PCT parity: error-diffusion quantization to a
+    palette (``alg/gdaldither.cpp`` — the reference's /6 diffusion
+    scheme, NOT textbook Floyd-Steinberg).
+
+    Per pixel the residual error e splits as: 2·(e/6) to the right
+    neighbor (same line), e/6 below-left, e−5·(e/6) below, e/6
+    below-right — integer division truncating toward zero, clamped
+    adds, nearest color via the 2^nBits color cube (L1, first-wins).
+    """
+    img = np.asarray(img)
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("dither_rgb_to_pct expects uint8 RGB")
+    cube = _nearest_color_cube(palette, n_bits)
+    pal = np.asarray(palette, dtype=np.int64)
+    lv = 1 << n_bits
+    h, w = img.shape[:2]
+    out = np.empty((h, w), dtype=np.uint8)
+    # panError layout: slot s*3+c applies to next-line pixel s-1
+    err = [0] * ((w + 2) * 3)
+    for y in range(h):
+        # apply previous line's carried error, then rebuild it
+        red = [max(0, min(255, int(img[y, i, 0]) + err[i * 3 + 3]))
+               for i in range(w)]
+        green = [max(0, min(255, int(img[y, i, 1]) + err[i * 3 + 4]))
+                 for i in range(w)]
+        blue = [max(0, min(255, int(img[y, i, 2]) + err[i * 3 + 5]))
+                for i in range(w)]
+        err = [0] * ((w + 2) * 3)
+        last = [0, 0, 0]
+        for i in range(w):
+            rv = max(0, min(255, red[i] + last[0]))
+            gv = max(0, min(255, green[i] + last[1]))
+            bv = max(0, min(255, blue[i] + last[2]))
+            idx = int(cube[rv * lv // 256, gv * lv // 256, bv * lv // 256])
+            out[y, i] = idx
+            for c, v in enumerate((rv, gv, bv)):
+                e = v - int(pal[idx, c])
+                sixth = int(e / 6)  # C trunc-toward-zero division
+                err[i * 3 + c] += sixth
+                err[i * 3 + 6 + c] = sixth
+                err[i * 3 + 3 + c] += e - 5 * sixth
+                last[c] = 2 * sixth
+    return out

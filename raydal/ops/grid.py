@@ -21,7 +21,8 @@ import pyarrow as pa
 
 from .join import SpatialJoinZones
 
-__all__ = ["grid_tile", "GridInterpolate"]
+__all__ = ["grid_tile", "GridInterpolate", "delaunay_triangulate",
+           "linear_interpolate_grid"]
 
 
 def _candidates(index, x0, y0, x1, y1, radius):
@@ -63,6 +64,11 @@ def grid_tile(index, algorithm, x0, y0, x1, y1, w, h, radius=None,
     if len(vals) == 0:
         return out
     vals = np.asarray(vals, dtype=np.float64)
+    if algorithm == "linear":
+        # TIN linear: per-tile local Delaunay over the candidate points
+        # (the scale path — the triangulation never needs to be global)
+        XX, YY = np.meshgrid(px, py)
+        return linear_interpolate_grid(xy, vals, XX, YY, nodata=nodata)
     # dx is row-invariant: hoist it (and its square) out of the row loop
     dx = px[None, :] - xy[:, 0:1]
     dx2 = dx * dx
@@ -155,3 +161,90 @@ class GridInterpolate:
         return pa.Table.from_pydict({
             "tile_id": pa.array(out_id, pa.int64()),
             "data": pa.array(out_data, pa.binary())})
+
+
+def delaunay_triangulate(pts):
+    """Bowyer-Watson Delaunay triangulation → (T, 3) vertex indices.
+
+    The linear/TIN interpolation backbone (reference:
+    ``alg/delaunay.c`` / ``GDALTriangulationCreateDelaunay``).  O(n²)
+    incremental — fine for the per-tile candidate sets the bucketed
+    gridder feeds it (the scale path is per-tile local triangulation,
+    not a global one).
+    """
+    pts = np.asarray(pts, dtype=np.float64)
+    n = len(pts)
+    if n < 3:
+        return np.empty((0, 3), dtype=np.int64)
+    # super-triangle
+    cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
+    m = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1e-9) * 10
+    sup = np.array([[cx - 2 * m, cy - m], [cx + 2 * m, cy - m],
+                    [cx, cy + 2 * m]])
+    P = np.vstack([pts, sup])
+    tris = [(n, n + 1, n + 2)]
+
+    def circum_ok(tri, p):
+        a, b, c = P[tri[0]], P[tri[1]], P[tri[2]]
+        ax, ay = a - p
+        bx, by = b - p
+        cx2, cy2 = c - p
+        det = ((ax * ax + ay * ay) * (bx * cy2 - by * cx2)
+               - (bx * bx + by * by) * (ax * cy2 - ay * cx2)
+               + (cx2 * cx2 + cy2 * cy2) * (ax * by - ay * bx))
+        # sign depends on orientation of tri
+        o = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return det * np.sign(o) > 0
+
+    for i in range(n):
+        p = P[i]
+        bad = [t for t in tris if circum_ok(t, p)]
+        edges = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = (min(e), max(e))
+                edges[k] = edges.get(k, 0) + 1
+        boundary = [k for k, cnt in edges.items() if cnt == 1]
+        tris = [t for t in tris if t not in bad]
+        for (u, v) in boundary:
+            tris.append((u, v, i))
+    out = [t for t in tris if max(t) < n]
+    return np.array(out, dtype=np.int64) if out else \
+        np.empty((0, 3), dtype=np.int64)
+
+
+def linear_interpolate_grid(pts, vals, XX, YY, nodata=0.0):
+    """TIN linear interpolation of scattered (pts, vals) at grid points.
+
+    Barycentric interpolation inside each Delaunay triangle; points
+    outside the convex hull get ``nodata`` (GDALGridLinear semantics
+    with dfRadius = 0 → nodata outside the triangulation)."""
+    tris = delaunay_triangulate(pts)
+    out = np.full(XX.shape, nodata, dtype=np.float64)
+    if len(tris) == 0:
+        return out
+    px = XX.ravel()
+    py = YY.ravel()
+    flat = out.ravel()
+    todo = np.ones(len(px), dtype=bool)
+    P = np.asarray(pts, dtype=np.float64)
+    V = np.asarray(vals, dtype=np.float64)
+    for t in tris:
+        if not todo.any():
+            break
+        a, b, c = P[t[0]], P[t[1]], P[t[2]]
+        det = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1])
+        if abs(det) < 1e-30:
+            continue
+        idx = np.nonzero(todo)[0]
+        l1 = ((b[1] - c[1]) * (px[idx] - c[0])
+              + (c[0] - b[0]) * (py[idx] - c[1])) / det
+        l2 = ((c[1] - a[1]) * (px[idx] - c[0])
+              + (a[0] - c[0]) * (py[idx] - c[1])) / det
+        l3 = 1.0 - l1 - l2
+        inside = (l1 >= -1e-12) & (l2 >= -1e-12) & (l3 >= -1e-12)
+        hit = idx[inside]
+        flat[hit] = (l1[inside] * V[t[0]] + l2[inside] * V[t[1]]
+                     + l3[inside] * V[t[2]])
+        todo[hit] = False
+    return flat.reshape(XX.shape)

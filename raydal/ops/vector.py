@@ -26,6 +26,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .contour import chain_segments, contour_segments
+from .fill import _edt2
 from ..geo import wkb as W
 from ..geo.crs import Transformer
 from .polygonize import label_components, trace_boundary
@@ -389,4 +391,138 @@ def raster_footprint(valid_mask, gt, simplify_tol=0.0, hull=False):
         gx = gt[0] + ring_px[:, 0] * gt[1] + ring_px[:, 1] * gt[2]
         gy = gt[3] + ring_px[:, 0] * gt[4] + ring_px[:, 1] * gt[5]
         out.append(np.stack([gx, gy], axis=1))
+    return out
+
+
+def _seg_intersection_point(p1, p2, q1, q2):
+    """Proper intersection point of two segments, or None."""
+    r = p2 - p1
+    s = q2 - q1
+    rxs = r[0] * s[1] - r[1] * s[0]
+    if rxs == 0:
+        return None
+    qp = q1 - p1
+    t = (qp[0] * s[1] - qp[1] * s[0]) / rxs
+    u = (qp[0] * r[1] - qp[1] * r[0]) / rxs
+    if 1e-12 < t < 1 - 1e-12 and 1e-12 < u < 1 - 1e-12:
+        return p1 + t * r
+    return None
+
+
+def make_valid_ring(ring, eps=1e-9):
+    """Split a self-intersecting ring into simple loops (MakeValid).
+
+    Reference: ``OGRGeometry::MakeValid`` (``ogr/ogrgeometry.cpp:3922``)
+    produces a valid geometry covering the same point set; for the
+    common self-intersection cases (bow-tie / figure-eight / pinch
+    points) that is the set of simple loops between repeated crossing
+    points, which is what this computes:
+
+    1. subdivide every segment at its proper intersections with
+       non-adjacent segments;
+    2. walk the subdivided ring with a stack — when a point repeats,
+       the vertices since its first occurrence close one loop.
+
+    Returns a list of closed rings (each simple, nonzero area).  A ring
+    that is already simple comes back unchanged as ``[ring]``.
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    pts = ring[:-1]
+    n = len(pts)
+    # collect split points per segment
+    splits = {i: [] for i in range(n)}
+    any_split = False
+    for i in range(n):
+        p1, p2 = pts[i], pts[(i + 1) % n]
+        for j in range(i + 1, n):
+            if j == i or (j + 1) % n == i or (i + 1) % n == j:
+                continue
+            q1, q2 = pts[j], pts[(j + 1) % n]
+            x = _seg_intersection_point(p1, p2, q1, q2)
+            if x is not None:
+                any_split = True
+                splits[i].append(((x[0] - p1[0]) ** 2
+                                  + (x[1] - p1[1]) ** 2, x))
+                splits[j].append(((x[0] - q1[0]) ** 2
+                                  + (x[1] - q1[1]) ** 2, x))
+    if not any_split:
+        return [np.vstack([pts, pts[:1]])]
+    walk = []
+    for i in range(n):
+        walk.append(pts[i])
+        for _, x in sorted(splits[i], key=lambda kv: kv[0]):
+            walk.append(x)
+    # stack-based loop extraction on (rounded) repeated points
+    loops = []
+    stack = []
+    seen = {}
+
+    def key(p):
+        return (round(float(p[0]) / eps) * eps,
+                round(float(p[1]) / eps) * eps)
+
+    for p in walk + [walk[0]]:
+        k = key(p)
+        if k in seen:
+            start = seen[k]
+            loop = stack[start:]
+            if len(loop) >= 3:
+                closed = np.vstack([loop, [loop[0]]])
+                if abs(W.polygon_area([closed])) > eps:
+                    loops.append(closed)
+            for q in stack[start:]:
+                seen.pop(key(q), None)
+            del stack[start:]
+            if k not in seen:
+                seen[k] = len(stack)
+                stack.append(np.asarray(p, dtype=np.float64))
+        else:
+            seen[k] = len(stack)
+            stack.append(np.asarray(p, dtype=np.float64))
+    if len(stack) >= 3:
+        closed = np.vstack([stack, [stack[0]]])
+        if abs(W.polygon_area([closed])) > eps:
+            loops.append(closed)
+    return loops
+
+
+def buffer_ring(ring, dist, px=None):
+    """Buffer of an ARBITRARY (concave OK) ring via its distance field.
+
+    The exact Euclidean distance transform of the rasterized interior is
+    contoured at ``dist`` (marching squares) — a resolution-bounded
+    approximation (error ≤ ~1 px) that composes two operators the engine
+    already trusts (fill.proximity EDT + contour marching squares)
+    instead of a GEOS-grade offset-curve algorithm.  ``px`` defaults to
+    dist/8.  Returns a list of closed rings in world coordinates.
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    if dist <= 0:
+        raise ValueError("buffer_ring needs dist > 0")
+    if px is None:
+        px = dist / 8.0
+    x0, y0 = ring[:, 0].min(), ring[:, 1].min()
+    x1, y1 = ring[:, 0].max(), ring[:, 1].max()
+    pad = dist + 3 * px
+    gx0, gy0 = x0 - pad, y0 - pad
+    w = int(np.ceil((x1 - x0 + 2 * pad) / px)) + 1
+    h = int(np.ceil((y1 - y0 + 2 * pad) / px)) + 1
+    xs = gx0 + (np.arange(w) + 0.5) * px
+    ys = gy0 + (np.arange(h) + 0.5) * px
+    XX, YY = np.meshgrid(xs, ys)
+    inside = W.points_in_polygon([ring], XX.ravel(),
+                                 YY.ravel()).reshape(h, w)
+    d = np.sqrt(_edt2(inside)) * px  # distance to the interior (0 inside)
+    segs = contour_segments(d, dist)
+    rings = chain_segments(segs)
+    out = []
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        # contour coords are (col+0.5, row+0.5)-based pixel coords? they
+        # are (x=col, y=row) grid coords at cell centers — map to world
+        wr = np.stack([gx0 + (r[:, 0] + 0.5) * px,
+                       gy0 + (r[:, 1] + 0.5) * px], axis=1)
+        if not np.allclose(wr[0], wr[-1]):
+            wr = np.vstack([wr, wr[:1]])
+        out.append(wr)
     return out

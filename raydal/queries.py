@@ -2001,6 +2001,103 @@ WHERE (a.x1 - a.x0) * (a.y1 - a.y0) - COALESCE(cut.removed, 0) > 1e-12
 """
 
 
+def q66_makevalid_split(sf_dir):
+    """MakeValid on self-intersecting bow-tie rings: each splits into two
+    simple loops whose areas (w*h/4 each) the SQL oracle derives
+    arithmetically.  Engine path: WKB parse → make_valid_ring loop
+    extraction → shoelace area."""
+    import ray.data
+
+    from .geo.wkb import polygon_area, polygon_wkb
+    from .ops.vector import make_valid_ring
+
+    j = np.arange(20)
+    w = 2.0 + j % 5
+    h = 1.0 + j % 7
+    rings = [np.array([[0, 0], [wi, hi], [wi, 0], [0, hi], [0, 0]],
+                      dtype=np.float64) + np.array([3.0 * i, 2.0 * i])
+             for i, (wi, hi) in enumerate(zip(w, h))]
+    tbl = pa.Table.from_pydict({
+        "feat_id": pa.array(j, pa.int64()),
+        "wkb": pa.array([polygon_wkb([r]) for r in rings], pa.binary())})
+
+    def split(t: pa.Table) -> pa.Table:
+        from .geo.wkb import polygons_from_wkb
+
+        out = {"feat_id": [], "loop": [], "area": []}
+        for i, blob in enumerate(t["wkb"].to_pylist()):
+            ring = polygons_from_wkb(blob)[0][0]
+            loops = make_valid_ring(ring)
+            for li, lp in enumerate(sorted(
+                    loops, key=lambda r: (r[:, 1].min(), r[:, 0].min()))):
+                out["feat_id"].append(t["feat_id"][i].as_py())
+                out["loop"].append(li)
+                out["area"].append(
+                    float(round_half_away(abs(polygon_area([lp])), 6)))
+        return pa.Table.from_pydict({
+            "feat_id": pa.array(out["feat_id"], pa.int64()),
+            "loop": pa.array(out["loop"], pa.int64()),
+            "area": pa.array(out["area"], pa.float64())})
+
+    return ray.data.from_arrow(tbl).map_batches(split,
+                                                batch_format="pyarrow")
+
+
+SQL_Q66 = """
+WITH f AS (SELECT j AS feat_id, 2 + j % 5 AS w, 1 + j % 7 AS h
+           FROM (SELECT UNNEST(RANGE(0, 20)) AS j))
+SELECT feat_id, CAST(loop AS BIGINT) AS loop, ROUND(w * h / 4.0, 6) AS area
+FROM f CROSS JOIN (SELECT UNNEST([0, 1]) AS loop)
+"""
+
+
+def q67_grid_tin(sf_dir):
+    """gdal_grid linear (TIN/Delaunay) interpolation of supplier points;
+    rows-only (pytest carries the exactness oracle on linear fields)."""
+    import ray
+    import ray.data
+
+    from .ops.grid import GridInterpolate
+    from .ops.join import build_cell_points
+
+    sup = (_read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+           .map_batches(lambda t: _derive_points(t, "s_suppkey")
+                        .append_column("v", t["s_acctbal"]),
+                        batch_format="pyarrow").to_pandas())
+    index = build_cell_points(sup["v"].values, sup["x"].values,
+                              sup["y"].values, z=4,
+                              window=(-20.0, -10.0, 40.0, 50.0))
+    idx_ref = ray.put(index)
+    tiles = pa.Table.from_pydict({
+        "tile_id": pa.array(np.arange(4), pa.int64()),
+        "x0": pa.array([-20.0 + 30 * (i % 2) for i in range(4)]),
+        "y0": pa.array([-10.0 + 30 * (i // 2) for i in range(4)]),
+        "x1": pa.array([10.0 + 30 * (i % 2) for i in range(4)]),
+        "y1": pa.array([20.0 + 30 * (i // 2) for i in range(4)])})
+    out = ray.data.from_arrow(tiles).map_batches(
+        GridInterpolate,
+        fn_constructor_kwargs={"index_ref": idx_ref, "algorithm": "linear",
+                               "w": 32, "h": 32, "radius": 25.0},
+        batch_format="pyarrow", concurrency=2)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        rows = {"tile_id": [], "n_filled": [], "mean_val": []}
+        for i in range(t.num_rows):
+            arr = np.frombuffer(t["data"][i].as_py(),
+                                dtype=np.float64).reshape(32, 32)
+            filled = arr != 0.0
+            rows["tile_id"].append(t["tile_id"][i].as_py())
+            rows["n_filled"].append(int(filled.sum()))
+            rows["mean_val"].append(
+                float(arr[filled].mean()) if filled.any() else 0.0)
+        return pa.Table.from_pydict({
+            "tile_id": pa.array(rows["tile_id"], pa.int64()),
+            "n_filled": pa.array(rows["n_filled"], pa.int64()),
+            "mean_val": pa.array(rows["mean_val"], pa.float64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -2064,6 +2161,8 @@ QUERIES = {
     "q63_shuffle_join": (q63_shuffle_join, SQL_Q63),
     "q64_intersection_area": (q64_intersection_area, SQL_Q64),
     "q65_erase_area": (q65_erase_area, SQL_Q65),
+    "q66_makevalid_split": (q66_makevalid_split, SQL_Q66),
+    "q67_grid_tin": (q67_grid_tin, None),
 }
 
 
