@@ -24,7 +24,7 @@ import zlib
 
 import numpy as np
 
-__all__ = ["TiffImage", "read_tiff"]
+__all__ = ["TiffImage", "read_tiff", "write_tiff"]
 
 _TAG_NAMES = {
     256: "width", 257: "height", 258: "bits_per_sample", 259: "compression",
@@ -340,3 +340,95 @@ def read_tiff(buf):
 
     bands = [np.ascontiguousarray(out[:, :, c]) for c in range(spp)]
     return TiffImage(bands, tags)
+
+
+def write_tiff(bands, geotransform=None, compression="none"):
+    """Minimal classic-TIFF writer: little-endian, strip layout, one
+    strip per image, uncompressed or Deflate, uint8/int16/uint16/int32/
+    uint32/float32/float64 (matching the reader's dtype table), with
+    ModelPixelScale/ModelTiepoint for a north-up geotransform.
+
+    ``bands``: one 2-D array or a list of same-shape 2-D arrays
+    (written contig/chunky).  Round-trips through :func:`read_tiff`.
+    """
+    import zlib as _zlib
+
+    if isinstance(bands, np.ndarray) and bands.ndim == 2:
+        bands = [bands]
+    bands = [np.ascontiguousarray(b) for b in bands]
+    h, w = bands[0].shape
+    spp = len(bands)
+    dt = bands[0].dtype
+    kind = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    bits = dt.itemsize * 8
+    interleaved = np.stack(bands, axis=-1).astype(
+        dt.newbyteorder("<"), copy=False)
+    raw = interleaved.tobytes()
+    if compression == "deflate":
+        payload = _zlib.compress(raw)
+        comp_tag = 8
+    elif compression == "none":
+        payload = raw
+        comp_tag = 1
+    else:
+        raise NotImplementedError(f"write compression {compression!r}")
+
+    entries = []  # (tag, type, count, value_bytes_or_int)
+
+    def tag_short(tag, v):
+        entries.append((tag, 3, 1, struct.pack("<HH", v, 0)))
+
+    def tag_long(tag, v):
+        entries.append((tag, 4, 1, struct.pack("<I", v)))
+
+    tag_long(256, w)
+    tag_long(257, h)
+    if spp > 1:
+        entries.append((258, 3, spp,
+                        struct.pack(f"<{spp}H", *([bits] * spp))))
+    else:
+        tag_short(258, bits)
+    tag_short(259, comp_tag)
+    tag_short(262, 1)           # BlackIsZero
+    tag_long(273, 0)            # StripOffsets (patched below)
+    tag_short(277, spp)
+    tag_long(278, h)            # RowsPerStrip: single strip
+    tag_long(279, len(payload))
+    tag_short(284, 1)           # contig
+    if spp > 1:
+        entries.append((339, 3, spp,
+                        struct.pack(f"<{spp}H", *([kind] * spp))))
+    else:
+        tag_short(339, kind)
+    gt = geotransform
+    if gt is not None and gt[2] == 0 and gt[4] == 0:
+        entries.append((33550, 12, 3,
+                        struct.pack("<3d", gt[1], -gt[5], 0.0)))
+        entries.append((33922, 12, 6,
+                        struct.pack("<6d", 0, 0, 0, gt[0], gt[3], 0)))
+
+    entries.sort(key=lambda e: e[0])
+    n = len(entries)
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n + 4  # overflow area starts here
+    overflow = bytearray()
+    ifd = struct.pack("<H", n)
+    for tag, ttype, count, val in entries:
+        size = _TYPE_SIZES[ttype] * count
+        if size <= 4:
+            field = val.ljust(4, b"\0")
+        else:
+            field = struct.pack("<I", data_off + len(overflow))
+            overflow += val
+        ifd += struct.pack("<HHI", tag, ttype, count) + field
+    ifd += struct.pack("<I", 0)  # next IFD
+    strip_off = data_off + len(overflow)
+    # patch StripOffsets (tag 273): find its entry position
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += ifd + overflow
+    for i, (tag, ttype, count, val) in enumerate(entries):
+        if tag == 273:
+            pos = 8 + 2 + 12 * i + 8
+            out[pos:pos + 4] = struct.pack("<I", strip_off)
+    out += payload
+    return bytes(out)

@@ -2001,6 +2001,74 @@ WHERE (a.x1 - a.x0) * (a.y1 - a.y0) - COALESCE(cut.removed, 0) > 1e-12
 """
 
 
+def q68_asof_shuffle(sf_dir):
+    """Distributed as-of join — the LARGE-build-side path for q25's
+    semantics: both sides hash-co-partitioned on the key (tagged union +
+    one groupby), per-key vectorized searchsorted inside the group.  No
+    driver-side build of any size; the broadcast variant (q25) remains
+    the fast path when the build side is filtered-small."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        return pa.Table.from_pydict({
+            "key": pc.cast(t["o_custkey"], pa.int64()),
+            "ts": pc.cast(ts, pa.int64()),
+            "pid": pc.cast(t["o_orderkey"], pa.int64()),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8))})
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        key = pc.cast(
+            pc.subtract(t["user_id"],
+                        pc.multiply(pc.divide(t["user_id"],
+                                              pa.scalar(1500)),
+                                    pa.scalar(1500))), pa.int64())
+        ts = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.Table.from_pydict({
+            "key": key, "ts": ts,
+            "pid": pc.cast(t["event_id"], pa.int64()),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8))})
+
+    both = (orders.map_batches(tag_orders, batch_format="pyarrow")
+            .union(events.map_batches(tag_events, batch_format="pyarrow")))
+
+    def asof_group(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1]
+        empty = pa.Table.from_pydict({
+            "event_id": pa.array([], pa.int64()),
+            "o_orderkey": pa.array([], pa.int64())})
+        if len(left) == 0:
+            return empty
+        if len(right) == 0:
+            return pa.Table.from_pydict({
+                "event_id": pa.array(left["pid"].to_numpy(), pa.int64()),
+                "o_orderkey": pa.array([None] * len(left), pa.int64())})
+        # latest orderkey per date (deterministic; matches the oracle's
+        # MAX(o_orderkey) GROUP BY custkey, date)
+        r = right.sort_values(["ts", "pid"]).groupby(
+            "ts", as_index=False).last()
+        rts = r["ts"].to_numpy()
+        rid = r["pid"].to_numpy()
+        pos = np.searchsorted(rts, left["ts"].to_numpy(),
+                              side="right") - 1
+        ok = pos >= 0
+        vals = np.full(len(left), -1, dtype=np.int64)
+        vals[ok] = rid[pos[ok]]
+        return pa.Table.from_pydict({
+            "event_id": pa.array(left["pid"].to_numpy(), pa.int64()),
+            "o_orderkey": pa.array(
+                [int(v) if v >= 0 else None for v in vals], pa.int64())})
+
+    return both.groupby("key").map_groups(asof_group,
+                                          batch_format="pandas")
+
+
 def q66_makevalid_split(sf_dir):
     """MakeValid on self-intersecting bow-tie rings: each splits into two
     simple loops whose areas (w*h/4 each) the SQL oracle derives
@@ -2163,6 +2231,7 @@ QUERIES = {
     "q65_erase_area": (q65_erase_area, SQL_Q65),
     "q66_makevalid_split": (q66_makevalid_split, SQL_Q66),
     "q67_grid_tin": (q67_grid_tin, None),
+    "q68_asof_shuffle": (q68_asof_shuffle, SQL_Q25),
 }
 
 

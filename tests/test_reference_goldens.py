@@ -230,3 +230,24 @@ def test_rasterize_published_checksum():
     fill_polygon_even_odd([poly], 100, 100, out=out, value=220)
     burn_line_bresenham(out, to_px([(1000, 1000), (1100, 1050)]), value=220)
     assert checksum(copy_words_cast(out, np.uint8)) == 6452
+
+
+def test_tiff_writer_roundtrip():
+    """write_tiff → read_tiff round-trip preserves pixels, dtype, and
+    geotransform; the reference byte.tif content keeps its published
+    checksum 4672 through the round-trip."""
+    from raydal.io.tiff import read_tiff, write_tiff
+    ref = _tiff(GCORE + "byte.tif")
+    blob = write_tiff(ref.bands[0], geotransform=ref.geotransform,
+                      compression="deflate")
+    back = read_tiff(blob)
+    assert checksum(back.bands[0]) == 4672
+    assert back.geotransform == ref.geotransform
+    rng = np.random.default_rng(3)
+    b1 = rng.uniform(-5, 5, (13, 17)).astype(np.float32)
+    b2 = rng.uniform(0, 1, (13, 17)).astype(np.float32)
+    back = read_tiff(write_tiff([b1, b2]))
+    assert np.allclose(back.bands[0], b1)
+    assert np.allclose(back.bands[1], b2)
+    a = rng.integers(-300, 300, (9, 11)).astype(np.int16)
+    assert (read_tiff(write_tiff(a)).bands[0] == a).all()
