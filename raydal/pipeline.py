@@ -18,7 +18,9 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
-__all__ = ["Step", "STEP_REGISTRY", "register_step", "run_pipeline"]
+__all__ = ["Step", "STEP_REGISTRY", "register_step", "run_pipeline",
+           "pipeline_to_json", "pipeline_from_json", "save_pipeline",
+           "load_pipeline"]
 
 
 @dataclass
@@ -136,3 +138,65 @@ def _dedup(ds, col="text", id_col="doc_id"):
     from .ops.dedup import exact_dedup
 
     return exact_dedup(ds, col=col, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# saved-pipeline (de)serialization — the GDALG analogue
+
+FORMAT_TYPE = "raydal_pipeline"
+FORMAT_VERSION = 2
+
+
+def pipeline_to_json(steps):
+    """Serialize a pipeline to the engine's saved-pipeline JSON.
+
+    The reference's ``.gdalg`` files are JSON
+    ``{"type": "gdal_streamed_alg", "command_line": ..., "gdal_version":
+    ...}`` (``gcore/gdalalgorithm.cpp:4370-4378``); here the declarative
+    step list replaces the command line.  Steps may be Step objects,
+    (name, params) pairs, or bare names — params must be JSON-encodable.
+    """
+    import json
+
+    out = []
+    for s in steps:
+        if isinstance(s, Step):
+            out.append({"name": s.name, "params": s.params})
+        elif isinstance(s, tuple):
+            out.append({"name": s[0], "params": dict(s[1] or {})})
+        else:
+            out.append({"name": s, "params": {}})
+    for entry in out:
+        if entry["name"] not in STEP_REGISTRY:
+            raise ValueError(f"unknown step {entry['name']!r}")
+    return json.dumps({"type": FORMAT_TYPE, "version": FORMAT_VERSION,
+                       "steps": out})
+
+
+def pipeline_from_json(text):
+    """Parse saved-pipeline JSON → list of (name, params) pairs, each
+    validated against the step registry (unknown steps error at LOAD
+    time, not at run time — same contract as the reference's GDALG
+    instantiation)."""
+    import json
+
+    doc = json.loads(text)
+    if doc.get("type") != FORMAT_TYPE:
+        raise ValueError(f"not a {FORMAT_TYPE} document")
+    steps = []
+    for entry in doc["steps"]:
+        name = entry["name"]
+        if name not in STEP_REGISTRY:
+            raise ValueError(f"unknown step {name!r}")
+        steps.append((name, dict(entry.get("params") or {})))
+    return steps
+
+
+def save_pipeline(path, steps):
+    with open(path, "w") as f:
+        f.write(pipeline_to_json(steps))
+
+
+def load_pipeline(path):
+    with open(path) as f:
+        return pipeline_from_json(f.read())

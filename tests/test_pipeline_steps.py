@@ -37,3 +37,68 @@ class TestStepRegistry:
         pdf = out.to_pandas()
         assert "quality" in pdf and "n_tokens" in pdf
         assert pdf["n_tokens"].tolist() == [7, 1]
+
+
+class TestSavedPipeline:
+    """GDALG-analogue (de)serialization round trip."""
+
+    def test_roundtrip_and_execution(self, ray_session, tmp_path):
+        import ray.data
+
+        from raydal.pipeline import (load_pipeline, run_pipeline,
+                                     save_pipeline)
+        from raydal.io.images import synthesize_images_batch
+
+        steps = [("footprint", {"dst_crs": 3857}),
+                 ("tile-assign", {"z": 6, "carry_cols": ["image_id"]})]
+        p = tmp_path / "pipe.json"
+        save_pipeline(p, steps)
+        loaded = load_pipeline(p)
+        assert loaded == [(n, dict(kw)) for n, kw in steps]
+        t = synthesize_images_batch(np.arange(6)).drop_columns(["bytes"])
+        ds = ray.data.from_arrow(t)
+        out1 = run_pipeline(ds, steps).to_pandas()
+        out2 = run_pipeline(ray.data.from_arrow(t), loaded).to_pandas()
+        assert len(out1) == len(out2) > 0
+        assert sorted(out1["cell"]) == sorted(out2["cell"])
+
+    def test_unknown_step_rejected_at_load(self, tmp_path):
+        import json
+
+        import pytest as _pytest
+
+        from raydal.pipeline import pipeline_from_json
+
+        doc = json.dumps({"type": "raydal_pipeline", "version": 2,
+                          "steps": [{"name": "no-such-step", "params": {}}]})
+        with _pytest.raises(ValueError):
+            pipeline_from_json(doc)
+
+
+class TestVirtualMosaic:
+    """GTI-analogue footprint-index dataset + window reads."""
+
+    def test_index_prunes_and_window_composes(self, ray_session):
+        import ray.data
+
+        from raydal.ops.gti import VirtualMosaic, build_tile_index
+        from raydal.pipelines import ensure_images_parquet
+
+        path = ensure_images_parquet("/root/testdata/sf0.001")
+        idx = build_tile_index(ray.data.read_parquet(path))
+        assert idx.num_rows == 200
+        vm = VirtualMosaic(idx, path)
+        x0 = float(np.asarray(idx["xmin"])[0])
+        x1 = float(np.asarray(idx["xmax"])[0])
+        y0 = float(np.asarray(idx["ymin"])[0])
+        y1 = float(np.asarray(idx["ymax"])[0])
+        sel = vm.select(x0, y0, x1, y1)
+        assert 1 <= len(sel) < idx.num_rows  # index actually prunes
+        out, filled = vm.read_window(x0, y0, x1, y1, 64, 64)
+        # UTM footprints are rotated in EPSG:3857 so the bbox window has
+        # uncovered corners; most of it must still fill
+        assert filled.mean() > 0.5
+        assert out[filled].mean() > 0        # real pixels composed
+        # empty window: nothing selected, nothing read
+        far = vm.select(x0 + 1e9, y0 + 1e9, x0 + 1e9 + 10, y0 + 1e9 + 10)
+        assert len(far) == 0
