@@ -257,7 +257,10 @@ def decode_jpeg(buf):
         c["bw"] = mcux * c["h"]  # blocks across (MCU-padded)
         c["bh"] = mcuy * c["v"]
         c["coefs"] = [0] * (c["bh"] * c["bw"] * 64)
-        sc = next(s for s in scomps if s["cs"] == c["id"])
+        sc = next((s for s in scomps if s["cs"] == c["id"]), None)
+        if sc is None:
+            raise NotImplementedError(
+                "multi-scan (non-interleaved) baseline JPEG not supported")
         c["dc_lut"] = huff[(0, sc["td"])].lut
         c["ac_lut"] = huff[(1, sc["ta"])].lut
         c["pred"] = 0

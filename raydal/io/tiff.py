@@ -389,7 +389,7 @@ def write_tiff(bands, geotransform=None, compression="none"):
     else:
         tag_short(258, bits)
     tag_short(259, comp_tag)
-    tag_short(262, 1)           # BlackIsZero
+    tag_short(262, 2 if spp >= 3 else 1)  # RGB for 3+ bands else gray
     tag_long(273, 0)            # StripOffsets (patched below)
     tag_short(277, spp)
     tag_long(278, h)            # RowsPerStrip: single strip

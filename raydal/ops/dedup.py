@@ -224,11 +224,11 @@ def minhash_dedup(ds, id_col="doc_id", num_perm=64, bands=16, shingle_n=3,
     * hot buckets are capped at ``bucket_cap`` members (deterministic:
       lexicographically-first ids participate) BEFORE the O(m²) pair
       expansion — exact and local, no global count pass;
-    * cross-band duplicate pairs are eliminated WITHOUT a second
-      shuffle: both signatures are present, so each shard recomputes
-      the pair's band hashes and emits it only from the SMALLEST
-      agreeing band.  Output is globally duplicate-free by
-      construction.
+    * cross-band duplicate pairs are removed by one final groupby over
+      the post-threshold survivors — a tiny shuffle bounded by the true
+      near-dup count × bands (a shuffle-free smallest-agreeing-band
+      rule was rejected: it loses pairs whose minimal band's bucket was
+      capped in another shard).
 
     ``num_shards`` bounds per-shard memory (corpus × bands /
     num_shards rows); raise it for large corpora.
@@ -291,17 +291,14 @@ def minhash_dedup(ds, id_col="doc_id", num_perm=64, bands=16, shingle_n=3,
             if not keep.any():
                 continue
             ai, bi, est = ai[keep], bi[keep], est[keep]
-            # emit only from the smallest band where the pair agrees —
-            # makes output globally unique with zero extra shuffles
-            bh_a = band_hashes_for_sigs(sig_mat[ai], bands)
-            bh_b = band_hashes_for_sigs(sig_mat[bi], bands)
-            first_band = np.argmax(bh_a == bh_b, axis=1)
-            mine = first_band == key_b[s]
-            if not mine.any():
-                continue
-            out_a.append(ids[ai[mine]])
-            out_b.append(ids[bi[mine]])
-            out_e.append(est[mine])
+            # every agreeing band emits its pairs; the final survivor
+            # groupby dedups across bands.  (A smallest-agreeing-band
+            # local rule would be shuffle-free but silently LOSES a pair
+            # whenever its minimal band's bucket was capped in another
+            # shard — correctness over the extra tiny shuffle.)
+            out_a.append(ids[ai])
+            out_b.append(ids[bi])
+            out_e.append(est)
         if not out_a:
             return empty
         return pd.DataFrame({
@@ -309,8 +306,12 @@ def minhash_dedup(ds, id_col="doc_id", num_perm=64, bands=16, shingle_n=3,
             "id_b": np.concatenate(out_b),
             "est_jaccard": np.concatenate(out_e)})
 
-    return banded.groupby("shard").map_groups(
+    scanned = banded.groupby("shard").map_groups(
         scan_shard, batch_format="pandas")
+    # cross-band duplicate removal over the small post-threshold
+    # survivor set (bounded by the true near-dup count × bands)
+    return scanned.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
 
 
 def simhash_batch(batch: pa.Table, col="text", out_col="simhash") -> pa.Table:

@@ -205,5 +205,4 @@ def sieve(arr, threshold, connectivity=4):
         labels[mask] = target           # chained merges see the absorber
         sizes[target] += sizes[lab]
         sizes[lab] = 0
-        labels[mask] = target
     return arr

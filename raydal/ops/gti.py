@@ -77,23 +77,40 @@ class VirtualMosaic:
             columns=["image_id", "bytes", "crs", "gt"],
             filter=pads.field("image_id").isin([str(i) for i in ids]))
         order = {str(i): k for k, i in enumerate(ids)}
+        bbox_of = {str(self.ids[k]): (self.xmin[k], self.ymin[k],
+                                      self.xmax[k], self.ymax[k])
+                   for k in range(len(self.ids))}
         rows = sorted(range(tbl.num_rows),
                       key=lambda r: order[tbl["image_id"][r].as_py()])
         gx = x0 + (np.arange(w) + 0.5) * (x1 - x0) / w
         gy = y1 - (np.arange(h) + 0.5) * (y1 - y0) / h
-        GX, GY = np.meshgrid(gx, gy)
+        tfs = {}
         for r in rows:
+            # clip the window grid to this image's footprint bbox first:
+            # a window overlapping N small images costs the sum of the
+            # covered sub-rects, not N full-window transforms
+            bx0, by0, bx1, by1 = bbox_of[tbl["image_id"][r].as_py()]
+            ci = np.nonzero((gx >= bx0) & (gx <= bx1))[0]
+            rj = np.nonzero((gy >= by0) & (gy <= by1))[0]
+            if len(ci) == 0 or len(rj) == 0:
+                continue
+            GX, GY = np.meshgrid(gx[ci], gy[rj])
             px = decode(tbl["bytes"][r].as_py())
             if px.ndim == 2:
                 px = px[:, :, None].repeat(3, axis=2)
             gt = tuple(tbl["gt"][r].as_py())
             crs = tbl["crs"][r].as_py()
-            tf = Transformer(self.dst_crs, crs)
-            sxw, syw = tf.transform(GX, GY)
+            if crs not in tfs:
+                tfs[crs] = Transformer(self.dst_crs, crs)
+            sxw, syw = tfs[crs].transform(GX, GY)
             inv = affine.invert_gt(gt)
             sx, sy = affine.apply_gt(inv, sxw, syw)
             vals, valid = resample_grid(px, sx, sy, resample=resample)
             vals = np.clip(vals + 0.5, 0, 255).astype(np.uint8)
-            out[valid] = vals[valid]
-            filled |= valid
+            sub = out[np.ix_(rj, ci)]
+            sub[valid] = vals[valid]
+            out[np.ix_(rj, ci)] = sub
+            fsub = filled[np.ix_(rj, ci)]
+            fsub |= valid
+            filled[np.ix_(rj, ci)] = fsub
         return out, filled

@@ -230,6 +230,8 @@ def resolve_zone_index_cached(ref):
         if isinstance(ref, ray.ObjectRef):
             key = ref.hex()
             if key not in _ZONE_MEMO:
+                if len(_ZONE_MEMO) >= 4:   # bound worker RSS: each entry
+                    _ZONE_MEMO.pop(next(iter(_ZONE_MEMO)))  # is a full index
                 _ZONE_MEMO[key] = ray.get(ref)
             return _ZONE_MEMO[key]
     except ImportError:

@@ -298,7 +298,11 @@ def dissolve_across_tiles(comps_ds):
             return t.append_column("is_border",
                                    pa.array(n_runs > 0, pa.bool_()))
 
-        marked = comps_ds.map_batches(split_border, batch_format="pyarrow")
+        # materialize once: BOTH branches (interior projection + border
+        # pull) consume `marked`; without this the whole upstream
+        # rasterize/polygonize lineage would execute twice
+        marked = comps_ds.map_batches(split_border,
+                                      batch_format="pyarrow").materialize()
         # interior components are final already — they aggregate
         # distributed-side (a pure projection to the output schema) and
         # NEVER reach the driver.  Only border-touching components (a

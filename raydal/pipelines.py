@@ -200,7 +200,9 @@ def tile_pyramid(sf_dir, z_max=8, z_min=6, salt=4, out_dir=None,
     import ray.data
 
     from .lineage import checkpointed_write
-    from .ops.tile import build_pyramid, mosaic_tiles
+    from .geo import cells
+    from .ops.tile import (build_pyramid, encode_tiles_batch,
+                           mosaic_tiles)
     from .ops.warp import WarpToTiles
 
     if concurrency is None:
@@ -220,9 +222,6 @@ def tile_pyramid(sf_dir, z_max=8, z_min=6, salt=4, out_dir=None,
     write_summary = None
     if out_dir is not None:
         import pandas as pd
-
-        from .ops.tile import encode_tiles_batch
-
         frames = []
         fingerprint = f"{path}:{z_max}:{z_min}:{limit_images}"
         for z, ds in levels.items():
@@ -230,11 +229,9 @@ def tile_pyramid(sf_dir, z_max=8, z_min=6, salt=4, out_dir=None,
                                    batch_format="pyarrow")
             # partition id = the tile's z_min ancestor cell → one output
             # file per coarse tile subtree, deterministic and resumable
-            def part_col(t, z=z):
+            def part_col(t, z=z, C=cells):
                 import numpy as np
                 import pyarrow as _pa
-
-                from .geo import cells as C
 
                 cell = np.asarray(t["cell"], dtype=np.int64)
                 anc = cell

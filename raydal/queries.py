@@ -1243,9 +1243,9 @@ def q46_embed_neardup(sf_dir):
     """
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    def pairs(t: pa.Table) -> pa.Table:
-        from .ops.ann import embeddings_matrix
+    from .ops.ann import embeddings_matrix
 
+    def pairs(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.Table.from_pydict({
                 "id_a": pa.array([], pa.int64()),
@@ -2089,9 +2089,9 @@ def q66_makevalid_split(sf_dir):
         "feat_id": pa.array(j, pa.int64()),
         "wkb": pa.array([polygon_wkb([r]) for r in rings], pa.binary())})
 
-    def split(t: pa.Table) -> pa.Table:
-        from .geo.wkb import polygons_from_wkb
+    from .geo.wkb import polygons_from_wkb
 
+    def split(t: pa.Table) -> pa.Table:
         out = {"feat_id": [], "loop": [], "area": []}
         for i, blob in enumerate(t["wkb"].to_pylist()):
             ring = polygons_from_wkb(blob)[0][0]

@@ -34,3 +34,24 @@ def test_no_indented_relative_imports():
     assert not offenders, (
         "runtime relative imports in worker-executed modules (hoist to "
         "module top level):\n" + "\n".join(offenders))
+
+
+# In driver-level modules, imports at function depth (indent 4) run on
+# the DRIVER and are fine; imports inside NESTED defs (indent >= 8) are
+# worker-shipped closures and must be hoisted to the enclosing function.
+_DEEP_PATTERN = re.compile(r"^\s{8,}(from \.|from raydal|import raydal)")
+DRIVER_MODULES = ("queries.py", "pipelines.py", "pipeline.py",
+                  "lineage.py")
+
+
+def test_no_deep_relative_imports_in_driver_modules():
+    root = os.path.dirname(raydal.__file__)
+    offenders = []
+    for fn in DRIVER_MODULES:
+        with open(os.path.join(root, fn)) as f:
+            for ln, line in enumerate(f, 1):
+                if _DEEP_PATTERN.match(line):
+                    offenders.append(f"{fn}:{ln}: {line.strip()}")
+    assert not offenders, (
+        "relative imports inside worker-shipped closures (hoist to the "
+        "enclosing driver function):\n" + "\n".join(offenders))
