@@ -162,3 +162,40 @@ def dither_rgb_to_pct(img, palette, n_bits=5):
                 err[i * 3 + 3 + c] += e - 5 * sixth
                 last[c] = 2 * sixth
     return out
+
+
+def color_relief_gdal(band, entries):
+    """gdaldem color-relief parity (GDALColorReliefGetRGBA interpolate
+    mode): entries = [(value, r, g, b), ...] in any order; per pixel,
+    linear interpolation between the bracketing entries with
+    int(0.5 + before + ratio*(after-before)) rounding, clamped ends.
+    Validated against the published n43.tif color_file.txt checksums
+    (autotest/utilities/test_gdaldem_lib.py:543-554)."""
+    ent = sorted(entries)
+    vals = np.array([e[0] for e in ent], dtype=np.float64)
+    rgb = np.array([[e[1], e[2], e[3]] for e in ent], dtype=np.float64)
+    v = np.asarray(band, dtype=np.float64)
+    # i = first entry index with vals[i] >= v  (the reference's lower
+    # bound search); clip for the interpolation lookup
+    i = np.searchsorted(vals, v, side="left")
+    below = i == 0
+    above = i == len(vals)
+    ii = np.clip(i, 1, len(vals) - 1)
+    v0 = vals[ii - 1]
+    v1 = vals[ii]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio = (v - v0) / (v1 - v0)
+    out = np.empty(v.shape + (3,), dtype=np.uint8)
+    for c in range(3):
+        c0 = rgb[ii - 1, c]
+        c1 = rgb[ii, c]
+        interp = np.floor(0.5 + c0 + ratio * (c1 - c0))
+        interp = np.clip(interp, 0, 255)
+        exact_hi = v == v1
+        interp = np.where(exact_hi, rgb[ii, c], interp)
+        exact_lo = v == v0
+        interp = np.where(exact_lo, rgb[ii - 1, c], interp)
+        interp = np.where(below, rgb[0, c], interp)
+        interp = np.where(above, rgb[-1, c], interp)
+        out[..., c] = interp.astype(np.uint8)
+    return out

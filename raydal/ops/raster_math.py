@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..kernels.resample import copy_words_cast
+
 __all__ = ["PIXEL_FUNCTIONS", "apply_pixel_function", "set_type",
            "reclassify", "hillshade", "slope", "aspect", "tri", "tpi",
            "roughness", "stats_partial", "stats_merge", "stats_final",
@@ -284,3 +286,76 @@ def clean_collar(img, threshold=15, color="black", pixel_distance=2):
     out = img.copy()
     out[collar] = fill_value
     return out, collar
+
+
+def hillshade_gdal(z, gt, z_factor=1.0, xscale=1.0, yscale=1.0,
+                   azimuth=315.0, altitude=45.0, alg="horn"):
+    """gdaldem-exact hillshade (apps/gdaldem_lib.cpp GDALHillshadeAlg).
+
+    Returns uint8 with the reference's conventions: value = 1 +
+    254·cang (clamped at 1 when non-positive), 1-pixel border = 0
+    (nodata — the ``compute_edges=False`` default), Horn gradients
+    divided by (res·scale) with z/8 folded into the z factor.
+    Validated against the published n43.tif checksums
+    (autotest/utilities/test_gdaldem_lib.py:50-66).
+    """
+    z = np.asarray(z, dtype=np.float64)
+    h_, w_ = z.shape
+    w = [z[dy:h_ - 2 + dy, dx:w_ - 2 + dx]
+         for dy in range(3) for dx in range(3)]
+    if alg == "zevenbergen_thorne":
+        # alg/gdaldem_lib.cpp Gradient<ZEVENBERGEN_THORNE>: central
+        # differences, z factor divided by 2 instead of 8
+        x = (w[3] - w[5]) / (gt[1] * xscale)
+        y = (w[7] - w[1]) / (gt[5] * yscale)
+        zf = z_factor / 2.0
+    else:
+        x = ((w[0] + 2 * w[3] + w[6]) - (w[2] + 2 * w[5] + w[8])) \
+            / (gt[1] * xscale)
+        y = ((w[6] + 2 * w[7] + w[8]) - (w[0] + 2 * w[1] + w[2])) \
+            / (gt[5] * yscale)
+        zf = z_factor / 8.0
+    alt = np.radians(altitude)
+    az = np.radians(azimuth)
+    num = (254.0 * np.sin(alt)
+           - (y * 254.0 * np.cos(az) * np.cos(alt) * zf
+              - x * 254.0 * np.sin(az) * np.cos(alt) * zf))
+    cang254 = num / np.sqrt(1.0 + zf * zf * (x * x + y * y))
+    val = np.where(cang254 <= 0.0, 1.0, 1.0 + cang254)
+    out = np.zeros(z.shape, dtype=np.uint8)
+    out[1:-1, 1:-1] = copy_words_cast(val, np.uint8)
+    return out
+
+
+def hillshade_gdal_combined(z, gt, z_factor=1.0, xscale=1.0, yscale=1.0,
+                            azimuth=315.0, altitude=45.0, alg="horn"):
+    """gdaldem hillshade -combined (GDALHillshadeCombinedAlg):
+    cang = 1 − acos(shade) · atan(√slope) · (2/π)², scaled to 1+254."""
+    z = np.asarray(z, dtype=np.float64)
+    h_, w_ = z.shape
+    w = [z[dy:h_ - 2 + dy, dx:w_ - 2 + dx]
+         for dy in range(3) for dx in range(3)]
+    if alg == "zevenbergen_thorne":
+        x = (w[3] - w[5]) / (gt[1] * xscale)
+        y = (w[7] - w[1]) / (gt[5] * yscale)
+        zf = z_factor / 2.0
+    else:
+        x = ((w[0] + 2 * w[3] + w[6]) - (w[2] + 2 * w[5] + w[8])) \
+            / (gt[1] * xscale)
+        y = ((w[6] + 2 * w[7] + w[8]) - (w[0] + 2 * w[1] + w[2])) \
+            / (gt[5] * yscale)
+        zf = z_factor / 8.0
+    alt = np.radians(altitude)
+    az = np.radians(azimuth)
+    xx_plus_yy = x * x + y * y
+    slope_sq = xx_plus_yy * zf * zf
+    shade = (np.sin(alt) - (y * np.cos(az) * np.cos(alt) * zf
+                            - x * np.sin(az) * np.cos(alt) * zf)) \
+        / np.sqrt(1.0 + slope_sq)
+    cang = np.arccos(np.clip(shade, -1.0, 1.0))
+    inv_sq_half_pi = 1.0 / (np.pi * np.pi / 4.0)
+    cang = 1.0 - cang * np.arctan(np.sqrt(slope_sq)) * inv_sq_half_pi
+    val = np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
+    out = np.zeros(z.shape, dtype=np.uint8)
+    out[1:-1, 1:-1] = copy_words_cast(val, np.uint8)
+    return out

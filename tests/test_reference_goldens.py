@@ -251,3 +251,53 @@ def test_tiff_writer_roundtrip():
     assert np.allclose(back.bands[1], b2)
     a = rng.integers(-300, 300, (9, 11)).astype(np.int16)
     assert (read_tiff(write_tiff(a)).bands[0] == a).all()
+
+
+# ---- gdaldem vs autotest/utilities/test_gdaldem_lib.py checksums ----
+
+N43 = "/root/reference/autotest/gdrivers/data/n43.tif"
+
+
+@pytest.fixture(scope="module")
+def n43():
+    return _tiff(N43)
+
+
+def test_hillshade_published_checksum(n43):
+    """gdaldem hillshade n43.tif -z 30 -s 111120 → checksum 45587
+    (test_gdaldem_lib.py:50-66)."""
+    from raydal.ops.raster_math import hillshade_gdal
+    hs = hillshade_gdal(n43.bands[0], n43.geotransform, z_factor=30,
+                        xscale=111120, yscale=111120)
+    assert checksum(hs) == 45587
+
+
+def test_hillshade_combined_published_checksum(n43):
+    """gdaldem hillshade -combined → 43876 (test_gdaldem_lib.py:240-258)."""
+    from raydal.ops.raster_math import hillshade_gdal_combined
+    hs = hillshade_gdal_combined(n43.bands[0], n43.geotransform,
+                                 z_factor=30, xscale=111120, yscale=111120)
+    assert checksum(hs) == 43876
+
+
+def test_hillshade_zevenbergen_thorne_published_checksum(n43):
+    """gdaldem hillshade -alg ZevenbergenThorne → 46544
+    (test_gdaldem_lib.py:277-295)."""
+    from raydal.ops.raster_math import hillshade_gdal
+    hs = hillshade_gdal(n43.bands[0], n43.geotransform, z_factor=30,
+                        xscale=111120, yscale=111120,
+                        alg="zevenbergen_thorne")
+    assert checksum(hs) == 46544
+
+
+def test_color_relief_published_checksums(n43):
+    """gdaldem color-relief with the published color_file.txt →
+    band checksums 55066/37594/47768 (test_gdaldem_lib.py:543-554)."""
+    from raydal.ops.color import color_relief_gdal
+    entries = [(500, 255, 255, 255), (450, 235, 220, 175),
+               (300, 190, 185, 135), (150, 240, 250, 150),
+               (76, 50, 180, 50), (75, 200, 230, 255),
+               (-32768, 200, 230, 255)]
+    rgb = color_relief_gdal(n43.bands[0], entries)
+    assert [checksum(rgb[:, :, c]) for c in range(3)] == \
+        [55066, 37594, 47768]
