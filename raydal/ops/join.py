@@ -514,6 +514,57 @@ class KnnJoin:
                     return ids[order], np.sqrt(d2[order])
                 return np.empty(0, dtype=object), np.empty(0)
 
+    def _knn_cell_group(self, pxv, pyv, gx, gy):
+        """Vectorized kNN for ALL probes sharing grid cell (gx, gy).
+
+        Same candidate rings and stop rule as :meth:`_knn_one` (probes in
+        one cell see identical rings), but one distance matrix + one
+        multi-row lexsort instead of a Python loop per probe.  Returns
+        (ids (P, k') object rows as list, dists list) per probe.
+        """
+        grid = self.index["grid"]
+        n = 1 << self.index["z"]
+        cand_ids, cand_xy = [], []
+        ring = 0
+        P = len(pxv)
+        while True:
+            for dx in range(-ring, ring + 1):
+                for dy in range(-ring, ring + 1):
+                    if max(abs(dx), abs(dy)) != ring:
+                        continue
+                    cx, cy = gx + dx, gy + dy
+                    if not (0 <= cx < n and 0 <= cy < n):
+                        continue
+                    ent = grid.get((cx, cy))
+                    if ent is not None:
+                        cand_ids.append(ent[0])
+                        cand_xy.append(ent[1])
+            total = sum(len(c) for c in cand_ids)
+            if total >= self.k or ring > n:
+                nids = (np.concatenate(cand_ids) if cand_ids
+                        else np.empty(0, dtype=np.int64))
+                nxy = (np.concatenate(cand_xy) if cand_xy
+                       else np.empty((0, 2)))
+                if total == 0:
+                    return [np.empty(0, dtype=nids.dtype)] * P, \
+                        [np.empty(0)] * P
+                ddx = nxy[:, 0][None, :] - pxv[:, None]
+                ddy = nxy[:, 1][None, :] - pyv[:, None]
+                d2 = ddx * ddx + ddy * ddy            # (P, N)
+                order = np.lexsort(
+                    (np.broadcast_to(nids, d2.shape), d2), axis=-1)
+                kk = min(self.k, total)
+                top = order[:, :kk]
+                kth = np.take_along_axis(d2, top[:, -1:], axis=1)[:, 0]
+                ring_min = ring * min(self.cell_w, self.cell_h)
+                if (total >= self.k
+                        and (kth < ring_min * ring_min).all()) or ring > n:
+                    tid = nids[top]
+                    td = np.sqrt(np.take_along_axis(d2, top, axis=1))
+                    return [tid[i] for i in range(P)], \
+                        [td[i] for i in range(P)]
+            ring += 1
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         x0, y0, x1, y1 = self.index["window"]
         n = 1 << self.index["z"]
@@ -523,13 +574,21 @@ class KnnJoin:
         out = {"probe_id": [], "rank": [], "neighbor_id": [], "dist": []}
         gx = _planar_grid_idx(px, x0, x1, n)
         gy = _planar_grid_idx(py, y0, y1, n)
-        for i in range(len(px)):
-            nid, nd = self._knn_one(px[i], py[i], gx[i], gy[i])
-            for r in range(len(nid)):
-                out["probe_id"].append(ids[i])
-                out["rank"].append(r + 1)
-                out["neighbor_id"].append(nid[r])
-                out["dist"].append(float(nd[r]))
+        # group probes by their grid cell: one vectorized ring expansion
+        # + distance matrix per cell instead of a Python loop per probe
+        keys, inv = np.unique(np.stack([gx, gy], 1), axis=0,
+                              return_inverse=True)
+        for ki, (cgx, cgy) in enumerate(keys):
+            sel = np.nonzero(inv == ki)[0]
+            nid_rows, nd_rows = self._knn_cell_group(
+                px[sel], py[sel], int(cgx), int(cgy))
+            for j, i in enumerate(sel):
+                nid, nd = nid_rows[j], nd_rows[j]
+                for r in range(len(nid)):
+                    out["probe_id"].append(ids[i])
+                    out["rank"].append(r + 1)
+                    out["neighbor_id"].append(nid[r])
+                    out["dist"].append(float(nd[r]))
         probe_type = batch.schema.field(self.id_col).type
         nbr_dtype = self.index["grid"]
         nbr_type = None
