@@ -80,21 +80,33 @@ def q01_pricing_summary(sf_dir):
                ["l_returnflag", "l_linestatus", "l_quantity",
                 "l_extendedprice", "l_discount", "l_shipdate"])
 
-    def prep(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
+        # map-side combiner: each block reduces to ≤|groups| partial
+        # rows, so the all-to-all moves a handful of rows per block
+        # instead of the filtered table
         t = t.filter(pc.less_equal(
             t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
         disc = pc.multiply(t["l_extendedprice"],
                            pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("disc_price", disc)
+        df = t.append_column("disc_price", disc).to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (ds.map_batches(prep, batch_format="pyarrow")
+    out = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby(["l_returnflag", "l_linestatus"])
-             .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                        Sum("l_extendedprice", alias_name="sum_base_price"),
-                        Sum("disc_price", alias_name="sum_disc_price"),
-                        Mean("l_quantity", alias_name="avg_qty"),
-                        Count(alias_name="count_order")))
-    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+             .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                        Sum("sum_base_price", alias_name="sum_base_price"),
+                        Sum("sum_disc_price", alias_name="sum_disc_price"),
+                        Sum("count_order", alias_name="count_order")))
+    pdf = out.to_pandas()
+    pdf["avg_qty"] = pdf["sum_qty"] / pdf["count_order"]
+    pdf = pdf[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+               "sum_disc_price", "avg_qty", "count_order"]]
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
     tbl = _round_cols(tbl, {"sum_base_price": 2, "sum_disc_price": 2,
                             "avg_qty": 6})
     tbl = _cast_i64(tbl, ["sum_qty", "count_order"])
