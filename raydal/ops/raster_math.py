@@ -288,18 +288,8 @@ def clean_collar(img, threshold=15, color="black", pixel_distance=2):
     return out, collar
 
 
-def hillshade_gdal(z, gt, z_factor=1.0, xscale=1.0, yscale=1.0,
-                   azimuth=315.0, altitude=45.0, alg="horn"):
-    """gdaldem-exact hillshade (apps/gdaldem_lib.cpp GDALHillshadeAlg).
-
-    Returns uint8 with the reference's conventions: value = 1 +
-    254·cang (clamped at 1 when non-positive), 1-pixel border = 0
-    (nodata — the ``compute_edges=False`` default), Horn gradients
-    divided by (res·scale) with z/8 folded into the z factor.
-    Validated against the published n43.tif checksums
-    (autotest/utilities/test_gdaldem_lib.py:50-66).
-    """
-    z = np.asarray(z, dtype=np.float64)
+def _gradient_gdal(z, gt, xscale, yscale, z_factor, alg):
+    """Shared gdaldem 3x3 gradient: returns (x, y, zf, window_list)."""
     h_, w_ = z.shape
     w = [z[dy:h_ - 2 + dy, dx:w_ - 2 + dx]
          for dy in range(3) for dx in range(3)]
@@ -315,6 +305,34 @@ def hillshade_gdal(z, gt, z_factor=1.0, xscale=1.0, yscale=1.0,
         y = ((w[6] + 2 * w[7] + w[8]) - (w[0] + 2 * w[1] + w[2])) \
             / (gt[5] * yscale)
         zf = z_factor / 8.0
+    return x, y, zf, w
+
+
+def _nodata_window_mask(w, src_nodata):
+    """True where any of the 9 window samples equals src_nodata / NaN
+    (gdaldem ComputeVal: such pixels emit dstnodata)."""
+    bad = np.zeros(w[0].shape, dtype=bool)
+    for wi in w:
+        if src_nodata is not None:
+            bad |= wi == src_nodata
+        bad |= ~np.isfinite(wi)
+    return bad
+
+
+def hillshade_gdal(z, gt, z_factor=1.0, xscale=1.0, yscale=1.0,
+                   azimuth=315.0, altitude=45.0, alg="horn",
+                   src_nodata=None):
+    """gdaldem-exact hillshade (apps/gdaldem_lib.cpp GDALHillshadeAlg).
+
+    Returns uint8 with the reference's conventions: value = 1 +
+    254·cang (clamped at 1 when non-positive), 1-pixel border = 0
+    (nodata — the ``compute_edges=False`` default), Horn gradients
+    divided by (res·scale) with z/8 folded into the z factor.
+    Validated against the published n43.tif checksums
+    (autotest/utilities/test_gdaldem_lib.py:50-66).
+    """
+    z = np.asarray(z, dtype=np.float64)
+    x, y, zf, w = _gradient_gdal(z, gt, xscale, yscale, z_factor, alg)
     alt = np.radians(altitude)
     az = np.radians(azimuth)
     num = (254.0 * np.sin(alt)
@@ -322,29 +340,22 @@ def hillshade_gdal(z, gt, z_factor=1.0, xscale=1.0, yscale=1.0,
               - x * 254.0 * np.sin(az) * np.cos(alt) * zf))
     cang254 = num / np.sqrt(1.0 + zf * zf * (x * x + y * y))
     val = np.where(cang254 <= 0.0, 1.0, 1.0 + cang254)
+    # gdaldem quantizes per pixel through float32 before the Byte write
+    val = val.astype(np.float32)
+    bad = _nodata_window_mask(w, src_nodata)
+    val = np.where(bad, 0.0, val)
     out = np.zeros(z.shape, dtype=np.uint8)
     out[1:-1, 1:-1] = copy_words_cast(val, np.uint8)
     return out
 
 
 def hillshade_gdal_combined(z, gt, z_factor=1.0, xscale=1.0, yscale=1.0,
-                            azimuth=315.0, altitude=45.0, alg="horn"):
+                            azimuth=315.0, altitude=45.0, alg="horn",
+                            src_nodata=None):
     """gdaldem hillshade -combined (GDALHillshadeCombinedAlg):
     cang = 1 − acos(shade) · atan(√slope) · (2/π)², scaled to 1+254."""
     z = np.asarray(z, dtype=np.float64)
-    h_, w_ = z.shape
-    w = [z[dy:h_ - 2 + dy, dx:w_ - 2 + dx]
-         for dy in range(3) for dx in range(3)]
-    if alg == "zevenbergen_thorne":
-        x = (w[3] - w[5]) / (gt[1] * xscale)
-        y = (w[7] - w[1]) / (gt[5] * yscale)
-        zf = z_factor / 2.0
-    else:
-        x = ((w[0] + 2 * w[3] + w[6]) - (w[2] + 2 * w[5] + w[8])) \
-            / (gt[1] * xscale)
-        y = ((w[6] + 2 * w[7] + w[8]) - (w[0] + 2 * w[1] + w[2])) \
-            / (gt[5] * yscale)
-        zf = z_factor / 8.0
+    x, y, zf, w = _gradient_gdal(z, gt, xscale, yscale, z_factor, alg)
     alt = np.radians(altitude)
     az = np.radians(azimuth)
     xx_plus_yy = x * x + y * y
@@ -355,7 +366,8 @@ def hillshade_gdal_combined(z, gt, z_factor=1.0, xscale=1.0, yscale=1.0,
     cang = np.arccos(np.clip(shade, -1.0, 1.0))
     inv_sq_half_pi = 1.0 / (np.pi * np.pi / 4.0)
     cang = 1.0 - cang * np.arctan(np.sqrt(slope_sq)) * inv_sq_half_pi
-    val = np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
+    val = np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang).astype(np.float32)
+    val = np.where(_nodata_window_mask(w, src_nodata), 0.0, val)
     out = np.zeros(z.shape, dtype=np.uint8)
     out[1:-1, 1:-1] = copy_words_cast(val, np.uint8)
     return out

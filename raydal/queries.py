@@ -88,13 +88,15 @@ def q01_pricing_summary(sf_dir):
             t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
         disc = pc.multiply(t["l_extendedprice"],
                            pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        df = t.append_column("disc_price", disc).to_pandas()
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            count_order=("l_quantity", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = t.append_column("disc_price", disc).select(
+            ["l_returnflag", "l_linestatus", "l_quantity",
+             "l_extendedprice", "disc_price"])
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")])
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+             "sum_disc_price", "count_order"])
 
     out = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby(["l_returnflag", "l_linestatus"])

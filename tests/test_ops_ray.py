@@ -372,3 +372,46 @@ class TestLineageResume:
                                "fp")
         redone = sorted(s[~s["skipped"]]["part"])
         assert redone == [1, 3]
+
+
+class TestKnnDifferential:
+    def test_cell_group_matches_per_probe_oracle(self):
+        """_knn_one (the retained scalar path) is the oracle for the
+        vectorized _knn_cell_group: identical ids AND distances over a
+        randomized field including co-located probes and distance ties."""
+        from raydal.ops.join import KnnJoin, build_cell_points, \
+            _planar_grid_idx
+
+        rng = np.random.default_rng(42)
+        n = 300
+        xs = rng.uniform(0, 100, n)
+        ys = rng.uniform(0, 100, n)
+        # plant exact-distance ties: mirrored points
+        xs[10], ys[10] = 50.0, 50.0
+        xs[11], ys[11] = 52.0, 50.0
+        xs[12], ys[12] = 48.0, 50.0
+        index = build_cell_points(np.arange(n), xs, ys, z=4,
+                                  window=(0.0, 0.0, 100.0, 100.0))
+        j = KnnJoin.__new__(KnnJoin)
+        j.index = index
+        j.k = 5
+        x0, y0, x1, y1 = index["window"]
+        ncell = 1 << index["z"]
+        j.cell_w = (x1 - x0) / ncell
+        j.cell_h = (y1 - y0) / ncell
+        px = rng.uniform(0, 100, 60)
+        py = rng.uniform(0, 100, 60)
+        px[0], py[0] = 50.0, 50.0  # exactly on a point; ties both sides
+        px[1], py[1] = 50.0, 50.0  # co-located probes share a cell group
+        gx = _planar_grid_idx(px, x0, x1, ncell)
+        gy = _planar_grid_idx(py, y0, y1, ncell)
+        keys, inv = np.unique(np.stack([gx, gy], 1), axis=0,
+                              return_inverse=True)
+        for ki, (cgx, cgy) in enumerate(keys):
+            sel = np.nonzero(inv == ki)[0]
+            vid, vd = j._knn_cell_group(px[sel], py[sel], int(cgx),
+                                        int(cgy))
+            for jj, i in enumerate(sel):
+                oid, od = j._knn_one(px[i], py[i], gx[i], gy[i])
+                np.testing.assert_array_equal(vid[jj], oid)
+                np.testing.assert_allclose(vd[jj], od)
