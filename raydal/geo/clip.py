@@ -18,7 +18,8 @@ import numpy as np
 
 __all__ = [
     "sutherland_hodgman", "clip_rings_convex", "clip_polygon_rect",
-    "erase_polygon_rect", "ring_area", "polygon_area_rings", "is_convex",
+    "erase_polygon_rect", "erase_polygon_convex", "union_convex",
+    "ring_area", "polygon_area_rings", "is_convex",
 ]
 
 
@@ -141,4 +142,61 @@ def erase_polygon_rect(rings, x0, y0, x1, y1):
         c = clip_polygon_rect(rings, sx0, sy0, sx1, sy1)
         if c and abs(ring_area(c[0])) > 1e-12:
             pieces.append(c)
+    return pieces
+
+
+def _half_plane_of_edge(x1, y1, x2, y2):
+    """Coefficients (a, b, c) with interior (left of CCW edge) =
+    a*x + b*y <= c."""
+    return (y2 - y1, x1 - x2, x1 * y2 - x2 * y1)
+
+
+def erase_polygon_convex(rings, clip_ring):
+    """Polygon minus a CONVEX clip ring → list of disjoint polygons.
+
+    The convex complement decomposes into per-edge wedges: piece_i =
+    subject ∩ outside(edge_i) ∩ inside(edge_0..i-1) — successive
+    Sutherland-Hodgman half-plane clips, so pieces are disjoint by
+    construction (generalizes :func:`erase_polygon_rect` to any convex
+    clip; reference scope ``ogrgeometry.cpp:5129`` Difference)."""
+    clip = np.asarray(clip_ring, dtype=np.float64)
+    if ring_area(clip) < 0:
+        clip = clip[::-1]
+    pieces = []
+    for i in range(len(clip) - 1):
+        a, b, c = _half_plane_of_edge(*clip[i], *clip[i + 1])
+        piece = []
+        for ring in rings:
+            # outside of edge i: a*x + b*y >= c  → clip by (-a, -b, -c)
+            r = _clip_half_plane(np.asarray(ring, dtype=np.float64),
+                                 -a, -b, -c)
+            if len(r):
+                piece.append(r)
+        if not piece:
+            continue
+        # restrict to inside of all previous edges (disjointness)
+        ok = True
+        for j in range(i):
+            aj, bj, cj = _half_plane_of_edge(*clip[j], *clip[j + 1])
+            piece = [_clip_half_plane(r, aj, bj, cj) for r in piece]
+            piece = [r for r in piece if len(r)]
+            if not piece:
+                ok = False
+                break
+        if ok and piece and abs(ring_area(piece[0])) > 1e-12:
+            pieces.append(piece)
+    return pieces
+
+
+def union_convex(rings_a, rings_b):
+    """Union of polygon B with CONVEX polygon A → list of disjoint
+    polygons covering A ∪ B (A itself plus B \\ A wedges).  Reference
+    scope: ``ogrgeometry.cpp:5012`` Union, restricted to a convex
+    operand."""
+    a_outer = np.asarray(rings_a[0], dtype=np.float64)
+    if not is_convex(a_outer):
+        raise NotImplementedError("union_convex needs a convex first "
+                                  "operand")
+    pieces = [list(rings_a)]
+    pieces.extend(erase_polygon_convex(rings_b, a_outer))
     return pieces

@@ -2180,6 +2180,57 @@ def q67_grid_tin(sf_dir):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q69_union_area(sf_dir):
+    """Polygon boolean UNION with geometry outputs (convex operand):
+    per intersecting (feat, zone) rect pair, area(A ∪ B) computed from
+    the disjoint piece decomposition (A + B\\A wedges).  Oracle:
+    inclusion-exclusion in SQL."""
+    import ray.data
+
+    from .geo.clip import polygon_area_rings, union_convex
+    from .geo.wkb import polygons_from_wkb
+
+    (aj, ax0, ay0, ax1, ay1), (bk, bx0, by0, bx1, by1) = _algebra_rects()
+    a_tbl = _rect_wkb_table(aj, ax0, ay0, ax1, ay1, "feat_id")
+    b_tbl = _rect_wkb_table(bk, bx0, by0, bx1, by1, "zone_id")
+    b_rings = [polygons_from_wkb(w)[0] for w in b_tbl["wkb"].to_pylist()]
+    b_bbox = list(zip(bx0, by0, bx1, by1))
+
+    def union_rows(t: pa.Table) -> pa.Table:
+        out = {"feat_id": [], "zone_id": [], "area": []}
+        for i, blob in enumerate(t["wkb"].to_pylist()):
+            a_rings = polygons_from_wkb(blob)[0]
+            axl, ayl = a_rings[0][:, 0], a_rings[0][:, 1]
+            for k, (x0, y0, x1, y1) in enumerate(b_bbox):
+                if not (axl.min() < x1 and axl.max() > x0
+                        and ayl.min() < y1 and ayl.max() > y0):
+                    continue
+                pieces = union_convex(a_rings, b_rings[k])
+                area = sum(polygon_area_rings(p) for p in pieces)
+                out["feat_id"].append(t["feat_id"][i].as_py())
+                out["zone_id"].append(int(bk[k]))
+                out["area"].append(float(round_half_away(area, 6)))
+        return pa.Table.from_pydict({
+            "feat_id": pa.array(out["feat_id"], pa.int64()),
+            "zone_id": pa.array(out["zone_id"], pa.int64()),
+            "area": pa.array(out["area"], pa.float64())})
+
+    return ray.data.from_arrow(a_tbl).map_batches(union_rows,
+                                                  batch_format="pyarrow")
+
+
+SQL_Q69 = f"""
+WITH {_SQL_RECTS}
+SELECT a.feat_id, b.zone_id,
+       ROUND((a.x1 - a.x0) * (a.y1 - a.y0)
+             + (b.x1 - b.x0) * (b.y1 - b.y0)
+             - (LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0))
+             * (LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0)), 6) AS area
+FROM a JOIN b ON LEAST(a.x1, b.x1) > GREATEST(a.x0, b.x0)
+             AND LEAST(a.y1, b.y1) > GREATEST(a.y0, b.y0)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -2246,6 +2297,7 @@ QUERIES = {
     "q66_makevalid_split": (q66_makevalid_split, SQL_Q66),
     "q67_grid_tin": (q67_grid_tin, None),
     "q68_asof_shuffle": (q68_asof_shuffle, SQL_Q25),
+    "q69_union_area": (q69_union_area, SQL_Q69),
 }
 
 

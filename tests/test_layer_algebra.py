@@ -114,3 +114,37 @@ class TestLayerAlgebra:
             "wkb": pa.array([polygon_wkb(conc)], pa.binary())})
         with pytest.raises(NotImplementedError):
             MethodLayer(t)
+
+
+class TestConvexEraseUnion:
+    def test_erase_convex_hexagon(self):
+        hexr = np.array([[4, 2], [6, 2], [8, 5], [6, 8], [4, 8], [2, 5],
+                         [4, 2]], float)
+        pieces = C.erase_polygon_convex(box_polygon(0, 0, 10, 10), hexr)
+        area = sum(C.polygon_area_rings(p) for p in pieces)
+        assert area == pytest.approx(100 - abs(C.ring_area(hexr)))
+        # pieces are disjoint: pairwise clip areas vanish
+        for i in range(len(pieces)):
+            for j in range(i + 1, len(pieces)):
+                inter = C.clip_rings_convex(pieces[i], pieces[j][0])
+                a = C.polygon_area_rings(inter) if inter else 0.0
+                assert a == pytest.approx(0.0, abs=1e-9)
+
+    def test_union_inclusion_exclusion(self):
+        hexr = np.array([[4, 2], [6, 2], [8, 5], [6, 8], [4, 8], [2, 5],
+                         [4, 2]], float)
+        off = box_polygon(7, 7, 12, 12)
+        u = C.union_convex([hexr], off)
+        ua = sum(C.polygon_area_rings(p) for p in u)
+        ov = C.polygon_area_rings(C.clip_rings_convex(off, hexr))
+        assert ua == pytest.approx(abs(C.ring_area(hexr)) + 25 - ov)
+
+    def test_union_disjoint_and_contained(self):
+        hexr = np.array([[4, 2], [6, 2], [8, 5], [6, 8], [4, 8], [2, 5],
+                         [4, 2]], float)
+        far = C.union_convex([hexr], box_polygon(20, 20, 22, 22))
+        assert sum(C.polygon_area_rings(p) for p in far) == \
+            pytest.approx(abs(C.ring_area(hexr)) + 4)
+        inside = C.union_convex([hexr], box_polygon(4, 4, 5, 5))
+        assert sum(C.polygon_area_rings(p) for p in inside) == \
+            pytest.approx(abs(C.ring_area(hexr)))
