@@ -399,3 +399,36 @@ def polygon_intersects_polygon(rings_a, rings_b):
     seg_a = np.concatenate([_ring_segments(r) for r in rings_a])
     seg_b = np.concatenate([_ring_segments(r) for r in rings_b])
     return _segments_cross(seg_a, seg_b)
+
+
+def _points_to_segments_dist(px, py, segs):
+    """(P,) x (S,2,2) → (P, S) Euclidean point-to-segment distances."""
+    a = segs[:, 0, :]
+    d = segs[:, 1, :] - segs[:, 0, :]
+    L2 = (d * d).sum(axis=1)
+    wx = px[:, None] - a[None, :, 0]
+    wy = py[:, None] - a[None, :, 1]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t = (wx * d[None, :, 0] + wy * d[None, :, 1]) / L2[None, :]
+    t = np.clip(np.nan_to_num(t, nan=0.0), 0.0, 1.0)
+    cx = a[None, :, 0] + t * d[None, :, 0]
+    cy = a[None, :, 1] + t * d[None, :, 1]
+    return np.hypot(px[:, None] - cx, py[:, None] - cy)
+
+
+def polygon_distance(rings_a, rings_b):
+    """Min Euclidean distance between two polygons-with-holes (0 when
+    they intersect) — the OGR ``Distance`` scalar
+    (``ogr/ogrgeometry.cpp`` Distance; GEOS-free reimplementation):
+    interior containment / boundary crossing → 0, else the minimum over
+    boundary vertex-to-segment distances (attained at a vertex of one
+    of the polygons for piecewise-linear boundaries)."""
+    if polygon_intersects_polygon(rings_a, rings_b):
+        return 0.0
+    seg_a = np.concatenate([_ring_segments(r) for r in rings_a])
+    seg_b = np.concatenate([_ring_segments(r) for r in rings_b])
+    va = np.concatenate(rings_a)
+    vb = np.concatenate(rings_b)
+    d1 = _points_to_segments_dist(va[:, 0], va[:, 1], seg_b).min()
+    d2 = _points_to_segments_dist(vb[:, 0], vb[:, 1], seg_a).min()
+    return float(min(d1, d2))

@@ -2231,6 +2231,52 @@ FROM a JOIN b ON LEAST(a.x1, b.x1) > GREATEST(a.x0, b.x0)
 """
 
 
+def q70_rect_distance(sf_dir):
+    """Geometry Distance scalar (OGR Distance semantics, GEOS-free):
+    min distance per NON-intersecting (feat, zone) rect pair through the
+    generic polygon-distance kernel.  Oracle: hypot of axis gaps."""
+    import ray.data
+
+    from .geo.wkb import polygon_distance, polygons_from_wkb
+
+    (aj, ax0, ay0, ax1, ay1), (bk, bx0, by0, bx1, by1) = _algebra_rects()
+    a_tbl = _rect_wkb_table(aj, ax0, ay0, ax1, ay1, "feat_id")
+    b_tbl = _rect_wkb_table(bk, bx0, by0, bx1, by1, "zone_id")
+    b_rings = [polygons_from_wkb(w)[0] for w in b_tbl["wkb"].to_pylist()]
+
+    def dist_rows(t: pa.Table) -> pa.Table:
+        out = {"feat_id": [], "zone_id": [], "dist": []}
+        for i, blob in enumerate(t["wkb"].to_pylist()):
+            a_rings = polygons_from_wkb(blob)[0]
+            for k in range(len(b_rings)):
+                d = polygon_distance(a_rings, b_rings[k])
+                if d <= 0.0:
+                    continue  # intersecting pairs are q64's domain
+                out["feat_id"].append(t["feat_id"][i].as_py())
+                out["zone_id"].append(int(bk[k]))
+                out["dist"].append(float(round_half_away(d, 6)))
+        return pa.Table.from_pydict({
+            "feat_id": pa.array(out["feat_id"], pa.int64()),
+            "zone_id": pa.array(out["zone_id"], pa.int64()),
+            "dist": pa.array(out["dist"], pa.float64())})
+
+    return ray.data.from_arrow(a_tbl).map_batches(dist_rows,
+                                                  batch_format="pyarrow")
+
+
+SQL_Q70 = f"""
+WITH {_SQL_RECTS}
+SELECT a.feat_id, b.zone_id,
+       ROUND(SQRT(POWER(GREATEST(GREATEST(a.x0, b.x0)
+                                 - LEAST(a.x1, b.x1), 0), 2)
+                  + POWER(GREATEST(GREATEST(a.y0, b.y0)
+                                   - LEAST(a.y1, b.y1), 0), 2)), 6) AS dist
+FROM a CROSS JOIN b
+WHERE NOT (LEAST(a.x1, b.x1) >= GREATEST(a.x0, b.x0)
+           AND LEAST(a.y1, b.y1) >= GREATEST(a.y0, b.y0))
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -2298,6 +2344,7 @@ QUERIES = {
     "q67_grid_tin": (q67_grid_tin, None),
     "q68_asof_shuffle": (q68_asof_shuffle, SQL_Q25),
     "q69_union_area": (q69_union_area, SQL_Q69),
+    "q70_rect_distance": (q70_rect_distance, SQL_Q70),
 }
 
 

@@ -148,3 +148,27 @@ class TestConvexEraseUnion:
         inside = C.union_convex([hexr], box_polygon(4, 4, 5, 5))
         assert sum(C.polygon_area_rings(p) for p in inside) == \
             pytest.approx(abs(C.ring_area(hexr)))
+
+
+class TestPolygonDistance:
+    def test_distance_cases(self):
+        from raydal.geo.wkb import polygon_distance
+        assert polygon_distance(box_polygon(0, 0, 1, 1),
+                                box_polygon(3, 0, 4, 1)) == \
+            pytest.approx(2.0)
+        # diagonal gap: corner-to-corner
+        assert polygon_distance(box_polygon(0, 0, 1, 1),
+                                box_polygon(4, 5, 6, 7)) == \
+            pytest.approx(np.hypot(3, 4))
+        # overlapping and contained → 0
+        assert polygon_distance(box_polygon(0, 0, 2, 2),
+                                box_polygon(1, 1, 3, 3)) == 0.0
+        assert polygon_distance(box_polygon(0, 0, 2, 2),
+                                box_polygon(0.5, 0.5, 1, 1)) == 0.0
+        # touching edges → 0 (intersects counts touching)
+        assert polygon_distance(box_polygon(0, 0, 1, 1),
+                                box_polygon(1, 0, 2, 1)) == 0.0
+        # vertex-to-edge minimum (triangle tip facing a box edge)
+        tri = [np.array([[5, 0.5], [7, 0], [7, 1], [5, 0.5]], float)]
+        assert polygon_distance(box_polygon(0, 0, 4, 1), tri) == \
+            pytest.approx(1.0)
