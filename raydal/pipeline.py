@@ -200,3 +200,82 @@ def save_pipeline(path, steps):
 def load_pipeline(path):
     with open(path) as f:
         return pipeline_from_json(f.read())
+
+
+@register_step("raster-clip")
+def _raster_clip(ds, xmin, ymin, xmax, ymax):
+    """gdal_translate -projwin analogue over the image table: crop each
+    image's pixels to the world-bbox intersection (src CRS), update
+    w/h/gt, drop images entirely outside.  Decode → slice → re-encode
+    per batch (apps/gdalalg_raster_clip.cpp semantics)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .io.codecs import decode, encode
+    from .geo.affine import invert_gt, apply_gt
+
+    def clip(t: pa.Table) -> pa.Table:
+        keep_rows = []
+        blobs, ws, hs, gts = [], [], [], []
+        for i in range(t.num_rows):
+            gt = tuple(t["gt"][i].as_py())
+            w = t["w"][i].as_py()
+            h = t["h"][i].as_py()
+            inv = invert_gt(gt)
+            # projwin corners → pixel window (north-up gt assumed)
+            c0, r0 = apply_gt(inv, np.array([xmin]), np.array([ymax]))
+            c1, r1 = apply_gt(inv, np.array([xmax]), np.array([ymin]))
+            x0 = max(int(np.floor(min(c0[0], c1[0]))), 0)
+            x1 = min(int(np.ceil(max(c0[0], c1[0]))), w)
+            y0 = max(int(np.floor(min(r0[0], r1[0]))), 0)
+            y1 = min(int(np.ceil(max(r0[0], r1[0]))), h)
+            if x1 <= x0 or y1 <= y0:
+                continue
+            px = decode(t["bytes"][i].as_py())
+            sub = px[y0:y1, x0:x1]
+            ngt = (gt[0] + x0 * gt[1] + y0 * gt[2], gt[1], gt[2],
+                   gt[3] + x0 * gt[4] + y0 * gt[5], gt[4], gt[5])
+            keep_rows.append(i)
+            blobs.append(encode(sub, t["fmt"][i].as_py()))
+            ws.append(x1 - x0)
+            hs.append(y1 - y0)
+            gts.append(list(ngt))
+        out = t.take(pa.array(keep_rows, pa.int64()))
+        for name, arr in (("bytes", pa.array(blobs, pa.binary())),
+                          ("w", pa.array(ws, pa.int32())),
+                          ("h", pa.array(hs, pa.int32())),
+                          ("gt", pa.array(gts, pa.list_(pa.float64(), 6)))):
+            idx = out.schema.get_field_index(name)
+            out = out.set_column(idx, name, arr)
+        return out
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
+@register_step("raster-select")
+def _raster_select(ds, bands):
+    """gdal_translate -b analogue: keep the listed (1-based) bands of
+    each image, re-encoded (single band → grayscale payload)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .io.codecs import decode, encode
+
+    def select(t: pa.Table) -> pa.Table:
+        blobs = []
+        for i in range(t.num_rows):
+            px = decode(t["bytes"][i].as_py())
+            if px.ndim == 2:
+                px = px[:, :, None]
+            sel = px[:, :, [b - 1 for b in bands]]
+            if sel.shape[2] == 1:
+                sel = sel[:, :, 0]
+            elif sel.shape[2] == 2:
+                # pad to 3 channels (codecs are gray/RGB)
+                sel = np.concatenate([sel, sel[:, :, :1]], axis=2)
+            blobs.append(encode(np.ascontiguousarray(sel),
+                                t["fmt"][i].as_py()))
+        idx = t.schema.get_field_index("bytes")
+        return t.set_column(idx, "bytes", pa.array(blobs, pa.binary()))
+
+    return ds.map_batches(select, batch_format="pyarrow")

@@ -102,3 +102,52 @@ class TestVirtualMosaic:
         # empty window: nothing selected, nothing read
         far = vm.select(x0 + 1e9, y0 + 1e9, x0 + 1e9 + 10, y0 + 1e9 + 10)
         assert len(far) == 0
+
+
+class TestRasterClipSelect:
+    def test_clip_updates_window_and_gt(self, ray_session):
+        import ray.data
+
+        from raydal.io.codecs import decode
+        from raydal.io.images import synthesize_images_batch
+        from raydal.pipeline import run_pipeline
+
+        t = synthesize_images_batch(np.arange(4))
+        gt = t["gt"][0].as_py()
+        w, h = t["w"][0].as_py(), t["h"][0].as_py()
+        # window covering the left half of image 0 (in its own CRS)
+        xmin = gt[0]
+        xmax = gt[0] + gt[1] * (w // 2)
+        ymax = gt[3]
+        ymin = gt[3] + gt[5] * h
+        out = run_pipeline(ray.data.from_arrow(t),
+                           [("raster-clip", {"xmin": xmin, "ymin": ymin,
+                                             "xmax": xmax, "ymax": ymax})])
+        df = out.to_pandas()
+        row = df[df["image_id"] == t["image_id"][0].as_py()].iloc[0]
+        assert row["w"] == w // 2
+        px = decode(row["bytes"])
+        assert px.shape[1] == w // 2
+        orig = decode(t["bytes"][0].as_py())
+        assert px.shape[0] == row["h"]
+        # png round-trips losslessly: clipped pixels == original slice
+        if t["fmt"][0].as_py() == "png":
+            np.testing.assert_array_equal(px, orig[:row["h"], :w // 2])
+        assert row["gt"][0] == gt[0]
+
+    def test_select_single_band(self, ray_session):
+        import ray.data
+
+        from raydal.io.codecs import decode
+        from raydal.io.images import synthesize_images_batch
+        from raydal.pipeline import run_pipeline
+
+        t = synthesize_images_batch(np.arange(2))
+        out = run_pipeline(ray.data.from_arrow(t),
+                           [("raster-select", {"bands": [2]})])
+        df = out.to_pandas()
+        px = decode(df.iloc[0]["bytes"])
+        orig = decode(t["bytes"][0].as_py())
+        assert px.ndim == 2
+        if t["fmt"][0].as_py() == "png":
+            np.testing.assert_array_equal(px, orig[:, :, 1])
