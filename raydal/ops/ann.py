@@ -13,7 +13,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["CosineTopK", "embeddings_matrix", "rhp_signature_batch",
-           "lsh_topk"]
+           "lsh_topk", "kmeans_centroids", "ivf_topk"]
 
 
 def embeddings_matrix(batch: pa.Table, col="embedding", dtype=np.float32):
@@ -219,3 +219,107 @@ def lsh_topk(ds, queries, k=10, n_planes=8, seed=7, id_col="vec_id"):
 
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("query_idx").map_groups(final, batch_format="pandas"))
+
+
+def kmeans_centroids(x, n_clusters, n_iter=8, seed=11):
+    """Deterministic Lloyd k-means for the IVF coarse quantizer.
+
+    Fixed-seed farthest-first-ish init (random distinct picks) + n_iter
+    assignment/update rounds; empty clusters re-seeded from the farthest
+    points.  Pure numpy; at scale, run on a driver SAMPLE of the corpus
+    (the standard IVF training recipe), never the full data.
+    """
+    x = np.asarray(x, dtype=np.float32)
+    n = len(x)
+    k = min(n_clusters, n)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(n_iter):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            sel = assign == c
+            if sel.any():
+                cent[c] = x[sel].mean(axis=0)
+            else:
+                cent[c] = x[d2.min(axis=1).argmax()]
+    return cent
+
+
+def ivf_topk(ds, queries, k=10, n_clusters=16, nprobe=4, id_col="vec_id",
+             train_sample=2048, seed=11):
+    """IVF ANN: coarse k-means quantizer → inverted lists → probe the
+    ``nprobe`` nearest lists per query (the classic IVF-Flat recipe;
+    the engine's second ANN scale path besides :func:`lsh_topk`).
+
+    Centroids train on a bounded driver-side sample (``train_sample``
+    rows via ``Dataset.limit`` — at 10^12 scale this is the standard
+    train-on-sample protocol, not a full materialization).  Assignment
+    and scoring stream per batch; per-query candidates are exact within
+    the probed lists, merged by one small groupby.
+    """
+    import pandas as pd
+    import ray
+
+    sample = embeddings_matrix(
+        pa.concat_tables(b for b in ds.limit(train_sample).iter_batches(
+            batch_format="pyarrow", batch_size=train_sample)))
+    cent = kmeans_centroids(sample, n_clusters, seed=seed)
+    centn = cent / np.maximum(
+        np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+
+    q = np.asarray(queries, dtype=np.float32)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    # nprobe nearest lists per query (cosine against centroids)
+    qsim = qn @ centn.T
+    probe = np.argsort(-qsim, axis=1)[:, :nprobe]
+    want = {}
+    for qi in range(len(q)):
+        for c in probe[qi]:
+            want.setdefault(int(c), []).append(qi)
+    ref = ray.put((qn, centn, want))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm, cm, wt = ray.get(ref)
+        empty = pa.Table.from_pydict({
+            "query_idx": pa.array([], pa.int32()),
+            id_col: pa.array([], batch.schema.field(id_col).type
+                             if batch.num_rows else pa.int64()),
+            "score": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        x = embeddings_matrix(batch)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                            1e-30)
+        assign = (xn @ cm.T).argmax(axis=1)
+        ids = np.asarray(batch[id_col])
+        out = {"query_idx": [], id_col: [], "score": []}
+        for c, qis in wt.items():
+            sel = np.nonzero(assign == c)[0]
+            if len(sel) == 0:
+                continue
+            scores = xn[sel] @ qm[qis].T
+            for col, qi in enumerate(qis):
+                s = scores[:, col]
+                kk = min(k, len(sel))
+                top = (np.argpartition(-s, kk - 1)[:kk]
+                       if len(s) > kk else np.arange(len(s)))
+                out["query_idx"].extend([qi] * len(top))
+                out[id_col].extend(ids[sel][top].tolist())
+                out["score"].extend(s[top].tolist())
+        if not out["query_idx"]:
+            return empty
+        return pa.Table.from_pydict({
+            "query_idx": pa.array(out["query_idx"], pa.int32()),
+            id_col: pa.array(out[id_col]),
+            "score": pa.array(out["score"], pa.float64())})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col],
+                          ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("query_idx").map_groups(final,
+                                               batch_format="pandas"))

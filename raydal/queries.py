@@ -2277,6 +2277,27 @@ WHERE NOT (LEAST(a.x1, b.x1) >= GREATEST(a.x0, b.x0)
 """
 
 
+def q71_ann_ivf(sf_dir):
+    """IVF-Flat ANN over the embeddings table (coarse k-means quantizer
+    + inverted-list probing) — the second ANN scale path next to LSH;
+    rows-only (pytest carries the recall-vs-brute-force oracle)."""
+    from .ops.ann import ivf_topk
+    from .queries import _read as _rd  # self-import safe at module level
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    first = pa.concat_tables(
+        b for b in ds.limit(8).iter_batches(batch_format="pyarrow",
+                                            batch_size=8))
+    from .ops.ann import embeddings_matrix
+    queries = embeddings_matrix(first)
+    out = ivf_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                   queries, k=5, n_clusters=16, nprobe=4)
+    pdf = out.to_pandas()[["query_idx", "rank", "vec_id", "score"]]
+    pdf["score"] = round_half_away(pdf["score"], 6)
+    return _cast_i64(pa.Table.from_pandas(pdf, preserve_index=False),
+                     ["query_idx", "rank", "vec_id"])
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -2345,6 +2366,7 @@ QUERIES = {
     "q68_asof_shuffle": (q68_asof_shuffle, SQL_Q25),
     "q69_union_area": (q69_union_area, SQL_Q69),
     "q70_rect_distance": (q70_rect_distance, SQL_Q70),
+    "q71_ann_ivf": (q71_ann_ivf, None),
 }
 
 

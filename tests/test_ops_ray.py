@@ -415,3 +415,37 @@ class TestKnnDifferential:
                 oid, od = j._knn_one(px[i], py[i], gx[i], gy[i])
                 np.testing.assert_array_equal(vid[jj], oid)
                 np.testing.assert_allclose(vd[jj], od)
+
+
+class TestIvfAnn:
+    def test_recall_vs_bruteforce(self, ray_session):
+        import ray.data
+
+        from raydal.ops.ann import ivf_topk
+
+        rng = np.random.default_rng(9)
+        n, d = 600, 16
+        # clustered data so IVF lists are meaningful
+        centers = rng.standard_normal((8, d)) * 3
+        x = (centers[rng.integers(0, 8, n)]
+             + rng.standard_normal((n, d))).astype(np.float32)
+        tbl = pa.Table.from_pydict({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(x.tolist(),
+                                  pa.list_(pa.float32(), d))})
+        queries = x[:5]
+        got = ivf_topk(ray.data.from_arrow(tbl), queries, k=5,
+                       n_clusters=8, nprobe=3).to_pandas()
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        hit = 0
+        for qi in range(5):
+            s = xn @ qn[qi]
+            true = set(np.argsort(-s)[:5].tolist())
+            mine = set(got[got["query_idx"] == qi]["vec_id"].tolist())
+            hit += len(true & mine)
+        assert hit / 25 >= 0.8  # recall with nprobe=3/8 lists
+        # each query's own vector must be its rank-1 hit
+        for qi in range(5):
+            top = got[(got["query_idx"] == qi) & (got["rank"] == 1)]
+            assert top.iloc[0]["vec_id"] == qi
