@@ -2281,14 +2281,12 @@ def q71_ann_ivf(sf_dir):
     """IVF-Flat ANN over the embeddings table (coarse k-means quantizer
     + inverted-list probing) — the second ANN scale path next to LSH;
     rows-only (pytest carries the recall-vs-brute-force oracle)."""
-    from .ops.ann import ivf_topk
-    from .queries import _read as _rd  # self-import safe at module level
+    from .ops.ann import embeddings_matrix, ivf_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     first = pa.concat_tables(
         b for b in ds.limit(8).iter_batches(batch_format="pyarrow",
                                             batch_size=8))
-    from .ops.ann import embeddings_matrix
     queries = embeddings_matrix(first)
     out = ivf_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
                    queries, k=5, n_clusters=16, nprobe=4)
