@@ -84,6 +84,29 @@ def _unfilter(raw, h, w, ch):
     return out.astype(np.uint8).reshape(h, w, ch)
 
 
+
+
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _deinterlace_adam7(raw, h, w, ch):
+    """Adam7 interlaced PNG: seven filtered sub-images, re-assembled."""
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw == 0 or ph == 0:
+            continue
+        stride = pw * ch
+        nbytes = ph * (1 + stride)
+        sub = _unfilter(raw[off:off + nbytes], ph, pw, ch)
+        off += nbytes
+        out[y0::dy, x0::dx, :] = sub
+    return out
+
+
 def decode_png(buf):
     """PNG bytes → uint8 array (H, W) for gray, else (H, W, C)."""
     buf = bytes(buf)
@@ -92,6 +115,7 @@ def decode_png(buf):
     off = 8
     w = h = ctype = None
     idat = []
+    palette = None
     while off < len(buf):
         (length,) = struct.unpack_from(">I", buf, off)
         tag = buf[off + 4:off + 8]
@@ -100,15 +124,24 @@ def decode_png(buf):
         if tag == b"IHDR":
             w, h, depth, ctype, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", payload)
-            if depth != 8 or inter != 0:
-                raise ValueError("only 8-bit non-interlaced PNG supported")
-            if ctype not in _CHANNELS:
+            if depth != 8 or inter not in (0, 1):
+                raise ValueError("only 8-bit PNG supported")
+            if ctype != 3 and ctype not in _CHANNELS:
                 raise ValueError(f"unsupported color type {ctype}")
+        elif tag == b"PLTE":
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(payload)
         elif tag == b"IEND":
             break
-    ch = _CHANNELS[ctype]
+    ch = 1 if ctype == 3 else _CHANNELS[ctype]
     raw = zlib.decompress(b"".join(idat))
-    arr = _unfilter(raw, h, w, ch)
+    if inter == 1:
+        arr = _deinterlace_adam7(raw, h, w, ch)
+    else:
+        arr = _unfilter(raw, h, w, ch)
+    if ctype == 3:
+        # paletted: band value IS the palette index (the reference's
+        # PNG driver exposes indices + a color table; frmts/png)
+        return arr[:, :, 0].copy()
     return arr[:, :, 0] if ch == 1 else arr

@@ -301,3 +301,38 @@ def test_color_relief_published_checksums(n43):
     rgb = color_relief_gdal(n43.bands[0], entries)
     assert [checksum(rgb[:, :, c]) for c in range(3)] == \
         [55066, 37594, 47768]
+
+
+# ---- PNG vs autotest/gdrivers/png.py + cross-format validation ----
+
+def test_png_paletted_published_checksum():
+    """Paletted PNG read: band 1 = palette indices, published checksum
+    57921 (autotest/gdrivers/png.py:34-41, test.png)."""
+    from raydal.io.png import decode_png
+    with open("/root/reference/autotest/gdrivers/data/png/test.png",
+              "rb") as f:
+        img = decode_png(f.read())
+    assert img.ndim == 2
+    assert checksum(img) == 57921
+
+
+def test_png_roundtrip_byte_checksum():
+    """byte.tif pixels → PNG encode → decode keeps checksum 4672 (the
+    png.py:207 lossless-copy expectation)."""
+    from raydal.io.png import decode_png, encode_png
+    ref = _tiff(GCORE + "byte.tif")
+    assert checksum(decode_png(encode_png(ref.bands[0]))) == 4672
+
+
+def test_png_adam7_matches_tiff_copy():
+    """Interlaced (Adam7) RGBA PNG decodes pixel-identical to the
+    reference's independent TIFF copy of the same image — two separate
+    decode paths (PNG deinterlace vs TIFF strips) cross-validate."""
+    from raydal.io.png import decode_png
+    png = decode_png(open(GCORE + "stefan_full_rgba.png", "rb").read())
+    tif = _tiff(GCORE + "stefan_full_rgba.tif")
+    assert png.shape == (150, 162, 4)
+    for c in range(4):
+        np.testing.assert_array_equal(png[:, :, c], tif.bands[c])
+    assert [checksum(png[:, :, c]) for c in range(4)] == \
+        [12603, 58561, 36064, 10807]
