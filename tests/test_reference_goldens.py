@@ -336,3 +336,30 @@ def test_png_adam7_matches_tiff_copy():
         np.testing.assert_array_equal(png[:, :, c], tif.bands[c])
     assert [checksum(png[:, :, c]) for c in range(4)] == \
         [12603, 58561, 36064, 10807]
+
+
+# ---- Contour vs autotest/alg/contour.py published envelopes ----
+
+def test_contour_published_envelopes():
+    """The reference's test_contour_1 fixture (160x160 stepped squares,
+    interval 10): contour envelopes at levels 10 and 20 must match the
+    published expected_envelopes within precision/2 (contour.py:99-123).
+    """
+    from raydal.ops.contour import chain_segments, contour_segments
+    size = 160
+    precision = 1.0 / size
+    a = np.full((size, size), 1.0)
+    a[40:120, 40:120] = 10.0
+    a[60:100, 60:100] = 20.0
+    a[70:90, 70:90] = 25.0
+    expected = {10: [1.25, 1.75, 49.25, 49.75],
+                20: [1.375, 1.625, 49.375, 49.625]}
+    tol = precision / 2 * 1.001
+    for lvl, env_exp in expected.items():
+        rings = chain_segments(contour_segments(a, lvl))
+        pts = np.concatenate([np.asarray(r) for r in rings])
+        wx = 1 + (pts[:, 0] + 0.5) * precision
+        wy = 50 - (pts[:, 1] + 0.5) * precision
+        env = [wx.min(), wx.max(), wy.min(), wy.max()]
+        for j in range(4):
+            assert abs(env[j] - env_exp[j]) <= tol
