@@ -63,10 +63,12 @@ def fill_polygon_even_odd(rings_px, w, h, out=None, value=1.0,
                                                                - y1[hit])
         xi.sort()
         for k in range(0, len(xi) - 1, 2):
-            # half-open [x0, x1): centers on the left boundary fill, on
-            # the right boundary don't (shared edges burn exactly once)
-            c0 = int(np.ceil(xi[k] - 0.5))
-            c1 = int(np.ceil(xi[k + 1] - 0.5)) - 1
+            # GDAL polyInts convention (llrasterize.cpp:137):
+            # intersections round via floor(x + 0.5); fill [x0, x1-1].
+            # (floor(x+0.5) == ceil(x-0.5) except at exact half-integer
+            # crossings, where GDAL takes the higher column.)
+            c0 = int(np.floor(xi[k] + 0.5))
+            c1 = int(np.floor(xi[k + 1] + 0.5)) - 1
             if c1 < c0:
                 continue
             c0 = max(c0, 0)

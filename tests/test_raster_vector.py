@@ -26,10 +26,13 @@ class TestScanlineFill:
     def test_triangle_pixel_centers(self):
         rings = [np.array([[0, 0], [6, 0], [0, 6], [0, 0]], float)]
         out = fill_polygon_even_odd(rings, 6, 6)
-        # pixel (c, r) burned iff center (c+.5, r+.5) inside x+y<6 ∧ x,y>0
+        # GDAL polyInts convention (floor(x+0.5)): a center exactly ON
+        # the right boundary at a half-integer crossing IS filled —
+        # inside means (c+.5)+(r+.5) <= 6 here (validated against the
+        # published rasterize checksums 6452/16265/121)
         for r in range(6):
             for c in range(6):
-                inside = (c + 0.5) + (r + 0.5) < 6
+                inside = (c + 0.5) + (r + 0.5) <= 6
                 assert out[r, c] == (1.0 if inside else 0.0), (r, c)
 
     def test_hole_even_odd(self):

@@ -363,3 +363,55 @@ def test_contour_published_envelopes():
         env = [wx.min(), wx.max(), wy.min(), wy.max()]
         for j in range(4):
             assert abs(env[j] - env_exp[j]) <= tol
+
+
+def test_rasterize_all_touched_published_checksum():
+    """autotest/alg/rasterize.py test_rasterize_2: 12x12 raster, three
+    cutline.csv polygons, ALL_TOUCHED=TRUE, burn 220 → checksum 121."""
+    from raydal.ops.rasterize import (burn_line_all_touched,
+                                      fill_polygon_even_odd)
+    polys = [
+        [(6.25, 1.25), (7.25, 1.25), (7.25, 2.25), (6.25, 2.25),
+         (6.25, 1.25)],
+        [(4.25, 4.25), (6.25, 4.25), (6.25, 6.25), (4.25, 6.25),
+         (4.25, 4.25)],
+        [(1.001, 1.001), (3.999, 3.999), (3.2, 1.6), (1.001, 1.001)],
+    ]
+    out = np.zeros((12, 12))
+    for p in polys:
+        px = [(x, 12 - y) for x, y in p]
+        fill_polygon_even_odd([px], 12, 12, out=out, value=220)
+        burn_line_all_touched(out, px, value=220)
+    assert checksum(copy_words_cast(out, np.uint8)) == 121
+
+
+def test_rasterize_attribute_published_checksum():
+    """autotest/alg/rasterize.py test_rasterize_4: per-feature attribute
+    burn over slanted polygons (one with a hole) + two linestrings →
+    checksum 16265.  Exercises the floor(x+0.5) scanline rounding at
+    non-integer intersections."""
+    from raydal.ops.rasterize import (burn_line_bresenham,
+                                      fill_polygon_even_odd)
+
+    def to_px(coords):
+        return [(x - 1000.0, 1100.0 - y) for x, y in coords]
+
+    out = np.zeros((100, 100))
+    polys = [
+        ([(1020, 1030), (1020, 1045), (1050, 1045), (1050, 1030),
+          (1020, 1030)], None, 50),
+        ([(1010, 1046), (1015, 1055), (1055, 1060), (1054, 1048),
+          (1010, 1046)], None, 255),
+        ([(1020, 1076), (1025, 1085), (1065, 1090), (1064, 1078),
+          (1020, 1076)],
+         [(1023, 1079), (1061, 1081), (1062, 1087), (1028, 1082),
+          (1023, 1079)], 60),
+    ]
+    lines = [([(1005, 1000), (1100, 1050)], 100),
+             ([(1000, 1000), (1095, 1050), (1080, 1080)], 180)]
+    for outer, hole, v in polys:
+        rings = [to_px(outer)] + ([to_px(hole)] if hole else [])
+        fill_polygon_even_odd(rings, 100, 100, out=out, value=v)
+    for coords, v in lines:
+        burn_line_bresenham(out, to_px(coords), value=v)
+    assert checksum(copy_words_cast(out, np.uint8)) == 16265
