@@ -371,3 +371,82 @@ def hillshade_gdal_combined(z, gt, z_factor=1.0, xscale=1.0, yscale=1.0,
     out = np.zeros(z.shape, dtype=np.uint8)
     out[1:-1, 1:-1] = copy_words_cast(val, np.uint8)
     return out
+
+
+def _dem_border(interior, shape, nodata):
+    out = np.full(shape, nodata, dtype=np.float32)
+    out[1:-1, 1:-1] = interior.astype(np.float32)
+    return out
+
+
+def slope_gdal(z, gt, xscale=1.0, yscale=1.0, alg="horn", degrees=True,
+               nodata=-9999.0):
+    """gdaldem slope parity (GDALSlope{Horn,ZevenbergenThorne}Alg):
+    float32 output, −9999 borders; validated against the published
+    ZT checksum 64393 (test_gdaldem_lib.py:791-808)."""
+    z = np.asarray(z, dtype=np.float64)
+    x, y, _, w = _gradient_gdal(z, gt, xscale, yscale, 1.0, alg)
+    div = 2.0 if alg == "zevenbergen_thorne" else 8.0
+    key = np.sqrt(x * x + y * y) / div
+    val = np.degrees(np.arctan(key)) if degrees else 100.0 * key
+    return _dem_border(val, z.shape, nodata)
+
+
+def aspect_gdal(z, alg="horn", azimuth=True, nodata=-9999.0):
+    """gdaldem aspect parity (GDALAspectAlg): azimuth convention, flat
+    cells → nodata; validated against the published ZT checksum 50539
+    (test_gdaldem_lib.py:815-830).  Note aspect ignores resolution."""
+    z = np.asarray(z, dtype=np.float64)
+    h_, w_ = z.shape
+    w = [z[dy:h_ - 2 + dy, dx:w_ - 2 + dx]
+         for dy in range(3) for dx in range(3)]
+    if alg == "zevenbergen_thorne":
+        dx = w[5] - w[3]
+        dy = w[7] - w[1]
+    else:
+        dx = (w[2] + 2 * w[5] + w[8]) - (w[0] + 2 * w[3] + w[6])
+        dy = (w[6] + 2 * w[7] + w[8]) - (w[0] + 2 * w[1] + w[2])
+    asp = np.degrees(np.arctan2(dy, -dx)).astype(np.float32)
+    if azimuth:
+        asp = np.where(asp > 90.0, 450.0 - asp, 90.0 - asp)
+    else:
+        asp = np.where(asp < 0, asp + 360.0, asp)
+    asp = np.where(asp == 360.0, 0.0, asp)
+    asp = np.where((dx == 0) & (dy == 0), nodata, asp)
+    return _dem_border(asp, z.shape, nodata)
+
+
+def tpi_gdal(z, nodata=-9999.0):
+    """gdaldem tpi parity (GDALTPIAlg): center − mean of 8 neighbors;
+    published checksum 60504 on n43.tif."""
+    z = np.asarray(z, dtype=np.float64)
+    h_, w_ = z.shape
+    w = [z[dy:h_ - 2 + dy, dx:w_ - 2 + dx]
+         for dy in range(3) for dx in range(3)]
+    neigh = sum(w[i] for i in range(9) if i != 4)
+    return _dem_border(w[4] - neigh * np.float32(0.125), z.shape, nodata)
+
+
+def tri_gdal(z, alg="riley", nodata=-9999.0):
+    """gdaldem tri parity: Riley sqrt-of-squared-diffs (default;
+    checksum 41233) or Wilson mean |diff| (checksum 61143)."""
+    z = np.asarray(z, dtype=np.float64)
+    h_, w_ = z.shape
+    w = [z[dy:h_ - 2 + dy, dx:w_ - 2 + dx]
+         for dy in range(3) for dx in range(3)]
+    c = w[4]
+    if alg == "wilson":
+        val = sum(np.abs(w[i] - c) for i in range(9) if i != 4) \
+            * np.float32(0.125)
+    else:
+        val = np.sqrt(sum((w[i] - c) ** 2 for i in range(9) if i != 4))
+    return _dem_border(val, z.shape, nodata)
+
+
+def roughness_gdal(z, nodata=-9999.0):
+    """gdaldem roughness parity: 3×3 window max − min (checksum 38624)."""
+    z = np.asarray(z, dtype=np.float64)
+    h_, w_ = z.shape
+    w = np.stack([z[dy:h_ - 2 + dy, dx:w_ - 2 + dx]
+                  for dy in range(3) for dx in range(3)])
+    return _dem_border(w.max(axis=0) - w.min(axis=0), z.shape, nodata)

@@ -415,3 +415,19 @@ def test_rasterize_attribute_published_checksum():
     for coords, v in lines:
         burn_line_bresenham(out, to_px(coords), value=v)
     assert checksum(copy_words_cast(out, np.uint8)) == 16265
+
+
+def test_dem_scalar_published_checksums(n43):
+    """gdaldem tpi/tri(Riley,Wilson)/roughness/slope-ZT/aspect-ZT on
+    n43.tif all match the published checksums
+    (test_gdaldem_lib.py: 60504/41233/61143/38624/64393/50539)."""
+    from raydal.ops.raster_math import (aspect_gdal, roughness_gdal,
+                                        slope_gdal, tpi_gdal, tri_gdal)
+    z, gt = n43.bands[0], n43.geotransform
+    assert checksum(tpi_gdal(z)) == 60504
+    assert checksum(tri_gdal(z, "riley")) == 41233
+    assert checksum(tri_gdal(z, "wilson")) == 61143
+    assert checksum(roughness_gdal(z)) == 38624
+    assert checksum(slope_gdal(z, gt, xscale=111120, yscale=111120,
+                               alg="zevenbergen_thorne")) == 64393
+    assert checksum(aspect_gdal(z, alg="zevenbergen_thorne")) == 50539
