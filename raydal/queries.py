@@ -1529,18 +1529,21 @@ def q54_hillshade(sf_dir):
 
     from .io.codecs import decode
     from .kernels.checksum import checksum
-    from .ops.raster_math import hillshade, slope
+    from .ops.raster_math import hillshade_gdal, slope_gdal
     from .pipelines import ensure_images_parquet
 
     path = ensure_images_parquet(sf_dir)
+    unit_gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
 
     def dem(t: pa.Table) -> pa.Table:
         ids, hs_cks, max_slope = [], [], []
         for i in range(t.num_rows):
             px = decode(t["bytes"][i].as_py())
             band = (px[:, :, 0] if px.ndim == 3 else px).astype(np.float64)
-            hs = hillshade(band, 1.0, 1.0)
-            sl = slope(band, 1.0, 1.0)
+            # the published-checksum-validated gdaldem kernels
+            hs = hillshade_gdal(band, unit_gt)
+            sl = slope_gdal(band, unit_gt)
+            sl = sl[1:-1, 1:-1]  # border is nodata by gdaldem convention
             ids.append(t["image_id"][i].as_py())
             hs_cks.append(checksum(hs))
             max_slope.append(round(float(sl.max()), 4))
