@@ -450,3 +450,70 @@ def roughness_gdal(z, nodata=-9999.0):
     w = np.stack([z[dy:h_ - 2 + dy, dx:w_ - 2 + dx]
                   for dy in range(3) for dx in range(3)])
     return _dem_border(w.max(axis=0) - w.min(axis=0), z.shape, nodata)
+
+
+def _windows_compute_edges(z):
+    """The 9 gdaldem 3×3 window arrays WITH -compute_edges semantics
+    (GDALGeneric3x3Processing, apps/gdaldem_lib.cpp:451-500 + :599-621):
+    top/bottom rows extrapolate vertically (2a−b) with CLAMPED columns;
+    left/right columns of interior rows extrapolate horizontally."""
+    z = np.asarray(z, dtype=np.float64)
+    p = np.pad(z, 1, mode="edge")
+    h_, w_ = p.shape
+    W = [p[dy:h_ - 2 + dy, dx:w_ - 2 + dx].copy()
+         for dy in range(3) for dx in range(3)]
+    for k in range(3):          # top row: vertical extrapolation
+        W[k][0, :] = 2 * W[k + 3][0, :] - W[k + 6][0, :]
+    for k in range(6, 9):       # bottom row
+        W[k][-1, :] = 2 * W[k - 3][-1, :] - W[k - 6][-1, :]
+    for k in (0, 3, 6):         # left column, interior rows only
+        W[k][1:-1, 0] = 2 * W[k + 1][1:-1, 0] - W[k + 2][1:-1, 0]
+    for k in (2, 5, 8):         # right column
+        W[k][1:-1, -1] = 2 * W[k - 1][1:-1, -1] - W[k - 2][1:-1, -1]
+    return W
+
+
+def hillshade_multidirectional(z, gt, z_factor=1.0, xscale=1.0,
+                               yscale=1.0, altitude=45.0,
+                               compute_edges=True):
+    """gdaldem hillshade -multidirectional (USGS OF 92-422 weighting of
+    azimuths 225/270/315/360; GDALHillshadeMultiDirectionalAlg).
+    Validated against the published n43.tif checksum 51784
+    (test_gdaldem_lib.py:440-456, computeEdges=True)."""
+    z = np.asarray(z, dtype=np.float64)
+    if compute_edges:
+        W = _windows_compute_edges(z)
+    else:
+        p = np.pad(z, 1, mode="edge")
+        h_, w_ = p.shape
+        W = [p[dy:h_ - 2 + dy, dx:w_ - 2 + dx]
+             for dy in range(3) for dx in range(3)]
+    x = ((W[0] + 2 * W[3] + W[6]) - (W[2] + 2 * W[5] + W[8])) \
+        / (gt[1] * xscale)
+    y = ((W[6] + 2 * W[7] + W[8]) - (W[0] + 2 * W[1] + W[2])) \
+        / (gt[5] * yscale)
+    zf = z_factor / 8.0
+    alt = np.radians(altitude)
+    cos_alt_mul_z = np.cos(alt) * zf
+    s127 = 127.0 * np.sin(alt)
+    c225_127 = 127.0 * np.cos(np.radians(225.0)) * cos_alt_mul_z
+    c127 = 127.0 * cos_alt_mul_z
+    xx = x * x
+    yy = y * y
+    xy = xx + yy
+    v225 = np.maximum(s127 + (x - y) * c225_127, 0.0)
+    v270 = np.maximum(s127 - x * c127, 0.0)
+    v315 = np.maximum(s127 + (x + y) * c225_127, 0.0)
+    v360 = np.maximum(s127 - y * c127, 0.0)
+    w225 = 0.5 * xy - x * y
+    w315 = xy - w225
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cang127 = ((w225 * v225 + xx * v270 + w315 * v315 + yy * v360)
+                   / xy) / np.sqrt(1.0 + zf * zf * xy)
+    val = np.where(xy == 0.0, 1.0 + 2.0 * s127,
+                   1.0 + cang127).astype(np.float32)
+    out = copy_words_cast(val, np.uint8)
+    if not compute_edges:
+        out[0, :] = out[-1, :] = 0
+        out[:, 0] = out[:, -1] = 0
+    return out

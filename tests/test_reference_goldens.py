@@ -431,3 +431,14 @@ def test_dem_scalar_published_checksums(n43):
     assert checksum(slope_gdal(z, gt, xscale=111120, yscale=111120,
                                alg="zevenbergen_thorne")) == 64393
     assert checksum(aspect_gdal(z, alg="zevenbergen_thorne")) == 50539
+
+
+def test_hillshade_multidirectional_published_checksum(n43):
+    """gdaldem hillshade -multidirectional -compute_edges -z 30
+    -s 111120 → published checksum 51784 (test_gdaldem_lib.py:440-456);
+    exercises the exact compute_edges window extrapolation rules."""
+    from raydal.ops.raster_math import hillshade_multidirectional
+    hs = hillshade_multidirectional(n43.bands[0], n43.geotransform,
+                                    z_factor=30, xscale=111120,
+                                    yscale=111120)
+    assert checksum(hs) == 51784
