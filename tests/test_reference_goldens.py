@@ -442,3 +442,36 @@ def test_hillshade_multidirectional_published_checksum(n43):
                                     z_factor=30, xscale=111120,
                                     yscale=111120)
     assert checksum(hs) == 51784
+
+
+# ---- Shapefile reader vs autotest/ogr/ogr_shape.py expectations ----
+
+def test_shapefile_poly_published_expectations():
+    """poly.shp: 10 features; eas_id < 170 in file order yields the
+    published [168, 169, 166, 158, 165] (ogr_shape.py:99-102); the
+    distinct set matches :159-162; the DBF AREA attribute agrees with
+    the shoelace area of every decoded geometry."""
+    from raydal.geo.wkb import polygon_area, polygons_from_wkb
+    from raydal.io.shapefile import read_shapefile
+    t = read_shapefile("/root/reference/autotest/ogr/data/poly.shp")
+    assert t.num_rows == 10
+    eas = list(np.asarray(t["EAS_ID"]))
+    assert [v for v in eas if v < 170] == [168, 169, 166, 158, 165]
+    assert sorted(set(eas), reverse=True) == \
+        [179, 173, 172, 171, 170, 169, 168, 166, 165, 158]
+    areas = np.asarray(t["AREA"])
+    for i in range(t.num_rows):
+        polys = polygons_from_wkb(t["wkb"][i].as_py())
+        a = sum(polygon_area(p) for p in polys)
+        # one fixture row stores a negative AREA; compare magnitudes
+        assert a == pytest.approx(abs(float(areas[i])), rel=1e-6)
+
+
+def test_shapefile_other_fixtures_parse():
+    from raydal.io.shapefile import read_shapefile
+    t = read_shapefile(
+        "/root/reference/autotest/ogr/data/shp/testpoly.shp")
+    assert t.num_rows == 14
+    t2 = read_shapefile(
+        "/root/reference/autotest/ogr/data/shp/CoHI_GCS12.shp")
+    assert t2.num_rows == 4 and "atlas_name" in t2.column_names
