@@ -162,6 +162,10 @@ def erase_polygon_convex(rings, clip_ring):
     clip = np.asarray(clip_ring, dtype=np.float64)
     if ring_area(clip) < 0:
         clip = clip[::-1]
+    # drop zero-length edges: their half-plane degenerates to (0,0,0)
+    # which would keep the ENTIRE subject as a spurious wedge
+    keep = np.any(clip[:-1] != clip[1:], axis=1)
+    clip = np.vstack([clip[:-1][keep], clip[:1]])
     pieces = []
     for i in range(len(clip) - 1):
         a, b, c = _half_plane_of_edge(*clip[i], *clip[i + 1])
@@ -197,6 +201,11 @@ def union_convex(rings_a, rings_b):
     if not is_convex(a_outer):
         raise NotImplementedError("union_convex needs a convex first "
                                   "operand")
+    if len(rings_a) > 1:
+        # B inside one of A's holes would vanish from the outer-ring
+        # erase — out of scope rather than silently wrong
+        raise NotImplementedError("union_convex: first operand must "
+                                  "have no holes")
     pieces = [list(rings_a)]
     pieces.extend(erase_polygon_convex(rings_b, a_outer))
     return pieces

@@ -115,7 +115,6 @@ def decode_png(buf):
     off = 8
     w = h = ctype = None
     idat = []
-    palette = None
     while off < len(buf):
         (length,) = struct.unpack_from(">I", buf, off)
         tag = buf[off + 4:off + 8]
@@ -129,7 +128,8 @@ def decode_png(buf):
             if ctype != 3 and ctype not in _CHANNELS:
                 raise ValueError(f"unsupported color type {ctype}")
         elif tag == b"PLTE":
-            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+            pass  # palette intentionally not expanded: band = indices
+                  # (the reference PNG driver exposes a color table too)
         elif tag == b"IDAT":
             idat.append(payload)
         elif tag == b"IEND":

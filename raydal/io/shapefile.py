@@ -65,7 +65,13 @@ def _parse_shp(buf):
         off += 8
         rec_end = off + content_len * 2
         (stype,) = struct.unpack_from("<i", buf, off)
-        base = stype % 10  # Z (11,13,15,18) / M (21,23,25,28) variants
+        # explicit Z/M variant map — NOT stype % 10, which would parse
+        # e.g. MultiPatch (31) as a Point from its bbox bytes
+        _BASE = {0: 0, 1: 1, 3: 3, 5: 5, 8: 8, 11: 1, 13: 3, 15: 5,
+                 18: 8, 21: 1, 23: 3, 25: 5, 28: 8}
+        if stype not in _BASE:
+            raise NotImplementedError(f"shape type {stype}")
+        base = _BASE[stype]
         if stype == 0:
             out.append((rec_no, None))
         elif base == 1:  # Point
@@ -104,7 +110,7 @@ def _parse_shp(buf):
                         else W.multipolygon_wkb(polys))
                 out.append((rec_no, blob))
         else:
-            raise NotImplementedError(f"shape type {stype}")
+            raise NotImplementedError(f"shape type {stype}")  # unreachable
         off = rec_end
     return out
 
@@ -143,8 +149,10 @@ def _parse_dbf(buf):
                 row[name] = raw in ("Y", "y", "T", "t")
             else:
                 row[name] = raw
-        if not deleted:
-            rows.append(row)
+        # keep positional alignment with .shp records: deleted rows
+        # become all-None placeholders instead of being dropped
+        rows.append({name: None for name, *_ in fields} if deleted
+                    else row)
         off += rec_size
     return [f[0] for f in fields], rows
 

@@ -205,11 +205,15 @@ def lsh_topk(ds, queries, k=10, n_planes=8, seed=7, id_col="vec_id"):
                 top = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else \
                     np.arange(len(s))
                 out["query_idx"].extend([qi] * len(top))
-                out[id_col].extend(ids[sel][top].tolist())
+                out[id_col].append(ids[sel][top])
                 out["score"].extend(s[top].tolist())
+        id_vals = (np.concatenate(out[id_col]) if out[id_col]
+                   else np.asarray(ids[:0]))
+        # numpy-typed ids keep the source dtype so empty and non-empty
+        # blocks unify to one schema
         return pa.Table.from_pydict({
             "query_idx": pa.array(out["query_idx"], pa.int32()),
-            id_col: pa.array(out[id_col]),
+            id_col: pa.array(id_vals),
             "score": pa.array(out["score"], pa.float64())})
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
@@ -305,13 +309,13 @@ def ivf_topk(ds, queries, k=10, n_clusters=16, nprobe=4, id_col="vec_id",
                 top = (np.argpartition(-s, kk - 1)[:kk]
                        if len(s) > kk else np.arange(len(s)))
                 out["query_idx"].extend([qi] * len(top))
-                out[id_col].extend(ids[sel][top].tolist())
+                out[id_col].append(ids[sel][top])
                 out["score"].extend(s[top].tolist())
         if not out["query_idx"]:
             return empty
         return pa.Table.from_pydict({
             "query_idx": pa.array(out["query_idx"], pa.int32()),
-            id_col: pa.array(out[id_col]),
+            id_col: pa.array(np.concatenate(out[id_col])),
             "score": pa.array(out["score"], pa.float64())})
 
     def final(g: pd.DataFrame) -> pd.DataFrame:

@@ -271,8 +271,9 @@ def _raster_select(ds, bands):
             if sel.shape[2] == 1:
                 sel = sel[:, :, 0]
             elif sel.shape[2] == 2:
-                # pad to 3 channels (codecs are gray/RGB)
-                sel = np.concatenate([sel, sel[:, :, :1]], axis=2)
+                raise NotImplementedError(
+                    "raster-select: 2-band output has no codec "
+                    "representation (gray or RGB only)")
             blobs.append(encode(np.ascontiguousarray(sel),
                                 t["fmt"][i].as_py()))
         idx = t.schema.get_field_index("bytes")
