@@ -101,9 +101,19 @@ def lonlat_to_utm(lon, lat, epsg):
     eta = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
     e_acc = eta.copy()
     n_acc = xi.copy()
+    # angle-addition recurrences: cos/sin(2jξ) and cosh/sinh(2jη) build
+    # multiplicatively from the j=1 values — 4 transcendental evals
+    # total instead of 4 per series term (results differ only at the
+    # ~1e-16 relative level of float associativity)
+    c1, s1 = np.cos(2 * xi), np.sin(2 * xi)
+    ch1, sh1 = np.cosh(2 * eta), np.sinh(2 * eta)
+    cj, sj, chj, shj = c1.copy(), s1.copy(), ch1.copy(), sh1.copy()
     for j, aj in enumerate(_ALPHA, start=1):
-        e_acc += aj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
-        n_acc += aj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        if j > 1:
+            cj, sj = cj * c1 - sj * s1, sj * c1 + cj * s1
+            chj, shj = chj * ch1 + shj * sh1, shj * ch1 + chj * sh1
+        e_acc += aj * cj * shj
+        n_acc += aj * sj * chj
     return _E0 + _K0 * _A_BAR * e_acc, n0 + _K0 * _A_BAR * n_acc
 
 
@@ -114,9 +124,15 @@ def utm_to_lonlat(e, n, epsg):
     eta = (np.asarray(e, dtype=np.float64) - _E0) / (_K0 * _A_BAR)
     xi_p = xi.copy()
     eta_p = eta.copy()
+    c1, s1 = np.cos(2 * xi), np.sin(2 * xi)
+    ch1, sh1 = np.cosh(2 * eta), np.sinh(2 * eta)
+    cj, sj, chj, shj = c1.copy(), s1.copy(), ch1.copy(), sh1.copy()
     for j, bj in enumerate(_BETA, start=1):
-        xi_p -= bj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
-        eta_p -= bj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        if j > 1:
+            cj, sj = cj * c1 - sj * s1, sj * c1 + cj * s1
+            chj, shj = chj * ch1 + shj * sh1, shj * ch1 + chj * sh1
+        xi_p -= bj * sj * chj
+        eta_p -= bj * cj * shj
     chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
     phi = chi.copy()
     for j, dj in enumerate(_DELTA, start=1):
