@@ -221,6 +221,9 @@ def decode_jpeg(buf):
             _parse_huff(data, seg, end, huff)
         elif m in (0xC0, 0xC1):  # SOF0/1 baseline
             prec, h, w, nc = struct.unpack_from(">BHHB", data, seg)
+            if h == 0 or w == 0 or nc == 0 or nc > 4 or \
+                    h * w > (1 << 28):
+                raise ValueError(f"implausible JPEG frame {w}x{h}x{nc}")
             comps = []
             for c in range(nc):
                 cid, samp, tq = struct.unpack_from(
@@ -274,6 +277,10 @@ def decode_jpeg(buf):
     bpos = 0
     mcu_since_restart = 0
     for my in range(mcuy):
+        # consuming far past EOF means a truncated/corrupt stream —
+        # bail instead of decoding megabytes of synthetic 1-bits
+        if bpos > nb + 512:
+            raise ValueError("truncated JPEG entropy stream")
         for mx in range(mcux):
             if restart_interval and mcu_since_restart == restart_interval:
                 # byte-align (RST markers were stripped; segments are

@@ -64,6 +64,8 @@ def _parse_shp(buf):
         rec_no, content_len = struct.unpack_from(">ii", buf, off)
         off += 8
         rec_end = off + content_len * 2
+        if content_len <= 0 or rec_end > len(buf):
+            raise ValueError("corrupt shapefile record header")
         (stype,) = struct.unpack_from("<i", buf, off)
         # explicit Z/M variant map — NOT stype % 10, which would parse
         # e.g. MultiPatch (31) as a Point from its bbox bytes

@@ -44,6 +44,8 @@ def _read_ifd_values(buf, bo, ttype, count, value_field):
     size = _TYPE_SIZES.get(ttype)
     if size is None:
         return None
+    if count < 0 or count > (1 << 24):
+        raise ValueError("implausible IFD entry count")
     nbytes = size * count
     if nbytes <= 4:
         raw = value_field[:nbytes]
@@ -60,7 +62,10 @@ def _read_ifd_values(buf, bo, ttype, count, value_field):
     fmt = _TYPE_FMT.get(ttype)
     if fmt is None:
         return None
-    return list(struct.unpack(bo + fmt * count, raw))
+    if len(raw) < nbytes:
+        raise ValueError("truncated IFD value")
+    return np.frombuffer(raw[:nbytes],
+                         dtype=np.dtype(fmt).newbyteorder(bo)).tolist()
 
 
 def lzw_decode(data, max_out=1 << 30):
@@ -133,11 +138,11 @@ def packbits_decode(data):
     return bytes(out)
 
 
-def _decompress(chunk, compression):
+def _decompress(chunk, compression, max_out=1 << 30):
     if compression == 1:
         return chunk
     if compression == 5:
-        return lzw_decode(chunk)
+        return lzw_decode(chunk, max_out=max_out)
     if compression in (8, 32946):
         return zlib.decompress(chunk)
     if compression == 32773:
@@ -247,9 +252,15 @@ def read_tiff(buf):
             return v[0]
         return v
 
+    if scalar("width") is None or scalar("height") is None:
+        raise ValueError("missing required TIFF dimensions")
     width = int(scalar("width"))
     height = int(scalar("height"))
-    spp = int(scalar("samples_per_pixel", 1))
+    spp = int(scalar("samples_per_pixel", 1) or 1)
+    if width <= 0 or height <= 0 or spp <= 0 or \
+            width * height * spp > (1 << 28):
+        raise ValueError("implausible TIFF dimensions "
+                         f"{width}x{height}x{spp}")
     bits_list = tags.get("bits_per_sample", [1])
     bits = int(bits_list[0])
     compression = int(scalar("compression", 1))
@@ -263,10 +274,14 @@ def read_tiff(buf):
     if tiled:
         tw = int(scalar("tile_width"))
         th = int(scalar("tile_length"))
+        if tw <= 0 or th <= 0:
+            raise ValueError("corrupt tile size")
         offsets = tags["tile_offsets"]
         counts = tags.get("tile_byte_counts")
         tiles_across = (width + tw - 1) // tw
         tiles_down = (height + th - 1) // th
+        if tiles_across * tiles_down > (1 << 20):
+            raise ValueError("implausible tile count")
     else:
         rps = int(scalar("rows_per_strip", height) or height)
         rps = min(rps, height)
@@ -282,13 +297,19 @@ def read_tiff(buf):
     else:
         out = np.zeros((height, width, spp), dtype=dt.newbyteorder("="))
 
+    if tiled:
+        chunk_px = tw * th
+    else:
+        chunk_px = rps * width
+    max_chunk = chunk_px * spp * (bits // 8 if bits >= 8 else 1) + 4096
+
     def chunk_bytes(idx):
         off = int(offsets[idx])
         cnt = int(counts[idx]) if counts else None
         if off == 0 or cnt == 0:
             return None  # sparse/empty chunk: pixels stay zero-filled
         raw = buf[off:off + cnt] if cnt else buf[off:]
-        return _decompress(raw, compression)
+        return _decompress(raw, compression, max_out=max_chunk)
 
     if tiled:
         per_plane = tiles_across * tiles_down
