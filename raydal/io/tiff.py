@@ -24,7 +24,8 @@ import zlib
 
 import numpy as np
 
-__all__ = ["TiffImage", "read_tiff", "write_tiff"]
+__all__ = ["TiffImage", "read_tiff", "read_tiff_overviews",
+           "write_tiff"]
 
 _TAG_NAMES = {
     256: "width", 257: "height", 258: "bits_per_sample", 259: "compression",
@@ -218,8 +219,15 @@ def _unpack_bits1(raw, rows, cols):
     return bits
 
 
-def read_tiff(buf):
-    """Parse a classic-TIFF byte buffer → :class:`TiffImage` (first IFD)."""
+def read_tiff(buf, ifd_index=0):
+    """Parse a classic-TIFF byte buffer → :class:`TiffImage`.
+
+    ``ifd_index`` selects the IFD: 0 = full-resolution image, 1+ = the
+    COG/overview chain (the GTiff driver's ``GetOverview(i)`` is IFD
+    i+1; validated against the published byte_with_ovr.tif overview
+    checksums 1087/328, ``autotest/gcore/libertiff.py:125-131``).
+    :func:`read_tiff_overviews` lists every level.
+    """
     buf = bytes(buf)
     if buf[:2] == b"II":
         bo = "<"
@@ -233,6 +241,12 @@ def read_tiff(buf):
     if magic != 42:
         raise ValueError("not a TIFF (bad magic)")
     (ifd_off,) = struct.unpack_from(bo + "I", buf, 4)
+    for _ in range(ifd_index):
+        (n_here,) = struct.unpack_from(bo + "H", buf, ifd_off)
+        (ifd_off,) = struct.unpack_from(bo + "I",
+                                        buf, ifd_off + 2 + 12 * n_here)
+        if ifd_off == 0:
+            raise ValueError(f"no IFD {ifd_index} in file")
     (n_entries,) = struct.unpack_from(bo + "H", buf, ifd_off)
     tags = {}
     for i in range(n_entries):
@@ -453,3 +467,21 @@ def write_tiff(bands, geotransform=None, compression="none"):
             out[pos:pos + 4] = struct.pack("<I", strip_off)
     out += payload
     return bytes(out)
+
+
+def read_tiff_overviews(buf):
+    """All IFDs of a (COG-style) TIFF → list of :class:`TiffImage`
+    (index 0 = full resolution, then the overview pyramid)."""
+    out = []
+    i = 0
+    while True:
+        try:
+            out.append(read_tiff(buf, ifd_index=i))
+        except ValueError:
+            break
+        i += 1
+        if i > 64:
+            break
+    if not out:
+        raise ValueError("no readable IFDs")
+    return out

@@ -475,3 +475,15 @@ def test_shapefile_other_fixtures_parse():
     t2 = read_shapefile(
         "/root/reference/autotest/ogr/data/shp/CoHI_GCS12.shp")
     assert t2.num_rows == 4 and "atlas_name" in t2.column_names
+
+
+def test_tiff_overview_chain_published_checksums():
+    """Multi-IFD (COG-style) TIFF: byte_with_ovr.tif's base + two
+    overview levels match the published checksums 4672/1087/328
+    (autotest/gcore/libertiff.py:125-131)."""
+    from raydal.io.tiff import read_tiff_overviews
+    with open(GCORE + "byte_with_ovr.tif", "rb") as f:
+        imgs = read_tiff_overviews(f.read())
+    assert [(im.width, im.height) for im in imgs] == \
+        [(20, 20), (10, 10), (5, 5)]
+    assert [checksum(im.bands[0]) for im in imgs] == [4672, 1087, 328]
