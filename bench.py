@@ -122,9 +122,11 @@ def main_scaling():
             raise SystemExit(1)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    # 4→16 is the unsaturated N→4N pair (both levels leave at least half
-    # of the 32-core box idle, like real multi-node scaling would); 8→32
-    # is reported too but is depressed by single-box core saturation.
+    # headline = 8→16 (both levels unsaturated, flat per-cpu throughput
+    # — the cleanest single-box proxy for adding nodes).  4→16 is also
+    # reported but is superlinear for a structural reason (the pool
+    # headroom formula runs only 2-of-4 cpus at the 4-cpu level) and is
+    # NOT claimed as evidence; 8→32 is depressed by box saturation.
     for ncpu in (4, 16, 8, 32, 4, 16, 8, 32):
         r = run(ncpu)
         if ncpu not in best or r["images_per_sec"] > best[ncpu]["images_per_sec"]:
@@ -134,11 +136,13 @@ def main_scaling():
     thr8 = best[8]["images_per_sec"]
     thr32 = best[32]["images_per_sec"]
     eff_4_16 = (thr16 / thr4) / (16 / 4)
+    eff_8_16 = (thr16 / thr8) / (16 / 8)
     eff_8_32 = (thr32 / thr8) / (32 / 8)
     print(json.dumps({
         "metric": "scaling_efficiency",
-        "value": round(eff_4_16, 3),   # unsaturated N→4N pair
+        "value": round(eff_8_16, 3),   # unsaturated N→2N pair
         "unit": "ratio",
+        "eff_8_to_16": round(eff_8_16, 3),
         "eff_4_to_16": round(eff_4_16, 3),
         "eff_8_to_32": round(eff_8_32, 3),
         "images_per_sec_4": thr4,

@@ -228,8 +228,11 @@ def decode_jpeg(buf):
             for c in range(nc):
                 cid, samp, tq = struct.unpack_from(
                     ">BBB", data, seg + 6 + 3 * c)
-                comps.append({"id": cid, "h": samp >> 4, "v": samp & 15,
-                              "tq": tq})
+                ch, cv = samp >> 4, samp & 15
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(
+                        f"invalid sampling factors {ch}x{cv}")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
         elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):

@@ -145,7 +145,8 @@ def _decompress(chunk, compression, max_out=1 << 30):
     if compression == 5:
         return lzw_decode(chunk, max_out=max_out)
     if compression in (8, 32946):
-        return zlib.decompress(chunk)
+        # bounded: protects against deflate bombs in corrupt chunks
+        return zlib.decompressobj().decompress(chunk, max_out)
     if compression == 32773:
         return packbits_decode(chunk)
     raise NotImplementedError(f"TIFF compression {compression} not supported")
@@ -271,8 +272,7 @@ def read_tiff(buf, ifd_index=0):
     width = int(scalar("width"))
     height = int(scalar("height"))
     spp = int(scalar("samples_per_pixel", 1) or 1)
-    if width <= 0 or height <= 0 or spp <= 0 or \
-            width * height * spp > (1 << 28):
+    if width <= 0 or height <= 0 or spp <= 0:
         raise ValueError("implausible TIFF dimensions "
                          f"{width}x{height}x{spp}")
     bits_list = tags.get("bits_per_sample", [1])
@@ -283,9 +283,15 @@ def read_tiff(buf, ifd_index=0):
     sfmt_list = tags.get("sample_format", [1])
     sfmt = int(sfmt_list[0])
     dt = _dtype(sfmt, bits, bo)
+    itemsize = dt.itemsize if dt is not None else 1
+    if width * height * spp * itemsize > (4 << 30):
+        raise ValueError("TIFF exceeds the 4 GiB decode budget "
+                         f"({width}x{height}x{spp}x{itemsize}B)")
 
     tiled = "tile_offsets" in tags
     if tiled:
+        if scalar("tile_width") is None or scalar("tile_length") is None:
+            raise ValueError("tiled TIFF missing tile dimensions")
         tw = int(scalar("tile_width"))
         th = int(scalar("tile_length"))
         if tw <= 0 or th <= 0:
@@ -471,17 +477,19 @@ def write_tiff(bands, geotransform=None, compression="none"):
 
 def read_tiff_overviews(buf):
     """All IFDs of a (COG-style) TIFF → list of :class:`TiffImage`
-    (index 0 = full resolution, then the overview pyramid)."""
-    out = []
-    i = 0
-    while True:
+    (index 0 = full resolution, then the overview pyramid).  A corrupt
+    overview level truncates the returned list; a corrupt BASE image
+    raises (level 0 errors are never swallowed)."""
+    try:
+        out = [read_tiff(buf, ifd_index=0)]
+    except struct.error as e:
+        raise ValueError(f"corrupt TIFF: {e}") from e
+    i = 1
+    while i <= 64:
         try:
             out.append(read_tiff(buf, ifd_index=i))
-        except ValueError:
+        except (ValueError, NotImplementedError, KeyError, struct.error,
+                zlib.error, IndexError):
             break
         i += 1
-        if i > 64:
-            break
-    if not out:
-        raise ValueError("no readable IFDs")
     return out
