@@ -20,7 +20,9 @@ from typing import Any, Callable
 
 __all__ = ["Step", "STEP_REGISTRY", "register_step", "run_pipeline",
            "pipeline_to_json", "pipeline_from_json", "save_pipeline",
-           "load_pipeline"]
+           "load_pipeline", "SOURCE_REGISTRY", "SINK_REGISTRY",
+           "register_source", "register_sink", "open_source",
+           "write_sink"]
 
 
 @dataclass
@@ -280,3 +282,76 @@ def _raster_select(ds, bands):
         return t.set_column(idx, "bytes", pa.array(blobs, pa.binary()))
 
     return ds.map_batches(select, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# datasource / datasink plug-in registry (the driver-registration
+# analogue of GDALDriverManager::RegisterDriver, gcore/gdaldrivermanager)
+
+SOURCE_REGISTRY: dict[str, Callable] = {}
+SINK_REGISTRY: dict[str, Callable] = {}
+
+
+def register_source(name):
+    def deco(fn):
+        SOURCE_REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def register_sink(name):
+    def deco(fn):
+        SINK_REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def open_source(name, *args, **kwargs):
+    """Instantiate a registered datasource → ``ray.data.Dataset``."""
+    if name not in SOURCE_REGISTRY:
+        raise KeyError(f"unknown source {name!r}; registered: "
+                       f"{sorted(SOURCE_REGISTRY)}")
+    return SOURCE_REGISTRY[name](*args, **kwargs)
+
+
+def write_sink(name, ds, *args, **kwargs):
+    """Send a Dataset to a registered datasink."""
+    if name not in SINK_REGISTRY:
+        raise KeyError(f"unknown sink {name!r}; registered: "
+                       f"{sorted(SINK_REGISTRY)}")
+    return SINK_REGISTRY[name](ds, *args, **kwargs)
+
+
+@register_source("parquet")
+def _src_parquet(path, **kwargs):
+    import ray.data
+
+    return ray.data.read_parquet(path, **kwargs)
+
+
+@register_source("images")
+def _src_images(sf_dir, **kwargs):
+    import ray.data
+
+    from .pipelines import ensure_images_parquet
+
+    return ray.data.read_parquet(ensure_images_parquet(sf_dir), **kwargs)
+
+
+@register_source("shapefile")
+def _src_shapefile(path, **kwargs):
+    from .io.shapefile import read_shapefile_dataset
+
+    return read_shapefile_dataset(path, **kwargs)
+
+
+@register_sink("parquet")
+def _sink_parquet(ds, path, **kwargs):
+    return ds.write_parquet(path, **kwargs)
+
+
+@register_sink("checkpointed-parquet")
+def _sink_ckpt(ds, out_dir, part_col, fingerprint):
+    from .lineage import checkpointed_write
+
+    return checkpointed_write(ds, out_dir, part_col, fingerprint)

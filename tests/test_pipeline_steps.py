@@ -1,6 +1,7 @@
 """Tests for the composable step registry (gdalalg-pipeline analogue)."""
 
 import numpy as np
+import pytest
 import pyarrow as pa
 
 from raydal.pipeline import STEP_REGISTRY, Step, run_pipeline
@@ -151,3 +152,30 @@ class TestRasterClipSelect:
         assert px.ndim == 2
         if t["fmt"][0].as_py() == "png":
             np.testing.assert_array_equal(px, orig[:, :, 1])
+
+
+class TestSourceSinkRegistry:
+    def test_registered_sources_and_sinks(self, ray_session, tmp_path):
+        from raydal.pipeline import (SINK_REGISTRY, SOURCE_REGISTRY,
+                                     open_source, register_source,
+                                     write_sink)
+
+        assert {"parquet", "images", "shapefile"} <= set(SOURCE_REGISTRY)
+        assert {"parquet", "checkpointed-parquet"} <= set(SINK_REGISTRY)
+        ds = open_source("shapefile",
+                         "/root/reference/autotest/ogr/data/poly.shp")
+        assert ds.count() == 10
+        write_sink("parquet", ds.select_columns(["fid", "EAS_ID"]),
+                   str(tmp_path / "out"))
+        import ray.data
+        back = ray.data.read_parquet(str(tmp_path / "out"))
+        assert back.count() == 10
+
+        @register_source("ten-rows")
+        def _ten():
+            import ray.data
+            return ray.data.range(10)
+
+        assert open_source("ten-rows").count() == 10
+        with pytest.raises(KeyError):
+            open_source("no-such-source")
