@@ -487,3 +487,37 @@ def test_tiff_overview_chain_published_checksums():
     assert [(im.width, im.height) for im in imgs] == \
         [(20, 20), (10, 10), (5, 5)]
     assert [checksum(im.bands[0]) for im in imgs] == [4672, 1087, 328]
+
+
+# ---- Band statistics vs published expectations ----
+
+def test_band_statistics_published_values():
+    """ComputeStatistics parity on reference-published numbers:
+    byte.tif STAC stats (74/255/126.765/22.928,
+    test_gdalinfo.py:998-1003), small_world.tif band 1 exact floats
+    with and without nodata 0 (gdal_stats.py:503-520, rel 1e-10 — the
+    reference's own tolerance), and minfloat.tif nodata-excluded stats
+    [-3, 5, 1, 4] (gdal_stats.py:118-136)."""
+    from raydal.ops.raster_math import stats_final, stats_partial
+
+    def stats(vals):
+        s = stats_final(stats_partial(np.asarray(vals, dtype=np.float64)))
+        return [s["min"], s["max"], s["mean"], s["std"]]
+
+    b = _tiff(GCORE + "byte.tif").bands[0]
+    got = stats(b)
+    assert got[0] == 74.0 and got[1] == 255.0
+    assert round(got[2], 3) == 126.765
+    assert round(got[3], 3) == 22.928
+
+    sw = _tiff("/root/reference/autotest/gdrivers/data/small_world.tif")
+    b1 = sw.bands[0].astype(np.float64)
+    assert stats(b1) == pytest.approx(
+        [0.0, 255.0, 50.22115, 67.119029288849973], rel=1e-10)
+    assert stats(b1[b1 != 0]) == pytest.approx(
+        [1.0, 255.0, 50.311081057390084, 67.14541389488096], rel=1e-10)
+
+    mf = _tiff(GCORE + "minfloat.tif").bands[0]
+    nodata = np.float32(-3.4028234663852886e38)
+    assert stats(mf[mf != nodata].astype(np.float64)) == \
+        pytest.approx([-3.0, 5.0, 1.0, 4.0])
