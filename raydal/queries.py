@@ -426,13 +426,13 @@ def q22_anti_join(sf_dir):
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     big = orders.filter(expr="o_totalprice > 400000.0")
-    have = set(np.asarray(big.unique("o_custkey")))
+    have = np.asarray(big.unique("o_custkey"), dtype=np.int64)
     ref = ray.put(have)
 
     def fn(t: pa.Table) -> pa.Table:
-        s = ray.get(ref)
-        ck = np.asarray(t["c_custkey"])
-        keep = np.array([k not in s for k in ck], dtype=bool)
+        keys = ray.get(ref)
+        ck = np.asarray(t["c_custkey"], dtype=np.int64)
+        keep = ~np.isin(ck, keys)
         return pa.Table.from_pydict({
             "c_custkey": pa.array(ck[keep], pa.int64())})
 
@@ -442,6 +442,41 @@ def q22_anti_join(sf_dir):
 
 SQL_Q22 = ("SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
            "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000)")
+
+
+def q17_left_outer_join(sf_dir):
+    """LEFT OUTER shuffle join on the distributed ``Dataset.join`` path
+    (swq_select.cpp:260 LEFT JOIN semantics, large×large): every
+    customer row survives; unmatched orders side coalesced to -1 for
+    hash-compare stability."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(16, cpus // 2))
+    j = cust.join(orders, "left_outer", nparts,
+                  on=("c_custkey",), right_on=("o_custkey",),
+                  aggregator_ray_remote_args={"num_cpus": 0.25})
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "c_acctbal": pc.cast(t["c_acctbal"], pa.float64()),
+            "o_orderkey": pc.fill_null(
+                pc.cast(t["o_orderkey"], pa.int64()), -1),
+            "o_totalprice": pc.fill_null(
+                pc.cast(t["o_totalprice"], pa.float64()), -1.0)})
+
+    return j.map_batches(project, batch_format="pyarrow")
+
+
+SQL_Q17 = """
+SELECT c_custkey, c_acctbal, COALESCE(o_orderkey, -1) AS o_orderkey,
+       COALESCE(o_totalprice, -1.0) AS o_totalprice
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1099,14 +1134,25 @@ FROM (SELECT event_id, user_id, ts,
 """
 
 
+# broadcast build-side row budget for as-of joins: above this the
+# co-partition shuffle variant (q68 machinery) runs instead, so no gate
+# query ever materializes an unbounded Dataset on the driver
+_ASOF_BROADCAST_BUDGET = 500_000
+
+
 def q25_asof_join(sf_dir):
     """As-of join: each event matched to the latest order (by date ≤ ts)
     of customer ``user_id % 1500`` — broadcast sorted side + vectorized
-    searchsorted per key (the merge_asof pattern without a shuffle)."""
+    searchsorted per key (the merge_asof pattern without a shuffle).
+    The broadcast build is gated on a row budget; larger build sides
+    route through the distributed co-partition path (q68)."""
     import ray
 
-    orders = (_read(sf_dir, "orders",
-                    ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders_ds = _read(sf_dir, "orders",
+                      ["o_orderkey", "o_custkey", "o_orderdate"])
+    if orders_ds.count() > _ASOF_BROADCAST_BUDGET:
+        return q68_asof_shuffle(sf_dir)
+    orders = (orders_ds
               .to_pandas().sort_values(["o_custkey", "o_orderdate",
                                         "o_orderkey"]))
     # latest order per (custkey, date): ASOF picks max date ≤ ts; among
@@ -1943,20 +1989,117 @@ def _rect_wkb_table(ids, x0, y0, x1, y1, id_name):
                         pa.binary())})
 
 
+# --- concave + holed layer-algebra fixtures ------------------------------
+# Subjects (30) and methods (18) cycle through L-shape / donut / rect on
+# offset 40-unit grids; each layer is pairwise disjoint internally (so
+# leftover areas are SQL-expressible by plain sums) while subjects and
+# methods overlap heavily.  The SQL oracle sees each shape as its
+# disjoint-rectangle decomposition; the engine clips the REAL concave /
+# holed polygon through the general boolean kernel.
+
+_SUBJ_PARTS = {  # kind -> disjoint rect decomposition (relative coords)
+    0: [(0, 0, 14, 6), (0, 6, 6, 24)],                       # L-shape
+    1: [(0, 0, 16, 5), (0, 11, 16, 16), (0, 5, 5, 11),
+        (11, 5, 16, 11)],                                    # donut
+    2: [(0, 0, 12, 10)],                                     # rect
+}
+_METH_PARTS = {
+    0: [(0, 0, 26, 7), (0, 7, 7, 26)],
+    1: [(0, 0, 20, 6), (0, 14, 20, 20), (0, 6, 6, 14), (14, 6, 20, 14)],
+    2: [(0, 0, 22, 9)],
+}
+
+
+def _shape_rings(kind, parts, ox, oy):
+    """The actual concave/holed polygon for a shape kind (NOT the rect
+    decomposition — that is only the SQL oracle's view)."""
+    if kind == 0:   # L-shape: concave hexagon
+        w1, h1 = parts[0][2], parts[0][3]
+        w2, h2 = parts[1][2], parts[1][3]
+        ring = np.array([[0, 0], [w1, 0], [w1, h1], [w2, h1], [w2, h2],
+                         [0, h2], [0, 0]], dtype=np.float64)
+        return [ring + np.array([ox, oy])]
+    if kind == 1:   # donut: outer ring + hole
+        x1, y1 = parts[0][2], parts[1][3]
+        hx0, hy0 = parts[2][2], parts[0][3]
+        hx1, hy1 = parts[3][0], parts[1][1]
+        outer = np.array([[0, 0], [x1, 0], [x1, y1], [0, y1], [0, 0]],
+                         dtype=np.float64)
+        hole = np.array([[hx0, hy0], [hx1, hy0], [hx1, hy1], [hx0, hy1],
+                         [hx0, hy0]], dtype=np.float64)
+        return [outer + np.array([ox, oy]), hole + np.array([ox, oy])]
+    x1, y1 = parts[0][2], parts[0][3]
+    ring = np.array([[0, 0], [x1, 0], [x1, y1], [0, y1], [0, 0]],
+                    dtype=np.float64)
+    return [ring + np.array([ox, oy])]
+
+
+def _algebra_shape_tables():
+    from .geo.wkb import polygon_wkb
+
+    subs = []
+    for i in range(30):
+        ox = (i % 6) * 40 + (i * 7) % 9
+        oy = (i // 6) * 40 + (i * 11) % 9
+        subs.append(polygon_wkb(_shape_rings(i % 3, _SUBJ_PARTS[i % 3],
+                                             ox, oy)))
+    meths = []
+    for k in range(18):
+        ox = (k % 6) * 40 - 6 + (k * 5) % 7
+        oy = (k // 6) * 40 - 6 + (k * 13) % 11
+        meths.append(polygon_wkb(_shape_rings(k % 3, _METH_PARTS[k % 3],
+                                              ox, oy)))
+    subj = pa.Table.from_pydict({
+        "feat_id": pa.array(np.arange(30), pa.int64()),
+        "wkb": pa.array(subs, pa.binary())})
+    meth = pa.Table.from_pydict({
+        "zone_id": pa.array(np.arange(18), pa.int64()),
+        "wkb": pa.array(meths, pa.binary())})
+    return subj, meth
+
+
+def _parts_values(parts_by_kind):
+    rows = []
+    for t, parts in parts_by_kind.items():
+        for (a, b, c, d) in parts:
+            rows.append(f"({t}, {a}, {b}, {c}, {d})")
+    return ", ".join(rows)
+
+
+_SQL_SHAPES = f"""
+sparts(t, sx0, sy0, sx1, sy1) AS (VALUES {_parts_values(_SUBJ_PARTS)}),
+mparts(t, sx0, sy0, sx1, sy1) AS (VALUES {_parts_values(_METH_PARTS)}),
+s AS (SELECT i AS feat_id,
+        (i % 6) * 40 + (i * 7) % 9 + sx0 AS x0,
+        (i // 6) * 40 + (i * 11) % 9 + sy0 AS y0,
+        (i % 6) * 40 + (i * 7) % 9 + sx1 AS x1,
+        (i // 6) * 40 + (i * 11) % 9 + sy1 AS y1
+      FROM (SELECT UNNEST(RANGE(0, 30)) AS i)
+      JOIN sparts ON sparts.t = i % 3),
+m AS (SELECT k AS zone_id,
+        (k % 6) * 40 - 6 + (k * 5) % 7 + sx0 AS x0,
+        (k // 6) * 40 - 6 + (k * 13) % 11 + sy0 AS y0,
+        (k % 6) * 40 - 6 + (k * 5) % 7 + sx1 AS x1,
+        (k // 6) * 40 - 6 + (k * 13) % 11 + sy1 AS y1
+      FROM (SELECT UNNEST(RANGE(0, 18)) AS k)
+      JOIN mparts ON mparts.t = k % 3)
+"""
+
+_SQL_OVERLAP = ("GREATEST(LEAST(s.x1, m.x1) - GREATEST(s.x0, m.x0), 0)"
+                " * GREATEST(LEAST(s.y1, m.y1) - GREATEST(s.y0, m.y0), 0)")
+
+
 def q64_intersection_area(sf_dir):
-    """Layer-algebra Intersection with GEOMETRY outputs: per intersecting
-    (feat, zone) pair the clipped polygon's area (ogrlayer.cpp:3345
-    semantics), via broadcast method layer + Sutherland-Hodgman clip.
-    Oracle: arithmetic rect-overlap areas in SQL."""
+    """Layer-algebra Intersection with GEOMETRY outputs on CONCAVE and
+    HOLED features (ogrlayer.cpp:3345 semantics) via the general
+    polygon boolean engine.  Oracle: per-pair sums of the shapes'
+    disjoint-rectangle decompositions' overlaps."""
     import ray.data
 
     from .ops.layer_algebra import layer_intersection
 
-    (aj, ax0, ay0, ax1, ay1), (bk, bx0, by0, bx1, by1) = _algebra_rects()
-    ds = ray.data.from_arrow(_rect_wkb_table(aj, ax0, ay0, ax1, ay1,
-                                             "feat_id"))
-    out = layer_intersection(
-        ds, _rect_wkb_table(bk, bx0, by0, bx1, by1, "zone_id"))
+    subj, meth = _algebra_shape_tables()
+    out = layer_intersection(ray.data.from_arrow(subj), meth)
 
     def proj(t: pa.Table) -> pa.Table:
         return pa.Table.from_pydict({
@@ -1968,29 +2111,24 @@ def q64_intersection_area(sf_dir):
 
 
 SQL_Q64 = f"""
-WITH {_SQL_RECTS}
-SELECT a.feat_id, b.zone_id,
-       ROUND((LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0))
-             * (LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0)), 6) AS area
-FROM a JOIN b ON LEAST(a.x1, b.x1) > GREATEST(a.x0, b.x0)
-             AND LEAST(a.y1, b.y1) > GREATEST(a.y0, b.y0)
+WITH {_SQL_SHAPES},
+ov AS (SELECT s.feat_id, m.zone_id, SUM({_SQL_OVERLAP}) AS a
+       FROM s CROSS JOIN m GROUP BY 1, 2)
+SELECT feat_id, zone_id, ROUND(a, 6) AS area FROM ov WHERE a > 1e-9
 """
 
 
 def q65_erase_area(sf_dir):
-    """Layer-algebra Erase with geometry outputs: each feature minus the
-    method layer (rect complement decomposition), remaining area per
-    feature.  Oracle: inclusion-exclusion in SQL (method rects verified
-    pairwise disjoint by the test suite)."""
+    """Layer-algebra Erase on concave/holed features: each subject minus
+    the union of the method layer (incremental general-boolean
+    subtraction).  Oracle: subject area minus summed overlaps (both
+    layers are internally pairwise disjoint by construction)."""
     import ray.data
 
     from .ops.layer_algebra import layer_erase
 
-    (aj, ax0, ay0, ax1, ay1), (bk, bx0, by0, bx1, by1) = _algebra_rects()
-    ds = ray.data.from_arrow(_rect_wkb_table(aj, ax0, ay0, ax1, ay1,
-                                             "feat_id"))
-    out = layer_erase(
-        ds, _rect_wkb_table(bk, bx0, by0, bx1, by1, "zone_id"))
+    subj, meth = _algebra_shape_tables()
+    out = layer_erase(ray.data.from_arrow(subj), meth)
 
     def proj(t: pa.Table) -> pa.Table:
         return pa.Table.from_pydict({
@@ -2002,19 +2140,14 @@ def q65_erase_area(sf_dir):
 
 
 SQL_Q65 = f"""
-WITH {_SQL_RECTS},
-cut AS (
-  SELECT a.feat_id, SUM(
-      (LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0))
-    * (LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0))) AS removed
-  FROM a JOIN b ON LEAST(a.x1, b.x1) > GREATEST(a.x0, b.x0)
-               AND LEAST(a.y1, b.y1) > GREATEST(a.y0, b.y0)
-  GROUP BY a.feat_id)
-SELECT a.feat_id,
-       ROUND((a.x1 - a.x0) * (a.y1 - a.y0)
-             - COALESCE(cut.removed, 0), 6) AS area
-FROM a LEFT JOIN cut USING (feat_id)
-WHERE (a.x1 - a.x0) * (a.y1 - a.y0) - COALESCE(cut.removed, 0) > 1e-12
+WITH {_SQL_SHAPES},
+tot AS (SELECT feat_id, SUM((x1 - x0) * (y1 - y0)) AS a
+        FROM s GROUP BY 1),
+cut AS (SELECT s.feat_id, SUM({_SQL_OVERLAP}) AS r
+        FROM s CROSS JOIN m GROUP BY 1)
+SELECT t.feat_id, ROUND(t.a - COALESCE(c.r, 0), 6) AS area
+FROM tot t LEFT JOIN cut c USING (feat_id)
+WHERE t.a - COALESCE(c.r, 0) > 1e-9
 """
 
 
@@ -2183,54 +2316,105 @@ def q67_grid_tin(sf_dir):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def _union_family_proj(out):
+    """(feat_id?, zone_id?, area) rows → (src, feat_id, zone_id, area)
+    with -1 sentinels for the absent side ('P' pair / 'S' subject
+    leftover / 'M' method leftover)."""
+
+    def proj(t: pa.Table) -> pa.Table:
+        f = np.asarray(pc.fill_null(t["feat_id"], -1))
+        z = np.asarray(pc.fill_null(t["zone_id"], -1))
+        src = np.where(f < 0, "M", np.where(z < 0, "S", "P"))
+        return pa.Table.from_pydict({
+            "src": pa.array(src.tolist(), pa.string()),
+            "feat_id": pa.array(f, pa.int64()),
+            "zone_id": pa.array(z, pa.int64()),
+            "area": pa.array(round_half_away(np.asarray(t["area"]), 6),
+                             pa.float64())})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 def q69_union_area(sf_dir):
-    """Polygon boolean UNION with geometry outputs (convex operand):
-    per intersecting (feat, zone) rect pair, area(A ∪ B) computed from
-    the disjoint piece decomposition (A + B\\A wedges).  Oracle:
-    inclusion-exclusion in SQL."""
+    """Full ogrlayer Union (``ogrlayer.cpp:3763``) on concave/holed
+    features: intersection pairs + subject leftovers + method leftovers,
+    each row tagged by kind with -1 for the absent side's id."""
     import ray.data
 
-    from .geo.clip import polygon_area_rings, union_convex
-    from .geo.wkb import polygons_from_wkb
+    from .ops.layer_algebra import layer_union
 
-    (aj, ax0, ay0, ax1, ay1), (bk, bx0, by0, bx1, by1) = _algebra_rects()
-    a_tbl = _rect_wkb_table(aj, ax0, ay0, ax1, ay1, "feat_id")
-    b_tbl = _rect_wkb_table(bk, bx0, by0, bx1, by1, "zone_id")
-    b_rings = [polygons_from_wkb(w)[0] for w in b_tbl["wkb"].to_pylist()]
-    b_bbox = list(zip(bx0, by0, bx1, by1))
+    subj, meth = _algebra_shape_tables()
+    return _union_family_proj(layer_union(ray.data.from_arrow(subj),
+                                          meth))
 
-    def union_rows(t: pa.Table) -> pa.Table:
-        out = {"feat_id": [], "zone_id": [], "area": []}
-        for i, blob in enumerate(t["wkb"].to_pylist()):
-            a_rings = polygons_from_wkb(blob)[0]
-            axl, ayl = a_rings[0][:, 0], a_rings[0][:, 1]
-            for k, (x0, y0, x1, y1) in enumerate(b_bbox):
-                if not (axl.min() < x1 and axl.max() > x0
-                        and ayl.min() < y1 and ayl.max() > y0):
-                    continue
-                pieces = union_convex(a_rings, b_rings[k])
-                area = sum(polygon_area_rings(p) for p in pieces)
-                out["feat_id"].append(t["feat_id"][i].as_py())
-                out["zone_id"].append(int(bk[k]))
-                out["area"].append(float(round_half_away(area, 6)))
-        return pa.Table.from_pydict({
-            "feat_id": pa.array(out["feat_id"], pa.int64()),
-            "zone_id": pa.array(out["zone_id"], pa.int64()),
-            "area": pa.array(out["area"], pa.float64())})
 
-    return ray.data.from_arrow(a_tbl).map_batches(union_rows,
-                                                  batch_format="pyarrow")
+_SQL_UNION_PARTS = f"""
+ov AS (SELECT s.feat_id, m.zone_id, SUM({_SQL_OVERLAP}) AS a
+       FROM s CROSS JOIN m GROUP BY 1, 2),
+stot AS (SELECT feat_id, SUM((x1 - x0) * (y1 - y0)) AS a
+         FROM s GROUP BY 1),
+mtot AS (SELECT zone_id, SUM((x1 - x0) * (y1 - y0)) AS a
+         FROM m GROUP BY 1),
+sleft AS (SELECT t.feat_id, t.a - COALESCE(SUM(o.a), 0) AS a
+          FROM stot t LEFT JOIN ov o USING (feat_id) GROUP BY 1, t.a),
+mleft AS (SELECT t.zone_id, t.a - COALESCE(SUM(o.a), 0) AS a
+          FROM mtot t LEFT JOIN ov o USING (zone_id) GROUP BY 1, t.a)
+"""
 
 
 SQL_Q69 = f"""
-WITH {_SQL_RECTS}
-SELECT a.feat_id, b.zone_id,
-       ROUND((a.x1 - a.x0) * (a.y1 - a.y0)
-             + (b.x1 - b.x0) * (b.y1 - b.y0)
-             - (LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0))
-             * (LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0)), 6) AS area
-FROM a JOIN b ON LEAST(a.x1, b.x1) > GREATEST(a.x0, b.x0)
-             AND LEAST(a.y1, b.y1) > GREATEST(a.y0, b.y0)
+WITH {_SQL_SHAPES},
+{_SQL_UNION_PARTS}
+SELECT 'P' AS src, feat_id, zone_id, ROUND(a, 6) AS area
+FROM ov WHERE a > 1e-9
+UNION ALL
+SELECT 'S', feat_id, -1, ROUND(a, 6) FROM sleft WHERE a > 1e-9
+UNION ALL
+SELECT 'M', -1, zone_id, ROUND(a, 6) FROM mleft WHERE a > 1e-9
+"""
+
+
+def q26_layer_symdiff(sf_dir):
+    """ogrlayer SymDifference (``ogrlayer.cpp:3948``) on concave/holed
+    features: subject-minus-method + method-minus-subject leftovers."""
+    import ray.data
+
+    from .ops.layer_algebra import layer_symdifference
+
+    subj, meth = _algebra_shape_tables()
+    return _union_family_proj(
+        layer_symdifference(ray.data.from_arrow(subj), meth))
+
+
+SQL_Q26 = f"""
+WITH {_SQL_SHAPES},
+{_SQL_UNION_PARTS}
+SELECT 'S' AS src, feat_id, -1 AS zone_id, ROUND(a, 6) AS area
+FROM sleft WHERE a > 1e-9
+UNION ALL
+SELECT 'M', -1, zone_id, ROUND(a, 6) FROM mleft WHERE a > 1e-9
+"""
+
+
+def q27_layer_identity(sf_dir):
+    """ogrlayer Identity (``ogrlayer.cpp:4118``): intersection pairs +
+    subject leftovers — output covers exactly the input layer."""
+    import ray.data
+
+    from .ops.layer_algebra import layer_identity
+
+    subj, meth = _algebra_shape_tables()
+    return _union_family_proj(
+        layer_identity(ray.data.from_arrow(subj), meth))
+
+
+SQL_Q27 = f"""
+WITH {_SQL_SHAPES},
+{_SQL_UNION_PARTS}
+SELECT 'P' AS src, feat_id, zone_id, ROUND(a, 6) AS area
+FROM ov WHERE a > 1e-9
+UNION ALL
+SELECT 'S', feat_id, -1, ROUND(a, 6) FROM sleft WHERE a > 1e-9
 """
 
 
@@ -2316,6 +2500,7 @@ QUERIES = {
     "q14_exact_dedup": (q14_exact_dedup, SQL_Q14),
     "q15_text_stats": (q15_text_stats, SQL_Q15),
     "q16_ann_topk": (q16_ann_topk, SQL_Q16),
+    "q17_left_outer_join": (q17_left_outer_join, SQL_Q17),
     "q18_like_filter": (q18_like_filter, SQL_Q18),
     "q19_between_in": (q19_between_in, SQL_Q19),
     "q20_events_by_type": (q20_events_by_type, SQL_Q20),
@@ -2335,7 +2520,10 @@ QUERIES = {
     "q23_running_sum": (q23_running_sum, SQL_Q23),
     "q24_sessions": (q24_sessions, SQL_Q24),
     "q25_asof_join": (q25_asof_join, SQL_Q25),
+    "q26_layer_symdiff": (q26_layer_symdiff, SQL_Q26),
+    "q27_layer_identity": (q27_layer_identity, SQL_Q27),
     "q28_vector_reproject": (q28_vector_reproject, SQL_Q28),
+    "q29_asof_shuffle": (q68_asof_shuffle, SQL_Q25),
     "q40_rasterize_counts": (q40_rasterize_counts, SQL_Q40),
     "q41_polygonize_rects": (q41_polygonize_rects, None),
     "q42_image_band_stats": (q42_image_band_stats, None),
