@@ -101,6 +101,8 @@ def lzw_decode(data, max_out=1 << 30):
         if table is None:
             table = {i: bytes([i]) for i in range(256)}
         if prev is None:
+            if code not in table:
+                raise ValueError(f"corrupt LZW stream (code {code})")
             entry = table[code]
         elif code in table:
             entry = table[code]
@@ -228,7 +230,17 @@ def read_tiff(buf, ifd_index=0):
     i+1; validated against the published byte_with_ovr.tif overview
     checksums 1087/328, ``autotest/gcore/libertiff.py:125-131``).
     :func:`read_tiff_overviews` lists every level.
+
+    Corrupt input raises ``ValueError`` (truncated headers included) —
+    pipeline callers see one typed decode error, not ``struct.error``.
     """
+    try:
+        return _read_tiff_impl(buf, ifd_index)
+    except (struct.error, KeyError) as e:
+        raise ValueError(f"corrupt TIFF: {e!r}") from e
+
+
+def _read_tiff_impl(buf, ifd_index=0):
     buf = bytes(buf)
     if buf[:2] == b"II":
         bo = "<"

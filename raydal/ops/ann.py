@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["CosineTopK", "embeddings_matrix", "rhp_signature_batch",
            "lsh_topk", "kmeans_centroids", "ivf_topk"]
@@ -72,24 +73,22 @@ class CosineTopK:
         n, Q = scores.shape
         kq = min(self.k, Q)
         top = np.argpartition(-scores, kq - 1, axis=1)[:, :kq]
-        out_id, out_q, out_s, out_r = [], [], [], []
         rowi = np.arange(n)[:, None]
         tops = scores[rowi, top]
         order = np.argsort(-tops, axis=1, kind="stable")
         top = top[rowi, order]
         tops = tops[rowi, order]
-        for i in range(n):
-            vid = ids[i].as_py()
-            for r in range(kq):
-                out_id.append(vid)
-                out_q.append(int(top[i, r]))
-                out_s.append(float(tops[i, r]))
-                out_r.append(r + 1)
+        # vectorized n×kq fan-out: repeat ids, ravel scores/query idx
+        idx = pa.array(np.repeat(np.arange(n), kq))
         return pa.Table.from_pydict({
-            self.id_col: pa.array(out_id),
-            "query_idx": pa.array(out_q, pa.int32()),
-            "score": pa.array(out_s, pa.float64()),
-            "rank": pa.array(out_r, pa.int32())})
+            self.id_col: pc.take(batch[self.id_col], idx),
+            "query_idx": pa.array(top.ravel().astype(np.int32),
+                                  pa.int32()),
+            "score": pa.array(tops.ravel().astype(np.float64),
+                              pa.float64()),
+            "rank": pa.array(np.tile(np.arange(1, kq + 1,
+                                               dtype=np.int32), n),
+                             pa.int32())})
 
 
 def topk_vectors_per_query(ds, queries, k=10, id_col="vec_id",

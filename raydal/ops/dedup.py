@@ -185,23 +185,6 @@ def lsh_bands_batch(batch: pa.Table, bands=16, id_col="doc_id") -> pa.Table:
         id_col: out_id})
 
 
-def band_hashes_for_sigs(sig_mat, bands):
-    """(N, num_perm) uint64 signatures → (N, bands) uint64 band hashes.
-
-    Same chain as :func:`lsh_bands_batch` (acc = hash(acc ^ sig[j], j)
-    over the band's permutation slice) — used to recompute, locally from
-    two signatures, WHICH bands put a pair in the same bucket."""
-    n, num_perm = sig_mat.shape
-    r = num_perm // bands
-    out = np.empty((n, bands), dtype=np.uint64)
-    for b in range(bands):
-        acc = np.zeros(n, dtype=np.uint64)
-        for j in range(b * r, (b + 1) * r):
-            acc = _hash_u64(acc ^ sig_mat[:, j], j)
-        out[:, b] = acc
-    return out
-
-
 def minhash_dedup(ds, id_col="doc_id", num_perm=64, bands=16, shingle_n=3,
                   threshold=0.7, bucket_cap=512, num_shards=64):
     """MinHash-LSH near-dup: signature → band explode → ONE shard
@@ -325,11 +308,10 @@ def simhash_batch(batch: pa.Table, col="text", out_col="simhash") -> pa.Table:
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                 & np.uint64(1)).astype(np.int32)
         votes = (2 * bits - 1).sum(axis=0)
-        val = 0
-        for b in range(64):
-            if votes[b] > 0:
-                val |= (1 << b)
-        out[i] = val - (1 << 64) if val >= (1 << 63) else val
+        # pack the 64 majority bits into one signed word (bit b = 1<<b);
+        # the int64 view applies two's complement for the sign bit
+        out[i] = np.packbits(votes > 0,
+                             bitorder="little").view(np.int64)[0]
     return batch.append_column(out_col, pa.array(out, pa.int64()))
 
 

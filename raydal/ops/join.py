@@ -322,8 +322,7 @@ class PIPJoinZones:
         zid_type = (pa.int64() if np.issubdtype(self.index.ids.dtype,
                                                 np.integer) else pa.string())
         cand = self.index.candidates_for_points(px, py)
-        out = {k: [] for k in (self.id_col, "zone_id", "inside",
-                               "on_boundary")}
+        sel_rows, sel_zis, sel_in, sel_bd = [], [], [], []
         for zi, pts in cand.items():
             b = self.index.bbox[zi]
             in_bb = ((px[pts] >= b[0]) & (px[pts] <= b[2])
@@ -344,16 +343,26 @@ class PIPJoinZones:
                 hit = inside & ~boundary
             else:
                 hit = np.ones(len(pts), dtype=bool)
-            for j in np.nonzero(hit)[0]:
-                out[self.id_col].append(ids[pts[j]])
-                out["zone_id"].append(self.index.ids[zi])
-                out["inside"].append(bool(inside[j]))
-                out["on_boundary"].append(bool(boundary[j]))
+            hi = np.nonzero(hit)[0]
+            if len(hi) == 0:
+                continue
+            sel_rows.append(pts[hi])
+            sel_zis.append(np.full(len(hi), zi, dtype=np.int64))
+            sel_in.append(inside[hi])
+            sel_bd.append(boundary[hi])
+        if sel_rows:
+            rows = np.concatenate(sel_rows)
+            zis = np.concatenate(sel_zis)
+            ins = np.concatenate(sel_in)
+            bds = np.concatenate(sel_bd)
+        else:
+            rows = zis = np.array([], dtype=np.int64)
+            ins = bds = np.array([], dtype=bool)
         return pa.Table.from_pydict({
-            self.id_col: pa.array(out[self.id_col], id_type),
-            "zone_id": pa.array(out["zone_id"], zid_type),
-            "inside": pa.array(out["inside"], pa.bool_()),
-            "on_boundary": pa.array(out["on_boundary"], pa.bool_())})
+            self.id_col: pa.array(ids[rows], id_type),
+            "zone_id": pa.array(self.index.ids[zis], zid_type),
+            "inside": pa.array(ins, pa.bool_()),
+            "on_boundary": pa.array(bds, pa.bool_())})
 
 
 # ---------------------------------------------------------------------------
@@ -582,13 +591,29 @@ class KnnJoin:
             sel = np.nonzero(inv == ki)[0]
             nid_rows, nd_rows = self._knn_cell_group(
                 px[sel], py[sel], int(cgx), int(cgy))
-            for j, i in enumerate(sel):
-                nid, nd = nid_rows[j], nd_rows[j]
-                for r in range(len(nid)):
-                    out["probe_id"].append(ids[i])
-                    out["rank"].append(r + 1)
-                    out["neighbor_id"].append(nid[r])
-                    out["dist"].append(float(nd[r]))
+            # vectorized rank fan-out: repeat probe ids by neighbor
+            # counts, per-row arange for ranks
+            lens = np.fromiter((len(r) for r in nid_rows), dtype=np.int64,
+                               count=len(nid_rows))
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            ranks = (np.arange(total, dtype=np.int64)
+                     - np.repeat(np.cumsum(lens) - lens, lens) + 1)
+            out["probe_id"].append(np.repeat(ids[sel], lens))
+            out["rank"].append(ranks)
+            out["neighbor_id"].append(np.concatenate(
+                [r for r in nid_rows if len(r)]))
+            out["dist"].append(np.concatenate(
+                [r for r in nd_rows if len(r)]).astype(np.float64))
+        if out["probe_id"]:
+            for k in out:
+                out[k] = np.concatenate(out[k])
+        else:
+            out["probe_id"] = ids[:0]
+            out["rank"] = np.array([], dtype=np.int64)
+            out["neighbor_id"] = np.array([], dtype=object)
+            out["dist"] = np.array([], dtype=np.float64)
         probe_type = batch.schema.field(self.id_col).type
         nbr_dtype = self.index["grid"]
         nbr_type = None

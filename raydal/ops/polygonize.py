@@ -353,10 +353,10 @@ def dissolve_across_tiles(comps_ds):
 def _dissolve_border(border):
     """Min-label propagation + aggregation over border components only."""
     label = {c: c for c in border["comp_id"]}
-    run_members = {}
-    for _, row in border.iterrows():
-        for r in row["edge_runs"]:
-            run_members.setdefault(r, []).append(row["comp_id"])
+    exploded = border[["comp_id", "edge_runs"]].explode("edge_runs")
+    exploded = exploded[exploded["edge_runs"].notna()]
+    run_members = {r: g.tolist() for r, g in
+                   exploded.groupby("edge_runs")["comp_id"]}
 
     # fixpoint propagation; bound only as a runaway guard (diameter of the
     # tile graph can never exceed the number of border components)

@@ -93,14 +93,17 @@ def compose_group(g: pd.DataFrame) -> pd.DataFrame:
 def merge_partials_group(g: pd.DataFrame) -> pd.DataFrame:
     """map_groups fn: merge salted partials of one cell (per-pixel argmax)."""
     ts = TILE
-    rgb = np.zeros((ts, ts, 3), dtype=np.uint8)
-    winner = np.full((ts, ts), -1, dtype=np.int64)
-    for _, row in g.iterrows():
-        prgb = np.frombuffer(row["tile_rgb"], dtype=np.uint8).reshape(ts, ts, 3)
-        pwin = np.frombuffer(row["winner"], dtype=np.int64).reshape(ts, ts)
-        take = pwin > winner
-        rgb[take] = prgb[take]
-        winner[take] = pwin[take]
+    # stack partials to (n, ts, ts[,3]) and reduce with one argmax —
+    # first-max wins, matching the sequential strict-greater update
+    # (all-invalid pixels carry rgb 0 in every partial, so gathering
+    # from partial 0 there reproduces the zero fill)
+    prgb = np.stack([np.frombuffer(b, dtype=np.uint8).reshape(ts, ts, 3)
+                     for b in g["tile_rgb"]])
+    pwin = np.stack([np.frombuffer(b, dtype=np.int64).reshape(ts, ts)
+                     for b in g["winner"]])
+    best = pwin.argmax(axis=0)
+    winner = np.take_along_axis(pwin, best[None], 0)[0]
+    rgb = np.take_along_axis(prgb, best[None, :, :, None], 0)[0]
     return pd.DataFrame({
         "cell": [g["cell"].iloc[0]], "z": [g["z"].iloc[0]],
         "tile_x": [g["tile_x"].iloc[0]], "tile_y": [g["tile_y"].iloc[0]],

@@ -94,6 +94,11 @@ def q01_pricing_summary(sf_dir):
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("l_quantity", "sum"), ("l_extendedprice", "sum"),
              ("disc_price", "sum"), ("l_quantity", "count")])
+        # select by the GENERATED aggregate names (not position — the
+        # key/aggregate column order is a pyarrow implementation detail)
+        g = g.select(["l_returnflag", "l_linestatus", "l_quantity_sum",
+                      "l_extendedprice_sum", "disc_price_sum",
+                      "l_quantity_count"])
         return g.rename_columns(
             ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
              "sum_disc_price", "count_order"])

@@ -76,3 +76,27 @@ def test_empty_and_tiny_inputs():
         for blob in (b"", b"\x00", b"II", b"\xff\xd8", b"\x89PNG"):
             with pytest.raises(OK_ERRORS):
                 decode(blob)
+
+
+def test_tiff_corrupt_errors_are_typed():
+    """read_tiff normalizes corrupt input to ValueError — struct.error
+    (truncated headers) and bare KeyError (corrupt LZW codes) must not
+    leak to pipeline callers (ADVICE r2)."""
+    data = open(TIFF_FIX, "rb").read()
+    rng = np.random.default_rng(5)
+    typed = (ValueError, NotImplementedError, IndexError, EOFError,
+             OverflowError, MemoryError, zlib.error)
+    for _ in range(80):
+        cut = int(rng.integers(0, len(data)))
+        try:
+            read_tiff(data[:cut])
+        except typed:
+            pass
+    for _ in range(80):
+        b = bytearray(data)
+        i = int(rng.integers(0, len(b)))
+        b[i] ^= 0xFF
+        try:
+            read_tiff(bytes(b))
+        except typed:
+            pass
