@@ -34,8 +34,14 @@ def run_flagship(sf_dir, num_cpus):
     ensure_images_parquet(sf_dir)  # warm cache, untimed
     zone_index = ensure_zone_index(500)  # static side table: load untimed
 
+    # --scaling sets an explicit actor count proportional to the cpu
+    # level (same occupancy fraction at N and 4N) so the two levels
+    # compare like-for-like; plain runs use the tuned default formula
+    conc_env = os.environ.get("RAYDAL_SCALING_CONC")
+    conc = int(conc_env) if conc_env else None
     t0 = time.monotonic()
-    res = flagship(sf_dir, z=10, warp_sample=None, zone_index=zone_index)
+    res = flagship(sf_dir, z=10, warp_sample=None, zone_index=zone_index,
+                   concurrency=conc)
     per_zone = res["per_zone"].to_pandas()
     warp = res["warp_summary"].to_pandas()
     wall = time.monotonic() - t0
@@ -110,8 +116,12 @@ def main_scaling():
     best = {}
 
     def run(ncpu):
+        # like-for-like occupancy across levels: 75% of cpus as actors
+        # (4→3, 8→6, 16→12, 32→24), so efficiency ratios measure the
+        # ENGINE, not a shifting pool-headroom fraction
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_SF_DIR=sf_dir, RAYDAL_BENCH_QUERIES="0",
+                   RAYDAL_SCALING_CONC=str(max(2, ncpu * 3 // 4)),
                    RAYDAL_BENCH_BEST_OF="1")  # outer loop is best-of-2
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
@@ -122,11 +132,12 @@ def main_scaling():
             raise SystemExit(1)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    # headline = 8→16 (both levels unsaturated, flat per-cpu throughput
-    # — the cleanest single-box proxy for adding nodes).  4→16 is also
-    # reported but is superlinear for a structural reason (the pool
-    # headroom formula runs only 2-of-4 cpus at the 4-cpu level) and is
-    # NOT claimed as evidence; 8→32 is depressed by box saturation.
+    # headline = 4→16, the literal N→4N pair: both levels unsaturated
+    # and, with RAYDAL_SCALING_CONC, at identical 75% pool occupancy
+    # (3 vs 12 actors) — the r2 occupancy artifact is gone.  8→16 and
+    # 8→32 are reported alongside; 8→32 stays depressed by box
+    # saturation (32 logical cpus = the whole machine incl. Ray system
+    # processes), which a real 4× node count does not suffer.
     for ncpu in (4, 16, 8, 32, 4, 16, 8, 32):
         r = run(ncpu)
         if ncpu not in best or r["images_per_sec"] > best[ncpu]["images_per_sec"]:
@@ -140,8 +151,8 @@ def main_scaling():
     eff_8_32 = (thr32 / thr8) / (32 / 8)
     print(json.dumps({
         "metric": "scaling_efficiency",
-        "value": round(eff_8_16, 3),   # unsaturated N→2N pair
-        "unit": "ratio",
+        "value": round(eff_4_16, 3),   # the literal N→4N pair,
+        "unit": "ratio",               # like-for-like 75% occupancy
         "eff_8_to_16": round(eff_8_16, 3),
         "eff_4_to_16": round(eff_4_16, 3),
         "eff_8_to_32": round(eff_8_32, 3),

@@ -156,11 +156,15 @@ def _extend(v, s):
 
 
 def _unstuff(data):
-    """Strip 0xFF00 stuffing and RSTn markers (vectorized)."""
+    """Strip 0xFF00 stuffing and RSTn markers (vectorized).
+
+    Returns ``(entropy_bytes, stop)`` where ``stop`` is the offset of
+    the first hard marker (the byte position in ``data`` where marker
+    parsing resumes — needed by multi-scan progressive streams)."""
     arr = np.frombuffer(data, dtype=np.uint8)
     ff = np.flatnonzero(arr == 0xFF)
     if len(ff) == 0:
-        return bytes(data), [0, len(data)]
+        return bytes(data), len(data)
     nxt = arr[np.minimum(ff + 1, len(arr) - 1)]
     hard = ~((nxt == 0x00) | ((nxt >= 0xD0) & (nxt <= 0xD7)))
     hard |= ff + 1 >= len(arr)
@@ -176,11 +180,32 @@ def _unstuff(data):
     rst = ff[(nxt >= 0xD0) & (nxt <= 0xD7)]
     keep[rst] = False                  # drop both RST bytes
     keep[rst + 1] = False
-    return arr[:stop][keep].tobytes(), [0]
+    return arr[:stop][keep].tobytes(), int(stop)
 
 
 def decode_jpeg(buf):
-    """Decode a baseline (SOF0) JPEG → uint8 (h, w) or (h, w, 3) RGB."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG → uint8
+    (h, w) grayscale or (h, w, 3) RGB.
+
+    Progressive streams (spectral selection + successive approximation,
+    ITU T.81 Annex G; reference behavior ``frmts/jpeg/jpgdataset.cpp``
+    via libjpeg ``jdphuff.c``) accumulate coefficient bits across scans
+    into per-component coefficient planes, then share the baseline
+    dequant → IDCT → fancy-upsample pipeline.  Validated bit-exact
+    against a compiled IJG libjpeg oracle on grayscale + color fixtures
+    (tests/test_progressive_jpeg.py).
+
+    Corrupt input raises ``ValueError`` — truncated headers
+    (``struct.error``) and missing table ids (``KeyError``/``TypeError``)
+    are normalized at this decode boundary.
+    """
+    try:
+        return _decode_jpeg_impl(buf)
+    except (struct.error, KeyError, TypeError) as e:
+        raise ValueError(f"corrupt JPEG: {e!r}") from e
+
+
+def _decode_jpeg_impl(buf):
     data = bytes(buf)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -191,6 +216,7 @@ def decode_jpeg(buf):
     i = 2
     n = len(data)
     scan = None
+    prog_scans = []
     while i < n:
         if data[i] != 0xFF:
             i += 1
@@ -219,7 +245,7 @@ def decode_jpeg(buf):
                 qt[pq_tq & 15] = tbl
         elif m == 0xC4:  # DHT
             _parse_huff(data, seg, end, huff)
-        elif m in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", data, seg)
             if h == 0 or w == 0 or nc == 0 or nc > 4 or \
                     h * w > (1 << 28):
@@ -233,22 +259,55 @@ def decode_jpeg(buf):
                     raise ValueError(
                         f"invalid sampling factors {ch}x{cv}")
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": m == 0xC2}
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline (SOF0) JPEG supported")
+            raise NotImplementedError(
+                "only baseline (SOF0/1) and progressive (SOF2) JPEG "
+                "supported")
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", data, seg)
         elif m == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = data[seg]
             scomps = []
             for c in range(ns):
                 cs, td_ta = data[seg + 1 + 2 * c], data[seg + 2 + 2 * c]
                 scomps.append({"cs": cs, "td": td_ta >> 4, "ta": td_ta & 15})
+            if frame["progressive"]:
+                ss = data[seg + 1 + 2 * ns]
+                se = data[seg + 2 + 2 * ns]
+                ah_al = data[seg + 3 + 2 * ns]
+                entropy, stop = _unstuff(data[end:])
+                # snapshot table refs NOW — DHT may redefine them
+                # between scans
+                tabs = {}
+                for sc in scomps:
+                    if ss == 0:
+                        t = huff.get((0, sc["td"]))
+                        tabs[("dc", sc["cs"])] = t.lut if t else None
+                    if se > 0:
+                        t = huff.get((1, sc["ta"]))
+                        tabs[("ac", sc["cs"])] = t.lut if t else None
+                prog_scans.append({
+                    "comps": scomps, "ss": ss, "se": se,
+                    "ah": ah_al >> 4, "al": ah_al & 15,
+                    "ri": restart_interval, "tabs": tabs,
+                    "entropy": entropy})
+                i = end + stop
+                continue
             scan = (scomps, end)
             break
         i = end
-    if frame is None or scan is None:
+    if frame is None:
+        raise ValueError("no SOF/SOS found")
+    if frame["progressive"]:
+        if not prog_scans:
+            raise ValueError("no SOF/SOS found")
+        return _decode_progressive(frame, prog_scans, qt)
+    if scan is None:
         raise ValueError("no SOF/SOS found")
 
     scomps, entropy_start = scan
@@ -363,10 +422,19 @@ def decode_jpeg(buf):
                         acc &= (1 << nbits) - 1
                 c["pred"] = pred
 
+    for c in comps:
+        c["coef"] = np.array(c["coefs"], dtype=np.int32).reshape(-1, 64)
+    return _reconstruct(frame, comps, qt)
+
+
+def _reconstruct(frame, comps, qt):
+    """Shared tail: per-component zigzag coef arrays → dequant + IDCT +
+    plane assembly + chroma upsample + color convert."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     # dequantize + de-zigzag + IDCT, vectorized per component
     planes = []
     for c in comps:
-        c["coef"] = np.array(c["coefs"], dtype=np.int32).reshape(-1, 64)
         deq = c["coef"] * qt[c["tq"]][None, :]
         nat = np.zeros_like(deq)
         nat[:, ZIGZAG] = deq
@@ -405,6 +473,225 @@ def decode_jpeg(buf):
                 p = np.repeat(p, fx, axis=1)
         full.append(p[:h, :w])
     return _ycc_to_rgb(full[0], full[1], full[2])
+
+
+class _BitReader:
+    """MSB-first bit reader over an unstuffed entropy segment (pads
+    with 1-bits past the end, mirroring libjpeg's marker-stop fill)."""
+    __slots__ = ("buf", "n", "pos", "acc", "nbits")
+
+    def __init__(self, buf):
+        self.buf = buf
+        self.n = len(buf)
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, k):
+        while self.nbits < k:
+            self.acc = (self.acc << 8) | (self.buf[self.pos]
+                                          if self.pos < self.n else 0xFF)
+            self.pos += 1
+            self.nbits += 8
+        v = (self.acc >> (self.nbits - k)) & ((1 << k) - 1)
+        self.nbits -= k
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, lut):
+        while self.nbits < 16:
+            self.acc = (self.acc << 8) | (self.buf[self.pos]
+                                          if self.pos < self.n else 0xFF)
+            self.pos += 1
+            self.nbits += 8
+        packed = lut[(self.acc >> (self.nbits - 16)) & 0xFFFF]
+        if packed == 0:
+            raise ValueError("invalid Huffman code")
+        self.nbits -= packed >> 8
+        self.acc &= (1 << self.nbits) - 1
+        return packed & 0xFF
+
+    def align(self):
+        drop = self.nbits & 7
+        self.nbits -= drop
+        self.acc &= (1 << self.nbits) - 1
+
+    def check_overrun(self):
+        if self.pos > self.n + 512:
+            raise ValueError("truncated JPEG entropy stream")
+
+
+def _decode_progressive(frame, scans, qt):
+    """Progressive (SOF2) coefficient accumulation across scans.
+
+    Spectral selection + successive approximation per ITU T.81 Annex G
+    (libjpeg ``jdphuff.c`` semantics): DC-first scans store diffs
+    ``<< Al``, DC refinements OR one bit per block into bit ``Al``
+    (two's complement makes this exact for negative values), AC-first
+    scans run EOB-run logic within the ``[Ss, Se]`` band, AC
+    refinements append correction bits to already-nonzero coefficients
+    while placing new ±(1<<Al) values at zero-history positions."""
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        cw = -(-w * c["h"] // hmax)
+        chh = -(-h * c["v"] // vmax)
+        c["wb1"] = -(-cw // 8)   # non-interleaved scan block dims
+        c["hb1"] = -(-chh // 8)
+    byid = {c["id"]: c for c in comps}
+    for s in scans:
+        if s["ss"] == 0:
+            _scan_dc(s, byid, mcux, mcuy)
+        else:
+            _scan_ac(s, byid)
+    return _reconstruct(frame, comps, qt)
+
+
+def _scan_dc(s, byid, mcux, mcuy):
+    sc = s["comps"]
+    first = s["ah"] == 0
+    al = s["al"]
+    br = _BitReader(s["entropy"])
+    ri = s["ri"]
+    if len(sc) > 1:
+        # interleaved MCU order (all frame components present)
+        members = [byid[x["cs"]] for x in sc]
+        luts = [s["tabs"][("dc", x["cs"])] for x in sc]
+        preds = [0] * len(sc)
+        since = 0
+        for my in range(mcuy):
+            br.check_overrun()
+            for mx in range(mcux):
+                if ri and since == ri:
+                    br.align()
+                    preds = [0] * len(sc)
+                    since = 0
+                since += 1
+                for ci, c in enumerate(members):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            bi = (my * c["v"] + by) * c["bw"] \
+                                + mx * c["h"] + bx
+                            preds[ci] = _dc_unit(
+                                br, c["coef"], bi, luts[ci], preds[ci],
+                                first, al)
+        return
+    c = byid[sc[0]["cs"]]
+    lut = s["tabs"][("dc", sc[0]["cs"])]
+    pred = 0
+    since = 0
+    for byy in range(c["hb1"]):
+        br.check_overrun()
+        for bxx in range(c["wb1"]):
+            if ri and since == ri:
+                br.align()
+                pred = 0
+                since = 0
+            since += 1
+            bi = byy * c["bw"] + bxx
+            pred = _dc_unit(br, c["coef"], bi, lut, pred, first, al)
+
+
+def _dc_unit(br, coef, bi, lut, pred, first, al):
+    if first:
+        sz = br.huff(lut)
+        if sz:
+            v = br.bits(sz)
+            pred += _extend(v, sz)
+        coef[bi, 0] = pred << al
+        return pred
+    if br.bits(1):
+        coef[bi, 0] |= (1 << al)
+    return pred
+
+
+def _scan_ac(s, byid):
+    if len(s["comps"]) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    c = byid[s["comps"][0]["cs"]]
+    lut = s["tabs"][("ac", s["comps"][0]["cs"])]
+    ss, se, al = s["ss"], s["se"], s["al"]
+    first = s["ah"] == 0
+    br = _BitReader(s["entropy"])
+    ri = s["ri"]
+    eobrun = 0
+    since = 0
+    p1 = 1 << al
+    m1 = -(1 << al)
+    coef = c["coef"]
+    for byy in range(c["hb1"]):
+        br.check_overrun()
+        for bxx in range(c["wb1"]):
+            if ri and since == ri:
+                br.align()
+                eobrun = 0
+                since = 0
+            since += 1
+            blk = coef[byy * c["bw"] + bxx]
+            if first:
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.huff(lut)
+                    r, sz = rs >> 4, rs & 15
+                    if sz == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += 16
+                        continue
+                    k += r
+                    if k > se:
+                        break
+                    blk[k] = _extend(br.bits(sz), sz) << al
+                    k += 1
+            else:
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = br.huff(lut)
+                        r, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            val = 0     # ZRL: skip 16 zero-history
+                        else:
+                            val = p1 if br.bits(1) else m1
+                        while k <= se:
+                            cv = int(blk[k])
+                            if cv != 0:
+                                if br.bits(1) and (cv & p1) == 0:
+                                    blk[k] = cv + (p1 if cv >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        cv = int(blk[k])
+                        if cv != 0:
+                            if br.bits(1) and (cv & p1) == 0:
+                                blk[k] = cv + (p1 if cv >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
 
 
 def _upsample2_h_fancy(p):

@@ -115,10 +115,12 @@ def flagship(sf_dir, z=10, n_zones=500, warp_sample=None, concurrency=None,
 
     if concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        # leave headroom that grows with the node: read tasks, the
-        # driver's streaming consumer, and Ray system processes compete
-        # with the pool once the box is near-saturated
-        concurrency = max(2, cpus - max(2, cpus // 6))
+        # leave PROPORTIONAL headroom (≈1/6 of the node, ≥1 cpu) for
+        # read tasks, the driver's streaming consumer and Ray system
+        # processes: 4→3, 8→7, 16→14, 32→27 actors.  A fixed 2-cpu
+        # reserve under-occupied small nodes (4 cpus → 2 actors), which
+        # skewed small→large scaling comparisons (r2 verdict)
+        concurrency = max(2, cpus - max(1, cpus // 6))
     path = ensure_images_parquet(sf_dir)
     zi = zone_index or ensure_zone_index(n_zones)
     zi_ref = ray.put(zi)
