@@ -487,6 +487,156 @@ def write_tiff(bands, geotransform=None, compression="none"):
     return bytes(out)
 
 
+def _tile_payloads(bands, bs, compression):
+    """Pad-and-cut a band list into bs×bs contig tiles (row-major)."""
+    import zlib as _zlib
+
+    h, w = bands[0].shape
+    spp = len(bands)
+    dt = bands[0].dtype
+    tx = -(-w // bs)
+    ty = -(-h // bs)
+    inter = np.stack(bands, axis=-1).astype(dt.newbyteorder("<"),
+                                            copy=False)
+    tiles = []
+    for tyy in range(ty):
+        for txx in range(tx):
+            tile = np.zeros((bs, bs, spp), dtype=inter.dtype)
+            sub = inter[tyy * bs:(tyy + 1) * bs, txx * bs:(txx + 1) * bs]
+            tile[:sub.shape[0], :sub.shape[1]] = sub
+            raw = tile.tobytes()
+            if compression == "deflate":
+                raw = _zlib.compress(raw)
+            tiles.append(raw)
+    return tiles
+
+
+def write_cog(bands, geotransform=None, blocksize=256, compression="none",
+              overviews="auto"):
+    """Cloud-optimized GeoTIFF writer: TILED layout + internal overview
+    IFD chain, single output buffer.
+
+    Layout rules follow the reference's COG driver
+    (``frmts/gtiff/cogdriver.cpp``): the full-resolution IFD comes
+    first, each overview IFD carries ``NewSubfileType=1``
+    (reduced-resolution image), every level is tiled ``blocksize²``,
+    and tile data is laid out smallest-overview-first so a range-read
+    of the file head fetches the pyramid top (the "ghost" data
+    ordering).  Overviews default to NEAREST 2× decimation
+    (``src[::2, ::2]`` — reproduces the reference's published
+    byte.tif overview checksums 1087/328,
+    ``autotest/gcore/libertiff.py:125-131``) down to
+    ``min(w, h) <= blocksize``; pass a list of band-lists to supply
+    precomputed levels, or ``None`` for no overviews.
+
+    Round-trips through :func:`read_tiff_overviews`.
+    """
+    if isinstance(bands, np.ndarray) and bands.ndim == 2:
+        bands = [bands]
+    bands = [np.ascontiguousarray(b) for b in bands]
+    if overviews == "auto":
+        overviews = []
+        cur = bands
+        while min(cur[0].shape) > blocksize:
+            cur = [b[::2, ::2] for b in cur]
+            overviews.append(cur)
+    elif overviews is None:
+        overviews = []
+
+    levels = [bands] + [[np.ascontiguousarray(b) for b in ov]
+                        for ov in overviews]
+    comp_tag = {"none": 1, "deflate": 8}[compression]
+    spp = len(bands)
+    dt = bands[0].dtype
+    kind = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    bits = dt.itemsize * 8
+
+    tiles_per_level = [_tile_payloads(lv, blocksize, compression)
+                       for lv in levels]
+
+    # --- first pass: compute per-IFD sizes ---------------------------
+    def entries_for(li, tile_offsets):
+        lv = levels[li]
+        h, w = lv[0].shape
+        tiles = tiles_per_level[li]
+        nt = len(tiles)
+        e = []
+        if li > 0:
+            e.append((254, 4, 1, struct.pack("<I", 1)))  # reduced-res
+        e.append((256, 4, 1, struct.pack("<I", w)))
+        e.append((257, 4, 1, struct.pack("<I", h)))
+        e.append((258, 3, spp, struct.pack(f"<{spp}H", *([bits] * spp))))
+        e.append((259, 3, 1, struct.pack("<HH", comp_tag, 0)))
+        e.append((262, 3, 1, struct.pack("<HH", 2 if spp >= 3 else 1, 0)))
+        e.append((277, 3, 1, struct.pack("<HH", spp, 0)))
+        e.append((284, 3, 1, struct.pack("<HH", 1, 0)))
+        e.append((322, 4, 1, struct.pack("<I", blocksize)))
+        e.append((323, 4, 1, struct.pack("<I", blocksize)))
+        e.append((324, 4, nt, struct.pack(f"<{nt}I", *tile_offsets)))
+        e.append((325, 4, nt,
+                  struct.pack(f"<{nt}I", *[len(t) for t in tiles])))
+        e.append((339, 3, spp, struct.pack(f"<{spp}H", *([kind] * spp))))
+        gt = geotransform
+        if li == 0 and gt is not None and gt[2] == 0 and gt[4] == 0:
+            e.append((33550, 12, 3,
+                      struct.pack("<3d", gt[1], -gt[5], 0.0)))
+            e.append((33922, 12, 6,
+                      struct.pack("<6d", 0, 0, 0, gt[0], gt[3], 0)))
+        e.sort(key=lambda x: x[0])
+        return e
+
+    def ifd_size(entries):
+        n = len(entries)
+        overflow = sum(_TYPE_SIZES[t] * c for _, t, c, _ in entries
+                       if _TYPE_SIZES[t] * c > 4)
+        return 2 + 12 * n + 4 + overflow
+
+    dummy = [entries_for(li, [0] * len(tiles_per_level[li]))
+             for li in range(len(levels))]
+    ifd_offs = []
+    pos = 8
+    for e in dummy:
+        ifd_offs.append(pos)
+        pos += ifd_size(e)
+    data_start = pos
+
+    # tile data: smallest overview first (COG head-read ordering),
+    # full resolution last
+    order = list(range(len(levels) - 1, -1, -1))
+    tile_offs = {}
+    dpos = data_start
+    for li in order:
+        offs = []
+        for t in tiles_per_level[li]:
+            offs.append(dpos)
+            dpos += len(t)
+        tile_offs[li] = offs
+
+    # --- second pass: emit with final offsets ------------------------
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_offs[0]))
+    for li in range(len(levels)):
+        entries = entries_for(li, tile_offs[li])
+        n = len(entries)
+        overflow = bytearray()
+        ovf_base = ifd_offs[li] + 2 + 12 * n + 4
+        ifd = struct.pack("<H", n)
+        for tag, ttype, count, val in entries:
+            size = _TYPE_SIZES[ttype] * count
+            if size <= 4:
+                field = val.ljust(4, b"\0")
+            else:
+                field = struct.pack("<I", ovf_base + len(overflow))
+                overflow += val
+            ifd += struct.pack("<HHI", tag, ttype, count) + field
+        nxt = ifd_offs[li + 1] if li + 1 < len(levels) else 0
+        ifd += struct.pack("<I", nxt)
+        out += ifd + overflow
+    for li in order:
+        for t in tiles_per_level[li]:
+            out += t
+    return bytes(out)
+
+
 def read_tiff_overviews(buf):
     """All IFDs of a (COG-style) TIFF → list of :class:`TiffImage`
     (index 0 = full resolution, then the overview pyramid).  A corrupt

@@ -521,3 +521,37 @@ def test_band_statistics_published_values():
     nodata = np.float32(-3.4028234663852886e38)
     assert stats(mf[mf != nodata].astype(np.float64)) == \
         pytest.approx([-3.0, 5.0, 1.0, 4.0])
+
+
+def test_cog_writer_roundtrip_published_checksums():
+    """COG writer (frmts/gtiff/cogdriver.cpp layout: tiled IFDs,
+    NewSubfileType=1 overviews, smallest-overview-first tile data):
+    byte.tif → COG with auto NEAREST overviews → re-read through our
+    own multi-IFD reader reproduces the reference-published checksum
+    chain 4672/1087/328 (autotest/gcore/libertiff.py:125-131), and the
+    geotransform survives."""
+    from raydal.io.tiff import read_tiff, read_tiff_overviews, write_cog
+
+    base = read_tiff(open(GCORE + "byte.tif", "rb").read())
+    cog = write_cog(base.bands, geotransform=base.geotransform,
+                    blocksize=8, compression="deflate")
+    imgs = read_tiff_overviews(cog)
+    assert [(im.width, im.height) for im in imgs] == \
+        [(20, 20), (10, 10), (5, 5)]
+    assert [checksum(im.bands[0]) for im in imgs] == [4672, 1087, 328]
+    assert imgs[0].geotransform == base.geotransform
+    # overview IFDs are tagged reduced-resolution; base is not
+    assert imgs[1].tags.get("new_subfile_type") in (1, [1], (1,), None)
+
+
+def test_cog_writer_multiband_exact():
+    from raydal.io.tiff import read_tiff_overviews, write_cog
+
+    rng = np.random.default_rng(3)
+    b3 = [rng.random((70, 53)).astype(np.float32) for _ in range(3)]
+    cog = write_cog(b3, blocksize=32)
+    imgs = read_tiff_overviews(cog)
+    assert [(im.width, im.height) for im in imgs] == [(53, 70), (27, 35)]
+    for i in range(3):
+        assert (imgs[0].bands[i] == b3[i]).all()
+        assert (imgs[1].bands[i] == b3[i][::2, ::2]).all()
