@@ -29,7 +29,10 @@ import pyarrow as pa
 from .contour import chain_segments, contour_segments
 from .fill import _edt2
 from ..geo import wkb as W
+from ..geo.boolean import union_all
+from ..geo.clip import polygon_area_rings, ring_area
 from ..geo.crs import Transformer
+from .grid import delaunay_triangulate
 from .polygonize import label_components, trace_boundary
 
 __all__ = ["VectorReproject", "reproject_wkb", "explode_batch", "swap_xy",
@@ -526,3 +529,166 @@ def buffer_ring(ring, dist, px=None):
             wr = np.vstack([wr, wr[:1]])
         out.append(wr)
     return out
+
+
+# ---------------------------------------------------------------------------
+# round-3 scalars: UnaryUnion / ConcaveHull / SimplifyPreserveTopology
+# (ogr/ogrgeometry.cpp:5227, :4305, :6419 — GEOS-backed in the
+# reference; implemented here on the engine's own kernels)
+
+
+def unary_union_polys(polys_list):
+    """UnaryUnion (ogrgeometry.cpp:5227): dissolve a collection of
+    polygons into one (multi)polygon via the general boolean engine."""
+    return union_all(polys_list)
+
+
+def unary_union_wkb(blobs):
+    """UnaryUnion over WKB polygon blobs → (wkb, area)."""
+    polys = [W.polygons_from_wkb(b) for b in blobs]
+    merged = unary_union_polys(polys)
+    if not merged:
+        return None, 0.0
+    blob = (W.polygon_wkb(merged[0]) if len(merged) == 1
+            else W.multipolygon_wkb(merged))
+    return blob, sum(polygon_area_rings(p) for p in merged)
+
+
+def _ring_self_intersects(ring):
+    """True if any two non-adjacent segments of the closed ring cross."""
+    r = np.asarray(ring, dtype=np.float64)
+    segs = np.stack([r[:-1], r[1:]], axis=1)
+    n = len(segs)
+    if n < 4:
+        return False
+    m = W.segments_cross_matrix(segs, segs)
+    # mask self + adjacent (wrap-around) pairs
+    idx = np.arange(n)
+    adj = (np.abs(idx[:, None] - idx[None, :]) <= 1) | \
+        (np.abs(idx[:, None] - idx[None, :]) == n - 1)
+    return bool((m & ~adj).any())
+
+
+def simplify_preserve_topology(ring, tol):
+    """SimplifyPreserveTopology (ogrgeometry.cpp:6419 semantics):
+    Douglas-Peucker on the closed ring, backing the tolerance off
+    (halving) until the result keeps ≥4 vertices and stays simple —
+    the ring never collapses or self-intersects, unlike plain
+    Simplify."""
+    ring = np.asarray(ring, dtype=np.float64)
+    t = float(tol)
+    for _ in range(64):
+        r = simplify_dp(ring, t)
+        if len(r) >= 4 and not _ring_self_intersects(r):
+            return r
+        t /= 2.0
+        if t <= 0:
+            break
+    return ring.copy()
+
+
+def concave_hull(points, ratio=0.3):
+    """ConcaveHull of a point set (ogrgeometry.cpp:4305 semantics —
+    GEOS ConcaveHullOfPoints): Delaunay triangulation eroded by the
+    chi-shape rule (Duckham et al. 2008) — repeatedly remove the
+    border triangle whose boundary edge is longest, while the edge
+    exceeds ``lmin + ratio·(lmax−lmin)`` and removal keeps the shape
+    regular (the exposed vertex is interior).  ``ratio=1`` returns the
+    convex hull; smaller ratios hug concavities.  Returns a closed
+    (N, 2) ring (CCW)."""
+    import heapq
+
+    pts = np.asarray(points, dtype=np.float64)
+    scale = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1e-12)
+    # deterministic symbolic perturbation: cocircular point sets (grids,
+    # arcs) break the incremental incircle test — jitter the COPY used
+    # for triangulation, keep original coords for output
+    tris = np.empty((0, 3))
+    for mag in (1e-9, 1e-7, 1e-5):
+        rs = np.random.RandomState(12345)
+        jit = pts + (rs.rand(*pts.shape) - 0.5) * scale * mag
+        tris = delaunay_triangulate(jit)
+        if len(tris) == 0:
+            continue
+        V = len(np.unique(tris))
+        edges = set()
+        for t in map(tuple, tris.tolist()):
+            for a, b in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                edges.add((a, b) if a < b else (b, a))
+        if V - len(edges) + len(tris) == 1:   # triangulated disc
+            break
+    if len(tris) == 0:
+        raise ValueError("concave_hull needs ≥3 non-collinear points")
+    alive = set(map(tuple, tris.tolist()))
+
+    def edge_key(a, b):
+        return (a, b) if a < b else (b, a)
+
+    def elen(e):
+        return float(np.hypot(*(pts[e[0]] - pts[e[1]])))
+
+    # edge → incident alive triangles
+    inc = {}
+    for t in alive:
+        for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            inc.setdefault(edge_key(*e), []).append(t)
+    all_lens = [elen(e) for e in inc]
+    lmin, lmax = min(all_lens), max(all_lens)
+    threshold = lmin + float(ratio) * (lmax - lmin)
+
+    def boundary_edges():
+        return [e for e, ts in inc.items()
+                if sum(1 for t in ts if t in alive) == 1]
+
+    heap = [(-elen(e), e) for e in boundary_edges()]
+    heapq.heapify(heap)
+    vert_on_boundary = set()
+    for e in boundary_edges():
+        vert_on_boundary.update(e)
+    while heap:
+        neg, e = heapq.heappop(heap)
+        if -neg <= threshold:
+            break
+        ts = [t for t in inc.get(e, ()) if t in alive]
+        if len(ts) != 1:
+            continue  # stale heap entry
+        t = ts[0]
+        apex = next(v for v in t if v not in e)
+        # regularity: removing must not pinch the region — apex must be
+        # interior, and the triangle must have exactly one border edge
+        others = [edge_key(*pair) for pair in ((t[0], t[1]), (t[1], t[2]),
+                                               (t[2], t[0]))
+                  if edge_key(*pair) != e]
+        border_count = sum(
+            1 for o in others
+            if sum(1 for x in inc.get(o, ()) if x in alive) == 1)
+        if apex in vert_on_boundary or border_count or len(alive) == 1:
+            continue
+        alive.remove(t)
+        vert_on_boundary.add(apex)
+        for o in others:
+            heapq.heappush(heap, (-elen(o), o))
+
+    # chain the boundary edges of the remaining triangulation
+    border = [e for e, ts in inc.items()
+              if sum(1 for t in ts if t in alive) == 1]
+    nxt = {}
+    for a, b in border:
+        nxt.setdefault(a, []).append(b)
+        nxt.setdefault(b, []).append(a)
+    start = border[0][0]
+    ringv = [start]
+    prev = None
+    cur = start
+    for _ in range(len(border)):
+        cands = [v for v in nxt[cur] if v != prev]
+        if not cands:
+            break
+        prev, cur = cur, cands[0]
+        if cur == start:
+            break
+        ringv.append(cur)
+    ring = np.vstack([pts[ringv], pts[ringv[:1]]])
+    if ring_area(ring) < 0:
+        ring = ring[::-1]
+    return ring

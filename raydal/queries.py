@@ -2488,6 +2488,53 @@ def q71_ann_ivf(sf_dir):
                      ["query_idx", "rank", "vec_id"])
 
 
+def q72_geometry_scalars(sf_dir):
+    """UnaryUnion + ConcaveHull + SimplifyPreserveTopology through a
+    Dataset stage (ogrgeometry.cpp:5227/:4305/:6419): supplier-derived
+    points grouped into spatial buckets; per group the concave-hull
+    area (ratio 0.5), its topology-preserving simplification vertex
+    count, and the unary-union area of per-point boxes.  Rows-only
+    (pytest carries closed-form oracles for each kernel)."""
+    import pandas as pd
+
+    from .geo.clip import ring_area
+    from .geo.wkb import box_polygon, polygon_wkb
+    from .ops.vector import (concave_hull, simplify_preserve_topology,
+                             unary_union_wkb)
+
+    pts = _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        lambda t: _derive_points(t, "s_suppkey"), batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["s_suppkey"], dtype=np.int64)
+        return t.append_column("bucket", pa.array(k % 4, pa.int64()))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        xy = np.stack([g["x"].to_numpy(), g["y"].to_numpy()], 1)
+        if len(xy) < 3:
+            return pd.DataFrame({
+                "bucket": pd.Series([], dtype="int64"),
+                "hull_area": pd.Series([], dtype="float64"),
+                "simplified_pts": pd.Series([], dtype="int64"),
+                "union_area": pd.Series([], dtype="float64")})
+        ring = concave_hull(xy, ratio=0.5)
+        simp = simplify_preserve_topology(ring, 0.5)
+        blobs = [polygon_wkb(box_polygon(x - 0.4, y - 0.4,
+                                         x + 0.4, y + 0.4))
+                 for x, y in xy[:64]]
+        _, uarea = unary_union_wkb(blobs)
+        return pd.DataFrame({
+            "bucket": [int(g["bucket"].iloc[0])],
+            "hull_area": [float(round_half_away(abs(ring_area(ring)),
+                                                4))],
+            "simplified_pts": [int(len(simp))],
+            "union_area": [float(round_half_away(uarea, 4))]})
+
+    return (pts.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(per_group,
+                                          batch_format="pandas"))
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -2561,6 +2608,7 @@ QUERIES = {
     "q69_union_area": (q69_union_area, SQL_Q69),
     "q70_rect_distance": (q70_rect_distance, SQL_Q70),
     "q71_ann_ivf": (q71_ann_ivf, None),
+    "q72_geometry_scalars": (q72_geometry_scalars, None),
 }
 
 

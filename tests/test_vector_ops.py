@@ -114,3 +114,71 @@ class TestGeomOps:
         assert out["geom_area"].to_pylist() == [4.0, 5.0]
         assert out["n_parts"].to_pylist() == [1, 2]
         assert out["centroid_x"][0].as_py() == pytest.approx(1.0)
+
+
+class TestRound3Scalars:
+    """UnaryUnion / ConcaveHull / SimplifyPreserveTopology
+    (ogrgeometry.cpp:5227/:4305/:6419 semantics on engine kernels)."""
+
+    def test_unary_union_overlap_and_disjoint(self):
+        from raydal.geo.wkb import box_polygon, polygon_wkb, \
+            polygons_from_wkb
+        from raydal.ops.vector import unary_union_wkb
+
+        blobs = [polygon_wkb(box_polygon(0, 0, 4, 4)),
+                 polygon_wkb(box_polygon(2, 2, 6, 6)),
+                 polygon_wkb(box_polygon(10, 10, 11, 11))]
+        blob, area = unary_union_wkb(blobs)
+        assert area == pytest.approx(16 + 16 - 4 + 1)
+        assert len(polygons_from_wkb(blob)) == 2  # merged pair + island
+
+    def test_concave_hull_ratio1_is_convex_hull(self):
+        from raydal.geo.clip import ring_area
+        from raydal.ops.vector import concave_hull, convex_hull
+
+        pts = [(r * np.cos(t), r * np.sin(t))
+               for t in np.linspace(0, 1.5 * np.pi, 60)
+               for r in (4, 4.5, 5)]
+        pts = np.array(pts)
+        ch = concave_hull(pts, ratio=1.0)
+        hull = np.asarray(convex_hull(pts))
+        assert abs(ring_area(ch)) == pytest.approx(abs(ring_area(hull)))
+
+    def test_concave_hull_hugs_c_shape(self):
+        from raydal.geo.clip import ring_area
+        from raydal.ops.vector import concave_hull
+
+        pts = np.array([(r * np.cos(t), r * np.sin(t))
+                        for t in np.linspace(0, 1.5 * np.pi, 60)
+                        for r in (4, 4.5, 5)])
+        cc = abs(ring_area(concave_hull(pts, ratio=0.05)))
+        # the C band is ~1.5π·4.5 ≈ 21.2; convex hull is 71.3
+        assert 15 < cc < 30
+
+    def test_concave_hull_grid_cocircular(self):
+        from raydal.geo.clip import ring_area
+        from raydal.ops.vector import concave_hull
+
+        gx, gy = np.meshgrid(np.arange(10), np.arange(6))
+        grid = np.stack([gx.ravel(), gy.ravel()], 1).astype(float)
+        assert abs(ring_area(concave_hull(grid, ratio=1.0))) == \
+            pytest.approx(45.0)
+
+    def test_simplify_preserve_topology_guards(self):
+        from raydal.ops.vector import (_ring_self_intersects,
+                                       simplify_preserve_topology)
+
+        sq = np.array([[0, 0], [10, 0.01], [20, 0], [20, 10],
+                       [10, 10.01], [0, 10], [0, 0]], float)
+        sp = simplify_preserve_topology(sq, 1.0)
+        assert len(sp) == 5  # collinear bumps removed
+        # a huge tolerance must never collapse the ring below 4 points
+        sp2 = simplify_preserve_topology(sq, 1e9)
+        assert len(sp2) >= 4
+        assert not _ring_self_intersects(sp2)
+        # U-shape where aggressive DP would self-intersect: result must
+        # stay simple
+        u = np.array([[0, 0], [10, 0], [10, 8], [6, 8], [6, 2], [4, 2],
+                      [4, 8], [0, 8], [0, 0]], float)
+        r = simplify_preserve_topology(u, 3.0)
+        assert not _ring_self_intersects(r)
