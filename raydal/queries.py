@@ -2535,6 +2535,37 @@ def q72_geometry_scalars(sf_dir):
                                           batch_format="pandas"))
 
 
+def q73_viewshed(sf_dir):
+    """Viewshed batch (alg/viewshed Wang-Robinson-White sweep, validated
+    against the reference's published expected grids in pytest): one
+    deterministic DEM broadcast to an actor pool, observers derived from
+    supplier keys, per-observer visible-cell counts.  Rows-only."""
+    import ray
+
+    from .ops.viewshed import ViewshedActor
+
+    gx, gy = np.meshgrid(np.arange(96), np.arange(96))
+    dem = (20.0 * np.sin(gx / 9.0) * np.cos(gy / 7.0)
+           + 0.15 * gx + 0.1 * gy)
+    dem_ref = ray.put(dem)
+
+    def observers(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["s_suppkey"], dtype=np.int64)
+        return pa.Table.from_pydict({
+            "observer_id": pa.array(k, pa.int64()),
+            "px": pa.array((k * 37) % 96, pa.int64()),
+            "py": pa.array((k * 53) % 96, pa.int64()),
+            "height": pa.array(np.full(len(k), 3.0), pa.float64())})
+
+    return (_read(sf_dir, "supplier", ["s_suppkey"])
+            .map_batches(observers, batch_format="pyarrow")
+            .map_batches(ViewshedActor,
+                         fn_constructor_kwargs={"dem_ref": dem_ref,
+                                                "max_distance": 40.0},
+                         batch_format="pyarrow", concurrency=2,
+                         batch_size=32))
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -2609,6 +2640,7 @@ QUERIES = {
     "q70_rect_distance": (q70_rect_distance, SQL_Q70),
     "q71_ann_ivf": (q71_ann_ivf, None),
     "q72_geometry_scalars": (q72_geometry_scalars, None),
+    "q73_viewshed": (q73_viewshed, None),
 }
 
 
