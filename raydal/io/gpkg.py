@@ -1,0 +1,219 @@
+"""GeoPackage (GPKG) reader — features and tile pyramids.
+
+The reference's GPKG driver (``ogr/ogrsf_frmts/gpkg/``,
+``ogrgeopackagetablelayer.cpp``) sits on libsqlite3; this reader does
+the same through Python's stdlib ``sqlite3`` (read-only URI mode) — the
+GDAL-parity work here is the GeoPackage layer itself:
+
+* ``gpkg_contents`` / ``gpkg_geometry_columns`` discovery,
+* the GeoPackageBinary (GPB) geometry blob header (magic ``GP``,
+  version, flags with envelope-indicator bits 1-3 / byte-order bit 0 /
+  empty bit 4 / extended bit 5, int32 srs_id, optional envelope, then
+  plain WKB — OGC GeoPackage spec §2.1.3 "BLOB format"),
+* tile tables (``gpkg_tile_matrix`` + z/x/y PNG-or-JPEG tiles,
+  ``gdal raster`` side of the driver) with window cropping against the
+  contents extent — validated against the reference's published
+  byte.gpkg checksum 4672 (``autotest/gdrivers/gpkg.py:3567``).
+
+Feature output: one Arrow table with ``fid`` (int64), attribute columns
+(sqlite decltype-mapped), and the geometry as a plain ``wkb`` binary
+column (GPB header stripped) — the engine's native geometry layout.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["gpkg_layers", "parse_gpb", "read_gpkg_features",
+           "read_gpkg_tiles", "read_gpkg_raster",
+           "read_gpkg_dataset"]
+
+_ENV_DOUBLES = {0: 0, 1: 4, 2: 6, 3: 6, 4: 8}
+
+
+def _connect(path):
+    return sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+
+
+def gpkg_layers(path):
+    """[(table_name, data_type)] from gpkg_contents."""
+    con = _connect(path)
+    try:
+        return list(con.execute(
+            "SELECT table_name, data_type FROM gpkg_contents"))
+    finally:
+        con.close()
+
+
+def parse_gpb(blob):
+    """GeoPackageBinary blob → (srs_id, envelope_or_None, wkb_bytes).
+
+    Envelope is returned as a tuple of 4/6/8 doubles per the envelope
+    indicator; extended (bit 5) blobs raise."""
+    if blob is None:
+        return None, None, None
+    if len(blob) < 8 or blob[:2] != b"GP":
+        raise ValueError("not a GeoPackageBinary blob")
+    flags = blob[3]
+    if flags & 0x20:
+        raise NotImplementedError("extended GeoPackageBinary")
+    little = bool(flags & 0x01)
+    env_ind = (flags >> 1) & 0x07
+    if env_ind not in _ENV_DOUBLES:
+        raise ValueError(f"invalid GPB envelope indicator {env_ind}")
+    bo = "<" if little else ">"
+    (srs_id,) = struct.unpack_from(bo + "i", blob, 4)
+    n_env = _ENV_DOUBLES[env_ind]
+    env = struct.unpack_from(f"{bo}{n_env}d", blob, 8) if n_env else None
+    wkb = blob[8 + 8 * n_env:]
+    if flags & 0x10 or len(wkb) == 0:   # empty-geometry flag
+        return srs_id, env, None
+    return srs_id, env, bytes(wkb)
+
+
+def _pa_type(decltype):
+    d = (decltype or "").upper()
+    if any(k in d for k in ("INT", "BOOL")):
+        return pa.int64()
+    if any(k in d for k in ("REAL", "FLOA", "DOUB")):
+        return pa.float64()
+    if "BLOB" in d:
+        return pa.binary()
+    return pa.string()
+
+
+def read_gpkg_features(path, layer=None, wkb_col="wkb"):
+    """One feature layer → Arrow table (fid, attrs..., plain-WKB
+    geometry column)."""
+    con = _connect(path)
+    try:
+        gc = list(con.execute(
+            "SELECT table_name, column_name FROM gpkg_geometry_columns"))
+        if layer is None:
+            if not gc:
+                raise ValueError("no feature layers in gpkg")
+            table, geom_col = gc[0]
+        else:
+            hit = [r for r in gc if r[0] == layer]
+            if not hit:
+                raise ValueError(f"no such feature layer {layer!r}")
+            table, geom_col = hit[0]
+        info = list(con.execute(f'PRAGMA table_info("{table}")'))
+        # (cid, name, type, notnull, default, pk)
+        pk = [r[1] for r in info if r[5]]
+        fid_col = pk[0] if len(pk) == 1 else info[0][1]
+        attr_cols = [(r[1], r[2]) for r in info
+                     if r[1] not in (fid_col, geom_col)]
+        names = ", ".join(f'"{c}"' for c, _ in attr_cols)
+        sel = f'"{fid_col}", "{geom_col}"' + (", " + names if names else "")
+        rows = list(con.execute(f'SELECT {sel} FROM "{table}"'))
+        cols = {"fid": pa.array([r[0] for r in rows], pa.int64()),
+                wkb_col: pa.array(
+                    [parse_gpb(r[1])[2] for r in rows], pa.binary())}
+        for i, (cname, decl) in enumerate(attr_cols):
+            cols[cname] = pa.array([r[2 + i] for r in rows],
+                                   _pa_type(decl))
+        return pa.Table.from_pydict(cols)
+    finally:
+        con.close()
+
+
+def read_gpkg_tiles(path, table=None):
+    """Tile table → Arrow table (zoom_level, tile_column, tile_row,
+    tile_data) — the z/x/y layout the engine's tile pipelines use."""
+    con = _connect(path)
+    try:
+        if table is None:
+            tiles = [t for t, d in con.execute(
+                "SELECT table_name, data_type FROM gpkg_contents")
+                if d == "tiles"]
+            if not tiles:
+                raise ValueError("no tile layers in gpkg")
+            table = tiles[0]
+        rows = list(con.execute(
+            f'SELECT zoom_level, tile_column, tile_row, tile_data '
+            f'FROM "{table}"'))
+        return pa.Table.from_pydict({
+            "zoom_level": pa.array([r[0] for r in rows], pa.int64()),
+            "tile_column": pa.array([r[1] for r in rows], pa.int64()),
+            "tile_row": pa.array([r[2] for r in rows], pa.int64()),
+            "tile_data": pa.array([r[3] for r in rows], pa.binary())})
+    finally:
+        con.close()
+
+
+def read_gpkg_raster(path, table=None, zoom_level=None):
+    """Assemble a tile table into one raster (highest zoom by default),
+    cropped to the gpkg_contents extent — GDAL's raster-GPKG open path.
+
+    Returns ``(array[h, w] or [h, w, bands], geotransform)``."""
+    from .codecs import decode as decode_image
+
+    con = _connect(path)
+    try:
+        if table is None:
+            tiles = [t for t, d in con.execute(
+                "SELECT table_name, data_type FROM gpkg_contents")
+                if d == "tiles"]
+            if not tiles:
+                raise ValueError("no tile layers in gpkg")
+            table = tiles[0]
+        (minx, miny, maxx, maxy) = con.execute(
+            "SELECT min_x, min_y, max_x, max_y FROM gpkg_contents "
+            "WHERE table_name = ?", (table,)).fetchone()
+        if zoom_level is None:
+            zoom_level = con.execute(
+                f'SELECT MAX(zoom_level) FROM "{table}"').fetchone()[0]
+        (tw, th, px, py) = con.execute(
+            "SELECT tile_width, tile_height, pixel_x_size, pixel_y_size "
+            "FROM gpkg_tile_matrix WHERE table_name = ? AND "
+            "zoom_level = ?", (table, zoom_level)).fetchone()
+        try:
+            (tms_minx, tms_maxy) = con.execute(
+                "SELECT min_x, max_y FROM gpkg_tile_matrix_set "
+                "WHERE table_name = ?", (table,)).fetchone()
+        except sqlite3.OperationalError:
+            tms_minx, tms_maxy = minx, maxy
+        rows = list(con.execute(
+            f'SELECT tile_column, tile_row, tile_data FROM "{table}" '
+            f'WHERE zoom_level = ?', (zoom_level,)))
+    finally:
+        con.close()
+    w = int(round((maxx - minx) / px))
+    h = int(round((maxy - miny) / py))
+    x0 = int(round((minx - tms_minx) / px))
+    y0 = int(round((tms_maxy - maxy) / py))
+    canvas = None
+    for tc, tr, data in rows:
+        tile = decode_image(bytes(data))
+        if canvas is None:
+            bands = tile.shape[2] if tile.ndim == 3 else 1
+            full_shape = (h, w) if bands == 1 else (h, w, bands)
+            canvas = np.zeros(full_shape, dtype=tile.dtype)
+        ox = tc * tw - x0
+        oy = tr * th - y0
+        sy0, sx0 = max(0, -oy), max(0, -ox)
+        dy0, dx0 = max(0, oy), max(0, ox)
+        ny = min(tile.shape[0] - sy0, h - dy0)
+        nx = min(tile.shape[1] - sx0, w - dx0)
+        if ny <= 0 or nx <= 0:
+            continue
+        canvas[dy0:dy0 + ny, dx0:dx0 + nx] = \
+            tile[sy0:sy0 + ny, sx0:sx0 + nx]
+    if canvas is None:
+        raise ValueError("no tiles at requested zoom level")
+    gt = (minx, px, 0.0, maxy, 0.0, -py)
+    return canvas, gt
+
+
+def read_gpkg_dataset(path, layer=None, **kwargs):
+    """Feature layer → ``ray.data.Dataset`` (one read; GPKG layers are
+    small side tables — the heavy side of every pipeline stays
+    parquet)."""
+    import ray.data
+
+    return ray.data.from_arrow(read_gpkg_features(path, layer=layer))

@@ -19,7 +19,7 @@ __all__ = ["encode_png", "decode_png"]
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 _COLOR_TYPE = {1: 0, 3: 2, 4: 6}  # channels → PNG color type
-_CHANNELS = {0: 1, 2: 3, 6: 4}
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}   # gray, rgb, gray+alpha, rgba
 
 
 def _chunk(tag, payload):

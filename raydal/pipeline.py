@@ -394,3 +394,19 @@ def _sink_cog(ds, out_dir, name_col="image_id", band_cols=("data",),
             "path": pa.array(written, pa.string())})
 
     return ds.map_batches(write_batch, batch_format="pyarrow")
+
+
+@register_source("gpkg")
+def _src_gpkg(path, layer=None, **kwargs):
+    from .io.gpkg import read_gpkg_dataset
+
+    return read_gpkg_dataset(path, layer=layer)
+
+
+@register_source("gpkg-tiles")
+def _src_gpkg_tiles(path, table=None, **kwargs):
+    import ray.data
+
+    from .io.gpkg import read_gpkg_tiles
+
+    return ray.data.from_arrow(read_gpkg_tiles(path, table=table))
