@@ -28,6 +28,8 @@ import struct
 import numpy as np
 import pyarrow as pa
 
+from .codecs import decode as _decode_image
+
 __all__ = ["gpkg_layers", "parse_gpb", "read_gpkg_features",
            "read_gpkg_tiles", "read_gpkg_raster",
            "read_gpkg_dataset"]
@@ -151,8 +153,6 @@ def read_gpkg_raster(path, table=None, zoom_level=None):
     cropped to the gpkg_contents extent — GDAL's raster-GPKG open path.
 
     Returns ``(array[h, w] or [h, w, bands], geotransform)``."""
-    from .codecs import decode as decode_image
-
     con = _connect(path)
     try:
         if table is None:
@@ -189,7 +189,7 @@ def read_gpkg_raster(path, table=None, zoom_level=None):
     y0 = int(round((tms_maxy - maxy) / py))
     canvas = None
     for tc, tr, data in rows:
-        tile = decode_image(bytes(data))
+        tile = _decode_image(bytes(data))
         if canvas is None:
             bands = tile.shape[2] if tile.ndim == 3 else 1
             full_shape = (h, w) if bands == 1 else (h, w, bands)
