@@ -276,7 +276,9 @@ def _decode_jpeg_impl(buf):
             for c in range(ns):
                 cs, td_ta = data[seg + 1 + 2 * c], data[seg + 2 + 2 * c]
                 scomps.append({"cs": cs, "td": td_ta >> 4, "ta": td_ta & 15})
-            if frame["progressive"]:
+            if frame["progressive"] or ns < len(frame["comps"]):
+                # progressive, or baseline NON-INTERLEAVED (one scan
+                # per component subset): collect scans + entropy spans
                 ss = data[seg + 1 + 2 * ns]
                 se = data[seg + 2 + 2 * ns]
                 ah_al = data[seg + 3 + 2 * ns]
@@ -307,6 +309,8 @@ def _decode_jpeg_impl(buf):
         if not prog_scans:
             raise ValueError("no SOF/SOS found")
         return _decode_progressive(frame, prog_scans, qt)
+    if prog_scans:
+        return _decode_baseline_scans(frame, prog_scans, qt)
     if scan is None:
         raise ValueError("no SOF/SOS found")
 
@@ -552,6 +556,99 @@ def _decode_progressive(frame, scans, qt):
         else:
             _scan_ac(s, byid)
     return _reconstruct(frame, comps, qt)
+
+
+def _decode_baseline_scans(frame, scans, qt):
+    """Baseline (SOF0/1) frame coded as MULTIPLE scans — the
+    non-interleaved layout libjpeg emits for custom baseline scan
+    scripts.  Each scan carries full DC+AC for its component(s) over
+    the component's own block grid."""
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        cw = -(-w * c["h"] // hmax)
+        chh = -(-h * c["v"] // vmax)
+        c["wb1"] = -(-cw // 8)
+        c["hb1"] = -(-chh // 8)
+    byid = {c["id"]: c for c in comps}
+    for s in scans:
+        _scan_baseline_full(s, byid, mcux, mcuy)
+    return _reconstruct(frame, comps, qt)
+
+
+def _block_baseline(br, blk, dc_lut, ac_lut, pred):
+    """One full baseline DC+AC block decode (zigzag order)."""
+    sz = br.huff(dc_lut)
+    if sz:
+        pred += _extend(br.bits(sz), sz)
+    blk[0] = pred
+    k = 1
+    while k < 64:
+        rs = br.huff(ac_lut)
+        r, s_ = rs >> 4, rs & 15
+        if s_ == 0:
+            if rs == 0xF0:
+                k += 16
+                continue
+            break
+        k += r
+        if k > 63:
+            break
+        blk[k] = _extend(br.bits(s_), s_)
+        k += 1
+    return pred
+
+
+def _scan_baseline_full(s, byid, mcux, mcuy):
+    sc = s["comps"]
+    br = _BitReader(s["entropy"])
+    ri = s["ri"]
+    if len(sc) == 1:
+        c = byid[sc[0]["cs"]]
+        dc_lut = s["tabs"][("dc", sc[0]["cs"])]
+        ac_lut = s["tabs"][("ac", sc[0]["cs"])]
+        pred = 0
+        since = 0
+        for byy in range(c["hb1"]):
+            br.check_overrun()
+            for bxx in range(c["wb1"]):
+                if ri and since == ri:
+                    br.align()
+                    pred = 0
+                    since = 0
+                since += 1
+                pred = _block_baseline(
+                    br, c["coef"][byy * c["bw"] + bxx], dc_lut, ac_lut,
+                    pred)
+        return
+    members = [byid[x["cs"]] for x in sc]
+    dcl = [s["tabs"][("dc", x["cs"])] for x in sc]
+    acl = [s["tabs"][("ac", x["cs"])] for x in sc]
+    preds = [0] * len(sc)
+    since = 0
+    for my in range(mcuy):
+        br.check_overrun()
+        for mx in range(mcux):
+            if ri and since == ri:
+                br.align()
+                preds = [0] * len(sc)
+                since = 0
+            since += 1
+            for ci, c in enumerate(members):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        bi = (my * c["v"] + by) * c["bw"] \
+                            + mx * c["h"] + bx
+                        preds[ci] = _block_baseline(
+                            br, c["coef"][bi], dcl[ci], acl[ci],
+                            preds[ci])
 
 
 def _scan_dc(s, byid, mcux, mcuy):

@@ -38,6 +38,11 @@ GOLDENS = [
     ("noise_color_q92_444_r7.jpg", (41, 67, 3), 13535286584173213813),
     ("rings_gray_q75_420_r0.jpg", (48, 64), 16968237078231739997),
     ("rings_gray_q85_420_r4.jpg", (48, 64), 2394139616235023634),
+    # baseline NON-INTERLEAVED (one full DC+AC scan per component, a
+    # libjpeg custom scan script) — not progressive, but decoded via
+    # the same multi-scan machinery
+    ("grad_color_q80_noninterleaved.jpg", (53, 77, 3),
+     16505172763836112190),
 ]
 
 REF_GOLDENS = [
