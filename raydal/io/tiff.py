@@ -1,4 +1,5 @@
-"""Minimal from-scratch TIFF reader (classic TIFF, strips + tiles).
+"""Minimal from-scratch TIFF reader (classic TIFF + BigTIFF, strips +
+tiles).
 
 Scope (enough to read GDAL's own test fixtures as independent parity
 oracles — see ``autotest/gcore/tiff_read.py:44-76`` for the published
@@ -10,7 +11,11 @@ checksum table this reader is validated against):
 * predictors: none (1), horizontal differencing (2), floating-point (3);
 * sample formats: unsigned / signed int {8,16,32}, IEEE float {16,32,64};
 * PlanarConfiguration contig (1) and separate (2), strip and tile layout,
-  including partial edge strips/tiles (``tiff_read.py:67-70`` #1179).
+  including partial edge strips/tiles (``tiff_read.py:67-70`` #1179);
+* BigTIFF (magic 43): 8-byte offsets, u64 IFD counts, 20-byte entries,
+  LONG8/SLONG8/IFD8 types — validated against the published
+  strip-offset table (``tiff_read.py:3819-3846``) and
+  byte_bigtiff_strip5lines checksum 4672 (``:1227-1235``).
 
 The reference implementation this mirrors semantically is
 ``frmts/gtiff/gtiffdataset_read.cpp`` (strip/tile chunk walk) and
@@ -37,21 +42,23 @@ _TAG_NAMES = {
 }
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
-               11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+               11: 4, 12: 8, 16: 8, 17: 8, 18: 8}   # 16-18: BigTIFF LONG8
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
+             12: "d", 16: "Q", 17: "q", 18: "Q"}
 
 
-def _read_ifd_values(buf, bo, ttype, count, value_field):
+def _read_ifd_values(buf, bo, ttype, count, value_field, big=False):
     size = _TYPE_SIZES.get(ttype)
     if size is None:
         return None
     if count < 0 or count > (1 << 24):
         raise ValueError("implausible IFD entry count")
     nbytes = size * count
-    if nbytes <= 4:
+    inline = 8 if big else 4
+    if nbytes <= inline:
         raw = value_field[:nbytes]
     else:
-        (off,) = struct.unpack(bo + "I", value_field)
+        (off,) = struct.unpack(bo + ("Q" if big else "I"), value_field)
         raw = buf[off:off + nbytes]
     if ttype in (5, 10):  # RATIONAL
         fmt = bo + ("II" if ttype == 5 else "ii") * count
@@ -249,26 +256,45 @@ def _read_tiff_impl(buf, ifd_index=0):
     else:
         raise ValueError("not a TIFF (bad byte-order mark)")
     (magic,) = struct.unpack_from(bo + "H", buf, 2)
-    if magic == 43:
-        raise NotImplementedError("BigTIFF not supported")
-    if magic != 42:
+    big = magic == 43
+    if big:
+        # BigTIFF: 8-byte offsets, u64 IFD counts, 20-byte entries
+        offsize, pad = struct.unpack_from(bo + "HH", buf, 4)
+        if offsize != 8 or pad != 0:
+            raise ValueError("invalid BigTIFF header")
+    elif magic != 42:
         raise ValueError("not a TIFF (bad magic)")
-    (ifd_off,) = struct.unpack_from(bo + "I", buf, 4)
-    for _ in range(ifd_index):
-        (n_here,) = struct.unpack_from(bo + "H", buf, ifd_off)
-        (ifd_off,) = struct.unpack_from(bo + "I",
-                                        buf, ifd_off + 2 + 12 * n_here)
-        if ifd_off == 0:
-            raise ValueError(f"no IFD {ifd_index} in file")
-    (n_entries,) = struct.unpack_from(bo + "H", buf, ifd_off)
+    if big:
+        (ifd_off,) = struct.unpack_from(bo + "Q", buf, 8)
+        for _ in range(ifd_index):
+            (n_here,) = struct.unpack_from(bo + "Q", buf, ifd_off)
+            (ifd_off,) = struct.unpack_from(
+                bo + "Q", buf, ifd_off + 8 + 20 * n_here)
+            if ifd_off == 0:
+                raise ValueError(f"no IFD {ifd_index} in file")
+        (n_entries,) = struct.unpack_from(bo + "Q", buf, ifd_off)
+        if n_entries > (1 << 20):
+            raise ValueError("implausible IFD entry count")
+        ent_base, ent_size, cnt_fmt = ifd_off + 8, 20, "HHQ"
+    else:
+        (ifd_off,) = struct.unpack_from(bo + "I", buf, 4)
+        for _ in range(ifd_index):
+            (n_here,) = struct.unpack_from(bo + "H", buf, ifd_off)
+            (ifd_off,) = struct.unpack_from(bo + "I",
+                                            buf, ifd_off + 2 + 12 * n_here)
+            if ifd_off == 0:
+                raise ValueError(f"no IFD {ifd_index} in file")
+        (n_entries,) = struct.unpack_from(bo + "H", buf, ifd_off)
+        ent_base, ent_size, cnt_fmt = ifd_off + 2, 12, "HHI"
     tags = {}
     for i in range(n_entries):
-        base = ifd_off + 2 + 12 * i
-        tag, ttype, count = struct.unpack_from(bo + "HHI", buf, base)
+        base = ent_base + ent_size * i
+        tag, ttype, count = struct.unpack_from(bo + cnt_fmt, buf, base)
         name = _TAG_NAMES.get(tag)
         if name is None:
             continue
-        vals = _read_ifd_values(buf, bo, ttype, count, buf[base + 8:base + 12])
+        vfield = buf[base + (12 if big else 8):base + ent_size]
+        vals = _read_ifd_values(buf, bo, ttype, count, vfield, big=big)
         if vals is None:
             continue
         tags[name] = vals

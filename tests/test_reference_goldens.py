@@ -555,3 +555,38 @@ def test_cog_writer_multiband_exact():
     for i in range(3):
         assert (imgs[0].bands[i] == b3[i]).all()
         assert (imgs[1].bands[i] == b3[i][::2, ::2]).all()
+
+
+def test_bigtiff_published_strip_offsets():
+    """BigTIFF + classic strip-offset datatype matrix
+    (autotest/gcore/tiff_read.py:3819-3846 published offsets) and the
+    BigTIFF byte raster checksum (":1227-1235", cs 4672)."""
+    from raydal.io.tiff import read_tiff
+
+    cases = [
+        ("classictiff_one_block_long.tif", [158]),
+        ("classictiff_one_block_be_long.tif", [158]),
+        ("classictiff_one_strip_long.tif", [146]),
+        ("classictiff_one_strip_be_long.tif", [146]),
+        ("classictiff_two_strip_short.tif", [162, 163]),
+        ("classictiff_four_strip_short.tif", [178, 179, 180, 181]),
+        ("bigtiff_four_strip_short.tif", [316, 317, 318, 319]),
+        ("bigtiff_four_strip_be_short.tif", [316, 317, 318, 319]),
+        ("bigtiff_one_block_long8.tif", [272]),
+        ("bigtiff_one_block_be_long8.tif", [272]),
+        ("bigtiff_one_strip_long.tif", [252]),
+        ("bigtiff_one_strip_be_long.tif", [252]),
+        ("bigtiff_one_strip_long8.tif", [252]),
+        ("bigtiff_one_strip_be_long8.tif", [252]),
+        ("bigtiff_two_strip_long.tif", [284, 285]),
+        ("bigtiff_two_strip_be_long.tif", [284, 285]),
+        ("bigtiff_two_strip_long8.tif", [284, 285]),
+        ("bigtiff_two_strip_be_long8.tif", [284, 285]),
+    ]
+    for name, exp in cases:
+        im = read_tiff(open(GCORE + name, "rb").read())
+        offs = im.tags.get("strip_offsets") or im.tags.get("tile_offsets")
+        assert list(offs) == exp, name
+    im = read_tiff(open(GCORE + "byte_bigtiff_strip5lines.tif",
+                        "rb").read())
+    assert checksum(im.bands[0]) == 4672
