@@ -70,6 +70,8 @@ def parse_gpb(blob):
     bo = "<" if little else ">"
     (srs_id,) = struct.unpack_from(bo + "i", blob, 4)
     n_env = _ENV_DOUBLES[env_ind]
+    if len(blob) < 8 + 8 * n_env:
+        raise ValueError("truncated GeoPackageBinary envelope")
     env = struct.unpack_from(f"{bo}{n_env}d", blob, 8) if n_env else None
     wkb = blob[8 + 8 * n_env:]
     if flags & 0x10 or len(wkb) == 0:   # empty-geometry flag
@@ -162,22 +164,32 @@ def read_gpkg_raster(path, table=None, zoom_level=None):
             if not tiles:
                 raise ValueError("no tile layers in gpkg")
             table = tiles[0]
-        (minx, miny, maxx, maxy) = con.execute(
+        ext = con.execute(
             "SELECT min_x, min_y, max_x, max_y FROM gpkg_contents "
             "WHERE table_name = ?", (table,)).fetchone()
+        if ext is None:
+            raise ValueError(f"no gpkg_contents row for {table!r}")
+        (minx, miny, maxx, maxy) = ext
         if zoom_level is None:
             zoom_level = con.execute(
                 f'SELECT MAX(zoom_level) FROM "{table}"').fetchone()[0]
-        (tw, th, px, py) = con.execute(
+            if zoom_level is None:
+                raise ValueError(f"tile table {table!r} is empty")
+        tm = con.execute(
             "SELECT tile_width, tile_height, pixel_x_size, pixel_y_size "
             "FROM gpkg_tile_matrix WHERE table_name = ? AND "
             "zoom_level = ?", (table, zoom_level)).fetchone()
+        if tm is None:
+            raise ValueError(f"no gpkg_tile_matrix row for {table!r} "
+                             f"zoom {zoom_level}")
+        (tw, th, px, py) = tm
         try:
-            (tms_minx, tms_maxy) = con.execute(
+            tms = con.execute(
                 "SELECT min_x, max_y FROM gpkg_tile_matrix_set "
                 "WHERE table_name = ?", (table,)).fetchone()
         except sqlite3.OperationalError:
-            tms_minx, tms_maxy = minx, maxy
+            tms = None
+        tms_minx, tms_maxy = tms if tms is not None else (minx, maxy)
         rows = list(con.execute(
             f'SELECT tile_column, tile_row, tile_data FROM "{table}" '
             f'WHERE zoom_level = ?', (zoom_level,)))

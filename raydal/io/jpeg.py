@@ -525,44 +525,11 @@ class _BitReader:
             raise ValueError("truncated JPEG entropy stream")
 
 
-def _decode_progressive(frame, scans, qt):
-    """Progressive (SOF2) coefficient accumulation across scans.
-
-    Spectral selection + successive approximation per ITU T.81 Annex G
-    (libjpeg ``jdphuff.c`` semantics): DC-first scans store diffs
-    ``<< Al``, DC refinements OR one bit per block into bit ``Al``
-    (two's complement makes this exact for negative values), AC-first
-    scans run EOB-run logic within the ``[Ss, Se]`` band, AC
-    refinements append correction bits to already-nonzero coefficients
-    while placing new ±(1<<Al) values at zero-history positions."""
-    comps = frame["comps"]
-    w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    for c in comps:
-        c["bw"] = mcux * c["h"]
-        c["bh"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
-        cw = -(-w * c["h"] // hmax)
-        chh = -(-h * c["v"] // vmax)
-        c["wb1"] = -(-cw // 8)   # non-interleaved scan block dims
-        c["hb1"] = -(-chh // 8)
-    byid = {c["id"]: c for c in comps}
-    for s in scans:
-        if s["ss"] == 0:
-            _scan_dc(s, byid, mcux, mcuy)
-        else:
-            _scan_ac(s, byid)
-    return _reconstruct(frame, comps, qt)
-
-
-def _decode_baseline_scans(frame, scans, qt):
-    """Baseline (SOF0/1) frame coded as MULTIPLE scans — the
-    non-interleaved layout libjpeg emits for custom baseline scan
-    scripts.  Each scan carries full DC+AC for its component(s) over
-    the component's own block grid."""
+def _init_coef_grids(frame):
+    """Per-component coefficient planes + block-grid dims shared by the
+    progressive and baseline multi-scan decoders: MCU-padded storage
+    (bw/bh) plus the component's own non-interleaved scan dims
+    (wb1/hb1)."""
     comps = frame["comps"]
     w, h = frame["w"], frame["h"]
     hmax = max(c["h"] for c in comps)
@@ -577,10 +544,37 @@ def _decode_baseline_scans(frame, scans, qt):
         chh = -(-h * c["v"] // vmax)
         c["wb1"] = -(-cw // 8)
         c["hb1"] = -(-chh // 8)
-    byid = {c["id"]: c for c in comps}
+    return {c["id"]: c for c in comps}, mcux, mcuy
+
+
+def _decode_progressive(frame, scans, qt):
+    """Progressive (SOF2) coefficient accumulation across scans.
+
+    Spectral selection + successive approximation per ITU T.81 Annex G
+    (libjpeg ``jdphuff.c`` semantics): DC-first scans store diffs
+    ``<< Al``, DC refinements OR one bit per block into bit ``Al``
+    (two's complement makes this exact for negative values), AC-first
+    scans run EOB-run logic within the ``[Ss, Se]`` band, AC
+    refinements append correction bits to already-nonzero coefficients
+    while placing new ±(1<<Al) values at zero-history positions."""
+    byid, mcux, mcuy = _init_coef_grids(frame)
+    for s in scans:
+        if s["ss"] == 0:
+            _scan_dc(s, byid, mcux, mcuy)
+        else:
+            _scan_ac(s, byid)
+    return _reconstruct(frame, frame["comps"], qt)
+
+
+def _decode_baseline_scans(frame, scans, qt):
+    """Baseline (SOF0/1) frame coded as MULTIPLE scans — the
+    non-interleaved layout libjpeg emits for custom baseline scan
+    scripts.  Each scan carries full DC+AC for its component(s) over
+    the component's own block grid."""
+    byid, mcux, mcuy = _init_coef_grids(frame)
     for s in scans:
         _scan_baseline_full(s, byid, mcux, mcuy)
-    return _reconstruct(frame, comps, qt)
+    return _reconstruct(frame, frame["comps"], qt)
 
 
 def _block_baseline(br, blk, dc_lut, ac_lut, pred):

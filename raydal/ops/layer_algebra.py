@@ -63,6 +63,11 @@ class MethodLayer:
         for i, blob in enumerate(self.wkbs):
             polys = B.normalize_polygons(W.polygons_from_wkb(blob))
             self.polys.append(polys)
+            if not polys:
+                # degenerate (zero-area/collinear) method feature:
+                # empty bbox so it never becomes a candidate
+                self.bbox[i] = (np.inf, np.inf, -np.inf, -np.inf)
+                continue
             allc = np.concatenate([r for p in polys for r in p])
             self.bbox[i] = (allc[:, 0].min(), allc[:, 1].min(),
                             allc[:, 0].max(), allc[:, 1].max())
@@ -72,6 +77,8 @@ class MethodLayer:
         self.grid = {}
         for i in range(table.num_rows):
             b = self.bbox[i]
+            if not np.isfinite(b[0]):
+                continue
             for gx in range(int(b[0] // cell_deg), int(b[2] // cell_deg) + 1):
                 for gy in range(int(b[1] // cell_deg),
                                 int(b[3] // cell_deg) + 1):
@@ -108,6 +115,9 @@ class MethodLayer:
 
 def _parse_subject(blob):
     polys = B.normalize_polygons(W.polygons_from_wkb(blob))
+    if not polys:
+        # degenerate subject: skip rather than crash the whole batch
+        return [], None
     allc = np.concatenate([r for p in polys for r in p])
     return polys, (allc[:, 0].min(), allc[:, 1].min(),
                    allc[:, 0].max(), allc[:, 1].max())
@@ -122,10 +132,15 @@ def _polys_wkb(polys):
             else W.multipolygon_wkb(polys))
 
 
-def _pair_table(out):
+def _zid_type(method):
+    return (pa.int64() if np.issubdtype(method.ids.dtype, np.integer)
+            else pa.string())
+
+
+def _pair_table(out, fid_type, zid_type):
     return pa.Table.from_pydict({
-        "feat_id": pa.array(out["feat_id"], pa.int64()),
-        "zone_id": pa.array(out["zone_id"], pa.int64()),
+        "feat_id": pa.array(out["feat_id"], fid_type),
+        "zone_id": pa.array(out["zone_id"], zid_type),
         "wkb": pa.array(out["wkb"], pa.binary()),
         "area": pa.array(out["area"], pa.float64())})
 
@@ -138,6 +153,8 @@ def intersect_batch(batch: pa.Table, method: MethodLayer,
     ids = batch[id_col].to_pylist()
     for i, blob in enumerate(batch[wkb_col].to_pylist()):
         polys, bb = _parse_subject(blob)
+        if bb is None:
+            continue
         for mi in method.candidates(*bb):
             pieces = method.intersect(polys, mi)
             area = _polys_area(pieces)
@@ -147,7 +164,8 @@ def intersect_batch(batch: pa.Table, method: MethodLayer,
             out["zone_id"].append(method.ids[mi])
             out["wkb"].append(_polys_wkb(pieces))
             out["area"].append(area)
-    return _pair_table(out)
+    return _pair_table(out, batch.schema.field(id_col).type,
+                       _zid_type(method))
 
 
 def _erase_all(polys, method, cands):
@@ -169,6 +187,8 @@ def clip_batch(batch: pa.Table, method: MethodLayer,
     ids = batch[id_col].to_pylist()
     for i, blob in enumerate(batch[wkb_col].to_pylist()):
         polys, bb = _parse_subject(blob)
+        if bb is None:
+            continue
         remaining = polys
         pieces = []
         for mi in method.candidates(*bb):
@@ -185,7 +205,8 @@ def clip_batch(batch: pa.Table, method: MethodLayer,
         out["wkb"].append(_polys_wkb(pieces))
         out["area"].append(_polys_area(pieces))
     return pa.Table.from_pydict({
-        "feat_id": pa.array(out["feat_id"], pa.int64()),
+        "feat_id": pa.array(out["feat_id"],
+                            batch.schema.field(id_col).type),
         "wkb": pa.array(out["wkb"], pa.binary()),
         "area": pa.array(out["area"], pa.float64())})
 
@@ -197,6 +218,8 @@ def erase_batch(batch: pa.Table, method: MethodLayer,
     ids = batch[id_col].to_pylist()
     for i, blob in enumerate(batch[wkb_col].to_pylist()):
         polys, bb = _parse_subject(blob)
+        if bb is None:
+            continue
         remaining = _erase_all(polys, method, method.candidates(*bb))
         area = _polys_area(remaining)
         if not remaining or area <= 1e-9:
@@ -205,7 +228,8 @@ def erase_batch(batch: pa.Table, method: MethodLayer,
         out["wkb"].append(_polys_wkb(remaining))
         out["area"].append(area)
     return pa.Table.from_pydict({
-        "feat_id": pa.array(out["feat_id"], pa.int64()),
+        "feat_id": pa.array(out["feat_id"],
+                            batch.schema.field(id_col).type),
         "wkb": pa.array(out["wkb"], pa.binary()),
         "area": pa.array(out["area"], pa.float64())})
 
@@ -218,7 +242,7 @@ def identity_batch(batch: pa.Table, method: MethodLayer,
     left = erase_batch(batch, method, id_col, wkb_col)
     left = pa.Table.from_pydict({
         "feat_id": left["feat_id"],
-        "zone_id": pa.nulls(left.num_rows, pa.int64()),
+        "zone_id": pa.nulls(left.num_rows, _zid_type(method)),
         "wkb": left["wkb"],
         "area": left["area"]})
     return pa.concat_tables([pairs, left])
@@ -231,7 +255,7 @@ def symdiff_subject_batch(batch: pa.Table, method: MethodLayer,
     left = erase_batch(batch, method, id_col, wkb_col)
     return pa.Table.from_pydict({
         "feat_id": left["feat_id"],
-        "zone_id": pa.nulls(left.num_rows, pa.int64()),
+        "zone_id": pa.nulls(left.num_rows, _zid_type(method)),
         "wkb": left["wkb"],
         "area": left["area"]})
 
@@ -313,8 +337,12 @@ def method_leftovers(pairs_ds, method_table):
 
 
 def layer_union(ds, method_table):
-    """Full ogrlayer Union: pairs + input leftovers + method leftovers."""
-    pairs = layer_intersection(ds, method_table)
+    """Full ogrlayer Union: pairs + input leftovers + method leftovers.
+
+    The pair set is materialized once — it feeds BOTH the output union
+    and the method-leftover reduction, and without materialization the
+    whole intersection pipeline would execute twice via lineage."""
+    pairs = layer_intersection(ds, method_table).materialize()
     subject_left = _as_op(ds, method_table, symdiff_subject_batch)
     mleft = method_leftovers(pairs, method_table)
     return pairs.union(subject_left).union(mleft)
@@ -322,7 +350,10 @@ def layer_union(ds, method_table):
 
 def layer_symdifference(ds, method_table):
     """ogrlayer SymDifference: both leftover sides, no pairs."""
-    pairs = layer_intersection(ds, method_table)
+    # pairs only feed the method-leftover reduction here, but running
+    # the clip pipeline lazily twice (union consumers may iterate more
+    # than once) is still avoided by materializing the small pair set
+    pairs = layer_intersection(ds, method_table).materialize()
     subject_left = _as_op(ds, method_table, symdiff_subject_batch)
     mleft = method_leftovers(pairs, method_table)
     return subject_left.union(mleft)

@@ -17,7 +17,13 @@ Semantics follow the reference implementation
   (minimum height above ground to be visible);
 * ``min_distance``/``max_distance`` ring masking with the reference's
   output-extent shrink (EPSILON 1e-8, the ±1 y adjustment for the
-  inverse-transform sign) and per-line limits;
+  inverse-transform sign) and per-line limits.  Reference quirk kept
+  for parity: when one side of a row is ENTIRELY out of range, the
+  executor's early return (``processLineLeft``
+  ``if (iStart <= iEnd) return;``) skips ``maskLineLeft``, so those
+  cells keep the zero result-buffer fill rather than
+  ``out_of_range_val`` — identical to GDAL, observable only when
+  ``out_of_range_val`` differs from 0;
 * ``low_pitch`` raises the observable height to the pitch line,
   ``high_pitch`` marks cells above the pitch cone out-of-range;
 * earth-curvature adjustment ``height −= curve_coeff/(2·semimajor)·R²``.
@@ -601,6 +607,10 @@ def viewshed_batch(batch, dem, gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0), **kw):
     DEM ships once per actor."""
     import pyarrow as pa
 
+    if kw.get("mode", "normal") != "normal":
+        raise ValueError("viewshed_batch counts visible cells — "
+                         "normal mode only")
+    vis = float(kw.get("visible_val", 255.0))
     ids = batch["observer_id"].to_pylist()
     px = np.asarray(batch["px"], dtype=np.int64)
     py = np.asarray(batch["py"], dtype=np.int64)
@@ -609,7 +619,7 @@ def viewshed_batch(batch, dem, gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0), **kw):
     for i in range(len(ids)):
         out, _ = viewshed(dem, int(px[i]), int(py[i]), float(hz[i]),
                           gt=gt, **kw)
-        n_vis.append(int((out == 255.0).sum()))
+        n_vis.append(int((out == vis).sum()))
         n_cells.append(out.size)
     return pa.Table.from_pydict({
         "observer_id": pa.array(ids, pa.int64()),

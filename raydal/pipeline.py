@@ -359,11 +359,12 @@ def _sink_ckpt(ds, out_dir, part_col, fingerprint):
 
 @register_sink("cog")
 def _sink_cog(ds, out_dir, name_col="image_id", band_cols=("data",),
-              w_col="w", h_col="h", blocksize=256, compression="deflate"):
+              w_col="w", h_col="h", blocksize=256, compression="deflate",
+              dtype="uint8"):
     """Write each row's raster payload as a cloud-optimized GeoTIFF
     under ``out_dir/<name>.tif`` (tiled + internal NEAREST overviews,
-    frmts/gtiff/cogdriver.cpp layout).  Rows carry flat uint8/float
-    band bytes in ``band_cols`` plus width/height columns; one file per
+    frmts/gtiff/cogdriver.cpp layout).  Rows carry flat band bytes of
+    ``dtype`` in ``band_cols`` plus width/height columns; one file per
     row keeps the sink resumable (a re-run skips rows whose file
     already exists)."""
     import os
@@ -371,6 +372,8 @@ def _sink_cog(ds, out_dir, name_col="image_id", band_cols=("data",),
     import numpy as np
 
     from .io.tiff import write_cog
+
+    band_dt = np.dtype(dtype)
 
     def write_batch(t):
         os.makedirs(out_dir, exist_ok=True)
@@ -381,7 +384,7 @@ def _sink_cog(ds, out_dir, name_col="image_id", band_cols=("data",),
         for i, name in enumerate(names):
             path = os.path.join(out_dir, f"{name}.tif")
             if not os.path.exists(path):
-                bands = [np.frombuffer(t[c][i].as_py(), dtype=np.uint8)
+                bands = [np.frombuffer(t[c][i].as_py(), dtype=band_dt)
                          .reshape(hs[i], ws[i]) for c in band_cols]
                 with open(path, "wb") as f:
                     f.write(write_cog(bands, blocksize=blocksize,

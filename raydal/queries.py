@@ -1145,6 +1145,19 @@ FROM (SELECT event_id, user_id, ts,
 _ASOF_BROADCAST_BUDGET = 500_000
 
 
+def _parquet_row_count(sf_dir, table):
+    """Row count from parquet file metadata only (no data IO)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    path = _os.path.join(sf_dir, f"{table}.parquet")
+    files = [path] if _os.path.isfile(path) else sorted(
+        _glob.glob(_os.path.join(path, "*.parquet")))
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def q25_asof_join(sf_dir):
     """As-of join: each event matched to the latest order (by date ≤ ts)
     of customer ``user_id % 1500`` — broadcast sorted side + vectorized
@@ -1153,11 +1166,13 @@ def q25_asof_join(sf_dir):
     route through the distributed co-partition path (q68)."""
     import ray
 
-    orders_ds = _read(sf_dir, "orders",
-                      ["o_orderkey", "o_custkey", "o_orderdate"])
-    if orders_ds.count() > _ASOF_BROADCAST_BUDGET:
+    # budget check from parquet METADATA (no data read, no lineage
+    # re-execution — count() on the lazy dataset would execute the
+    # read once and to_pandas a second time)
+    if _parquet_row_count(sf_dir, "orders") > _ASOF_BROADCAST_BUDGET:
         return q68_asof_shuffle(sf_dir)
-    orders = (orders_ds
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate"])
               .to_pandas().sort_values(["o_custkey", "o_orderdate",
                                         "o_orderkey"]))
     # latest order per (custkey, date): ASOF picks max date ≤ ts; among

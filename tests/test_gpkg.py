@@ -94,3 +94,11 @@ class TestRaster:
         assert ds.count() == 10
         ds2 = open_source("gpkg-tiles", GDRV + "byte.gpkg")
         assert ds2.count() == 1
+
+
+class TestReviewRegressions:
+    def test_truncated_gpb_raises_valueerror(self):
+        # envelope indicator 3 declares 48 envelope bytes; blob is short
+        blob = b"GP\x00\x07" + b"\x00\x00\x00\x00" + b"\x00" * 8
+        with pytest.raises(ValueError):
+            parse_gpb(blob)

@@ -298,3 +298,42 @@ class TestUnionFamilyRay:
         # update = input minus method + method as-is
         assert rows["area"].sum() == pytest.approx(76 - inter + 92)
         assert rows.feat_id.isna().sum() == 2
+
+
+class TestReviewRegressions:
+    def test_degenerate_features_skipped(self):
+        # zero-area subject and method features must be skipped, not
+        # crash the batch (r3 review finding)
+        import numpy as np
+
+        flat = [np.array([[0, 0], [1, 0], [2, 0], [0, 0]], float)]
+        feats = pa.Table.from_pydict({
+            "feat_id": pa.array([0, 1], pa.int64()),
+            "wkb": pa.array([polygon_wkb(flat),
+                             polygon_wkb(box_polygon(0, 0, 4, 4))],
+                            pa.binary())})
+        meth = pa.Table.from_pydict({
+            "zone_id": pa.array([0, 1], pa.int64()),
+            "wkb": pa.array([polygon_wkb(flat),
+                             polygon_wkb(box_polygon(2, 2, 6, 6))],
+                            pa.binary())})
+        m = MethodLayer(meth)
+        out = intersect_batch(feats, m)
+        assert out.num_rows == 1
+        assert out["area"][0].as_py() == pytest.approx(4.0)
+        assert erase_batch(feats, m).num_rows == 1
+        assert clip_batch(feats, m).num_rows == 1
+
+    def test_string_ids_supported(self):
+        feats = pa.Table.from_pydict({
+            "feat_id": pa.array(["a", "b"], pa.string()),
+            "wkb": pa.array([polygon_wkb(box_polygon(0, 0, 4, 4)),
+                             polygon_wkb(box_polygon(50, 50, 51, 51))],
+                            pa.binary())})
+        meth = pa.Table.from_pydict({
+            "zone_id": pa.array(["z1"], pa.string()),
+            "wkb": pa.array([polygon_wkb(box_polygon(2, 2, 6, 6))],
+                            pa.binary())})
+        out = intersect_batch(feats, MethodLayer(meth))
+        assert out["feat_id"].to_pylist() == ["a"]
+        assert out["zone_id"].to_pylist() == ["z1"]

@@ -229,3 +229,32 @@ class TestViewshedRay:
             oid = int(r["observer_id"])
             grid, _ = viewshed(dem, px[oid], py[oid], 2.0)
             assert int((grid == 255.0).sum()) == r["n_visible"]
+
+
+class TestReviewRegressions:
+    def test_batch_respects_visible_val(self):
+        import pyarrow as pa
+
+        from raydal.ops.viewshed import viewshed_batch
+
+        dem = np.zeros((9, 9))
+        obs = pa.Table.from_pydict({
+            "observer_id": pa.array([0], pa.int64()),
+            "px": pa.array([4], pa.int64()),
+            "py": pa.array([4], pa.int64()),
+            "height": pa.array([1.0], pa.float64())})
+        out = viewshed_batch(obs, dem, visible_val=1.0)
+        assert out["n_visible"][0].as_py() == 81
+
+    def test_batch_rejects_non_normal_mode(self):
+        import pyarrow as pa
+
+        from raydal.ops.viewshed import viewshed_batch
+
+        obs = pa.Table.from_pydict({
+            "observer_id": pa.array([0], pa.int64()),
+            "px": pa.array([1], pa.int64()),
+            "py": pa.array([1], pa.int64()),
+            "height": pa.array([0.0], pa.float64())})
+        with pytest.raises(ValueError):
+            viewshed_batch(obs, np.zeros((3, 3)), mode="dem")
