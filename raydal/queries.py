@@ -789,6 +789,48 @@ def q30_langid(sf_dir):
         ["doc_id", "lang_pred"])
 
 
+# Integer-exact reformulation of LangId (ops/text.py): all five scores
+# share the denominator n, so the float argmax reduces to integer count
+# comparisons, and `score > 0.03` ⇔ `100*c > 3*n` (3/100's float64
+# rounds to the same value as the 0.03 literal, so the boundary case
+# c/n == 3/100 is `false` under both formulations).  Tie-break follows
+# the Python dict insertion order en,de,fr,es,it (max() keeps the first
+# maximal key).
+SQL_Q30 = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-zà-ÿ'']+')) AS w
+  FROM documents),
+cnts AS (
+  SELECT doc_id, COUNT(*) AS n,
+    COUNT(*) FILTER (WHERE w IN ('the','and','of','to','in','is','that',
+      'it','for','was','with','as','his','on','be')) AS c_en,
+    COUNT(*) FILTER (WHERE w IN ('der','die','und','das','ist','nicht',
+      'mit','ein','von','zu','den','auf','sich','des','im')) AS c_de,
+    COUNT(*) FILTER (WHERE w IN ('le','la','les','de','et','un','une',
+      'est','dans','que','pour','qui','des','pas','sur')) AS c_fr,
+    COUNT(*) FILTER (WHERE w IN ('el','la','los','las','de','y','que',
+      'en','un','una','es','por','con','para','del')) AS c_es,
+    COUNT(*) FILTER (WHERE w IN ('il','la','di','e','che','un','una',
+      'per','non','sono','con','del','le','si','da')) AS c_it
+  FROM words GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE WHEN c.n IS NULL OR c.n = 0 THEN 'und'
+       WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es
+            AND c_en >= c_it
+            THEN CASE WHEN 100 * c_en > 3 * n THEN 'en' ELSE 'und' END
+       WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_it
+            THEN CASE WHEN 100 * c_de > 3 * n THEN 'de' ELSE 'und' END
+       WHEN c_fr >= c_es AND c_fr >= c_it
+            THEN CASE WHEN 100 * c_fr > 3 * n THEN 'fr' ELSE 'und' END
+       WHEN c_es >= c_it
+            THEN CASE WHEN 100 * c_es > 3 * n THEN 'es' ELSE 'und' END
+       ELSE CASE WHEN 100 * c_it > 3 * n THEN 'it' ELSE 'und' END
+  END AS lang_pred
+FROM documents d LEFT JOIN cnts c USING (doc_id)
+"""
+
+
 def q31_simhash(sf_dir):
     from .ops.dedup import simhash_batch
 
@@ -803,6 +845,56 @@ def q32_fingerprint(sf_dir):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         fingerprint_batch, batch_format="pyarrow").select_columns(
         ["doc_id", "fingerprint"])
+
+# Bit-exact SQL reformulation of fingerprint_batch (ops/text.py): the
+# Rabin-Karp window hash is Σ byte[w+j]·B^(7-j) mod 2^64 with
+# B = 1000003; the CASE constants are B^k mod 2^64 precomputed, HUGEINT
+# arithmetic carries the ≤2^75 partial sums, and the final CASE applies
+# the uint64→int64 two's-complement view.  Text is ASCII (verified on
+# the fixture), so character positions == byte positions.
+SQL_Q32 = """
+WITH b AS (
+  SELECT doc_id, length(text) AS n,
+         unnest(range(1, length(text)+1)) AS p,
+         CAST(ascii(substr(text,
+              CAST(unnest(range(1, length(text)+1)) AS INT), 1))
+              AS HUGEINT) AS v
+  FROM documents),
+win AS (
+  SELECT a.doc_id, a.p AS w,
+    SUM(bb.v * (CASE bb.p - a.p
+      WHEN 0 THEN 12924618581234127435::HUGEINT
+      WHEN 1 THEN 10923514805226455897::HUGEINT
+      WHEN 2 THEN 14453212906556403763::HUGEINT
+      WHEN 3 THEN 14003818205314896721::HUGEINT
+      WHEN 4 THEN 1000009000027000027::HUGEINT
+      WHEN 5 THEN 1000006000009::HUGEINT
+      WHEN 6 THEN 1000003::HUGEINT
+      ELSE 1::HUGEINT END)) % 18446744073709551616::HUGEINT AS h
+  FROM b a JOIN b bb ON bb.doc_id = a.doc_id
+       AND bb.p BETWEEN a.p AND a.p + 7
+  WHERE a.p <= a.n - 7
+  GROUP BY a.doc_id, a.p),
+mins AS (SELECT doc_id, MIN(h) AS m FROM win GROUP BY doc_id),
+shortw AS (
+  SELECT doc_id, SUM(v * (CASE n - p
+      WHEN 0 THEN 1::HUGEINT
+      WHEN 1 THEN 1000003::HUGEINT
+      WHEN 2 THEN 1000006000009::HUGEINT
+      WHEN 3 THEN 1000009000027000027::HUGEINT
+      WHEN 4 THEN 14003818205314896721::HUGEINT
+      WHEN 5 THEN 14453212906556403763::HUGEINT
+      ELSE 10923514805226455897::HUGEINT END))
+    % 18446744073709551616::HUGEINT AS m
+  FROM b WHERE n < 8 GROUP BY doc_id),
+allm AS (SELECT * FROM mins UNION ALL SELECT * FROM shortw)
+SELECT d.doc_id,
+  CAST(CASE WHEN u.m IS NULL THEN 0::HUGEINT
+       WHEN u.m >= 9223372036854775808::HUGEINT
+            THEN u.m - 18446744073709551616::HUGEINT
+       ELSE u.m END AS BIGINT) AS fingerprint
+FROM documents d LEFT JOIN allm u USING (doc_id)
+"""
 
 
 def q33_minhash_pairs(sf_dir):
@@ -901,6 +993,34 @@ def q37_phash_dups(sf_dir):
 
     return (ray.data.read_parquet(path, columns=["image_id", "phash"])
             .groupby("phash").map_groups(pairs, batch_format="pandas"))
+
+
+def _images_cache_glob_sf001():
+    """Parquet glob of the deterministic image table at the driver's
+    sf=0.01 — the oracle side reads the same cached fixture the Ray
+    side materializes (oracle_sqls() triggers generation).  Returns
+    None when the testdata dir is absent (keeps import side-effect-free
+    and the query rows-only in that environment)."""
+    from .pipelines import _CACHE_ROOT, image_count_for_sf
+
+    try:
+        n = image_count_for_sf("/root/testdata/sf0.01")
+    except Exception:
+        return None
+    return os.path.join(_CACHE_ROOT, f"images_{n}", "*.parquet")
+
+
+_Q37_GLOB = _images_cache_glob_sf001()
+# chained-pair semantics: within each phash group the ids sort and link
+# consecutively — exactly LEAD() OVER (PARTITION BY phash ORDER BY id)
+SQL_Q37 = None if _Q37_GLOB is None else f"""
+WITH x AS (
+  SELECT image_id AS id_a,
+         lead(image_id) OVER (PARTITION BY phash ORDER BY image_id)
+           AS id_b
+  FROM read_parquet('{_Q37_GLOB}'))
+SELECT id_a, id_b FROM x WHERE id_b IS NOT NULL
+"""
 
 
 def q38_pip_points_zones(sf_dir):
@@ -1288,7 +1408,12 @@ def q43_tile_pyramid(sf_dir):
 
 
 def q44_zone_geometry_stats(sf_dir):
-    """Per-zone geometry scalars (area/parts/vertices/centroid)."""
+    """Per-zone geometry scalars (area/parts/vertices/centroid).
+
+    geom_area is rounded to 6 decimals on both sides: the engine
+    shoelace uses np.dot (pairwise/BLAS summation) while the SQL oracle
+    sums sequentially, so unrounded doubles differ in the last ulp.
+    """
     import ray.data
 
     from .io.images import make_zones_table
@@ -1296,8 +1421,122 @@ def q44_zone_geometry_stats(sf_dir):
 
     ds = ray.data.from_arrow(make_zones_table(300))
     out = ds.map_batches(geometry_stats_batch, batch_format="pyarrow")
-    return out.select_columns(["zone_id", "geom_area", "n_parts",
-                               "n_vertices"])
+
+    def rounded(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "zone_id": t["zone_id"],
+            "geom_area": pa.array(round_half_away(
+                np.asarray(t["geom_area"], dtype=np.float64), 6),
+                pa.float64()),
+            "n_parts": t["n_parts"].cast(pa.int64()),
+            "n_vertices": t["n_vertices"].cast(pa.int64())})
+
+    return out.map_batches(rounded, batch_format="pyarrow")
+
+
+def _sql_mix64_steps(tag, inexpr):
+    """splitmix64 (io/images.py _mix64, SEED=42) as chained SQL exprs.
+
+    64×64→64 modular multiplies use 32-bit limbs so intermediates fit
+    HUGEINT: (a*c) mod 2^64 = al*cl + ((al*ch + ah*cl) mod 2^32)·2^32.
+    """
+    m64 = "18446744073709551616::HUGEINT"
+    c1h, c1l = 3210233709, 484763065      # 0xBF58476D1CE4E5B9 limbs
+    c2h, c2l = 2496678331, 321982955      # 0x94D049BB133111EB limbs
+    s = [f"s{i}_{tag}" for i in range(5)]
+    return [
+        (s[0], f"(({inexpr})::HUGEINT + 11400714819323198485::HUGEINT"
+               f" + 42) % {m64}"),
+        (s[1], f"xor({s[0]}, {s[0]} >> 30)"),
+        (s[2], f"(({s[1]} % 4294967296) * {c1l} + ((({s[1]} % 4294967296)"
+               f" * {c1h} + ({s[1]} // 4294967296) * {c1l}) % 4294967296)"
+               f" * 4294967296) % {m64}"),
+        (s[3], f"xor({s[2]}, {s[2]} >> 27)"),
+        (s[4], f"(({s[3]} % 4294967296) * {c2l} + ((({s[3]} % 4294967296)"
+               f" * {c2h} + ({s[3]} // 4294967296) * {c2l}) % 4294967296)"
+               f" * 4294967296) % {m64}"),
+        (f"mx_{tag}", f"xor({s[4]}, {s[4]} >> 31)"),
+    ]
+
+
+def _build_sql_q44():
+    """Oracle for q44: regenerates the zone fixture's vertices in SQL
+    (splitmix64 units + trig ring synthesis, io/images.py
+    _zone_polygon) and recomputes the shoelace area, ROUND(…, 6)
+    matching the engine-side rounding."""
+    steps = (_sql_mix64_steps("nv", "3*j + 1")
+             + _sql_mix64_steps("cx", "j*1315423911 + 11")
+             + _sql_mix64_steps("cy", "j*1315423911 + 12")
+             + _sql_mix64_steps("r", "j*1315423911 + 13"))
+    sql = "WITH idx AS (SELECT unnest(range(0, 300)) AS j)"
+    prev = "idx"
+    for i, (name, expr) in enumerate(steps):
+        sql += f",\nc{i} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = f"c{i}"
+    sql += f""",
+zone AS (
+  SELECT j,
+         5 + CAST(mx_nv % 56 AS BIGINT) AS nv,
+         -20.0 + (CAST(mx_cx % 4294967296 AS DOUBLE) / 4294967296.0)
+               * 60.0 AS cx,
+         -10.0 + (CAST(mx_cy % 4294967296 AS DOUBLE) / 4294967296.0)
+               * 60.0 AS cy,
+         0.3 + (CAST(mx_r % 4294967296 AS DOUBLE) / 4294967296.0)
+               * 2.2 AS r
+  FROM {prev}),
+vert AS (
+  SELECT j, nv, cx, cy, r, unnest(range(0, nv)) AS k FROM zone),
+vxy AS (
+  SELECT j, nv, k, cx, cy, r,
+         CASE WHEN (j % 4) = 1
+              THEN r * (0.45 + 0.55 * CAST(k % 2 AS DOUBLE))
+              ELSE r END AS rad,
+         CAST(k AS DOUBLE) * (2 * pi() / CAST(nv AS DOUBLE)) AS ang
+  FROM vert),
+pxy AS (
+  SELECT j, nv, k,
+         cx + rad * cos(ang) AS x,
+         cy + rad * sin(ang) AS y,
+         cx + (0.3 * r) * cos(ang) AS hx,
+         cy + (0.3 * r) * sin(ang) AS hy,
+         2.5 * r AS dx
+  FROM vxy),
+seg AS (
+  SELECT a.j, a.nv,
+         a.x * b.y AS f1, b.x * a.y AS f2,
+         a.hx * b.hy AS h1, b.hx * a.hy AS h2,
+         (a.x + a.dx) * b.y AS g1, (b.x + b.dx) * a.y AS g2
+  FROM pxy a JOIN pxy b
+    ON b.j = a.j AND b.k = (a.k + 1) % a.nv),
+area AS (
+  SELECT j, nv,
+         abs(0.5 * (SUM(f1) - SUM(f2))) AS a_outer,
+         abs(0.5 * (SUM(h1) - SUM(h2))) AS a_hole,
+         abs(0.5 * (SUM(g1) - SUM(g2))) AS a_part2
+  FROM seg GROUP BY j, nv)
+SELECT printf('zone-%06d', j) AS zone_id,
+       ROUND(CASE (j % 4)
+             WHEN 2 THEN a_outer - a_hole
+             WHEN 3 THEN a_outer + a_part2
+             ELSE a_outer END, 6) AS geom_area,
+       CASE WHEN (j % 4) = 3 THEN 2 ELSE 1 END::BIGINT AS n_parts,
+       CASE (j % 4) WHEN 2 THEN 2 * (nv + 1)
+                    WHEN 3 THEN 2 * (nv + 1)
+                    ELSE nv + 1 END::BIGINT AS n_vertices
+FROM area
+UNION ALL SELECT 'zone-000300',
+  ROUND(abs(0.5 * ((10.0*40.0 + 11.0*41.0 + 11.0*41.0 + 10.0*40.0)
+                 - (11.0*40.0 + 11.0*40.0 + 10.0*41.0 + 10.0*41.0))), 6),
+  1, 5
+UNION ALL SELECT 'zone-000301',
+  ROUND(abs(0.5 * ((5.0*5.0 + 5.0005*25.0 + 5.0005*25.0 + 5.0*5.0)
+                 - (5.0005*5.0 + 5.0005*5.0 + 5.0*25.0 + 5.0*25.0))), 6),
+  1, 5
+"""
+    return sql
+
+
+SQL_Q44 = _build_sql_q44()
 
 
 def q45_explode_zones(sf_dir):
@@ -1310,6 +1549,24 @@ def q45_explode_zones(sf_dir):
     ds = ray.data.from_arrow(make_zones_table(300))
     out = ds.map_batches(explode_batch, batch_format="pyarrow")
     return out.select_columns(["zone_id", "part_index", "kind"])
+
+
+# closed-form oracle: the zone fixture's part structure is a pure
+# function of the index — kind cycles (convex, concave, holed, multi)
+# and only 'multi' zones carry two parts; the two pinned rows (hotbox,
+# sliver) are single-part (io/images.py make_zones_table).
+SQL_Q45 = """
+WITH idx AS (SELECT unnest(range(0, 300)) AS j),
+base AS (
+  SELECT printf('zone-%06d', j) AS zone_id,
+         CASE (j % 4) WHEN 0 THEN 'convex' WHEN 1 THEN 'concave'
+                      WHEN 2 THEN 'holed' ELSE 'multi' END AS kind,
+         CASE WHEN (j % 4) = 3 THEN 2 ELSE 1 END AS nparts
+  FROM idx
+  UNION ALL SELECT 'zone-000300', 'hotbox', 1
+  UNION ALL SELECT 'zone-000301', 'sliver', 1)
+SELECT zone_id, unnest(range(0, nparts)) AS part_index, kind FROM base
+"""
 
 
 def q46_embed_neardup(sf_dir):
@@ -2605,14 +2862,14 @@ QUERIES = {
     "q21_minmax": (q21_minmax, SQL_Q21),
     "q22_anti_join": (q22_anti_join, SQL_Q22),
     # rows-only (no SQL equivalent)
-    "q30_langid": (q30_langid, None),
+    "q30_langid": (q30_langid, SQL_Q30),
     "q31_simhash": (q31_simhash, None),
-    "q32_fingerprint": (q32_fingerprint, None),
+    "q32_fingerprint": (q32_fingerprint, SQL_Q32),
     "q33_minhash_pairs": (q33_minhash_pairs, None),
     "q34_images_tile_assign": (q34_images_tile_assign, None),
     "q35_images_zone_join": (q35_images_zone_join, None),
     "q36_images_warp": (q36_images_warp, None),
-    "q37_phash_dups": (q37_phash_dups, None),
+    "q37_phash_dups": (q37_phash_dups, SQL_Q37),
     "q38_pip_points_zones": (q38_pip_points_zones, None),
     "q39_ann_lsh": (q39_ann_lsh, None),
     "q23_running_sum": (q23_running_sum, SQL_Q23),
@@ -2626,8 +2883,8 @@ QUERIES = {
     "q41_polygonize_rects": (q41_polygonize_rects, None),
     "q42_image_band_stats": (q42_image_band_stats, None),
     "q43_tile_pyramid": (q43_tile_pyramid, None),
-    "q44_zone_geometry_stats": (q44_zone_geometry_stats, None),
-    "q45_explode_zones": (q45_explode_zones, None),
+    "q44_zone_geometry_stats": (q44_zone_geometry_stats, SQL_Q44),
+    "q45_explode_zones": (q45_explode_zones, SQL_Q45),
     "q46_embed_neardup": (q46_embed_neardup, SQL_Q46),
     "q47_grid_idw": (q47_grid_idw, None),
     "q48_stride_sample": (q48_stride_sample, SQL_Q48),
@@ -2664,5 +2921,17 @@ def query_fns():
 
 
 def oracle_sqls():
+    # materialize the deterministic image fixture the path-embedded
+    # oracles (q37) read — idempotent (marker-gated) and safe whether or
+    # not Ray is up; never blocks the relational oracles on failure
+    import ray
+
+    from .pipelines import ensure_images_parquet
+
+    try:
+        ensure_images_parquet("/root/testdata/sf0.01",
+                              use_ray=ray.is_initialized())
+    except Exception:
+        pass
     return {name: sql for name, (_, sql) in QUERIES.items()
             if sql is not None}
