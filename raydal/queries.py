@@ -1649,14 +1649,60 @@ def q47_grid_idw(sf_dir):
         sums, mx = [], []
         for b in t["data"].to_pylist():
             a = np.frombuffer(b, dtype=np.float64)
-            sums.append(round(float(a.sum()), 2))
-            mx.append(round(float(a.max()), 4))
+            sums.append(float(round_half_away(a.sum(), 2)))
+            mx.append(float(round_half_away(a.max(), 4)))
         return pa.Table.from_pydict({
             "tile_id": t["tile_id"],
             "grid_sum": pa.array(sums, pa.float64()),
             "grid_max": pa.array(mx, pa.float64())})
 
     return out.map_batches(summarize, batch_format="pyarrow")
+
+
+# SQL reformulation of gdal_grid invdist (ops/grid.py grid_tile):
+# derived points are integer-LCG exact, pixel centers are exact dyadics
+# ((k+0.5)·20/32), weight 1/d² matches power=2 smoothing=0, the
+# d2 > 0 guard mirrors the engine's isfinite() weight mask, and the
+# MIN(d2) < 1e-18 branch is the exact-hit override (unique per cell —
+# the LCG point lattice admits no duplicate points below key 60000).
+# ROUND absorbs summation-order ulp drift (engine rounds half-away too).
+SQL_Q47 = """
+WITH pts AS (
+  SELECT -20 + ((s_suppkey * 48271) % 60000) / 1000.0 AS px,
+         -10 + ((s_suppkey * 16807) % 60000) / 1000.0 AS py,
+         CAST(s_acctbal AS DOUBLE) AS v
+  FROM supplier),
+tgeo AS (SELECT unnest(range(0, 9)) AS tile_id),
+cells AS (
+  SELECT tile_id,
+         -20.0 + 20.0 * (tile_id % 3) AS x0,
+         -10.0 + 20.0 * (tile_id // 3) AS y0,
+         unnest(range(0, 1024)) AS c
+  FROM tgeo),
+cxy AS (
+  SELECT tile_id, c,
+         x0 + (CAST(c % 32 AS DOUBLE) + 0.5) * 20.0 / 32.0 AS cx,
+         (y0 + 20.0) - (CAST(c // 32 AS DOUBLE) + 0.5) * 20.0 / 32.0 AS cy
+  FROM cells),
+pairs AS (
+  SELECT q.tile_id, q.c, p.v,
+         (q.cx - p.px)*(q.cx - p.px) + (q.cy - p.py)*(q.cy - p.py) AS d2
+  FROM cxy q CROSS JOIN pts p),
+cellval AS (
+  SELECT tile_id, c,
+    CASE WHEN MIN(d2) < 1e-18 THEN arg_min(v, d2)
+         WHEN SUM(CASE WHEN d2 <= 225.0 AND d2 > 0
+                  THEN 1.0/d2 ELSE 0 END) > 0
+           THEN SUM(CASE WHEN d2 <= 225.0 AND d2 > 0
+                    THEN (1.0/d2) * v ELSE 0 END)
+              / SUM(CASE WHEN d2 <= 225.0 AND d2 > 0
+                    THEN 1.0/d2 ELSE 0 END)
+         ELSE 0.0 END AS val
+  FROM pairs GROUP BY tile_id, c)
+SELECT tile_id, ROUND(SUM(val), 2) AS grid_sum,
+       ROUND(MAX(val), 4) AS grid_max
+FROM cellval GROUP BY tile_id
+"""
 
 
 def q48_stride_sample(sf_dir):
@@ -2886,7 +2932,7 @@ QUERIES = {
     "q44_zone_geometry_stats": (q44_zone_geometry_stats, SQL_Q44),
     "q45_explode_zones": (q45_explode_zones, SQL_Q45),
     "q46_embed_neardup": (q46_embed_neardup, SQL_Q46),
-    "q47_grid_idw": (q47_grid_idw, None),
+    "q47_grid_idw": (q47_grid_idw, SQL_Q47),
     "q48_stride_sample": (q48_stride_sample, SQL_Q48),
     "q49_string_funcs": (q49_string_funcs, SQL_Q49),
     "q50_color_palette": (q50_color_palette, None),
