@@ -113,17 +113,23 @@ _HUFF_CACHE = {}
 
 
 class _HuffTable:
-    __slots__ = ("lut",)
+    __slots__ = ("lut", "lut2")
 
-    def __init__(self, counts, symbols):
-        # canonical codes → one 16-bit peek LUT of packed (len<<8)|sym.
-        # Built vectorized, stored as a plain Python list (scalar list
-        # indexing beats numpy ~5× in the serial entropy loop), and
-        # memoized — the spec's typical tables recur across images.
-        key = (bytes(counts), bytes(symbols))
+    def __init__(self, counts, symbols, tc=1):
+        # canonical codes → one 16-bit peek LUT of packed (len<<8)|sym,
+        # plus a FUSED LUT decoding symbol AND the extended coefficient
+        # value in a single lookup whenever code+value bits ≤ 16 (the
+        # overwhelmingly common case — libjpeg-turbo's fast-path idea).
+        # Fused packing: (total_bits<<34)|(s<<30)|(kind<<28)|(run<<24)|
+        # (value+0x800000); kind 0=coefficient, 1=EOB, 2=ZRL; entry 0 ⇒
+        # fall back to the two-step path.  Built vectorized, stored as
+        # plain Python lists (scalar list indexing beats numpy ~5× in
+        # the serial entropy loop), and memoized — the spec's typical
+        # tables recur across images.
+        key = (tc, bytes(counts), bytes(symbols))
         hit = _HUFF_CACHE.get(key)
         if hit is not None:
-            self.lut = hit
+            self.lut, self.lut2 = hit
             return
         lut = np.zeros(1 << 16, dtype=np.int32)
         code = 0
@@ -137,8 +143,31 @@ class _HuffTable:
                 lut[lo:hi] = (length << 8) | sym
                 code += 1
             code <<= 1
+        length = (lut >> 8).astype(np.int64)
+        sym = (lut & 0xFF).astype(np.int64)
+        if tc == 0:
+            s = sym          # DC symbol IS the magnitude-bit count
+            run = np.zeros_like(sym)
+            kind = np.zeros_like(sym)
+        else:
+            s = sym & 15
+            run = sym >> 4
+            kind = np.where(sym == 0, 1, np.where(sym == 0xF0, 2, 0))
+            s = np.where(kind != 0, 0, s)
+            run = np.where(kind != 0, 0, run)
+        total = length + s
+        wins = np.arange(1 << 16, dtype=np.int64)
+        sh = np.maximum(16 - total, 0)
+        vb = (wins >> sh) & ((np.int64(1) << s) - 1)
+        half = np.where(s > 0, np.int64(1) << np.maximum(s - 1, 0), 0)
+        v = np.where((s > 0) & (vb < half), vb + 1 - (np.int64(1) << s),
+                     vb)
+        fused = np.where((lut != 0) & (total <= 16),
+                         (total << 34) | (s << 30) | (kind << 28)
+                         | (run << 24) | (v + 0x800000), 0)
         self.lut = lut.tolist()
-        _HUFF_CACHE[key] = self.lut
+        self.lut2 = fused.tolist()
+        _HUFF_CACHE[key] = (self.lut, self.lut2)
 
 
 def _parse_huff(data, off, end, tables):
@@ -147,7 +176,8 @@ def _parse_huff(data, off, end, tables):
         counts = list(data[off + 1:off + 17])
         n = sum(counts)
         symbols = list(data[off + 17:off + 17 + n])
-        tables[(tc_th >> 4, tc_th & 15)] = _HuffTable(counts, symbols)
+        tables[(tc_th >> 4, tc_th & 15)] = _HuffTable(counts, symbols,
+                                                      tc=tc_th >> 4)
         off += 17 + n
 
 
@@ -331,7 +361,9 @@ def _decode_jpeg_impl(buf):
             raise NotImplementedError(
                 "multi-scan (non-interleaved) baseline JPEG not supported")
         c["dc_lut"] = huff[(0, sc["td"])].lut
+        c["dc_lut2"] = huff[(0, sc["td"])].lut2
         c["ac_lut"] = huff[(1, sc["ta"])].lut
+        c["ac_lut2"] = huff[(1, sc["ta"])].lut2
         c["pred"] = 0
 
     # serial entropy decode — pure-int bit accumulator with list LUTs
@@ -360,7 +392,9 @@ def _decode_jpeg_impl(buf):
             mcu_since_restart += 1
             for c in comps:
                 dc_lut = c["dc_lut"]
+                dc_lut2 = c["dc_lut2"]
                 ac_lut = c["ac_lut"]
+                ac_lut2 = c["ac_lut2"]
                 coefs = c["coefs"]
                 cv, ch = c["v"], c["h"]
                 cbw = c["bw"]
@@ -373,22 +407,30 @@ def _decode_jpeg_impl(buf):
                                                 else 0xFF)
                             bpos += 1
                             nbits += 8
-                        packed = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
-                        if packed == 0:
-                            raise ValueError("invalid Huffman code")
-                        nbits -= packed >> 8
-                        s = packed & 0xFF
-                        if s:
-                            while nbits < s:
-                                acc = (acc << 8) | (buf[bpos] if bpos < nb
-                                                    else 0xFF)
-                                bpos += 1
-                                nbits += 8
-                            v = (acc >> (nbits - s)) & ((1 << s) - 1)
-                            nbits -= s
-                            if v < (1 << (s - 1)):
-                                v += 1 - (1 << s)
-                            pred += v
+                        # fused fast path: symbol + extended value in
+                        # one lookup (code+value ≤ 16 bits)
+                        p2 = dc_lut2[(acc >> (nbits - 16)) & 0xFFFF]
+                        if p2:
+                            nbits -= p2 >> 34
+                            pred += (p2 & 0xFFFFFF) - 0x800000
+                        else:
+                            packed = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                            if packed == 0:
+                                raise ValueError("invalid Huffman code")
+                            nbits -= packed >> 8
+                            s = packed & 0xFF
+                            if s:
+                                while nbits < s:
+                                    acc = (acc << 8) | (buf[bpos]
+                                                        if bpos < nb
+                                                        else 0xFF)
+                                    bpos += 1
+                                    nbits += 8
+                                v = (acc >> (nbits - s)) & ((1 << s) - 1)
+                                nbits -= s
+                                if v < (1 << (s - 1)):
+                                    v += 1 - (1 << s)
+                                pred += v
                         coefs[base] = pred
                         acc &= (1 << nbits) - 1
                         k = 1
@@ -398,6 +440,26 @@ def _decode_jpeg_impl(buf):
                                                     else 0xFF)
                                 bpos += 1
                                 nbits += 8
+                            p2 = ac_lut2[(acc >> (nbits - 16)) & 0xFFFF]
+                            if p2:
+                                nbits -= p2 >> 34
+                                kind = p2 >> 28 & 3
+                                if kind == 0:
+                                    k += p2 >> 24 & 15
+                                    if k > 63:
+                                        # run overflow: the two-step
+                                        # path breaks BEFORE consuming
+                                        # the value bits — refund them
+                                        nbits += p2 >> 30 & 15
+                                        break
+                                    coefs[base + k] = \
+                                        (p2 & 0xFFFFFF) - 0x800000
+                                    k += 1
+                                elif kind == 1:
+                                    break  # EOB
+                                else:
+                                    k += 16  # ZRL
+                                continue
                             packed = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
                             if packed == 0:
                                 raise ValueError("invalid Huffman code")
