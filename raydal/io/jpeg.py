@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import struct
 
+from raydal.io import _native
+
 import numpy as np
 
 __all__ = ["decode_jpeg", "encode_jpeg"]
@@ -113,7 +115,7 @@ _HUFF_CACHE = {}
 
 
 class _HuffTable:
-    __slots__ = ("lut", "lut2")
+    __slots__ = ("lut", "lut2", "lut_np")
 
     def __init__(self, counts, symbols, tc=1):
         # canonical codes → one 16-bit peek LUT of packed (len<<8)|sym,
@@ -129,7 +131,7 @@ class _HuffTable:
         key = (tc, bytes(counts), bytes(symbols))
         hit = _HUFF_CACHE.get(key)
         if hit is not None:
-            self.lut, self.lut2 = hit
+            self.lut, self.lut2, self.lut_np = hit
             return
         lut = np.zeros(1 << 16, dtype=np.int32)
         code = 0
@@ -167,7 +169,8 @@ class _HuffTable:
                          | (run << 24) | (v + 0x800000), 0)
         self.lut = lut.tolist()
         self.lut2 = fused.tolist()
-        _HUFF_CACHE[key] = (self.lut, self.lut2)
+        self.lut_np = lut  # contiguous int32 view for the native kernel
+        _HUFF_CACHE[key] = (self.lut, self.lut2, self.lut_np)
 
 
 def _parse_huff(data, off, end, tables):
@@ -355,16 +358,53 @@ def _decode_jpeg_impl(buf):
     for c in comps:
         c["bw"] = mcux * c["h"]  # blocks across (MCU-padded)
         c["bh"] = mcuy * c["v"]
-        c["coefs"] = [0] * (c["bh"] * c["bw"] * 64)
         sc = next((s for s in scomps if s["cs"] == c["id"]), None)
         if sc is None:
             raise NotImplementedError(
                 "multi-scan (non-interleaved) baseline JPEG not supported")
-        c["dc_lut"] = huff[(0, sc["td"])].lut
-        c["dc_lut2"] = huff[(0, sc["td"])].lut2
-        c["ac_lut"] = huff[(1, sc["ta"])].lut
-        c["ac_lut2"] = huff[(1, sc["ta"])].lut2
+        dc_t, ac_t = huff[(0, sc["td"])], huff[(1, sc["ta"])]
+        c["dc_lut"] = dc_t.lut
+        c["dc_lut2"] = dc_t.lut2
+        c["ac_lut"] = ac_t.lut
+        c["ac_lut2"] = ac_t.lut2
+        c["dc_lut_np"] = dc_t.lut_np
+        c["ac_lut_np"] = ac_t.lut_np
         c["pred"] = 0
+
+    # compiled fast path: the identical loop transcribed to C (see
+    # raydal/io/_native.py); falls through to pure Python when no
+    # compiler is present or RAYDAL_NO_NATIVE is set — bit-identical
+    # either way (differential-tested)
+    jfn = _native.get_jentropy()
+    if jfn is not None and len(comps) <= 4:
+        ncomp = len(comps)
+        ch_a = np.array([c["h"] for c in comps], dtype=np.int32)
+        cv_a = np.array([c["v"] for c in comps], dtype=np.int32)
+        cbw_a = np.array([c["bw"] for c in comps], dtype=np.int32)
+        dc_luts = np.ascontiguousarray(
+            np.concatenate([c["dc_lut_np"] for c in comps]))
+        ac_luts = np.ascontiguousarray(
+            np.concatenate([c["ac_lut_np"] for c in comps]))
+        sizes = [c["bh"] * c["bw"] * 64 for c in comps]
+        coef_off = np.zeros(ncomp, dtype=np.int64)
+        coef_off[1:] = np.cumsum(sizes[:-1])
+        coefs_all = np.zeros(int(sum(sizes)), dtype=np.int32)
+        rc = jfn(entropy, len(entropy), mcux, mcuy, ncomp,
+                 restart_interval,
+                 ch_a.ctypes.data, cv_a.ctypes.data, cbw_a.ctypes.data,
+                 dc_luts.ctypes.data, ac_luts.ctypes.data,
+                 coefs_all.ctypes.data, coef_off.ctypes.data)
+        if rc == -1:
+            raise ValueError("invalid Huffman code")
+        if rc == -2:
+            raise ValueError("truncated JPEG entropy stream")
+        if rc == 0:
+            for c, off, n in zip(comps, coef_off, sizes):
+                c["coef"] = coefs_all[off:off + n].reshape(-1, 64)
+            return _reconstruct(frame, comps, qt)
+
+    for c in comps:
+        c["coefs"] = [0] * (c["bh"] * c["bw"] * 64)
 
     # serial entropy decode — pure-int bit accumulator with list LUTs
     # (the only non-vectorizable stage; everything around it is numpy)
@@ -1019,6 +1059,12 @@ class _BitWriter:
             pad = 8 - self.nb
             self.put((1 << pad) - 1, pad)
 
+    def restart(self, idx):
+        # byte-align with 1-bits, then emit RSTn (n cycles 0..7) —
+        # written raw, NOT byte-stuffed (it IS a marker)
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (idx & 7)])
+
 
 def _magnitude(v):
     if v == 0:
@@ -1078,11 +1124,14 @@ def _encode_block(bwr, blk, pred, dct, act):
     return int(blk[0])
 
 
-def encode_jpeg(arr, quality=85, subsample="420"):
+def encode_jpeg(arr, quality=85, subsample="420", restart_interval=0):
     """Encode uint8 (h, w) or (h, w, 3) RGB → baseline JPEG bytes.
 
     RGB uses 4:2:0 chroma subsampling by default (``subsample="444"``
     for full-resolution chroma); Annex-K tables scaled by ``quality``.
+    ``restart_interval`` > 0 writes a DRI segment and RSTn markers
+    every that many MCUs (byte-aligned, DC predictors reset — ITU T.81
+    §E.1.4 / libjpeg ``jpeg_set_restart_interval`` semantics).
     """
     arr = np.asarray(arr)
     if arr.dtype != np.uint8:
@@ -1124,8 +1173,16 @@ def encode_jpeg(arr, quality=85, subsample="420"):
         crb = _plane_blocks(planes[2], qc, mcux, mcuy)
         py = pcb = pcr = 0
         ybw = mcux * 2
+        ri = int(restart_interval)
+        nmcu = nrst = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if ri and nmcu == ri:
+                    bwr.restart(nrst)
+                    nrst += 1
+                    nmcu = 0
+                    py = pcb = pcr = 0
+                nmcu += 1
                 for by in range(2):
                     for bx in range(2):
                         blk = yb[(my * 2 + by) * ybw + mx * 2 + bx]
@@ -1141,7 +1198,15 @@ def encode_jpeg(arr, quality=85, subsample="420"):
         comp_coefs = [_plane_blocks(p, q, bw_, bh_)
                       for p, q in zip(planes, qts)]
         preds = [0] * len(planes)
+        ri = int(restart_interval)
+        nmcu = nrst = 0
         for bi in range(bh_ * bw_):
+            if ri and nmcu == ri:
+                bwr.restart(nrst)
+                nrst += 1
+                nmcu = 0
+                preds = [0] * len(planes)
+            nmcu += 1
             for ci in range(len(planes)):
                 dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
                 preds[ci] = _encode_block(bwr, comp_coefs[ci][bi],
@@ -1171,6 +1236,8 @@ def encode_jpeg(arr, quality=85, subsample="420"):
     if not gray:
         out += dht(0, 1, _DC_C_COUNTS, _DC_C_SYMS)
         out += dht(1, 1, _AC_C_COUNTS, _AC_C_SYMS)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", int(restart_interval)))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
