@@ -1539,6 +1539,134 @@ UNION ALL SELECT 'zone-000301',
 SQL_Q44 = _build_sql_q44()
 
 
+def _build_sql_q38():
+    """Oracle for q38: point-in-polygon with holes/multi parts, all in
+    SQL.  Regenerates the 200-zone + hotbox/sliver fixture rings and
+    the 2000 + 8 pinned probe points (io/images.py — DuckDB's cos/sin
+    are bitwise-identical to numpy's on this platform, verified), then
+    applies the engine's exact predicates over a (point × edge) join:
+    crossing-number interior (geo/wkb.py points_in_ring,
+    ogr/ogrlinearring.cpp:462 parity — point-relative straddle +
+    ``(x1*y2 - x2*y1)/(y2-y1) > 0``) and eps=0 on-segment boundary
+    (``:543``).  inside per kind: holed = outer AND NOT hole, multi =
+    outer OR shifted part; Intersects ≡ inside OR boundary."""
+    zsteps = (_sql_mix64_steps("nv", "3*j + 1")
+              + _sql_mix64_steps("cx", "j*1315423911 + 11")
+              + _sql_mix64_steps("cy", "j*1315423911 + 12")
+              + _sql_mix64_steps("r", "j*1315423911 + 13"))
+    sql = "WITH zidx AS (SELECT unnest(range(0, 200)) AS j)"
+    prev = "zidx"
+    for i, (name, expr) in enumerate(zsteps):
+        sql += f",\nz{i} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = f"z{i}"
+    psteps = (_sql_mix64_steps("px", "i*1315423911 + 21")
+              + _sql_mix64_steps("py", "i*1315423911 + 22"))
+    sql += ",\npidx AS (SELECT unnest(range(0, 2000)) AS i)"
+    prev_p = "pidx"
+    for i, (name, expr) in enumerate(psteps):
+        sql += f",\np{i} AS (SELECT *, {expr} AS {name} FROM {prev_p})"
+        prev_p = f"p{i}"
+    sql += f""",
+zone AS (
+  SELECT j,
+         5 + CAST(mx_nv % 56 AS BIGINT) AS nv,
+         -20.0 + (CAST(mx_cx % 4294967296 AS DOUBLE) / 4294967296.0)
+               * 60.0 AS cx,
+         -10.0 + (CAST(mx_cy % 4294967296 AS DOUBLE) / 4294967296.0)
+               * 60.0 AS cy,
+         0.3 + (CAST(mx_r % 4294967296 AS DOUBLE) / 4294967296.0)
+             * 2.2 AS r
+  FROM {prev}),
+vk AS (
+  SELECT j, nv, cx, cy, r, unnest(range(0, nv)) AS k FROM zone),
+vert AS (
+  SELECT j, nv, k, cx, cy, r,
+         cx + rad * cos(ang) AS ox, cy + rad * sin(ang) AS oy,
+         cx + (0.3 * r) * cos(ang) AS hx, cy + (0.3 * r) * sin(ang) AS hy,
+         (cx + rad * cos(ang)) + (2.5 * r) AS sx
+  FROM (SELECT *,
+          CASE WHEN (j % 4) = 1
+               THEN r * (0.45 + 0.55 * CAST(k % 2 AS DOUBLE))
+               ELSE r END AS rad,
+          CAST(k AS DOUBLE) * (2 * pi() / CAST(nv AS DOUBLE)) AS ang
+        FROM vk)),
+edges AS (
+  -- ring 0 = outer (all kinds), 1 = hole (kind 2), 2 = shifted part
+  -- (kind 3); edge k runs vertex k -> k+1 (ring closure wraps)
+  SELECT a.j, 0 AS ring, a.ox AS xa, a.oy AS ya, b.ox AS xb, b.oy AS yb
+  FROM vert a JOIN vert b ON b.j = a.j AND b.k = (a.k + 1) % a.nv
+  UNION ALL
+  SELECT a.j, 1, a.hx, a.hy, b.hx, b.hy
+  FROM vert a JOIN vert b ON b.j = a.j AND b.k = (a.k + 1) % a.nv
+  WHERE (a.j % 4) = 2
+  UNION ALL
+  SELECT a.j, 2, a.sx, a.oy, b.sx, b.oy
+  FROM vert a JOIN vert b ON b.j = a.j AND b.k = (a.k + 1) % a.nv
+  WHERE (a.j % 4) = 3
+  UNION ALL
+  SELECT j, 0, xa, ya, xb, yb FROM (VALUES
+    (200, 10.0, 40.0, 11.0, 40.0), (200, 11.0, 40.0, 11.0, 41.0),
+    (200, 11.0, 41.0, 10.0, 41.0), (200, 10.0, 41.0, 10.0, 40.0),
+    (201, 5.0, 5.0, 5.0005, 5.0), (201, 5.0005, 5.0, 5.0005, 25.0),
+    (201, 5.0005, 25.0, 5.0, 25.0), (201, 5.0, 25.0, 5.0, 5.0)
+  ) t(j, xa, ya, xb, yb)),
+pts AS (
+  SELECT printf('pt-%08d', i) AS point_id,
+         -20.0 + (CAST(mx_px % 4294967296 AS DOUBLE) / 4294967296.0)
+               * 60.0 AS px,
+         -10.0 + (CAST(mx_py % 4294967296 AS DOUBLE) / 4294967296.0)
+               * 60.0 AS py
+  FROM {prev_p}
+  UNION ALL
+  -- pinned: vertices k=0..3 of zone 0 and midpoints of edges k->k+1
+  SELECT printf('pt-%08d', 2000 + 2 * a.k), a.ox, a.oy
+  FROM vert a WHERE a.j = 0 AND a.k < 4
+  UNION ALL
+  SELECT printf('pt-%08d', 2001 + 2 * a.k),
+         (a.ox + b.ox) / 2, (a.oy + b.oy) / 2
+  FROM vert a JOIN vert b ON b.j = 0 AND b.k = a.k + 1
+  WHERE a.j = 0 AND a.k < 4),
+hits AS (
+  SELECT p.point_id, e.j, e.ring,
+         SUM(CASE WHEN (((yb - py) > 0 AND (ya - py) <= 0)
+                     OR ((ya - py) > 0 AND (yb - py) <= 0))
+                   AND ((xb - px) * (ya - py) - (xa - px) * (yb - py))
+                       / ((ya - py) - (yb - py)) > 0
+                  THEN 1 ELSE 0 END) AS crossings,
+         BOOL_OR(   (xb - xa) * (py - ya) - (yb - ya) * (px - xa) = 0
+                AND (xb - xa) * (px - xa) + (yb - ya) * (py - ya) >= 0
+                AND (xb - xa) * (px - xa) + (yb - ya) * (py - ya)
+                    <= (xb - xa) * (xb - xa) + (yb - ya) * (yb - ya)
+                AND (xb - xa) * (xb - xa) + (yb - ya) * (yb - ya) > 0
+            ) AS onb
+  FROM pts p CROSS JOIN edges e
+  GROUP BY p.point_id, e.j, e.ring),
+clz AS (
+  SELECT point_id, j,
+         MAX(CASE WHEN ring = 0 THEN crossings % 2 ELSE 0 END) = 1
+           AS in_outer,
+         MAX(CASE WHEN ring = 1 THEN crossings % 2 ELSE 0 END) = 1
+           AS in_hole,
+         MAX(CASE WHEN ring = 2 THEN crossings % 2 ELSE 0 END) = 1
+           AS in_part2,
+         BOOL_OR(onb) AS on_boundary
+  FROM hits GROUP BY point_id, j)
+SELECT point_id, printf('zone-%06d', j) AS zone_id,
+       CASE WHEN j < 200 AND (j % 4) = 2 THEN in_outer AND NOT in_hole
+            WHEN j < 200 AND (j % 4) = 3 THEN in_outer OR in_part2
+            ELSE in_outer END AS inside,
+       on_boundary
+FROM clz
+WHERE (CASE WHEN j < 200 AND (j % 4) = 2 THEN in_outer AND NOT in_hole
+            WHEN j < 200 AND (j % 4) = 3 THEN in_outer OR in_part2
+            ELSE in_outer END) OR on_boundary
+"""
+    return sql
+
+
+SQL_Q38 = _build_sql_q38()
+
+
 def q45_explode_zones(sf_dir):
     """Explode multi-part zones to one row per part."""
     import ray.data
@@ -2916,7 +3044,7 @@ QUERIES = {
     "q35_images_zone_join": (q35_images_zone_join, None),
     "q36_images_warp": (q36_images_warp, None),
     "q37_phash_dups": (q37_phash_dups, SQL_Q37),
-    "q38_pip_points_zones": (q38_pip_points_zones, None),
+    "q38_pip_points_zones": (q38_pip_points_zones, SQL_Q38),
     "q39_ann_lsh": (q39_ann_lsh, None),
     "q23_running_sum": (q23_running_sum, SQL_Q23),
     "q24_sessions": (q24_sessions, SQL_Q24),
