@@ -1434,11 +1434,14 @@ def q44_zone_geometry_stats(sf_dir):
     return out.map_batches(rounded, batch_format="pyarrow")
 
 
-def _sql_mix64_steps(tag, inexpr):
+def _sql_mix64_steps(tag, inexpr, seed_add=42):
     """splitmix64 (io/images.py _mix64, SEED=42) as chained SQL exprs.
 
     64×64→64 modular multiplies use 32-bit limbs so intermediates fit
     HUGEINT: (a*c) mod 2^64 = al*cl + ((al*ch + ah*cl) mod 2^32)·2^32.
+    ``seed_add`` is the additive constant beyond the golden-ratio
+    increment: 42 for io/images.py ``_mix64``; 0 reproduces
+    ops/dedup.py ``_hash_u64(x, seed=0)``.
     """
     m64 = "18446744073709551616::HUGEINT"
     c1h, c1l = 3210233709, 484763065      # 0xBF58476D1CE4E5B9 limbs
@@ -1446,7 +1449,7 @@ def _sql_mix64_steps(tag, inexpr):
     s = [f"s{i}_{tag}" for i in range(5)]
     return [
         (s[0], f"(({inexpr})::HUGEINT + 11400714819323198485::HUGEINT"
-               f" + 42) % {m64}"),
+               f" + {seed_add}) % {m64}"),
         (s[1], f"xor({s[0]}, {s[0]} >> 30)"),
         (s[2], f"(({s[1]} % 4294967296) * {c1l} + ((({s[1]} % 4294967296)"
                f" * {c1h} + ({s[1]} // 4294967296) * {c1l}) % 4294967296)"
@@ -1537,6 +1540,181 @@ UNION ALL SELECT 'zone-000301',
 
 
 SQL_Q44 = _build_sql_q44()
+
+
+def _sql_token_hash_ctes():
+    """Shared CTE fragment reproducing ops/dedup.py ``_text_tokens_u64``
+    in pure SQL: whitespace tokens of ``documents.text`` → the exact
+    uint64 token hashes the engine computes.
+
+    The zlib CRC-32 is folded byte-by-byte with a 256-entry table built
+    by an 8-step recursive CTE (reflected poly 0xEDB88320); the forward
+    and reversed-bytes CRCs combine into 64 bits, then one splitmix64
+    round (``_hash_u64(x, seed=0)``) disperses them.  Token CRCs fold
+    over DISTINCT tokens only (the fixture vocabulary is tiny), then
+    join back to per-document positions.  The fixture text is
+    single-space-separated ASCII (so ``string_split(text, ' ')`` ==
+    Python ``str.split()`` and char positions == byte positions).
+
+    Emits CTEs: ``tokmix(tok, h)`` — h HUGEINT in [0, 2^64) — and
+    ``doctok(doc_id, pos, tok)`` with 1-based token position.
+    """
+    steps = _sql_mix64_steps("th", "h0", seed_add=0)
+    chain = ""
+    prev = "tokh"
+    for i, (name, expr) in enumerate(steps):
+        chain += f",\nmc{i} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = f"mc{i}"
+    return f"""
+WITH RECURSIVE crct(i, k, c) AS (
+  SELECT i::UBIGINT, 0, i::UBIGINT FROM range(256) t(i)
+  UNION ALL
+  SELECT i, k + 1,
+    CASE WHEN c % 2 = 1 THEN xor(c >> 1, 3988292384::UBIGINT)
+         ELSE c >> 1 END
+  FROM crct WHERE k < 8),
+crctab AS (SELECT i, c FROM crct WHERE k = 8),
+toks AS (
+  SELECT DISTINCT t.tok
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''),
+fold(tok, p, crc, crcr) AS (
+  SELECT tok, 0, 4294967295::UBIGINT, 4294967295::UBIGINT FROM toks
+  UNION ALL
+  SELECT f.tok, p + 1,
+    xor(crc >> 8, t1.c),
+    xor(crcr >> 8, t2.c)
+  FROM fold f
+  JOIN crctab t1
+    ON t1.i = xor(crc, ascii(substr(f.tok, p + 1, 1))::UBIGINT) % 256
+  JOIN crctab t2
+    ON t2.i = xor(crcr,
+                  ascii(substr(f.tok, length(f.tok) - p, 1))::UBIGINT) % 256
+  WHERE p < length(f.tok)),
+tokh AS (
+  SELECT tok,
+         (xor(crc, 4294967295::UBIGINT)::HUGEINT
+          + xor(crcr, 4294967295::UBIGINT)::HUGEINT
+            * 4294967296::HUGEINT) AS h0
+  FROM fold WHERE p = length(tok)){chain},
+tokmix AS (SELECT tok, mx_th AS h FROM {prev}),
+doctok AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+  WHERE length(l) > 0)"""
+
+
+def _build_sql_q31():
+    """Oracle for q31: bit-exact 64-bit SimHash in SQL — per-document
+    majority vote over the 64 bits of every token hash, packed with
+    two's complement into BIGINT (ops/dedup.py simhash_batch)."""
+    return _sql_token_hash_ctes() + """,
+dt AS (SELECT d.doc_id, m.h FROM doctok d JOIN tokmix m USING (tok)),
+bits AS (
+  SELECT doc_id, bl.b,
+         SUM(CASE WHEN (h >> CAST(bl.b AS INT)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM dt CROSS JOIN (SELECT unnest(range(64)) AS b) bl
+  GROUP BY doc_id, bl.b),
+sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN vote > 0
+                  THEN (1::HUGEINT << CAST(b AS INT))
+                  ELSE 0::HUGEINT END) AS u
+  FROM bits GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                 THEN u - 18446744073709551616::HUGEINT
+                 ELSE u END AS BIGINT) AS simhash
+FROM documents d JOIN sh USING (doc_id)
+"""
+
+
+SQL_Q31 = _build_sql_q31()
+
+
+def _build_sql_q33():
+    """Oracle for q33: the full MinHash-LSH near-dup pipeline in SQL,
+    bit-exact with ops/dedup.py minhash_dedup (64 perms, 16 bands,
+    3-token shingles, threshold 0.5).
+
+    Stages mirror the engine: token hashes (shared CTEs) → rolling
+    3-gram shingle combine (two seeded splitmix rounds) → 64-perm
+    signature (splitmix over DISTINCT shingles only — the fixture
+    vocabulary keeps that set small — then per-doc min) → candidate =
+    equality of a whole 4-perm band (the engine's band_hash is a pure
+    function of that 4-tuple) → estimated Jaccard = mean per-perm
+    signature agreement ≥ threshold.  The engine's hot-bucket cap (512)
+    and shard assignment never alter output at fixture bucket sizes.
+    ``MATERIALIZED`` pins multiply-referenced CTEs (DuckDB re-inlines
+    otherwise, recomputing the mix chain per reference).
+    """
+    golden = 0x9E3779B97F4A7C15
+    m = 1 << 64
+    sh1 = _sql_mix64_steps("sh1", "xor(h0_t, h1_t)", seed_add=golden % m)
+    sh2 = _sql_mix64_steps("sh2", "xor(mx_sh1, h2_t)",
+                           seed_add=(golden * 2) % m)
+    sg = _sql_mix64_steps("sg", "xor(sh, 0::HUGEINT)", seed_add="sd")
+    chain, prev = "", "tri"
+    for i, (name, expr) in enumerate(sh1 + sh2):
+        chain += f",\nsc{i} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = f"sc{i}"
+    gchain, gprev = "", "shp"
+    for i, (name, expr) in enumerate(sg):
+        gchain += f",\ngc{i} AS (SELECT *, {expr} AS {name} FROM {gprev})"
+        gprev = f"gc{i}"
+    return _sql_token_hash_ctes() + f""",
+dth AS MATERIALIZED (
+  SELECT d.doc_id, d.pos, m.h
+  FROM doctok d JOIN tokmix m USING (tok)),
+ntok AS (SELECT doc_id, COUNT(*) AS n FROM dth GROUP BY doc_id),
+tri AS (
+  SELECT a.doc_id, a.pos, a.h AS h0_t, b.h AS h1_t, c.h AS h2_t
+  FROM dth a
+  JOIN dth b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN dth c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  JOIN ntok n ON n.doc_id = a.doc_id AND n.n >= 3){chain},
+shingle AS (
+  SELECT doc_id, mx_sh2 AS sh FROM {prev}
+  UNION ALL
+  SELECT d.doc_id, d.h AS sh
+  FROM dth d JOIN ntok n ON n.doc_id = d.doc_id AND n.n < 3),
+dsh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM shingle),
+shp AS (
+  SELECT sh, pl.p,
+         (11400714819323198485::HUGEINT * pl.p)
+           % 18446744073709551616::HUGEINT AS sd
+  FROM (SELECT DISTINCT sh FROM dsh)
+  CROSS JOIN (SELECT unnest(range(64)) AS p) pl){gchain},
+sig AS MATERIALIZED (
+  SELECT d.doc_id, m.p, MIN(m.mx_sg) AS sig
+  FROM dsh d JOIN {gprev} m USING (sh) GROUP BY d.doc_id, m.p),
+bandrow AS MATERIALIZED (
+  SELECT doc_id, p // 4 AS band,
+         MAX(CASE WHEN p % 4 = 0 THEN sig END) AS v0,
+         MAX(CASE WHEN p % 4 = 1 THEN sig END) AS v1,
+         MAX(CASE WHEN p % 4 = 2 THEN sig END) AS v2,
+         MAX(CASE WHEN p % 4 = 3 THEN sig END) AS v3
+  FROM sig GROUP BY doc_id, p // 4),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandrow a
+  JOIN bandrow b ON b.band = a.band AND b.v0 = a.v0 AND b.v1 = a.v1
+                AND b.v2 = a.v2 AND b.v3 = a.v3
+                AND a.doc_id < b.doc_id),
+est AS (
+  SELECT c.id_a, c.id_b,
+         AVG(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END)
+           AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+  GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+
+SQL_Q33 = _build_sql_q33()
 
 
 def _build_sql_q38():
@@ -3037,9 +3215,9 @@ QUERIES = {
     "q22_anti_join": (q22_anti_join, SQL_Q22),
     # rows-only (no SQL equivalent)
     "q30_langid": (q30_langid, SQL_Q30),
-    "q31_simhash": (q31_simhash, None),
+    "q31_simhash": (q31_simhash, SQL_Q31),
     "q32_fingerprint": (q32_fingerprint, SQL_Q32),
-    "q33_minhash_pairs": (q33_minhash_pairs, None),
+    "q33_minhash_pairs": (q33_minhash_pairs, SQL_Q33),
     "q34_images_tile_assign": (q34_images_tile_assign, None),
     "q35_images_zone_join": (q35_images_zone_join, None),
     "q36_images_warp": (q36_images_warp, None),
