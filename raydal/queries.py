@@ -1023,6 +1023,331 @@ SELECT id_a, id_b FROM x WHERE id_b IS NOT NULL
 """
 
 
+def _sql_mix64_steps(tag, inexpr, seed_add=42):
+    """splitmix64 (io/images.py _mix64, SEED=42) as chained SQL exprs.
+
+    64×64→64 modular multiplies use 32-bit limbs so intermediates fit
+    HUGEINT: (a*c) mod 2^64 = al*cl + ((al*ch + ah*cl) mod 2^32)·2^32.
+    ``seed_add`` is the additive constant beyond the golden-ratio
+    increment: 42 for io/images.py ``_mix64``; 0 reproduces
+    ops/dedup.py ``_hash_u64(x, seed=0)``.
+    """
+    m64 = "18446744073709551616::HUGEINT"
+    c1h, c1l = 3210233709, 484763065      # 0xBF58476D1CE4E5B9 limbs
+    c2h, c2l = 2496678331, 321982955      # 0x94D049BB133111EB limbs
+    s = [f"s{i}_{tag}" for i in range(5)]
+    return [
+        (s[0], f"(({inexpr})::HUGEINT + 11400714819323198485::HUGEINT"
+               f" + {seed_add}) % {m64}"),
+        (s[1], f"xor({s[0]}, {s[0]} >> 30)"),
+        (s[2], f"(({s[1]} % 4294967296) * {c1l} + ((({s[1]} % 4294967296)"
+               f" * {c1h} + ({s[1]} // 4294967296) * {c1l}) % 4294967296)"
+               f" * 4294967296) % {m64}"),
+        (s[3], f"xor({s[2]}, {s[2]} >> 27)"),
+        (s[4], f"(({s[3]} % 4294967296) * {c2l} + ((({s[3]} % 4294967296)"
+               f" * {c2h} + ({s[3]} // 4294967296) * {c2l}) % 4294967296)"
+               f" * 4294967296) % {m64}"),
+        (f"mx_{tag}", f"xor({s[4]}, {s[4]} >> 31)"),
+    ]
+
+
+
+def _sql_footprint_ctes(glob, dst):
+    """CTE fragment reproducing ops/footprint.py ``add_footprint`` in
+    SQL: 9 geotransform sample points per image, each CRS group through
+    the exact closed-form transform chain (geo/crs.py — Krüger 3rd-order
+    inverse for EPSG:32631, spherical pseudo-Mercator for 3857/4326),
+    min/maxed to the dst-CRS bbox.
+
+    DuckDB 1.0 lacks sinh/cosh, so ``(exp(t) ± exp(-t))/2`` stands in;
+    the last-ulp differences vs libm only matter where a bbox lands
+    within ~1e-13 of a tile boundary, which the reference's 1e-3
+    tile-unit epsilon (and the fixtures' unaligned footprints) make
+    unobservable.  Ends with ``fpbox(image_id, x0, y0, x1, y1)``.
+    """
+    from .geo import crs as _crs
+
+    r = repr
+    k0ab = _crs._K0 * _crs._A_BAR
+    b1, b2, b3 = _crs._BETA
+    d1, d2, d3 = _crs._DELTA
+    rm = 6378137.0
+    maxlat = 85.05112877980659
+    head = f"""
+img AS (
+  SELECT image_id, w::DOUBLE AS w, h::DOUBLE AS h, crs,
+         gt[1] AS g0, gt[2] AS g1, gt[3] AS g2,
+         gt[4] AS g3, gt[5] AS g4, gt[6] AS g5
+  FROM read_parquet('{glob}')),
+fr(fx, fy) AS (VALUES
+  (0.0,0.0),(1.0,0.0),(0.0,1.0),(1.0,1.0),
+  (0.5,0.0),(0.0,0.5),(1.0,0.5),(0.5,1.0),(0.5,0.5)),
+pt AS (
+  SELECT image_id, crs,
+         g0 + (fx * w) * g1 + (fy * h) * g2 AS x,
+         g3 + (fx * w) * g4 + (fy * h) * g5 AS y
+  FROM img CROSS JOIN fr),
+utm0 AS (
+  SELECT image_id, (y - 0.0) / {r(k0ab)} AS xi,
+         (x - 500000.0) / {r(k0ab)} AS eta
+  FROM pt WHERE crs = 'EPSG:32631'),
+utm1 AS (
+  SELECT *, cos(2*xi) AS c1, sin(2*xi) AS s1,
+            (exp(2*eta) + exp(-(2*eta))) * 0.5 AS ch1,
+            (exp(2*eta) - exp(-(2*eta))) * 0.5 AS sh1
+  FROM utm0),
+utm2 AS (
+  SELECT *, c1*c1 - s1*s1 AS c2, s1*c1 + c1*s1 AS s2,
+            ch1*ch1 + sh1*sh1 AS ch2, sh1*ch1 + ch1*sh1 AS sh2
+  FROM utm1),
+utm3 AS (
+  SELECT *, c2*c1 - s2*s1 AS c3, s2*c1 + c2*s1 AS s3,
+            ch2*ch1 + sh2*sh1 AS ch3, sh2*ch1 + ch2*sh1 AS sh3
+  FROM utm2),
+utm4 AS (
+  SELECT *,
+    xi - {r(b1)}*s1*ch1 - {r(b2)}*s2*ch2 - {r(b3)}*s3*ch3 AS xi_p,
+    eta - {r(b1)}*c1*sh1 - {r(b2)}*c2*sh2 - {r(b3)}*c3*sh3 AS eta_p
+  FROM utm3),
+utm5 AS (
+  SELECT *, asin(sin(xi_p) / ((exp(eta_p) + exp(-eta_p)) * 0.5)) AS chi
+  FROM utm4),
+utm_ll AS (
+  SELECT image_id,
+    3.0 + degrees(atan2((exp(eta_p) - exp(-eta_p)) * 0.5, cos(xi_p)))
+      AS lon,
+    degrees(chi + {r(d1)}*sin(2.0*chi) + {r(d2)}*sin(4.0*chi)
+                + {r(d3)}*sin(6.0*chi)) AS lat
+  FROM utm5)"""
+    if dst == 4326:
+        return head + f""",
+ll AS (
+  SELECT image_id, lon, lat FROM utm_ll
+  UNION ALL
+  SELECT image_id, x AS lon, y AS lat FROM pt WHERE crs = 'EPSG:4326'
+  UNION ALL
+  SELECT image_id, degrees(x / {r(rm)}),
+         degrees(2.0 * atan(exp(y / {r(rm)})) - pi()/2.0)
+  FROM pt WHERE crs = 'EPSG:3857'),
+fpbox AS MATERIALIZED (
+  SELECT image_id, MIN(lon) AS x0, MIN(lat) AS y0,
+         MAX(lon) AS x1, MAX(lat) AS y1
+  FROM ll GROUP BY image_id)"""
+    assert dst == 3857
+    return head + f""",
+ll AS (
+  SELECT image_id, lon, lat FROM utm_ll
+  UNION ALL
+  SELECT image_id, x AS lon, y AS lat FROM pt WHERE crs = 'EPSG:4326'),
+merc AS (
+  SELECT image_id,
+    {r(rm)} * radians(lon) AS mx,
+    {r(rm)} * ln(tan(pi()/4.0
+        + radians(LEAST(GREATEST(lat, {r(-maxlat)}), {r(maxlat)}))/2.0))
+      AS my
+  FROM ll
+  UNION ALL
+  SELECT image_id, x AS mx, y AS my FROM pt WHERE crs = 'EPSG:3857'),
+fpbox AS MATERIALIZED (
+  SELECT image_id, MIN(mx) AS x0, MIN(my) AS y0,
+         MAX(mx) AS x1, MAX(my) AS y1
+  FROM merc GROUP BY image_id)"""
+
+
+def _build_sql_q34(glob):
+    """Oracle for q34: footprint → WebMercatorQuad z=6 tile expansion in
+    SQL, with the reference's clamp(floor(frac + 1e-3)) indices
+    (geo/cells.py tile_indices, apps/gdalalg_raster_tile.cpp:274-343)."""
+    e = 20037508.342789244
+    span = 2.0 * e / 64.0
+    return f"""WITH {_sql_footprint_ctes(glob, 3857)},
+idx AS (
+  SELECT image_id,
+    CAST(LEAST(GREATEST(floor((x0 - {-e!r}) / {span!r} + 0.001),
+               0), 63) AS BIGINT) AS tx0,
+    CAST(LEAST(GREATEST(floor(({e!r} - y1) / {span!r} + 0.001),
+               0), 63) AS BIGINT) AS ty0,
+    CAST(LEAST(GREATEST(floor((x1 - {-e!r}) / {span!r} + 0.001),
+               0), 63) AS BIGINT) AS tx1,
+    CAST(LEAST(GREATEST(floor(({e!r} - y0) / {span!r} + 0.001),
+               0), 63) AS BIGINT) AS ty1
+  FROM fpbox),
+ex AS (
+  SELECT image_id, unnest(range(tx0, tx1 + 1)) AS tile_x, ty0, ty1
+  FROM idx),
+ey AS (
+  SELECT image_id, tile_x, unnest(range(ty0, ty1 + 1)) AS tile_y
+  FROM ex)
+SELECT image_id, 6::INT AS z, tile_x, tile_y FROM ey
+"""
+
+
+def _sql_zone_edges_ctes(n_zones):
+    """CTE fragment regenerating io/images.py make_zones_table rings as
+    ``edges(j, part, ring, xa, ya, xb, yb)`` plus part bboxes
+    ``pbox(j, part, bx0, by0, bx1, by1)`` — the shape ZoneIndex keeps
+    per polygon part (ops/join.py:60-85).  Ring tags: part 0 ring 0
+    outer, part 0 ring 1 hole (kind j%4==2), part 1 ring 0 shifted copy
+    (kind j%4==3); the two pinned rect zones follow the generated ones.
+    """
+    zsteps = (_sql_mix64_steps("nv", "3*j + 1")
+              + _sql_mix64_steps("cx", "j*1315423911 + 11")
+              + _sql_mix64_steps("cy", "j*1315423911 + 12")
+              + _sql_mix64_steps("r", "j*1315423911 + 13"))
+    out = f"zidx AS (SELECT unnest(range(0, {n_zones})) AS j)"
+    prev = "zidx"
+    for i, (name, expr) in enumerate(zsteps):
+        out += f",\nz{i} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = f"z{i}"
+    return out + f""",
+zone AS (
+  SELECT j,
+         5 + CAST(mx_nv % 56 AS BIGINT) AS nv,
+         -20.0 + (CAST(mx_cx % 4294967296 AS DOUBLE) / 4294967296.0)
+               * 60.0 AS cx,
+         -10.0 + (CAST(mx_cy % 4294967296 AS DOUBLE) / 4294967296.0)
+               * 60.0 AS cy,
+         0.3 + (CAST(mx_r % 4294967296 AS DOUBLE) / 4294967296.0)
+             * 2.2 AS r
+  FROM {prev}),
+vk AS (
+  SELECT j, nv, cx, cy, r, unnest(range(0, nv)) AS k FROM zone),
+vert AS (
+  SELECT j, nv, k, cx, cy, r,
+         cx + rad * cos(ang) AS ox, cy + rad * sin(ang) AS oy,
+         cx + (0.3 * r) * cos(ang) AS hx, cy + (0.3 * r) * sin(ang) AS hy,
+         (cx + rad * cos(ang)) + (2.5 * r) AS sx
+  FROM (SELECT *,
+          CASE WHEN (j % 4) = 1
+               THEN r * (0.45 + 0.55 * CAST(k % 2 AS DOUBLE))
+               ELSE r END AS rad,
+          CAST(k AS DOUBLE) * (2 * pi() / CAST(nv AS DOUBLE)) AS ang
+        FROM vk)),
+edges AS MATERIALIZED (
+  SELECT a.j, 0 AS part, 0 AS ring,
+         a.ox AS xa, a.oy AS ya, b.ox AS xb, b.oy AS yb
+  FROM vert a JOIN vert b ON b.j = a.j AND b.k = (a.k + 1) % a.nv
+  UNION ALL
+  SELECT a.j, 0, 1, a.hx, a.hy, b.hx, b.hy
+  FROM vert a JOIN vert b ON b.j = a.j AND b.k = (a.k + 1) % a.nv
+  WHERE (a.j % 4) = 2
+  UNION ALL
+  SELECT a.j, 1, 0, a.sx, a.oy, b.sx, b.oy
+  FROM vert a JOIN vert b ON b.j = a.j AND b.k = (a.k + 1) % a.nv
+  WHERE (a.j % 4) = 3
+  UNION ALL
+  SELECT j, 0, 0, xa, ya, xb, yb FROM (VALUES
+    ({n_zones}, 10.0, 40.0, 11.0, 40.0),
+    ({n_zones}, 11.0, 40.0, 11.0, 41.0),
+    ({n_zones}, 11.0, 41.0, 10.0, 41.0),
+    ({n_zones}, 10.0, 41.0, 10.0, 40.0),
+    ({n_zones + 1}, 5.0, 5.0, 5.0005, 5.0),
+    ({n_zones + 1}, 5.0005, 5.0, 5.0005, 25.0),
+    ({n_zones + 1}, 5.0005, 25.0, 5.0, 25.0),
+    ({n_zones + 1}, 5.0, 25.0, 5.0, 5.0)
+  ) t(j, xa, ya, xb, yb)),
+pbox AS MATERIALIZED (
+  SELECT j, part, MIN(LEAST(xa, xb)) AS bx0, MIN(LEAST(ya, yb)) AS by0,
+         MAX(GREATEST(xa, xb)) AS bx1, MAX(GREATEST(ya, yb)) AS by1
+  FROM edges GROUP BY j, part)"""
+
+
+def _build_sql_q35(glob):
+    """Oracle for q35: image-footprint × zone intersects join in SQL,
+    mirroring ops/join.py rects_intersect_zone's three OR-ed subtests
+    exactly: t1 rect corner strictly inside the part (crossing rule,
+    holes subtract), t2 outer-ring vertex inside the closed rect, t3
+    rect edge × part segment proper-or-touching crossing including the
+    collinear-overlap branch (geo/wkb.py segments_cross_matrix).  The
+    part-bbox prefilter is a pure superset (any true hit overlaps its
+    part's bbox), so applying it never drops an engine row."""
+    return f"""WITH {_sql_zone_edges_ctes(200)},
+{_sql_footprint_ctes(glob, 4326).lstrip()},
+cand AS MATERIALIZED (
+  SELECT fpbox.image_id, pbox.j, pbox.part,
+         x0 AS rx0, y0 AS ry0, x1 AS rx1, y1 AS ry1
+  FROM fpbox JOIN pbox
+    ON pbox.bx0 <= fpbox.x1 AND pbox.bx1 >= fpbox.x0
+   AND pbox.by0 <= fpbox.y1 AND pbox.by1 >= fpbox.y0),
+t2 AS (
+  SELECT DISTINCT c.image_id, c.j, c.part
+  FROM cand c JOIN edges e ON e.j = c.j AND e.part = c.part AND e.ring = 0
+  WHERE e.xa >= c.rx0 AND e.xa <= c.rx1
+    AND e.ya >= c.ry0 AND e.ya <= c.ry1),
+corners AS (
+  SELECT c.*, cc.ci,
+         CASE cc.ci WHEN 0 THEN rx0 WHEN 1 THEN rx1
+                    WHEN 2 THEN rx1 ELSE rx0 END AS px,
+         CASE cc.ci WHEN 0 THEN ry0 WHEN 1 THEN ry0
+                    WHEN 2 THEN ry1 ELSE ry1 END AS py
+  FROM cand c CROSS JOIN (SELECT unnest(range(4)) AS ci) cc),
+cross_counts AS (
+  SELECT k.image_id, k.j, k.part, k.ci, e.ring,
+         SUM(CASE WHEN (((yb - py) > 0 AND (ya - py) <= 0)
+                     OR ((ya - py) > 0 AND (yb - py) <= 0))
+                   AND ((xb - px) * (ya - py) - (xa - px) * (yb - py))
+                       / ((ya - py) - (yb - py)) > 0
+                  THEN 1 ELSE 0 END) AS crossings
+  FROM corners k JOIN edges e ON e.j = k.j AND e.part = k.part
+  GROUP BY k.image_id, k.j, k.part, k.ci, e.ring),
+t1 AS (
+  SELECT DISTINCT image_id, j, part
+  FROM (SELECT image_id, j, part, ci,
+               MAX(CASE WHEN ring = 0 THEN crossings % 2 ELSE 0 END) = 1
+                 AND COALESCE(MAX(CASE WHEN ring = 1
+                                       THEN crossings % 2 END) = 1,
+                              FALSE) = FALSE AS ins
+        FROM cross_counts GROUP BY image_id, j, part, ci)
+  WHERE ins),
+redge AS (
+  SELECT c.*,
+         CASE ei WHEN 0 THEN rx0 WHEN 1 THEN rx1
+                 WHEN 2 THEN rx1 ELSE rx0 END AS ax,
+         CASE ei WHEN 0 THEN ry0 WHEN 1 THEN ry0
+                 WHEN 2 THEN ry1 ELSE ry1 END AS ay,
+         CASE ei WHEN 0 THEN rx1 WHEN 1 THEN rx1
+                 WHEN 2 THEN rx0 ELSE rx0 END AS bx,
+         CASE ei WHEN 0 THEN ry0 WHEN 1 THEN ry1
+                 WHEN 2 THEN ry1 ELSE ry0 END AS "by"
+  FROM cand c CROSS JOIN (SELECT unnest(range(4)) AS ei) ee),
+t3 AS (
+  SELECT DISTINCT g.image_id, g.j, g.part
+  FROM (
+    SELECT k.image_id, k.j, k.part,
+           (bx - ax) AS rx, ("by" - ay) AS ry,
+           (e.xb - e.xa) AS sx, (e.yb - e.ya) AS sy,
+           (e.xa - ax) AS qpx, (e.ya - ay) AS qpy
+    FROM redge k JOIN edges e ON e.j = k.j AND e.part = k.part) g
+  WHERE (g.rx != 0 OR g.ry != 0) AND (g.sx != 0 OR g.sy != 0)
+    AND (
+      (g.rx * g.sy - g.ry * g.sx != 0
+       AND (g.qpx * g.sy - g.qpy * g.sx) / (g.rx * g.sy - g.ry * g.sx)
+           BETWEEN 0 AND 1
+       AND (g.qpx * g.ry - g.qpy * g.rx) / (g.rx * g.sy - g.ry * g.sx)
+           BETWEEN 0 AND 1)
+      OR
+      (g.rx * g.sy - g.ry * g.sx = 0
+       AND g.qpx * g.ry - g.qpy * g.rx = 0
+       AND GREATEST(g.qpx * g.rx + g.qpy * g.ry,
+                    g.qpx * g.rx + g.qpy * g.ry
+                    + (g.sx * g.rx + g.sy * g.ry)) >= 0
+       AND LEAST(g.qpx * g.rx + g.qpy * g.ry,
+                 g.qpx * g.rx + g.qpy * g.ry
+                 + (g.sx * g.rx + g.sy * g.ry))
+           <= g.rx * g.rx + g.ry * g.ry))),
+hitparts AS (
+  SELECT image_id, j, part FROM t1
+  UNION SELECT image_id, j, part FROM t2
+  UNION SELECT image_id, j, part FROM t3)
+SELECT DISTINCT image_id, printf('zone-%06d', j) AS zone_id
+FROM hitparts
+"""
+
+
+SQL_Q34 = None if _Q37_GLOB is None else _build_sql_q34(_Q37_GLOB)
+SQL_Q35 = None if _Q37_GLOB is None else _build_sql_q35(_Q37_GLOB)
+
+
 def q38_pip_points_zones(sf_dir):
     """Polygon PIP with holes/multi parts over fixture points."""
     import ray
@@ -1432,34 +1757,6 @@ def q44_zone_geometry_stats(sf_dir):
             "n_vertices": t["n_vertices"].cast(pa.int64())})
 
     return out.map_batches(rounded, batch_format="pyarrow")
-
-
-def _sql_mix64_steps(tag, inexpr, seed_add=42):
-    """splitmix64 (io/images.py _mix64, SEED=42) as chained SQL exprs.
-
-    64×64→64 modular multiplies use 32-bit limbs so intermediates fit
-    HUGEINT: (a*c) mod 2^64 = al*cl + ((al*ch + ah*cl) mod 2^32)·2^32.
-    ``seed_add`` is the additive constant beyond the golden-ratio
-    increment: 42 for io/images.py ``_mix64``; 0 reproduces
-    ops/dedup.py ``_hash_u64(x, seed=0)``.
-    """
-    m64 = "18446744073709551616::HUGEINT"
-    c1h, c1l = 3210233709, 484763065      # 0xBF58476D1CE4E5B9 limbs
-    c2h, c2l = 2496678331, 321982955      # 0x94D049BB133111EB limbs
-    s = [f"s{i}_{tag}" for i in range(5)]
-    return [
-        (s[0], f"(({inexpr})::HUGEINT + 11400714819323198485::HUGEINT"
-               f" + {seed_add}) % {m64}"),
-        (s[1], f"xor({s[0]}, {s[0]} >> 30)"),
-        (s[2], f"(({s[1]} % 4294967296) * {c1l} + ((({s[1]} % 4294967296)"
-               f" * {c1h} + ({s[1]} // 4294967296) * {c1l}) % 4294967296)"
-               f" * 4294967296) % {m64}"),
-        (s[3], f"xor({s[2]}, {s[2]} >> 27)"),
-        (s[4], f"(({s[3]} % 4294967296) * {c2l} + ((({s[3]} % 4294967296)"
-               f" * {c2h} + ({s[3]} // 4294967296) * {c2l}) % 4294967296)"
-               f" * 4294967296) % {m64}"),
-        (f"mx_{tag}", f"xor({s[4]}, {s[4]} >> 31)"),
-    ]
 
 
 def _build_sql_q44():
@@ -3218,8 +3515,8 @@ QUERIES = {
     "q31_simhash": (q31_simhash, SQL_Q31),
     "q32_fingerprint": (q32_fingerprint, SQL_Q32),
     "q33_minhash_pairs": (q33_minhash_pairs, SQL_Q33),
-    "q34_images_tile_assign": (q34_images_tile_assign, None),
-    "q35_images_zone_join": (q35_images_zone_join, None),
+    "q34_images_tile_assign": (q34_images_tile_assign, SQL_Q34),
+    "q35_images_zone_join": (q35_images_zone_join, SQL_Q35),
     "q36_images_warp": (q36_images_warp, None),
     "q37_phash_dups": (q37_phash_dups, SQL_Q37),
     "q38_pip_points_zones": (q38_pip_points_zones, SQL_Q38),
