@@ -1344,8 +1344,45 @@ FROM hitparts
 """
 
 
+def _build_sql_q51(glob):
+    """Oracle for q51: Hilbert-code spatial sort in SQL.  Footprint
+    centers on the 2^16 grid, then the iterative xy→d rotation
+    (geo/cells.py hilbert_d, public Wikipedia form) as a 16-step
+    recursive CTE; rank = row_number over (hilbert, image_id)."""
+    e = 20037508.342789244
+    return f"""WITH RECURSIVE {_sql_footprint_ctes(glob, 3857).lstrip()},
+grid AS (
+  SELECT image_id,
+    CAST(floor(LEAST(GREATEST(((x0 + x1) / 2 + {e!r})
+                              / {2 * e!r} * 65536.0, 0), 65535.0))
+         AS BIGINT) AS gx,
+    CAST(floor(LEAST(GREATEST(({e!r} - (y0 + y1) / 2)
+                              / {2 * e!r} * 65536.0, 0), 65535.0))
+         AS BIGINT) AS gy
+  FROM fpbox),
+hil(image_id, s, x, y, d) AS (
+  SELECT image_id, 32768::BIGINT, gx, gy, 0::BIGINT FROM grid
+  UNION ALL
+  SELECT image_id, s // 2,
+    CASE WHEN (y & s) = 0 THEN
+      CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END
+    ELSE x END,
+    CASE WHEN (y & s) = 0 THEN
+      CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END
+    ELSE y END,
+    d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+                    (CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END))
+  FROM hil WHERE s > 0),
+hcode AS (SELECT image_id, d AS hilbert FROM hil WHERE s = 0)
+SELECT image_id, hilbert,
+       row_number() OVER (ORDER BY hilbert, image_id) - 1 AS rank
+FROM hcode
+"""
+
+
 SQL_Q34 = None if _Q37_GLOB is None else _build_sql_q34(_Q37_GLOB)
 SQL_Q35 = None if _Q37_GLOB is None else _build_sql_q35(_Q37_GLOB)
+SQL_Q51 = None if _Q37_GLOB is None else _build_sql_q51(_Q37_GLOB)
 
 
 def q38_pip_points_zones(sf_dir):
@@ -3539,7 +3576,7 @@ QUERIES = {
     "q48_stride_sample": (q48_stride_sample, SQL_Q48),
     "q49_string_funcs": (q49_string_funcs, SQL_Q49),
     "q50_color_palette": (q50_color_palette, None),
-    "q51_hilbert_order": (q51_hilbert_order, None),
+    "q51_hilbert_order": (q51_hilbert_order, SQL_Q51),
     "q52_resize_checksums": (q52_resize_checksums, None),
     "q53_sieve_proximity": (q53_sieve_proximity, None),
     "q54_hillshade": (q54_hillshade, None),
