@@ -13,6 +13,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .dedup import _hash_u64
+
 __all__ = ["CosineTopK", "embeddings_matrix", "rhp_signature_batch",
            "lsh_topk", "kmeans_centroids", "ivf_topk"]
 
@@ -155,6 +157,24 @@ def rhp_signature_batch(batch: pa.Table, planes, col="embedding",
     return batch.append_column(out_col, pa.array(bucket.astype(np.int64)))
 
 
+def normal_planes(n_planes, d, seed):
+    """Deterministic N(0,1) hyperplanes from splitmix64 + Box-Muller.
+
+    Replaces an opaque generator-state RNG so the plane values are a
+    pure closed-form function of (index, seed) — reproducible anywhere,
+    including the DuckDB SQL oracle: ``u1 = ((mix(i, seed) >> 11) + 1)
+    · 2⁻⁵³`` (offset into (0, 1] keeps the log finite), ``u2 = (mix(i,
+    seed+1) >> 11) · 2⁻⁵³``, ``z = sqrt(-2 ln u1) · cos(2π u2)``.
+    """
+    idx = np.arange(n_planes * d, dtype=np.uint64)
+    u1 = ((_hash_u64(idx, seed) >> np.uint64(11)).astype(np.float64)
+          + 1.0) * 2.0 ** -53
+    u2 = (_hash_u64(idx, seed + 1) >> np.uint64(11)).astype(
+        np.float64) * 2.0 ** -53
+    z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+    return z.astype(np.float32).reshape(n_planes, d)
+
+
 def lsh_topk(ds, queries, k=10, n_planes=8, seed=7, id_col="vec_id"):
     """LSH-bucketed ANN: scan only the buckets each query hashes to.
 
@@ -167,8 +187,7 @@ def lsh_topk(ds, queries, k=10, n_planes=8, seed=7, id_col="vec_id"):
 
     q = np.asarray(queries, dtype=np.float32)
     d = q.shape[1]
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, d)).astype(np.float32)
+    planes = normal_planes(n_planes, d, seed)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
     qproj = qn @ planes.T
     qbits = (qproj > 0).astype(np.uint64)
@@ -201,8 +220,10 @@ def lsh_topk(ds, queries, k=10, n_planes=8, seed=7, id_col="vec_id"):
             for c, qi in enumerate(qis):
                 s = scores[:, c]
                 kk = min(k, len(sel))
-                top = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else \
-                    np.arange(len(s))
+                # deterministic prune: score desc, id asc — score ties
+                # at the batch boundary (planted exact dups) must keep
+                # the same member the global (score, id) sort would
+                top = np.lexsort((ids[sel], -s))[:kk]
                 out["query_idx"].extend([qi] * len(top))
                 out[id_col].append(ids[sel][top])
                 out["score"].extend(s[top].tolist())

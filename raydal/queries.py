@@ -1418,6 +1418,76 @@ def q39_ann_lsh(sf_dir):
 
 
 
+def _build_sql_q39(d=64, n_planes=8, seed=7, k=10):
+    """Oracle for q39: the full LSH-bucketed ANN in SQL — Box-Muller
+    hyperplanes from splitmix64 (ops/ann.py normal_planes, closed-form
+    by design so this oracle can exist), sign-bit bucket packing,
+    bucket-equality candidates, exact cosine scoring, (score DESC,
+    vec_id) top-k.  Engine scores are float32 BLAS, the oracle double:
+    rank flips would need two distinct scores within ~1e-7 — planted
+    exact duplicates tie bitwise on both sides and break by vec_id."""
+    golden = 0x9E3779B97F4A7C15
+    m = 1 << 64
+    m1 = _sql_mix64_steps("u1", "i", seed_add=(golden * seed) % m)
+    m2 = _sql_mix64_steps("u2", "i", seed_add=(golden * (seed + 1)) % m)
+    chain, prev = "", "pidx"
+    for i, (name, expr) in enumerate(m1 + m2):
+        chain += f",\nn{i} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = f"n{i}"
+    return f"""
+WITH pidx AS (SELECT unnest(range(0, {n_planes * d})) AS i){chain},
+planes AS MATERIALIZED (
+  SELECT i // {d} AS p, i % {d} AS j,
+         CAST(sqrt(-2.0 * ln((CAST(mx_u1 >> 11 AS DOUBLE) + 1.0)
+                             * power(2.0, -53)))
+              * cos(2.0 * pi() * CAST(mx_u2 >> 11 AS DOUBLE)
+                    * power(2.0, -53)) AS FLOAT)::DOUBLE AS v
+  FROM {prev}),
+emb AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+         unnest(embedding)::DOUBLE AS e
+  FROM embeddings),
+norms AS MATERIALIZED (
+  SELECT vec_id, GREATEST(sqrt(SUM(e * e)), 1e-30) AS nrm
+  FROM emb GROUP BY vec_id),
+proj AS (
+  SELECT emb.vec_id, planes.p, SUM(emb.e * planes.v) AS pr
+  FROM emb JOIN planes ON planes.j = emb.j
+  GROUP BY emb.vec_id, planes.p),
+buckets AS MATERIALIZED (
+  SELECT vec_id,
+         SUM(CASE WHEN pr > 0 THEN 1 << CAST({n_planes - 1} - p AS INT)
+                  ELSE 0 END)::BIGINT AS bucket
+  FROM proj GROUP BY vec_id),
+qv AS (SELECT vec_id AS qid, bucket FROM buckets WHERE vec_id <= 4),
+cand AS (
+  SELECT q.qid, b.vec_id
+  FROM qv q JOIN buckets b ON b.bucket = q.bucket),
+dots AS (
+  SELECT c.qid, c.vec_id, SUM(a.e * b.e) AS dp
+  FROM cand c
+  JOIN emb a ON a.vec_id = c.vec_id
+  JOIN emb b ON b.vec_id = c.qid AND b.j = a.j
+  GROUP BY c.qid, c.vec_id),
+scores AS (
+  SELECT d.qid, d.vec_id, d.dp / (na.nrm * nb.nrm) AS score
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.vec_id
+  JOIN norms nb ON nb.vec_id = d.qid),
+ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM scores)
+SELECT CAST(qid AS INT) AS query_idx, vec_id,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_Q39 = _build_sql_q39()
+
+
 def q40_rasterize_counts(sf_dir):
     """Scanline-rasterize burned-pixel counts per derived rectangle, z=6.
 
@@ -3557,7 +3627,7 @@ QUERIES = {
     "q36_images_warp": (q36_images_warp, None),
     "q37_phash_dups": (q37_phash_dups, SQL_Q37),
     "q38_pip_points_zones": (q38_pip_points_zones, SQL_Q38),
-    "q39_ann_lsh": (q39_ann_lsh, None),
+    "q39_ann_lsh": (q39_ann_lsh, SQL_Q39),
     "q23_running_sum": (q23_running_sum, SQL_Q23),
     "q24_sessions": (q24_sessions, SQL_Q24),
     "q25_asof_join": (q25_asof_join, SQL_Q25),
