@@ -2774,31 +2774,22 @@ def q56_contour(sf_dir):
 def q57_warp_kernels(sf_dir):
     """Warp a sample through every resampling kernel (near/bilinear/
     cubic/cubicspline/lanczos) — checksum fingerprints per kernel
-    (rows-only; kernel formulas unit-tested against closed forms)."""
+    (rows-only; kernel formulas unit-tested against closed forms).
+    ONE fused pass: decode each image once, warp 5× (WarpKernelsFanout
+    — one Dataset execution per kernel re-decoded and re-spun pools
+    for identical output)."""
     import ray.data
 
-    from .ops.warp import WarpImages
+    from .ops.warp import WarpKernelsFanout
     from .pipelines import ensure_images_parquet
 
     path = ensure_images_parquet(sf_dir)
-    cols = ["image_id", "bytes", "caption", "w", "h", "crs", "gt"]
-    frames = []
-    for kernel in ("near", "bilinear", "cubic", "cubicspline", "lanczos"):
-        out = (ray.data.read_parquet(path, columns=cols).limit(60)
-               .map_batches(WarpImages,
-                            fn_constructor_kwargs={"dst_crs": 3857,
-                                                   "resample": kernel},
-                            batch_format="pyarrow", batch_size=32,
-                            concurrency=2)
-               .select_columns(["image_id", "checksum_b0"])
-               .to_pandas())
-        out["kernel"] = kernel
-        frames.append(out)
-    pdf = pd.concat(frames, ignore_index=True)
-    return pa.Table.from_pydict({
-        "image_id": pa.array(pdf["image_id"], pa.string()),
-        "kernel": pa.array(pdf["kernel"], pa.string()),
-        "checksum_b0": pa.array(pdf["checksum_b0"].astype("int64"))})
+    cols = ["image_id", "bytes", "crs", "gt"]
+    return (ray.data.read_parquet(path, columns=cols).limit(60)
+            .map_batches(WarpKernelsFanout,
+                         fn_constructor_kwargs={"dst_crs": 3857},
+                         batch_format="pyarrow", batch_size=16,
+                         concurrency=4))
 
 
 
