@@ -174,11 +174,17 @@ class WarpKernelsFanout:
                                                  self.dst_crs)
             tf = self.tfs.get(self.dst_crs, src_crs)
             img_id = batch["image_id"][i].as_py()
+            # the dst→src coordinate grid is kernel-independent: compute
+            # the projected source-pixel coordinates once, then run each
+            # resampling kernel over the same (sx, sy) lattice
+            X, Y = affine.pixel_centers(dst_gt, dw, dh)
+            sx_w, sy_w = tf.transform(X, Y)
+            inv = affine.invert_gt(gt)
+            sx, sy = affine.apply_gt(inv, sx_w, sy_w)
+            band0 = px[:, :, 0]
             for kernel in self.kernels:
-                vals, valid = warp_array(px, gt, src_crs, dst_gt, dw, dh,
-                                         self.dst_crs, kernel,
-                                         transformer=tf)
-                b0 = copy_words_cast(np.where(valid, vals[:, :, 0], 0.0),
+                vals, valid = resample_grid(band0, sx, sy, kernel)
+                b0 = copy_words_cast(np.where(valid, vals, 0.0),
                                      np.uint8)
                 ids.append(img_id)
                 kn.append(kernel)
