@@ -24,3 +24,23 @@ caller (driver / bench.py / test fixture).
 """
 
 __version__ = "0.1.0"
+
+# Library-boundary portability: Ray workers inherit the driver's cwd, so
+# when the driver runs from the repo root they import `raydal` by name.
+# From any other cwd the workers cannot resolve the package, so ship it
+# by value with cloudpickle (same mechanism as __ray_entry__).  Gated on
+# the cwd check to keep the common in-repo path on cheap by-reference
+# pickling (and to avoid importing ray when it isn't needed).
+import os as _os
+import sys as _sys
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if (_os.getcwd() != _REPO_ROOT
+        and _REPO_ROOT not in _os.environ.get("PYTHONPATH", "")):
+    try:
+        from ray import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:  # pragma: no cover — ray absent / older API
+        pass
+del _os, _sys

@@ -284,6 +284,51 @@ def _raster_select(ds, bands):
     return ds.map_batches(select, batch_format="pyarrow")
 
 
+@register_step("raster-cutline")
+def _raster_cutline(ds, rings, blend_dist=0.0, all_touched=False):
+    """gdalwarp -cutline analogue over the image table: mask each image
+    against a polygon given in WORLD coordinates of the image CRS.  The
+    rings are mapped into each image's pixel space through the inverse
+    geotransform (the reference stores the cutline in source pixel/line
+    coordinates, ``alg/gdalwarper.h`` CUTLINE doc), rasterized even-odd,
+    optionally blended by ``blend_dist`` source pixels
+    (``alg/gdalcutline.cpp`` BlendMaskGenerator), and applied to every
+    band with the GWKSetPixelValue INIT_DEST=0 composite."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .io.codecs import decode, encode
+    from .geo.affine import apply_gt, invert_gt
+    from .ops.cutline import apply_cutline, cutline_density_mask
+
+    rings = [np.asarray(r, dtype=np.float64) for r in rings]
+
+    def cut(t: pa.Table) -> pa.Table:
+        blobs = []
+        for i in range(t.num_rows):
+            px = decode(t["bytes"][i].as_py())
+            gt = tuple(t["gt"][i].as_py())
+            inv = invert_gt(gt)
+            rings_px = []
+            for r in rings:
+                cx, cy = apply_gt(inv, r[:, 0], r[:, 1])
+                rings_px.append(np.stack([cx, cy], axis=1))
+            h, w = px.shape[:2]
+            mask = cutline_density_mask(rings_px, w, h,
+                                        blend_dist=blend_dist,
+                                        all_touched=all_touched)
+            if px.ndim == 2:
+                out = apply_cutline(px, mask)
+            else:
+                out = np.stack([apply_cutline(px[:, :, b], mask)
+                                for b in range(px.shape[2])], axis=2)
+            blobs.append(encode(out, t["fmt"][i].as_py()))
+        idx = t.schema.get_field_index("bytes")
+        return t.set_column(idx, "bytes", pa.array(blobs, pa.binary()))
+
+    return ds.map_batches(cut, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # datasource / datasink plug-in registry (the driver-registration
 # analogue of GDALDriverManager::RegisterDriver, gcore/gdaldrivermanager)

@@ -179,3 +179,45 @@ class TestSourceSinkRegistry:
         assert open_source("ten-rows").count() == 10
         with pytest.raises(KeyError):
             open_source("no-such-source")
+
+
+class TestRasterCutline:
+    def test_cutline_masks_outside_keeps_inside(self, ray_session):
+        import ray.data
+
+        from raydal.io.codecs import decode
+        from raydal.io.images import synthesize_images_batch
+        from raydal.pipeline import run_pipeline
+
+        t = synthesize_images_batch(np.arange(2))
+        gt = t["gt"][0].as_py()
+        w, h = t["w"][0].as_py(), t["h"][0].as_py()
+        # world-coord rectangle covering pixel columns [0, w/2), all rows
+        # of image 0 (north-up gt)
+        x0, x1 = gt[0], gt[0] + gt[1] * (w // 2)
+        y0, y1 = gt[3] + gt[5] * h, gt[3]
+        ring = [[x0, y0], [x0, y1], [x1, y1], [x1, y0], [x0, y0]]
+        out = run_pipeline(ray.data.from_arrow(t),
+                           [("raster-cutline", {"rings": [ring]})])
+        df = out.to_pandas()
+        row = df[df["image_id"] == t["image_id"][0].as_py()].iloc[0]
+        px = decode(row["bytes"])
+        orig = decode(t["bytes"][0].as_py())
+        if t["fmt"][0].as_py() == "png":
+            b = px if px.ndim == 2 else px[:, :, 0]
+            ob = orig if orig.ndim == 2 else orig[:, :, 0]
+            np.testing.assert_array_equal(b[:, w // 2:], 0)
+            np.testing.assert_array_equal(b[:, :w // 2], ob[:, :w // 2])
+
+    def test_blend_feathers_boundary(self):
+        from raydal.ops.cutline import cutline_density_mask
+
+        ring = np.array([[4, 4], [4, 16], [16, 16], [16, 4], [4, 4]],
+                        dtype=float)
+        m = cutline_density_mask([ring], 20, 20, blend_dist=3.0)
+        assert m[10, 10] == 1.0          # deep inside, beyond blend
+        assert m[0, 0] == 0.0            # far outside
+        inside_near = m[10, 5]           # 1 px inside the x=4 edge
+        outside_near = m[10, 3]          # 0.5 px outside
+        assert 0.5 < inside_near < 1.0
+        assert 0.0 < outside_near < 0.5

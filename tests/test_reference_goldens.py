@@ -590,3 +590,29 @@ def test_bigtiff_published_strip_offsets():
     im = read_tiff(open(GCORE + "byte_bigtiff_strip5lines.tif",
                         "rb").read())
     assert checksum(im.bands[0]) == 4672
+
+
+# ---- Cutline masking vs autotest/alg/cutline.py published checksums ----
+
+TRIANGLE = [np.array([[10, 10], [10, 50], [60, 50], [10, 10]], float)]
+MULTIPOLY = TRIANGLE + [
+    np.array([[70, 70], [70, 100], [100, 100], [100, 70], [70, 70]], float),
+    np.array([[80, 80], [80, 90], [90, 90], [90, 80], [80, 80]], float),
+]
+
+
+@pytest.mark.parametrize("rings,blend,expected", [
+    (TRIANGLE, 0.0, 11409),    # test_cutline_1 (cutline_noblend.vrt)
+    (TRIANGLE, 5.0, 21395),    # test_cutline_2 (cutline_blend.vrt)
+    (MULTIPOLY, 0.0, 20827),   # test_cutline_3 (cutline_multipolygon.vrt)
+], ids=["noblend", "blend5", "multipolygon"])
+def test_cutline_golden(utmsmall, rings, blend, expected):
+    """Identity warp of utmsmall.tif through a cutline: the three VRTs in
+    autotest/alg/data/cutline_*.vrt warp utmsmall onto its own grid with
+    INIT_DEST=0, so the output equals the source blended against 0 by the
+    cutline density mask; autotest/alg/cutline.py pins the checksums."""
+    from raydal.ops.cutline import apply_cutline, cutline_density_mask
+
+    mask = cutline_density_mask(rings, 100, 100, blend_dist=blend)
+    out = apply_cutline(utmsmall, mask, init=0.0)
+    assert checksum(out) == expected
