@@ -458,3 +458,20 @@ def _src_gpkg_tiles(path, table=None, **kwargs):
     from .io.gpkg import read_gpkg_tiles
 
     return ray.data.from_arrow(read_gpkg_tiles(path, table=table))
+
+
+@register_source("mbtiles")
+def _src_mbtiles(path, zoom_level=None, **kwargs):
+    import ray.data
+
+    from .io.mbtiles import read_mbtiles_tiles
+
+    return ray.data.from_arrow(read_mbtiles_tiles(path,
+                                                  zoom_level=zoom_level))
+
+
+@register_sink("mbtiles")
+def _sink_mbtiles(ds, path, metadata=None, xyz=True, **kwargs):
+    from .io.mbtiles import write_mbtiles
+
+    return write_mbtiles(path, ds, metadata=metadata, xyz=xyz)
