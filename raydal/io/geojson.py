@@ -1,0 +1,272 @@
+"""GeoJSON reader/writer (RFC 7946) — the reference's most-used text
+vector format (``ogr/ogrsf_frmts/geojson/``), reimplemented on stdlib
+``json`` with Arrow/WKB output.
+
+Parity pieces replicated from the reference:
+
+* geometry model: all seven OGC types incl. nested GeometryCollection,
+  converted straight to/from little-endian WKB (the engine's native
+  geometry layout); Z ordinates are accepted and dropped (engine is 2-D),
+* schema union across features with GDAL's field-ordering semantics:
+  consecutive property keys form edges of a directed acyclic graph,
+  cycle-creating edges are skipped, and the layer schema is Kahn's
+  topological order with ties broken by FIELD NAME
+  (``ogr/ogrsf_frmts/geojson/directedacyclicgraph.hpp:205-246``
+  ``getTopologicalOrdering``; validated against the published
+  ``sparse_fields.geojson`` order in
+  ``autotest/ogr/ogr_geojson.py::test_ogr_geojson_sparse_fields``),
+* bare ``{"features": [...]}`` objects (no ``"type"``) open like
+  FeatureCollections (``autotest/ogr/ogr_geojson.py::test_ogr_geojson_67``,
+  #7198), and a single Geometry / single Feature document is promoted to
+  a one-row collection (``OGRGeoJSONReader`` accepts all three roots).
+
+Property typing: bool → bool, int → int64, float → float64, string →
+string; mixed int/float promotes to float64; nested objects/arrays are
+serialized back to JSON strings (the reference's default non-flattening
+behavior maps them to String-typed JSON).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from ..geo import wkb as W
+
+__all__ = ["geojson_to_wkb", "wkb_to_geojson", "read_geojson",
+           "write_geojson", "read_geojson_dataset"]
+
+_LE = 1
+_TYPE_CODE = {"Point": W.POINT, "LineString": W.LINESTRING,
+              "Polygon": W.POLYGON, "MultiPoint": W.MULTIPOINT,
+              "MultiLineString": W.MULTILINESTRING,
+              "MultiPolygon": W.MULTIPOLYGON,
+              "GeometryCollection": W.GEOMETRYCOLLECTION}
+_CODE_TYPE = {v: k for k, v in _TYPE_CODE.items()}
+
+
+def _coords_bytes(coords):
+    a = np.asarray(coords, dtype="<f8")[:, :2]
+    return struct.pack("<I", len(a)) + a.tobytes()
+
+
+def geojson_to_wkb(geom):
+    """GeoJSON geometry dict → little-endian 2-D WKB (None passes
+    through for null geometries)."""
+    if geom is None:
+        return None
+    t = geom.get("type")
+    if t not in _TYPE_CODE:
+        raise ValueError(f"unsupported GeoJSON geometry type {t!r}")
+    code = _TYPE_CODE[t]
+    if t == "GeometryCollection":
+        parts = [geojson_to_wkb(g) for g in geom.get("geometries", [])]
+        return (struct.pack("<BII", _LE, code, len(parts))
+                + b"".join(parts))
+    c = geom.get("coordinates")
+    if t == "Point":
+        return struct.pack("<BIdd", _LE, code, float(c[0]), float(c[1]))
+    if t == "LineString":
+        return struct.pack("<BI", _LE, code) + _coords_bytes(c)
+    if t == "Polygon":
+        return (struct.pack("<BII", _LE, code, len(c))
+                + b"".join(_coords_bytes(r) for r in c))
+    if t == "MultiPoint":
+        parts = [geojson_to_wkb({"type": "Point", "coordinates": p})
+                 for p in c]
+    elif t == "MultiLineString":
+        parts = [geojson_to_wkb({"type": "LineString", "coordinates": p})
+                 for p in c]
+    else:  # MultiPolygon
+        parts = [geojson_to_wkb({"type": "Polygon", "coordinates": p})
+                 for p in c]
+    return struct.pack("<BII", _LE, code, len(parts)) + b"".join(parts)
+
+
+def _coords_list(arr):
+    return [[float(x), float(y)] for x, y in np.asarray(arr)]
+
+
+def _payload_to_geojson(t, payload):
+    if t == W.POINT:
+        x, y = np.asarray(payload)[0]
+        return {"type": "Point", "coordinates": [float(x), float(y)]}
+    if t == W.LINESTRING:
+        return {"type": "LineString", "coordinates": _coords_list(payload)}
+    if t == W.POLYGON:
+        return {"type": "Polygon",
+                "coordinates": [_coords_list(r) for r in payload]}
+    sub = [_payload_to_geojson(st, sp) for (st, sp) in payload]
+    if t == W.MULTIPOINT:
+        return {"type": "MultiPoint",
+                "coordinates": [g["coordinates"] for g in sub]}
+    if t == W.MULTILINESTRING:
+        return {"type": "MultiLineString",
+                "coordinates": [g["coordinates"] for g in sub]}
+    if t == W.MULTIPOLYGON:
+        return {"type": "MultiPolygon",
+                "coordinates": [g["coordinates"] for g in sub]}
+    return {"type": "GeometryCollection", "geometries": sub}
+
+
+def wkb_to_geojson(buf):
+    """WKB → GeoJSON geometry dict (None for null)."""
+    if buf is None:
+        return None
+    t, payload = W.parse_wkb(buf)
+    return _payload_to_geojson(t, payload)
+
+
+def _field_order(key_lists):
+    """GDAL's DAG field ordering: nodes = field names, edges between
+    consecutive keys per feature (cycle-creating edges skipped), Kahn's
+    topological sort with lexicographic-by-name tie-break."""
+    nodes: list[str] = []
+    seen = set()
+    out: dict[str, set] = {}
+    inc: dict[str, set] = {}
+
+    def has_path(a, b):  # DFS a → b over out-edges
+        stack, visited = [a], set()
+        while stack:
+            n = stack.pop()
+            if n == b:
+                return True
+            if n in visited:
+                continue
+            visited.add(n)
+            stack.extend(out.get(n, ()))
+        return False
+
+    for keys in key_lists:
+        for k in keys:
+            if k not in seen:
+                seen.add(k)
+                nodes.append(k)
+        for a, b in zip(keys, keys[1:]):
+            if a == b or b in out.get(a, ()):
+                continue
+            if has_path(b, a):      # would create a cycle — skip
+                continue
+            out.setdefault(a, set()).add(b)
+            inc.setdefault(b, set()).add(a)
+    order = []
+    avail = sorted(n for n in nodes if not inc.get(n))
+    indeg = {n: len(inc.get(n, ())) for n in nodes}
+    while avail:
+        n = avail.pop(0)
+        order.append(n)
+        added = False
+        for m in out.get(n, ()):
+            indeg[m] -= 1
+            if indeg[m] == 0:
+                avail.append(m)
+                added = True
+        if added:
+            avail.sort()
+    return order
+
+
+def _infer_arrow_type(values):
+    kinds = set()
+    for v in values:
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            kinds.add("bool")
+        elif isinstance(v, int):
+            kinds.add("int")
+        elif isinstance(v, float):
+            kinds.add("float")
+        elif isinstance(v, str):
+            kinds.add("str")
+        else:
+            kinds.add("json")
+    if kinds <= {"bool"} and kinds:
+        return pa.bool_(), None
+    if kinds <= {"int"} and kinds:
+        return pa.int64(), None
+    if kinds <= {"int", "float"} and kinds:
+        return pa.float64(), float
+    if "json" in kinds or kinds == {"str"} or not kinds:
+        return pa.string(), (lambda v: v if isinstance(v, str)
+                             else json.dumps(v))
+    return pa.string(), (lambda v: v if isinstance(v, str) else str(v))
+
+
+def read_geojson(src, wkb_col="wkb"):
+    """GeoJSON document (path or str) → Arrow table
+    (fid, <properties in GDAL DAG order>, wkb)."""
+    if isinstance(src, (bytes, bytearray)):
+        doc = json.loads(src.decode("utf-8-sig"))
+    elif isinstance(src, str) and src.lstrip().startswith(("{", "[")):
+        doc = json.loads(src)
+    else:
+        with open(src, encoding="utf-8-sig") as f:
+            doc = json.load(f)
+    t = doc.get("type")
+    if t == "Feature":
+        feats = [doc]
+    elif "features" in doc:          # FeatureCollection or bare #7198 form
+        feats = doc["features"]
+    elif t in _TYPE_CODE:            # bare geometry document
+        feats = [{"type": "Feature", "geometry": doc, "properties": {}}]
+    else:
+        raise ValueError("not a GeoJSON document")
+
+    props = [f.get("properties") or {} for f in feats]
+    order = _field_order([list(p.keys()) for p in props])
+    cols = {"fid": pa.array(
+        [f.get("id") if isinstance(f.get("id"), int) else i
+         for i, f in enumerate(feats)], pa.int64())}
+    for name in order:
+        vals = [p.get(name) for p in props]
+        typ, conv = _infer_arrow_type(vals)
+        if conv:
+            vals = [None if v is None else conv(v) for v in vals]
+        cols[name] = pa.array(vals, typ)
+    cols[wkb_col] = pa.array(
+        [geojson_to_wkb(f.get("geometry")) for f in feats], pa.binary())
+    return pa.Table.from_pydict(cols)
+
+
+def write_geojson(table, path=None, wkb_col="wkb", fid_col="fid"):
+    """Arrow table / pandas frame → GeoJSON FeatureCollection (returned
+    as str; also written to ``path`` when given)."""
+    if hasattr(table, "to_pandas"):
+        df = table.to_pandas()
+    else:
+        df = table
+    attr_cols = [c for c in df.columns if c not in (wkb_col, fid_col)]
+    feats = []
+    for _, row in df.iterrows():
+        props = {}
+        for c in attr_cols:
+            v = row[c]
+            if isinstance(v, np.generic):
+                v = v.item()
+            if isinstance(v, float) and np.isnan(v):
+                v = None
+            props[c] = v
+        feat = {"type": "Feature", "properties": props,
+                "geometry": wkb_to_geojson(row[wkb_col])
+                if row[wkb_col] is not None else None}
+        if fid_col in df.columns:
+            feat["id"] = int(row[fid_col])
+        feats.append(feat)
+    doc = json.dumps({"type": "FeatureCollection", "features": feats})
+    if path is not None:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(doc)
+    return doc
+
+
+def read_geojson_dataset(src, **kwargs):
+    """GeoJSON → ``ray.data.Dataset`` (side-table sized; the heavy side
+    of every pipeline stays parquet)."""
+    import ray.data
+
+    return ray.data.from_arrow(read_geojson(src, **kwargs))

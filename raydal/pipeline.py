@@ -460,6 +460,26 @@ def _src_gpkg_tiles(path, table=None, **kwargs):
     return ray.data.from_arrow(read_gpkg_tiles(path, table=table))
 
 
+@register_source("geojson")
+def _src_geojson(src, **kwargs):
+    from .io.geojson import read_geojson_dataset
+
+    return read_geojson_dataset(src, **kwargs)
+
+
+@register_sink("geojson")
+def _sink_geojson(ds, path, **kwargs):
+    from .io.geojson import write_geojson
+
+    # vector side-tables are bounded; the driver-side finish mirrors the
+    # single-file contract of the format (heavy outputs stay parquet)
+    import pyarrow as pa
+
+    tables = [pa.Table.from_pandas(b) for b in
+              ds.iter_batches(batch_format="pandas")]
+    return write_geojson(pa.concat_tables(tables), path, **kwargs)
+
+
 @register_source("mbtiles")
 def _src_mbtiles(path, zoom_level=None, **kwargs):
     import ray.data
