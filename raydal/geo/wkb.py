@@ -86,13 +86,48 @@ def box_polygon(xmin, ymin, xmax, ymax):
 # ---------------------------------------------------------------------------
 # parser (2-D; accepts ISO Z/M codes by reading and dropping extra dims)
 
+# deprecated ISO SQL/MM Part3 draft codes for the non-curve types
+# (OGRReadWKBGeometryType, ogr/ogrutils.cpp — the curve entries raise)
+_DEPRECATED_ISO = {
+    2000001: (POINT, 4), 2000002: (LINESTRING, 4), 2000005: (POLYGON, 4),
+    2000007: (MULTIPOINT, 4), 2000009: (MULTILINESTRING, 4),
+    2000011: (MULTIPOLYGON, 4), 2000012: (GEOMETRYCOLLECTION, 4),
+    3000001: (POINT, 3), 3000002: (LINESTRING, 3), 3000005: (POLYGON, 3),
+    3000007: (MULTIPOINT, 3), 3000009: (MULTILINESTRING, 3),
+    3000011: (MULTIPOLYGON, 3), 3000012: (GEOMETRYCOLLECTION, 3),
+    4000001: (POINT, 3), 4000002: (LINESTRING, 3), 4000005: (POLYGON, 3),
+    4000007: (MULTIPOINT, 3), 4000009: (MULTILINESTRING, 3),
+    4000011: (MULTIPOLYGON, 3), 4000012: (GEOMETRYCOLLECTION, 3),
+}
+
+
 def _dims_of(code):
-    base = code % 1000
+    """(base type, ndim) with the reference's tolerant decoding
+    (``OGRReadWKBGeometryType``, ``ogr/ogrutils.cpp``): PostGIS M bit
+    0x40000000, old-style 2.5D bit 0x80000000, the "Z flag in the 2nd
+    byte" variant 0x8000, deprecated ISO draft codes, and ISO
+    1000/2000/3000 offsets."""
+    extra = 0
+    if code & 0x40000000:           # PostGIS measured bit
+        code &= ~0x40000000
+        extra += 1
+    if code & 0x80000000:           # old-style OGC 2.5D bit
+        code &= 0xFF
+        extra += 1
+    if code in _DEPRECATED_ISO:
+        return _DEPRECATED_ISO[code]    # draft code is absolute
+    if code & 0x8000:               # Z flag in the 2nd byte (broken WKB)
+        code &= 0xFF
+        extra += 1
     if code >= 3000:
-        return base, 4
-    if code >= 1000:
-        return base, 3
-    return base, 2
+        base, ndim = code % 1000, 4
+    elif code >= 1000:
+        base, ndim = code % 1000, 3 + extra
+    else:
+        base, ndim = code, 2 + extra
+    if not 1 <= base <= 7:
+        raise ValueError(f"unsupported WKB geometry code {code}")
+    return base, ndim
 
 
 def _read_u32(buf, off, little):
@@ -106,8 +141,18 @@ def _read_coords(buf, off, n, ndim, little):
     return arr.reshape(n, ndim)[:, :2].astype(np.float64, copy=False), off
 
 
+def _byte_order(b):
+    """Byte-order marker incl. the DB2 v7.2 ASCII variant
+    (``DB2_V72_FIX_BYTE_ORDER``: '0'/'1' instead of 0/1)."""
+    if b in (0x30, 0x31):
+        b -= 0x30
+    if b not in (0, 1):
+        raise ValueError(f"invalid WKB byte-order marker {b}")
+    return b == 1
+
+
 def _parse(buf, off):
-    little = buf[off] == 1
+    little = _byte_order(buf[off])
     off += 1
     code, off = _read_u32(buf, off, little)
     base, ndim = _dims_of(code)
@@ -144,7 +189,7 @@ def parse_wkb(buf):
 
 def wkb_geom_type(buf):
     buf = bytes(buf)
-    little = buf[0] == 1
+    little = _byte_order(buf[0])
     code = struct.unpack_from("<I" if little else ">I", buf, 1)[0]
     return _dims_of(code)[0]
 
