@@ -269,21 +269,38 @@ FROM orders GROUP BY yr, o_orderpriority
 """
 
 
-def q08_events_hourly(sf_dir):
-    """Tumbling event-time window as groupby(key, floor(ts, 1h))."""
-    from ray.data.aggregate import Count, Sum
+def q08_events_hourly(sf_dir, num_shards=64):
+    """Tumbling event-time window: hourly per-user counts/sums.
 
+    Group count ≈ row count here (~1.05 rows/group), so a map-side
+    combiner is useless and Ray's sort-based ``groupby`` pays a full
+    95k-group sort.  Instead: hash-shard on ``user_id`` (every
+    (user, hour) group lands wholly in one shard), shuffle the ~64
+    shards, and aggregate vectorized inside each shard — the shard-key
+    pattern the minhash dedup uses (2× wall-time here).  At scale,
+    ``num_shards`` grows with the table so one shard stays within a
+    worker's heap; the shuffle volume is identical to the plain
+    groupby's."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
         hr = pc.floor_temporal(t["ts"], unit="hour")
+        shard = pa.array(
+            (t["user_id"].to_numpy(zero_copy_only=False)
+             % num_shards).astype(np.int32))
         return pa.Table.from_pydict({
-            "user_id": t["user_id"], "hour_ts": hr, "value": t["value"]})
+            "shard": shard, "user_id": t["user_id"], "hour_ts": hr,
+            "value": t["value"]})
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["user_id", "hour_ts"], sort=False)
+               .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+               .reset_index())
+        return g
 
     out = (ds.map_batches(prep, batch_format="pyarrow")
-             .groupby(["user_id", "hour_ts"])
-             .aggregate(Count(alias_name="n_events"),
-                        Sum("value", alias_name="sum_value")))
+             .groupby("shard")
+             .map_groups(agg, batch_format="pandas"))
     pdf = out.to_pandas()
     pdf["hour_ts"] = pdf["hour_ts"].astype("datetime64[us]")
     tbl = pa.Table.from_pandas(pdf, preserve_index=False)
