@@ -19,6 +19,8 @@ import zlib
 
 import numpy as np
 
+from .bmp import decode_bmp
+from .gif import decode_gif
 from .jpeg import decode_jpeg, encode_jpeg
 from .png import decode_png, encode_png
 from .tiff import read_tiff
@@ -71,10 +73,15 @@ def decode(buf, fmt=None):
         return decode_jpeg(buf)
     if b.startswith(FAKE_JPEG_MAGIC):
         return _decode_fjpg(buf)
-    if b.startswith(b"II*\x00") or b.startswith(b"MM\x00*"):
+    if b.startswith(b"II*\x00") or b.startswith(b"MM\x00*") \
+            or b.startswith(b"II+\x00") or b.startswith(b"MM\x00+"):
         img = read_tiff(buf)
         bands = img.bands
         if len(bands) == 1:
             return bands[0]
         return np.stack(bands, axis=-1)
+    if b.startswith(b"BM"):
+        return decode_bmp(buf)[0]
+    if b.startswith(b"GIF8"):
+        return decode_gif(buf)[0]
     raise NotImplementedError(f"undecodable payload (fmt={fmt!r})")
