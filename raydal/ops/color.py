@@ -199,3 +199,66 @@ def color_relief_gdal(band, entries):
         interp = np.where(above, rgb[-1, c], interp)
         out[..., c] = interp.astype(np.uint8)
     return out
+
+
+def rgb_to_hs(r, g, b):
+    """Vectorized hue/saturation of uint8 RGB — float32 arithmetic
+    matching ``rgb_to_hs`` in ``apps/gdalalg_raster_color_merge.cpp``
+    exactly (the branch structure collapses to max/min; hue sector by
+    which channel holds the max, with the reference's tie preferences:
+    r<=g and r<=b → max(g,b); g<b keeps g only when r>g etc.)."""
+    r = r.astype(np.int32)
+    g = g.astype(np.int32)
+    b = b.astype(np.int32)
+    maxc = np.maximum(np.maximum(r, g), b)
+    minc = np.minimum(np.minimum(r, g), b)
+    d = (maxc - minc).astype(np.float32)
+    s = d / np.maximum(1, maxc).astype(np.float32)
+    d6 = np.where(d == 0, np.float32(1.0), np.float32(6.0) * d)
+    # sector selection: the reference tests maxc==b first, then
+    # maxc==g, else r — value comparisons, so ties resolve to b, then g
+    h_b = np.float32(4.0 / 6.0) + (r - g).astype(np.float32) / d6
+    h_g = np.float32(2.0 / 6.0) + (b - r).astype(np.float32) / d6
+    h_r0 = (g - b).astype(np.float32) / d6
+    h_r = np.where(h_r0 < 0, h_r0 + np.float32(1.0), h_r0)
+    is_b = b == maxc
+    is_g = ~is_b & (g == maxc)
+    h = np.where(is_b, h_b, np.where(is_g, h_g, h_r)).astype(np.float32)
+    return h, s.astype(np.float32)
+
+
+def hsv_to_rgb(h, s, v):
+    """Vectorized ``hsv_to_rgb`` (same file, :216): sector ``i = int(6h)``
+    and the p/q/t ladder with ``+0.5`` byte rounding."""
+    h = h.astype(np.float32)
+    s = s.astype(np.float32)
+    i = (np.float32(6.0) * h).astype(np.int32)
+    f = np.float32(6.0) * h - i.astype(np.float32)
+    vf = v.astype(np.float32)
+    p = (vf * (np.float32(1.0) - s) + np.float32(0.5)).astype(np.uint8)
+    q = (vf * (np.float32(1.0) - s * f) + np.float32(0.5)).astype(np.uint8)
+    t = (vf * (np.float32(1.0) - s * (np.float32(1.0) - f))
+         + np.float32(0.5)).astype(np.uint8)
+    v8 = v.astype(np.uint8)
+    ii = np.clip(i, 0, 5)
+    r = np.choose(ii, [v8, q, p, p, t, v8])
+    g = np.choose(ii, [t, v8, v8, q, p, p])
+    b = np.choose(ii, [p, p, t, v8, v8, q])
+    return r, g, b
+
+
+def color_merge(rgb, gray):
+    """``gdal raster color-merge``: keep the RGB(A) hue/saturation,
+    replace value with the grayscale band (HSV merge —
+    ``apps/gdalalg_raster_color_merge.cpp`` HSVMergeDataset).  Identity
+    when ``gray == max(r, g, b)``, verified over the full quantized
+    color cube like the reference's own
+    ``test_gdalalg_raster_color_merge_check_rgb_hsb_conversion``."""
+    rgb = np.asarray(rgb)
+    h, s = rgb_to_hs(rgb[..., 0], rgb[..., 1], rgb[..., 2])
+    r, g, b = hsv_to_rgb(h, s, np.asarray(gray))
+    out = rgb.copy()
+    out[..., 0] = r
+    out[..., 1] = g
+    out[..., 2] = b
+    return out

@@ -96,3 +96,32 @@ class TestColor:
                        dtype=np.uint8)
         idx = rgb_to_palette(img, pal)
         assert idx.tolist() == [[1, 0, 2]]
+
+
+class TestColorMerge:
+    def test_full_colorspace_identity(self):
+        """Replicates test_gdalalg_raster_color_merge_check_rgb_hsb_conversion:
+        merging RGB with gray == max(r,g,b) (its own HSV value channel)
+        must reproduce the input byte-exactly over the quantized cube."""
+        from raydal.ops.color import color_merge
+
+        N = 64
+        r, g, b = np.meshgrid(np.arange(N), np.arange(N), np.arange(N),
+                              indexing="ij")
+
+        def scale(x):
+            return np.where(x == N - 1, 255, x * (256 // N)).astype(np.uint8)
+
+        rgb = np.stack([scale(r).ravel(), scale(g).ravel(),
+                        scale(b).ravel()], axis=-1).reshape(1, -1, 3)
+        gray = rgb.max(axis=-1)
+        np.testing.assert_array_equal(color_merge(rgb, gray), rgb)
+
+    def test_value_replacement(self):
+        from raydal.ops.color import color_merge
+
+        rgb = np.array([[[200, 100, 0]]], dtype=np.uint8)
+        out = color_merge(rgb, np.array([[100]], dtype=np.uint8))
+        # hue preserved (red-orange sector), value halved
+        assert out[0, 0].max() == 100
+        assert out[0, 0, 0] == 100 and out[0, 0, 2] == 0
