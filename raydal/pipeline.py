@@ -284,6 +284,39 @@ def _raster_select(ds, bands):
     return ds.map_batches(select, batch_format="pyarrow")
 
 
+@register_step("raster-calc")
+def _raster_calc(ds, expr, dtype="uint8"):
+    """gdal raster calc analogue: evaluate a band-algebra expression per
+    image (variables ``b1``..``bn`` = bands) and re-encode the result as
+    a single-band image with GDALCopyWords rounding.  The expression
+    compiles ONCE at plan-build time; per-batch work is vectorized
+    numpy (``apps/gdalalg_raster_calc.cpp`` semantics on the engine's
+    image table)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .io.codecs import decode, encode
+    from .kernels.resample import copy_words_cast
+    from .ops.calc import compile_expression
+
+    fn = compile_expression(expr)
+    np_dtype = np.dtype(dtype)
+
+    def calc(t: pa.Table) -> pa.Table:
+        blobs = []
+        for i in range(t.num_rows):
+            px = decode(t["bytes"][i].as_py())
+            if px.ndim == 2:
+                px = px[:, :, None]
+            env = {f"b{b + 1}": px[:, :, b] for b in range(px.shape[2])}
+            out = copy_words_cast(fn(env), np_dtype)
+            blobs.append(encode(out, t["fmt"][i].as_py()))
+        idx = t.schema.get_field_index("bytes")
+        return t.set_column(idx, "bytes", pa.array(blobs, pa.binary()))
+
+    return ds.map_batches(calc, batch_format="pyarrow")
+
+
 @register_step("raster-cutline")
 def _raster_cutline(ds, rings, blend_dist=0.0, all_touched=False):
     """gdalwarp -cutline analogue over the image table: mask each image
