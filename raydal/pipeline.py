@@ -513,6 +513,26 @@ def _sink_geojson(ds, path, **kwargs):
     return write_geojson(pa.concat_tables(tables), path, **kwargs)
 
 
+@register_source("csv")
+def _src_csv(path, **kwargs):
+    import ray.data
+
+    from .io.csv import read_csv_features
+
+    return ray.data.from_arrow(read_csv_features(path, **kwargs))
+
+
+@register_sink("csv")
+def _sink_csv(ds, path, **kwargs):
+    import pyarrow as pa
+
+    from .io.csv import write_csv_features
+
+    tables = [pa.Table.from_pandas(b) for b in
+              ds.iter_batches(batch_format="pandas")]
+    return write_csv_features(pa.concat_tables(tables), path, **kwargs)
+
+
 @register_source("mbtiles")
 def _src_mbtiles(path, zoom_level=None, **kwargs):
     import ray.data
