@@ -17,7 +17,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_gif"]
+__all__ = ["decode_gif", "encode_gif"]
 
 
 def _lzw_decode_gif(data, min_code_size, expected):
@@ -158,3 +158,81 @@ def decode_gif(buf):
             pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
         return idx, pal, transparent
     raise ValueError("no image frame in GIF")
+
+
+def _lzw_encode_gif(indices, min_code_size):
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def put(code, width):
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table = {}
+    next_code = eoi + 1
+    put(clear, width)
+    prev = -1
+    for b in indices:
+        b = int(b)
+        key = (prev, b)
+        if prev < 0:
+            prev = b
+            continue
+        if key in table:
+            prev = table[key]
+            continue
+        put(prev, width)
+        table[key] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            put(clear, width)
+            table.clear()
+            width = min_code_size + 1
+            next_code = eoi + 1
+        prev = b
+    if prev >= 0:
+        put(prev, width)
+    put(eoi, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(indices, palette=None):
+    """(h, w) uint8 palette indices (+ optional (n, 3) palette, default
+    gray ramp) → GIF87a bytes; round-trips bit-exactly through
+    :func:`decode_gif` (the reference's CreateCopy→Checksum tests,
+    e.g. byte.tif → 4672, hold by construction)."""
+    idx = np.ascontiguousarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    if palette is None:
+        palette = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    palette = np.asarray(palette, dtype=np.uint8)
+    n = len(palette)
+    bits = max(1, int(np.ceil(np.log2(max(2, n)))))
+    full = np.zeros((1 << bits, 3), np.uint8)
+    full[:n] = palette
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += full.tobytes()
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    min_code_size = max(2, bits)
+    out.append(min_code_size)
+    data = _lzw_encode_gif(idx.ravel(), min_code_size)
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3B"
+    return bytes(out)

@@ -60,3 +60,32 @@ def test_gif_byte_family():
     # byte_with_xmp.gif carries the byte.tif raster (family value 4672)
     idx, pal, tr = decode_gif(open(GIF + "byte_with_xmp.gif", "rb").read())
     assert checksum(idx) == 4672
+
+
+@needs_fixtures
+def test_gif_encode_createcopy_value():
+    """CreateCopy parity (autotest/gdrivers/gif.py:95): byte.tif written
+    to GIF reads back with the published checksum 4672."""
+    from raydal.io.gif import encode_gif
+    from raydal.io.tiff import read_tiff
+
+    byte = read_tiff(open(GCORE + "byte.tif", "rb").read()).bands[0]
+    idx, pal, tr = decode_gif(encode_gif(byte))
+    np.testing.assert_array_equal(idx, byte)
+    assert checksum(idx) == 4672
+
+
+def test_gif_encode_round_trips():
+    from raydal.io.gif import encode_gif
+
+    rng = np.random.default_rng(1)
+    # >4096 dictionary entries forces the in-stream CLEAR/reset path
+    big = rng.integers(0, 256, (300, 400), dtype=np.uint8)
+    idx, _, _ = decode_gif(encode_gif(big))
+    np.testing.assert_array_equal(idx, big)
+    # low-color palette exercises small initial code widths
+    small = rng.integers(0, 4, (64, 64)).astype(np.uint8)
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    idx2, pal2, _ = decode_gif(encode_gif(small, palette=pal))
+    np.testing.assert_array_equal(idx2, small)
+    np.testing.assert_array_equal(pal2, pal)
