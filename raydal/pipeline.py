@@ -317,6 +317,53 @@ def _raster_calc(ds, expr, dtype="uint8"):
     return ds.map_batches(calc, batch_format="pyarrow")
 
 
+@register_step("raster-resize")
+def _raster_resize(ds, width, height, resample="bilinear"):
+    """gdal raster resize analogue: resample each image to (width,
+    height) with the RIO kernels (``gcore/rasterio.cpp`` read-time
+    resampling semantics — pixel-center mapping, no CRS change), update
+    w/h and the geotransform scale."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .io.codecs import decode, encode
+    from .kernels.resample import copy_words_cast, resample_grid
+
+    def resize(t: pa.Table) -> pa.Table:
+        blobs, ws, hs, gts = [], [], [], []
+        sy, sx = np.mgrid[0:height, 0:width]
+        for i in range(t.num_rows):
+            px = decode(t["bytes"][i].as_py())
+            if px.ndim == 2:
+                px = px[:, :, None]
+            h, w = px.shape[:2]
+            sxf = (sx + 0.5) * (w / float(width))
+            syf = (sy + 0.5) * (h / float(height))
+            bands = []
+            for b in range(px.shape[2]):
+                vals, ok = resample_grid(px[:, :, b].astype(np.float64),
+                                         sxf, syf, resample,
+                                         xscale=width / w,
+                                         yscale=height / h)
+                bands.append(copy_words_cast(vals, px.dtype))
+            out = bands[0] if len(bands) == 1 else np.stack(bands, axis=2)
+            blobs.append(encode(out, t["fmt"][i].as_py()))
+            ws.append(width)
+            hs.append(height)
+            gt = tuple(t["gt"][i].as_py())
+            gts.append([gt[0], gt[1] * w / width, gt[2],
+                        gt[3], gt[4], gt[5] * h / height])
+        for name, arr in (("bytes", pa.array(blobs, pa.binary())),
+                          ("w", pa.array(ws, pa.int32())),
+                          ("h", pa.array(hs, pa.int32())),
+                          ("gt", pa.array(gts, pa.list_(pa.float64(), 6)))):
+            idx = t.schema.get_field_index(name)
+            t = t.set_column(idx, name, arr)
+        return t
+
+    return ds.map_batches(resize, batch_format="pyarrow")
+
+
 @register_step("raster-cutline")
 def _raster_cutline(ds, rings, blend_dist=0.0, all_touched=False):
     """gdalwarp -cutline analogue over the image table: mask each image

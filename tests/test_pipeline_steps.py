@@ -221,3 +221,27 @@ class TestRasterCutline:
         outside_near = m[10, 3]          # 0.5 px outside
         assert 0.5 < inside_near < 1.0
         assert 0.0 < outside_near < 0.5
+
+
+class TestRasterResize:
+    def test_resize_dims_and_gt(self, ray_session):
+        import ray.data
+
+        from raydal.io.codecs import decode
+        from raydal.io.images import synthesize_images_batch
+        from raydal.pipeline import run_pipeline
+
+        t = synthesize_images_batch(np.arange(2))
+        w, h = t["w"][0].as_py(), t["h"][0].as_py()
+        out = run_pipeline(ray.data.from_arrow(t),
+                           [("raster-resize", {"width": 48, "height": 32})])
+        df = out.to_pandas()
+        row = df.iloc[0]
+        assert row["w"] == 48 and row["h"] == 32
+        px = decode(row["bytes"])
+        assert px.shape[:2] == (32, 48)
+        gt0 = t["gt"][0].as_py()
+        # pixel size scales by the resize factor; origin unchanged
+        assert row["gt"][1] == pytest.approx(gt0[1] * w / 48)
+        assert row["gt"][5] == pytest.approx(gt0[5] * h / 32)
+        assert row["gt"][0] == gt0[0] and row["gt"][3] == gt0[3]
