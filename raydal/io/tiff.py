@@ -39,6 +39,7 @@ _TAG_NAMES = {
     317: "predictor", 322: "tile_width", 323: "tile_length",
     324: "tile_offsets", 325: "tile_byte_counts", 339: "sample_format",
     33550: "model_pixel_scale", 33922: "model_tiepoint",
+    42113: "gdal_nodata",
 }
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
@@ -208,6 +209,17 @@ class TiffImage:
         self.bands = bands
         self.tags = tags
         self.height, self.width = bands[0].shape
+
+    @property
+    def nodata(self):
+        """Band nodata from the GDAL_NODATA ASCII tag (42113), or None."""
+        v = self.tags.get("gdal_nodata")
+        if v is None or str(v).strip() == "":
+            return None
+        try:
+            return float(str(v).strip())
+        except ValueError:
+            return None
 
     @property
     def geotransform(self):

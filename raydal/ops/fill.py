@@ -67,12 +67,20 @@ def _edt2(mask):
     return out
 
 
-def proximity(arr, target_values=None, max_dist=None, nodata=65535.0):
-    """Distance (pixels) to the nearest target pixel.
+def proximity(arr, target_values=None, max_dist=None, nodata=65535.0,
+              fixed_buf_val=None, src_nodata=None):
+    """Distance (pixels) to the nearest target pixel —
+    ``GDALComputeProximity`` semantics (``alg/gdalproximity.cpp``):
 
-    ``target_values=None`` treats any non-zero pixel as target (the
-    gdal_proximity default).  Distances beyond ``max_dist`` become
-    ``nodata``.
+    * ``target_values=None`` treats any non-zero pixel as target,
+    * distances beyond ``max_dist`` become ``nodata``,
+    * ``fixed_buf_val`` replaces STRICTLY-POSITIVE in-range distances
+      (target pixels stay 0 — the ``> 0.0`` test at ``:386-388``),
+    * ``src_nodata`` (the USE_INPUT_NODATA=YES path) forces input-nodata
+      pixels to ``nodata`` regardless of distance.
+
+    Validated against the published pat.tif checksums
+    (``autotest/alg/proximity.py``: 1941 / 3256 / 1465).
     """
     arr = np.asarray(arr)
     if target_values is None:
@@ -81,9 +89,13 @@ def proximity(arr, target_values=None, max_dist=None, nodata=65535.0):
         mask = np.isin(arr, np.asarray(target_values))
     if not mask.any():
         return np.full(arr.shape, nodata, dtype=np.float64)
-    d = np.sqrt(_edt2(mask))
+    dist = np.sqrt(_edt2(mask))
+    d = (np.where(dist > 0, float(fixed_buf_val), 0.0)
+         if fixed_buf_val is not None else dist)
     if max_dist is not None:
-        d = np.where(d > max_dist, nodata, d)
+        d = np.where(dist > max_dist, nodata, d)
+    if src_nodata is not None:
+        d = np.where(arr == src_nodata, nodata, d)
     return d
 
 
@@ -163,46 +175,86 @@ def fillnodata(arr, nodata, max_dist=16, smoothing_iterations=0):
 
 
 def sieve(arr, threshold, connectivity=4):
-    """Remove components smaller than ``threshold`` pixels by merging them
-    into their largest border neighbor (GDALSieveFilter semantics); the
-    neighbor search uses the same connectivity as the labeling."""
+    """Remove components smaller than ``threshold`` pixels —
+    ``GDALSieveFilter`` semantics (``alg/gdalsievefilter.cpp``) exactly:
+
+    * each polygon's "big neighbour" is its largest-by-ORIGINAL-size
+      neighbour, ties resolved to the FIRST edge in scan order (the
+      ``CompareNeighbour`` strictly-less update, ``:119-124``; sizes are
+      never updated while merging),
+    * a small polygon chain-walks big neighbours (cycle-guarded) until
+      one ≥ threshold is found (``:503-524``); an unmergeable small
+      polygon is left UNCHANGED (``:526-531``),
+    * every pixel of a merged polygon takes the final target's value.
+
+    Validated against the published checksums in
+    ``autotest/alg/sieve.py`` (364/370/451/98)."""
     arr = np.asarray(arr).copy()
     labels = label_components(arr, connectivity)
-    nlab = labels.max()
+    h, w = labels.shape
+    nlab = int(labels.max())
     sizes = np.bincount(labels.ravel(), minlength=nlab + 1)
-    small = np.nonzero((sizes > 0) & (sizes < threshold))[0]
-    small = small[small > 0]
-    # iterate smallest-first so chained merges behave like the reference
-    for lab in sorted(small, key=lambda s: sizes[s]):
-        mask = labels == lab
-        if not mask.any():
+
+    # edge stream in the reference's scan order: per pixel (iY, iX) the
+    # pairs (this, up), [8conn: (this, up-left), (this, up-right)],
+    # (this, left) — order index (iY*w + iX)*4 + k
+    pairs_a, pairs_b, order = [], [], []
+
+    def add(a, b, oy, ox, k):
+        pairs_a.append(a.ravel())
+        pairs_b.append(b.ravel())
+        order.append(((oy * w + ox) * 4 + k).ravel())
+
+    iy, ix = np.mgrid[1:h, 0:w]
+    add(labels[1:, :], labels[:-1, :], iy, ix, np.int64(0))
+    if connectivity == 8:
+        iy, ix = np.mgrid[1:h, 1:w]
+        add(labels[1:, 1:], labels[:-1, :-1], iy, ix, np.int64(1))
+        iy, ix = np.mgrid[1:h, 0:w - 1]
+        add(labels[1:, :-1], labels[:-1, 1:], iy, ix, np.int64(2))
+    iy, ix = np.mgrid[0:h, 1:w]
+    add(labels[:, 1:], labels[:, :-1], iy, ix, np.int64(3))
+    a = np.concatenate(pairs_a)
+    b = np.concatenate(pairs_b)
+    o = np.concatenate(order)
+    keep = a != b
+    a, b, o = a[keep], b[keep], o[keep]
+    # both endpoints see the edge
+    P = np.concatenate([a, b])
+    N = np.concatenate([b, a])
+    O = np.concatenate([o, o])
+    big = np.full(nlab + 1, -1, np.int64)
+    if len(P):
+        # per polygon: neighbour with max size, tie → earliest edge
+        srt = np.lexsort((O, -sizes[N], P))
+        Ps, Ns = P[srt], N[srt]
+        first = np.ones(len(Ps), dtype=bool)
+        first[1:] = Ps[1:] != Ps[:-1]
+        big[Ps[first]] = Ns[first]
+
+    # chain-walk small polygons to a >= threshold target
+    values = np.zeros(nlab + 1, arr.dtype)
+    flat_lab = labels.ravel()
+    firstpix = np.full(nlab + 1, -1, np.int64)
+    uniq, idx = np.unique(flat_lab, return_index=True)
+    firstpix[uniq] = idx
+    values[uniq] = arr.ravel()[idx]
+    target = np.arange(nlab + 1)
+    for p in range(1, nlab + 1):
+        if sizes[p] == 0 or sizes[p] >= threshold or big[p] == -1:
             continue
-        # border neighbors (4- or 8-neighborhood per `connectivity`)
-        grow = np.zeros_like(mask)
-        grow[:-1, :] |= mask[1:, :]
-        grow[1:, :] |= mask[:-1, :]
-        grow[:, :-1] |= mask[:, 1:]
-        grow[:, 1:] |= mask[:, :-1]
-        if connectivity == 8:
-            grow[:-1, :-1] |= mask[1:, 1:]
-            grow[:-1, 1:] |= mask[1:, :-1]
-            grow[1:, :-1] |= mask[:-1, 1:]
-            grow[1:, 1:] |= mask[:-1, :-1]
-        border = grow & ~mask
-        if not border.any():
-            continue
-        # GDALSieveFilter merges into the LARGEST neighbor polygon by
-        # total pixel count (alg/gdalsievefilter.cpp), not the neighbor
-        # sharing the most border pixels; ties resolve to the smallest
-        # label for determinism.
-        neigh = np.unique(labels[border])
-        neigh = neigh[neigh > 0]
-        if len(neigh) == 0:
-            continue
-        target = int(neigh[np.argmax(sizes[neigh])])
-        tv = arr[labels == target].flat[0]
-        arr[mask] = tv
-        labels[mask] = target           # chained merges see the absorber
-        sizes[target] += sizes[lab]
-        sizes[lab] = 0
-    return arr
+        visited = {p}
+        cur = int(big[p])
+        ok = False
+        while cur >= 0:
+            if sizes[cur] >= threshold:
+                ok = True
+                break
+            if cur in visited:
+                break
+            visited.add(cur)
+            cur = int(big[cur])
+        if ok:
+            target[p] = cur
+    out_vals = values[target]
+    return out_vals[flat_lab].reshape(h, w)

@@ -616,3 +616,141 @@ def test_cutline_golden(utmsmall, rings, blend, expected):
     mask = cutline_density_mask(rings, 100, 100, blend_dist=blend)
     out = apply_cutline(utmsmall, mask, init=0.0)
     assert checksum(out) == expected
+
+
+# ---- Sieve vs autotest/alg/sieve.py published checksums ----
+
+from raydal.io.aaigrid import read_aaigrid  # noqa: E402
+
+
+@pytest.mark.parametrize("fn,threshold,conn,expected", [
+    ("sieve_src.grd", 2, 4, 364),     # test_sieve_1
+    ("sieve_src.grd", 2, 8, 370),     # test_sieve_2
+    ("unmergable.grd", 2, 8, 451),    # test_sieve_3 (unmergeable stays)
+    ("sieve_2634.grd", 2, 4, 98),     # test_sieve_4 (bug 2634)
+], ids=["4conn", "8conn", "unmergable", "bug2634"])
+def test_sieve_golden(fn, threshold, conn, expected):
+    from raydal.ops.fill import sieve
+
+    arr, gt, nd = read_aaigrid(ALG + fn)
+    assert checksum(sieve(arr.astype(np.uint8), threshold, conn)) == expected
+
+
+# ---- Polygonize vs autotest/alg/polygonize.py published expectations ----
+
+def _cycle(pts):
+    """Canonicalize a closed ring: drop collinear vertices, allow either
+    rotation/orientation."""
+    p = np.asarray(pts, dtype=np.float64)
+    if np.array_equal(p[0], p[-1]):
+        p = p[:-1]
+    keep = []
+    n = len(p)
+    for i in range(n):
+        a, b, c = p[i - 1], p[i], p[(i + 1) % n]
+        if abs((b[0] - a[0]) * (c[1] - a[1])
+               - (b[1] - a[1]) * (c[0] - a[0])) > 1e-9:
+            keep.append(tuple(p[i]))
+    best = min(range(len(keep)),
+               key=lambda i: keep[i:] + keep[:i])
+    fwd = tuple(keep[best:] + keep[:best])
+    rev = tuple(reversed(fwd))
+    besr = min(range(len(rev)), key=lambda i: rev[i:] + rev[:i])
+    rev = tuple(list(rev[besr:]) + list(rev[:besr]))
+    return min(fwd, rev)
+
+
+def test_polygonize_golden_counts_and_values():
+    from raydal.ops.polygonize import polygonize_array
+
+    arr, gt, nd = read_aaigrid(ALG + "polygonize_in.grd")
+    # test_polygonize_1: masked (nodata 132 excluded) → 13 features
+    polys = polygonize_array(arr, gt=gt, connectivity=4, background=nd)
+    assert len(polys) == 13
+    assert sorted(int(p["value"]) for p in polys) == sorted(
+        [107, 123, 115, 115, 140, 148, 123, 140, 100, 101, 102, 156, 103])
+    # test_polygonize_2: unmasked → 17 features
+    polys2 = polygonize_array(arr, gt=gt, connectivity=4, background=None)
+    assert len(polys2) == 17
+    # test_polygonize_3: complex looping fixture → 125 features
+    arr2, gt2, nd2 = read_aaigrid(ALG + "polygonize_in_2.grd")
+    assert len(polygonize_array(arr2, gt=gt2, connectivity=4,
+                                background=None)) == 125
+
+
+def test_polygonize_golden_geometry_156():
+    """The published DN=156 geometry (polygonize.py:63-66): a square with
+    one hole.  Outer ring compared as a canonical cycle (the reference
+    emits corner-only vertices; ours densifies along edges)."""
+    from raydal.ops.polygonize import polygonize_array
+
+    arr, gt, nd = read_aaigrid(ALG + "polygonize_in.grd")
+    polys = polygonize_array(arr, gt=gt, connectivity=4, background=nd)
+    p = [q for q in polys if q["value"] == 156][0]
+    expected_outer = [(440720, 3751200), (440720, 3751020),
+                      (440900, 3751020), (440900, 3751200)]
+    assert _cycle(p["ring"]) == _cycle(expected_outer)
+    assert p["n_holes"] == 1
+    assert p["n_pixels"] == 8
+
+
+# ---- Proximity vs autotest/alg/proximity.py published checksums ----
+
+def test_proximity_golden():
+    from raydal.io.tiff import read_tiff
+    from raydal.ops.fill import proximity
+
+    img = read_tiff(open(ALG + "pat.tif", "rb").read())
+    pat = img.bands[0]
+    # test_proximity_1: defaults, Byte destination
+    d = proximity(pat)
+    out = copy_words_cast(np.minimum(d, 65535.0), np.uint8)
+    assert checksum(out) == 1941
+    # test_proximity_2: VALUES + MAXDIST + NODATA=-1 + FIXED_BUF_VAL=255
+    d2 = proximity(pat, target_values=[65, 64], max_dist=12, nodata=-1.0,
+                   fixed_buf_val=255)
+    assert checksum(d2.astype(np.float32)) == 3256
+    # test_proximity_3: USE_INPUT_NODATA=YES (pat nodata 255), NODATA=0
+    assert img.nodata == 255.0
+    d3 = proximity(pat, target_values=[65, 64], max_dist=12, nodata=0.0,
+                   src_nodata=img.nodata)
+    assert checksum(d3.astype(np.float32)) == 1465
+
+
+# ---- FillNodata vs autotest/alg/fillnodata.py published grids ----
+
+FILLNODATA_CASES = {
+    "2x1": ([[1, 0]], 1, 0, [[1, 1]], 0),
+    "3x1": ([[2, 0, 4]], 1, 0, [[2, 3, 4]], 0),
+    "4x1": ([[2, 0, 0, 4]], 1, 0, [[2, 2, 4, 4]], 0),
+    "1x3": ([[2], [0], [4]], 1, 0, [[2], [3], [4]], 0),
+    "3x3_col": ([[2, 0, 4], [4, 0, 6], [6, 0, 8]], 1, 0,
+                [[2, 3, 4], [4, 5, 6], [6, 7, 8]], 0),
+    "3x3_line": ([[2, 3, 4], [0, 0, 0], [6, 7, 8]], 1, 0,
+                 [[2, 3, 4], [4, 5, 6], [6, 7, 8]], 0),
+    "3x3_cross": ([[2, 0, 4], [0, 0, 0], [6, 0, 8]], 1, 0,
+                  [[2, 3, 4], [4, 0, 6], [6, 7, 8]], 0),
+    "3x3_cross_1_5": ([[2, 0, 4], [0, 0, 0], [6, 0, 8]], 1.5, 0,
+                      [[2, 3, 4], [4, 5, 6], [6, 7, 8]], 0),
+    "4x4": ([[20, 30, 40, 50], [30, 0, 0, 60], [40, 0, 0, 70],
+             [50, 60, 70, 80]], 1, 0,
+            [[20, 30, 40, 50], [30, 30, 50, 60], [40, 50, 70, 70],
+             [50, 60, 70, 80]], 0),
+    "4x4_smooth_1": ([[20, 30, 40, 50], [30, 0, 0, 60], [40, 0, 0, 70],
+                      [50, 60, 70, 80]], 1, 0,
+                     [[20, 30, 40, 50], [30, 40, 50, 60],
+                      [40, 50, 60, 70], [50, 60, 70, 80]], 1),
+}
+
+
+@pytest.mark.parametrize("name", sorted(FILLNODATA_CASES),
+                         ids=sorted(FILLNODATA_CASES))
+def test_fillnodata_golden(name):
+    """Published grids from autotest/alg/fillnodata.py:37-123."""
+    from raydal.ops.fill import fillnodata
+
+    inp, max_dist, nd, expected, smooth = FILLNODATA_CASES[name]
+    got = fillnodata(np.array(inp, dtype=np.float64), nodata=nd,
+                     max_dist=max_dist, smoothing_iterations=smooth)
+    np.testing.assert_array_equal(np.round(got).astype(int),
+                                  np.array(expected))
