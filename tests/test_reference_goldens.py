@@ -754,3 +754,23 @@ def test_fillnodata_golden(name):
                      max_dist=max_dist, smoothing_iterations=smooth)
     np.testing.assert_array_equal(np.round(got).astype(int),
                                   np.array(expected))
+
+
+def test_polygonize_golden_touching_holes():
+    """test_polygonize_6 (autotest/alg/polygonize.py): two holes touching
+    at a vertex stay separate holes of the enclosing polygon; published
+    WKTs pin all three geometries."""
+    from raydal.ops.polygonize import polygonize_array
+
+    arr, gt, nd = read_aaigrid(ALG + "polygonize_in_4.grd")
+    polys = polygonize_array(arr, gt=gt, connectivity=4, background=None)
+    assert len(polys) == 3
+    assert sorted(int(p["value"]) for p in polys) == [0, 0, 1]
+    outer = [p for p in polys if p["value"] == 1][0]
+    assert outer["n_holes"] == 2
+    assert outer["n_pixels"] == 14
+    holes = sorted([_cycle(p["ring"]) for p in polys if p["value"] == 0])
+    # published: POLYGON ((2 3,2 2,3 2,3 3,2 3)) and ((1 2,1 1,2 1,2 2,1 2))
+    expected = sorted([_cycle([(2, 3), (2, 2), (3, 2), (3, 3)]),
+                       _cycle([(1, 2), (1, 1), (2, 1), (2, 2)])])
+    assert holes == expected
