@@ -36,7 +36,8 @@ import sys as _sys
 
 _REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 if (_os.getcwd() != _REPO_ROOT
-        and _REPO_ROOT not in _os.environ.get("PYTHONPATH", "")):
+        and _REPO_ROOT not in
+        _os.environ.get("PYTHONPATH", "").split(_os.pathsep)):
     try:
         from ray import cloudpickle as _cp
 

@@ -90,9 +90,8 @@ def _convert(vals, typ):
                         .astype("datetime64[us]"), typ)
     if typ == pa.date32():
         norm = [None if v is None else v.replace("/", "-") for v in clean]
-        return pa.array(pd.to_datetime(norm).date if False else
-                        [None if v is None else
-                         pd.Timestamp(v).date() for v in norm], typ)
+        return pa.array([None if v is None else pd.Timestamp(v).date()
+                         for v in norm], typ)
     return pa.array(clean, pa.string())
 
 
@@ -101,8 +100,9 @@ def read_csv_features(path, delimiter=None, autodetect_types=False,
                       wkb_col="wkb"):
     """CSV (path or text) → Arrow table; geometry from a WKT column or
     X/Y point columns when present."""
-    if isinstance(path, str) and ("\n" in path or "," in path
-                                  and not os.path.exists(path)):
+    # a string is literal CSV content only when it embeds a newline;
+    # anything else is a path (a mistyped path raises, not mis-parses)
+    if isinstance(path, str) and "\n" in path:
         text = path
     else:
         with open(path, encoding="utf-8-sig") as f:

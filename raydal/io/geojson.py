@@ -207,6 +207,10 @@ def read_geojson(src, wkb_col="wkb"):
     else:
         with open(src, encoding="utf-8-sig") as f:
             doc = json.load(f)
+    if isinstance(doc, list):        # bare feature array
+        doc = {"features": doc}
+    if not isinstance(doc, dict):
+        raise ValueError("not a GeoJSON document")
     t = doc.get("type")
     if t == "Feature":
         feats = [doc]
@@ -233,29 +237,40 @@ def read_geojson(src, wkb_col="wkb"):
     return pa.Table.from_pydict(cols)
 
 
+def _jsonable(v):
+    if v is None or isinstance(v, (bool, int, str)):
+        return v
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float):
+        return None if v != v else v
+    if isinstance(v, (int, bool, str)):
+        return v
+    # timestamps / dates / anything non-primitive → ISO-ish string
+    iso = getattr(v, "isoformat", None)
+    return iso(sep=" ") if iso and not isinstance(v, bytes) else str(v)
+
+
 def write_geojson(table, path=None, wkb_col="wkb", fid_col="fid"):
     """Arrow table / pandas frame → GeoJSON FeatureCollection (returned
-    as str; also written to ``path`` when given)."""
-    if hasattr(table, "to_pandas"):
-        df = table.to_pandas()
-    else:
-        df = table
-    attr_cols = [c for c in df.columns if c not in (wkb_col, fid_col)]
+    as str; also written to ``path`` when given).  Columns iterate via
+    ``to_pylist`` (not ``to_pandas``) so nullable int64 stays int and
+    timestamp/date values serialize as strings instead of crashing
+    ``json.dumps``."""
+    if not isinstance(table, pa.Table):
+        table = pa.Table.from_pandas(table, preserve_index=False)
+    names = list(table.column_names)
+    attr_cols = [c for c in names if c not in (wkb_col, fid_col)]
+    data = {c: table[c].to_pylist() for c in names}
     feats = []
-    for _, row in df.iterrows():
-        props = {}
-        for c in attr_cols:
-            v = row[c]
-            if isinstance(v, np.generic):
-                v = v.item()
-            if isinstance(v, float) and np.isnan(v):
-                v = None
-            props[c] = v
+    for i in range(table.num_rows):
+        props = {c: _jsonable(data[c][i]) for c in attr_cols}
+        geom = data[wkb_col][i] if wkb_col in data else None
         feat = {"type": "Feature", "properties": props,
-                "geometry": wkb_to_geojson(row[wkb_col])
-                if row[wkb_col] is not None else None}
-        if fid_col in df.columns:
-            feat["id"] = int(row[fid_col])
+                "geometry": wkb_to_geojson(geom)
+                if geom is not None else None}
+        if fid_col in data:
+            feat["id"] = int(data[fid_col][i])
         feats.append(feat)
     doc = json.dumps({"type": "FeatureCollection", "features": feats})
     if path is not None:

@@ -135,10 +135,14 @@ def read_mbtiles_raster(path, zoom_level=None, use_bounds=True):
     con = _connect(path)
     try:
         if zoom_level is None:
-            zoom_level = int(md.get(
-                "maxzoom",
-                con.execute("SELECT MAX(zoom_level) FROM tiles")
-                .fetchone()[0]))
+            if "maxzoom" in md:
+                zoom_level = int(md["maxzoom"])
+            else:
+                mz = con.execute(
+                    "SELECT MAX(zoom_level) FROM tiles").fetchone()[0]
+                if mz is None:
+                    raise ValueError("mbtiles file has no tiles")
+                zoom_level = int(mz)
         bounds = _bounds_from_metadata(md) if use_bounds else None
         tile_dim = 2 * MAX_GM / (1 << zoom_level)
         if bounds is None:

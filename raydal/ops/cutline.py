@@ -85,18 +85,32 @@ def cutline_density_mask(rings_px, w, h, blend_dist=0.0,
     if ix1 <= ix0 or iy1 <= iy0:
         return mask
 
+    # Distances run in row blocks with per-block segment pre-filtering
+    # (the reference clips boundary lines to the chunk rect + blend+1,
+    # alg/gdalcutline.cpp:70-101) so memory stays
+    # block_pixels × nearby_segments instead of band_pixels × segments.
     cols = np.arange(ix0, ix1, dtype=np.float64) + 0.5
-    rows = np.arange(iy0, iy1, dtype=np.float64) + 0.5
-    X, Y = np.meshgrid(cols, rows)
-    dist = _points_to_segments_dist(X.ravel(), Y.ravel(),
-                                    segs).min(axis=1).reshape(X.shape)
-    band_inside = inside[iy0:iy1, ix0:ix1]
-    near = dist <= blend_dist
-    ratio = np.where(band_inside, 0.5 + dist / blend_dist * 0.5,
-                     0.5 - dist / blend_dist * 0.5)
-    sub = mask[iy0:iy1, ix0:ix1]
-    sub[near] *= ratio[near].astype(np.float32)
-    sub[~near & ~band_inside] = 0.0
+    seg_ymin = np.minimum(segs[:, 0, 1], segs[:, 1, 1])
+    seg_ymax = np.maximum(segs[:, 0, 1], segs[:, 1, 1])
+    block = max(1, int(4e6 / max(1, len(segs)) / max(1, ix1 - ix0)))
+    for by in range(iy0, iy1, block):
+        by1 = min(by + block, iy1)
+        near_segs = segs[(seg_ymax >= by - blend_dist - 1)
+                         & (seg_ymin <= by1 + blend_dist + 1)]
+        band_inside = inside[by:by1, ix0:ix1]
+        sub = mask[by:by1, ix0:ix1]
+        if len(near_segs) == 0:
+            sub[~band_inside] = 0.0    # farther than blend from boundary
+            continue
+        rows = np.arange(by, by1, dtype=np.float64) + 0.5
+        X, Y = np.meshgrid(cols, rows)
+        dist = _points_to_segments_dist(
+            X.ravel(), Y.ravel(), near_segs).min(axis=1).reshape(X.shape)
+        near = dist <= blend_dist
+        ratio = np.where(band_inside, 0.5 + dist / blend_dist * 0.5,
+                         0.5 - dist / blend_dist * 0.5)
+        sub[near] *= ratio[near].astype(np.float32)
+        sub[~near & ~band_inside] = 0.0
     return mask
 
 

@@ -351,8 +351,10 @@ def _raster_resize(ds, width, height, resample="bilinear"):
             ws.append(width)
             hs.append(height)
             gt = tuple(t["gt"][i].as_py())
-            gts.append([gt[0], gt[1] * w / width, gt[2],
-                        gt[3], gt[4], gt[5] * h / height])
+            # full affine rescale: column terms scale by w/width, row
+            # terms by h/height (rotated geotransforms included)
+            gts.append([gt[0], gt[1] * w / width, gt[2] * h / height,
+                        gt[3], gt[4] * w / width, gt[5] * h / height])
         for name, arr in (("bytes", pa.array(blobs, pa.binary())),
                           ("w", pa.array(ws, pa.int32())),
                           ("h", pa.array(hs, pa.int32())),

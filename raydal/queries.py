@@ -285,15 +285,18 @@ def q08_events_hourly(sf_dir, num_shards=64):
 
     def prep(t: pa.Table) -> pa.Table:
         hr = pc.floor_temporal(t["ts"], unit="hour")
-        shard = pa.array(
-            (t["user_id"].to_numpy(zero_copy_only=False)
-             % num_shards).astype(np.int32))
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        # NULL user_id hashes to shard 0 (the SQL GROUP BY keeps a NULL
+        # group; pandas aggregation below uses dropna=False to match)
+        uid = np.where(np.isnan(uid.astype(np.float64)), 0, uid) \
+            if uid.dtype.kind == "f" else uid
+        shard = pa.array((uid % num_shards).astype(np.int32))
         return pa.Table.from_pydict({
             "shard": shard, "user_id": t["user_id"], "hour_ts": hr,
             "value": t["value"]})
 
     def agg(df: pd.DataFrame) -> pd.DataFrame:
-        g = (df.groupby(["user_id", "hour_ts"], sort=False)
+        g = (df.groupby(["user_id", "hour_ts"], sort=False, dropna=False)
                .agg(n_events=("value", "size"), sum_value=("value", "sum"))
                .reset_index())
         return g
