@@ -24,6 +24,7 @@ import numpy as np
 from ..kernels.resample import copy_words_cast
 
 __all__ = ["PIXEL_FUNCTIONS", "apply_pixel_function", "set_type",
+           "gdal_histogram",
            "reclassify", "hillshade", "slope", "aspect", "tri", "tpi",
            "roughness", "stats_partial", "stats_merge", "stats_final",
            "pansharpen", "clean_collar"]
@@ -187,6 +188,23 @@ def roughness(z):
 
 # ---------------------------------------------------------------------------
 # band statistics: partial + final (ComputeStatistics shape)
+
+
+def gdal_histogram(arr, vmin, vmax, buckets, include_out_of_range=False):
+    """``GDALRasterBand::GetHistogram`` bucket semantics
+    (``gcore/gdalrasterband.cpp:4146``): bucket = floor((v - min) *
+    buckets / (max - min)); ``include_out_of_range`` clamps under/
+    overflow into the first/last bucket, otherwise they are dropped.
+    Validated against the published utmsmall / int32_withneg histograms
+    (``autotest/gcore/histogram.py``)."""
+    a = np.asarray(arr, dtype=np.float64).ravel()
+    scale = buckets / (vmax - vmin)
+    idx = np.floor((a - vmin) * scale).astype(np.int64)
+    if include_out_of_range:
+        idx = np.clip(idx, 0, buckets - 1)
+    else:
+        idx = idx[(idx >= 0) & (idx < buckets)]
+    return np.bincount(idx, minlength=buckets).astype(np.int64)
 
 
 def stats_partial(arr, nodata=None, hist_bins=256, hist_range=(0, 256)):

@@ -774,3 +774,22 @@ def test_polygonize_golden_touching_holes():
     expected = sorted([_cycle([(2, 3), (2, 2), (3, 2), (3, 3)]),
                        _cycle([(1, 2), (1, 1), (2, 1), (2, 2)])])
     assert holes == expected
+
+
+# ---- GetHistogram vs autotest/gcore/histogram.py published counts ----
+
+def test_histogram_golden(utmsmall):
+    from raydal.ops.raster_math import gdal_histogram
+
+    # test_histogram_2: 16 buckets over [-0.5, 255.5)
+    assert gdal_histogram(utmsmall, -0.5, 255.5, 16).tolist() == \
+        [10, 52, 115, 219, 371, 493, 825, 1077, 1279, 1302, 1127, 783,
+         625, 462, 331, 929]
+    # test_histogram_3/4: int32 grid with out-of-range values
+    arr, gt, nd = read_aaigrid(GCORE + "int32_withneg.grd")
+    assert gdal_histogram(arr, -100, 100, 21,
+                          include_out_of_range=True).tolist() == \
+        [0, 0, 0, 0, 0, 1, 0, 1, 1, 3, 3, 2, 0, 5, 3, 4, 0, 1, 1, 2, 3]
+    assert gdal_histogram(arr, -100, 100, 21,
+                          include_out_of_range=False).tolist() == \
+        [0, 0, 0, 0, 0, 1, 0, 1, 1, 3, 3, 2, 0, 5, 3, 4, 0, 1, 1, 2, 0]
