@@ -49,7 +49,10 @@ def encode_png(arr, level=1):
             + _chunk(b"IEND", b""))
 
 
-def _unfilter(raw, h, w, ch):
+def _unfilter(raw, h, w, ch, sample_bytes=1):
+    """Reverse scanline filters; works on BYTES with the pixel stride
+    ``ch * sample_bytes`` (PNG filters are byte-oriented at any depth)."""
+    ch = ch * sample_bytes
     stride = w * ch
     data = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
     ftypes = data[:, 0]
@@ -81,7 +84,7 @@ def _unfilter(raw, h, w, ch):
                     rec[i] = (row[i] + pred) & 0xFF
         out[y] = rec
         prior = rec
-    return out.astype(np.uint8).reshape(h, w, ch)
+    return out.astype(np.uint8).reshape(h, w, ch)  # ch includes sample bytes
 
 
 
@@ -90,18 +93,18 @@ _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
 
-def _deinterlace_adam7(raw, h, w, ch):
+def _deinterlace_adam7(raw, h, w, ch, sample_bytes=1):
     """Adam7 interlaced PNG: seven filtered sub-images, re-assembled."""
-    out = np.zeros((h, w, ch), dtype=np.uint8)
+    out = np.zeros((h, w, ch * sample_bytes), dtype=np.uint8)
     off = 0
     for x0, y0, dx, dy in _ADAM7:
         pw = (w - x0 + dx - 1) // dx
         ph = (h - y0 + dy - 1) // dy
         if pw == 0 or ph == 0:
             continue
-        stride = pw * ch
+        stride = pw * ch * sample_bytes
         nbytes = ph * (1 + stride)
-        sub = _unfilter(raw[off:off + nbytes], ph, pw, ch)
+        sub = _unfilter(raw[off:off + nbytes], ph, pw, ch, sample_bytes)
         off += nbytes
         out[y0::dy, x0::dx, :] = sub
     return out
@@ -123,8 +126,8 @@ def decode_png(buf):
         if tag == b"IHDR":
             w, h, depth, ctype, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", payload)
-            if depth != 8 or inter not in (0, 1):
-                raise ValueError("only 8-bit PNG supported")
+            if depth not in (8, 16) or inter not in (0, 1):
+                raise ValueError("only 8/16-bit PNG supported")
             if ctype != 3 and ctype not in _CHANNELS:
                 raise ValueError(f"unsupported color type {ctype}")
         elif tag == b"PLTE":
@@ -135,11 +138,17 @@ def decode_png(buf):
         elif tag == b"IEND":
             break
     ch = 1 if ctype == 3 else _CHANNELS[ctype]
+    sb = depth // 8
     raw = zlib.decompress(b"".join(idat))
     if inter == 1:
-        arr = _deinterlace_adam7(raw, h, w, ch)
+        arr = _deinterlace_adam7(raw, h, w, ch, sb)
     else:
-        arr = _unfilter(raw, h, w, ch)
+        arr = _unfilter(raw, h, w, ch, sb)
+    arr = arr.reshape(h, w, ch * sb)
+    if depth == 16:
+        # samples are big-endian u16 (PNG network byte order)
+        arr = arr.reshape(h, w, ch, 2)
+        arr = (arr[..., 0].astype(np.uint16) << 8) | arr[..., 1]
     if ctype == 3:
         # paletted: band value IS the palette index (the reference's
         # PNG driver exposes indices + a color table; frmts/png)

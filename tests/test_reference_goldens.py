@@ -793,3 +793,19 @@ def test_histogram_golden(utmsmall):
     assert gdal_histogram(arr, -100, 100, 21,
                           include_out_of_range=False).tolist() == \
         [0, 0, 0, 0, 0, 1, 0, 1, 1, 3, 3, 2, 0, 5, 3, 4, 0, 1, 1, 2, 0]
+
+
+def test_png16_golden():
+    """16-bit PNG decode vs published values: rgba16.png band 3/4
+    checksums 1815/4873 (autotest/gdrivers/png.py:102-112) and the
+    16-bit INTERLACED byte raster 4672 (:480-483)."""
+    from raydal.io.png import decode_png
+
+    D = "/root/reference/autotest/gdrivers/data/png/"
+    px = decode_png(open(D + "rgba16.png", "rb").read())
+    assert px.dtype == np.uint16 and px.shape == (20, 20, 4)
+    assert checksum(px[:, :, 2]) == 1815
+    assert checksum(px[:, :, 3]) == 4873
+    px2 = decode_png(open(D + "uint16_interlaced.png", "rb").read())
+    assert px2.dtype == np.uint16
+    assert checksum(px2) == 4672
