@@ -3605,6 +3605,64 @@ def q73_viewshed(sf_dir):
                          batch_size=32))
 
 
+def q74_cutline_counts(sf_dir):
+    """Warp-cutline mask counts: each image gets a deterministic
+    pixel-space rectangle cutline (fractions of w/h with non-half-integer
+    offsets so the polyInts floor(x+0.5) rounding is untied); emits the
+    count of surviving pixels.  The SQL oracle reproduces the even-odd
+    scanline fill in closed form: columns ``floor(x0+0.5) ..
+    floor(x1+0.5)-1`` clamped to the image, rows with center in
+    ``[y0, y1)`` (alg/llrasterize.cpp:58,137 semantics through
+    ops/cutline.py)."""
+    import ray.data
+
+    from .ops.cutline import cutline_density_mask
+    from .pipelines import ensure_images_parquet
+
+    path = ensure_images_parquet(sf_dir)
+
+    def counts(t: pa.Table) -> pa.Table:
+        ids, nv = [], []
+        for i in range(t.num_rows):
+            w = t["w"][i].as_py()
+            h = t["h"][i].as_py()
+            x0, x1 = 0.21 * w + 0.137, 0.83 * w - 0.291
+            y0, y1 = 0.18 * h + 0.253, 0.87 * h - 0.173
+            ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1],
+                             [x0, y0]])
+            mask = cutline_density_mask([ring], w, h)
+            ids.append(t["image_id"][i].as_py())
+            nv.append(int(np.count_nonzero(mask)))
+        return pa.Table.from_pydict({
+            "image_id": pa.array(ids, pa.string()),
+            "n_valid": pa.array(nv, pa.int64())})
+
+    return (ray.data.read_parquet(path, columns=["image_id", "w", "h"])
+            .map_batches(counts, batch_format="pyarrow"))
+
+
+def _build_sql_q74(glob):
+    return f"""WITH px AS (
+  SELECT image_id, w, h,
+         0.21 * w + 0.137 AS x0, 0.83 * w - 0.291 AS x1,
+         0.18 * h + 0.253 AS y0, 0.87 * h - 0.173 AS y1
+  FROM read_parquet('{glob}')),
+cr AS (
+  SELECT image_id,
+    GREATEST(CAST(floor(x0 + 0.5) AS BIGINT), 0) AS c0,
+    LEAST(CAST(floor(x1 + 0.5) AS BIGINT) - 1, w - 1) AS c1,
+    GREATEST(CAST(ceil(y0 - 0.5) AS BIGINT), 0) AS r0,
+    LEAST(CAST(ceil(y1 - 0.5) AS BIGINT) - 1, h - 1) AS r1
+  FROM px)
+SELECT image_id,
+       GREATEST(c1 - c0 + 1, 0) * GREATEST(r1 - r0 + 1, 0) AS n_valid
+FROM cr
+"""
+
+
+SQL_Q74 = None if _Q37_GLOB is None else _build_sql_q74(_Q37_GLOB)
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -3680,6 +3738,7 @@ QUERIES = {
     "q71_ann_ivf": (q71_ann_ivf, None),
     "q72_geometry_scalars": (q72_geometry_scalars, None),
     "q73_viewshed": (q73_viewshed, None),
+    "q74_cutline_counts": (q74_cutline_counts, SQL_Q74),
 }
 
 
