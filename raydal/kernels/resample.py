@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = [
+__all__ = ["interpolate_at_point", 
     "KERNEL_RADIUS", "kernel_weights", "resample_grid",
     "bilinear_sample_fast", "block_reduce",
     "downsample2_average", "copy_words_cast", "psnr",
@@ -347,3 +347,33 @@ def bilinear_sample_fast(src, sx, sy):
     out = top + (bot - top) * fyr
     out_shape = sx.shape + ((src.shape[2],) if multi else ())
     return out.reshape(out_shape), valid
+
+
+def interpolate_at_point(band, x, y, resample="bilinear"):
+    """``GDALRasterBand::InterpolateAtPoint`` semantics
+    (``alg/gdal_interpolateatpoint.cpp:165-204``): corner-based
+    pixel/line coordinates, valid domain ``[0, size]`` inclusive,
+    nearest-neighbour coordinates right at the bottom/right edge nudge
+    inside by 0.25 (``:172-181``), and the algorithm downgrades on tiny
+    rasters (cubic→bilinear under 4 px, bilinear→nearest under 2 px).
+    Returns the value or None out of domain.  Validated against the
+    published byte.tif values (``autotest/gcore/interpolateatpoint.py``).
+    """
+    band = np.asarray(band, dtype=np.float64)
+    h, w = band.shape
+    x, y = float(x), float(y)
+    if resample in ("near", "nearest"):
+        if w <= x <= w + 1e-5:
+            x -= 0.25
+        if h <= y <= h + 1e-5:
+            y -= 0.25
+        resample = "near"
+    if x < 0 or x > w or y < 0 or y > h:
+        return None
+    if (w < 4 or h < 4) and resample in ("cubic", "cubicspline"):
+        resample = "bilinear"
+    if (w < 2 or h < 2) and resample == "bilinear":
+        resample = "near"
+    vals, ok = resample_grid(band, np.array([[x]]), np.array([[y]]),
+                             resample, gdal_edges=True)
+    return float(vals[0, 0]) if ok[0, 0] else None

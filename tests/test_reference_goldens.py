@@ -809,3 +809,25 @@ def test_png16_golden():
     px2 = decode_png(open(D + "uint16_interlaced.png", "rb").read())
     assert px2.dtype == np.uint16
     assert checksum(px2) == 4672
+
+
+def test_interpolate_at_point_golden(utmsmall):
+    """Published InterpolateAtPoint values on byte.tif
+    (autotest/gcore/interpolateatpoint.py:28-66)."""
+    from raydal.io.tiff import read_tiff
+    from raydal.kernels.resample import interpolate_at_point as iap
+
+    byte = read_tiff(open(GCORE + "byte.tif", "rb").read()).bands[0]
+    assert iap(byte, 10, 12, "near") == pytest.approx(173, rel=1e-6)
+    assert iap(byte, 10, 12, "bilinear") == pytest.approx(139.75, rel=1e-6)
+    assert iap(byte, 10, 12, "cubicspline") == pytest.approx(138.02,
+                                                             rel=1e-2)
+    assert iap(byte, 10, 12, "cubic") == pytest.approx(145.57, rel=1e-2)
+    # inclusive far edge (nearest nudges inside), exclusive past it
+    assert iap(byte, 20, 20, "near") == pytest.approx(107.0)
+    assert iap(byte, 18, 20, "near") == pytest.approx(99.0)
+    assert iap(byte, 20, 18, "near") == pytest.approx(123.0)
+    assert iap(byte, 20, 20, "bilinear") == pytest.approx(107.0)
+    assert iap(byte, 1000, 12, "bilinear") is None
+    assert iap(byte, -1, 0, "near") is None
+    assert iap(byte, 0, -0.5, "near") is None
