@@ -89,3 +89,14 @@ def test_gif_encode_round_trips():
     idx2, pal2, _ = decode_gif(encode_gif(small, palette=pal))
     np.testing.assert_array_equal(idx2, small)
     np.testing.assert_array_equal(pal2, pal)
+
+
+@needs_fixtures
+def test_gif_palette_rgb_expand_golden():
+    """gdal_translate -expand rgb parity: bug407.gif expanded through its
+    color table gives the published per-band checksums
+    (autotest/utilities/test_gdal_translate_lib.py:158-162)."""
+    idx, pal, tr = decode_gif(open(GIF + "bug407.gif", "rb").read())
+    rgb = pal[idx]
+    assert [checksum(rgb[:, :, b]) for b in range(3)] == \
+        [20615, 59147, 63052]
