@@ -831,3 +831,14 @@ def test_interpolate_at_point_golden(utmsmall):
     assert iap(byte, 1000, 12, "bilinear") is None
     assert iap(byte, -1, 0, "near") is None
     assert iap(byte, 0, -0.5, "near") is None
+
+
+def test_rgbsmall_band_reorder_golden():
+    """gdal_translate bandList=[3,2,1] parity on rgbsmall.tif
+    (autotest/utilities/test_gdal_translate_lib.py:123-128): the
+    reordered per-band checksums are published."""
+    from raydal.io.tiff import read_tiff
+
+    img = read_tiff(open(GCORE + "rgbsmall.tif", "rb").read())
+    reordered = [img.bands[2], img.bands[1], img.bands[0]]
+    assert [checksum(b) for b in reordered] == [21349, 21053, 21212]
