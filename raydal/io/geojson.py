@@ -238,6 +238,8 @@ def read_geojson(src, wkb_col="wkb"):
 
 
 def _jsonable(v):
+    import datetime
+
     if v is None or isinstance(v, (bool, int, str)):
         return v
     if isinstance(v, np.generic):
@@ -246,9 +248,15 @@ def _jsonable(v):
         return None if v != v else v
     if isinstance(v, (int, bool, str)):
         return v
-    # timestamps / dates / anything non-primitive → ISO-ish string
-    iso = getattr(v, "isoformat", None)
-    return iso(sep=" ") if iso and not isinstance(v, bytes) else str(v)
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, (datetime.date, datetime.time)):
+        return v.isoformat()
+    return str(v)
 
 
 def write_geojson(table, path=None, wkb_col="wkb", fid_col="fid"):

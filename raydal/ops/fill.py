@@ -189,7 +189,7 @@ def sieve(arr, threshold, connectivity=4):
 
     Validated against the published checksums in
     ``autotest/alg/sieve.py`` (364/370/451/98)."""
-    arr = np.asarray(arr).copy()
+    arr = np.asarray(arr)
     labels = label_components(arr, connectivity)
     h, w = labels.shape
     nlab = int(labels.max())
@@ -235,9 +235,7 @@ def sieve(arr, threshold, connectivity=4):
     # chain-walk small polygons to a >= threshold target
     values = np.zeros(nlab + 1, arr.dtype)
     flat_lab = labels.ravel()
-    firstpix = np.full(nlab + 1, -1, np.int64)
     uniq, idx = np.unique(flat_lab, return_index=True)
-    firstpix[uniq] = idx
     values[uniq] = arr.ravel()[idx]
     target = np.arange(nlab + 1)
     for p in range(1, nlab + 1):

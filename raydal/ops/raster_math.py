@@ -198,13 +198,15 @@ def gdal_histogram(arr, vmin, vmax, buckets, include_out_of_range=False):
     Validated against the published utmsmall / int32_withneg histograms
     (``autotest/gcore/histogram.py``)."""
     a = np.asarray(arr, dtype=np.float64).ravel()
+    a = a[a == a]                        # NaN skipped (:4362 `continue`)
     scale = buckets / (vmax - vmin)
-    idx = np.floor((a - vmin) * scale).astype(np.int64)
+    fidx = np.floor((a - vmin) * scale)  # range tests in FLOAT domain
     if include_out_of_range:
-        idx = np.clip(idx, 0, buckets - 1)
+        fidx = np.clip(fidx, 0, buckets - 1)
     else:
-        idx = idx[(idx >= 0) & (idx < buckets)]
-    return np.bincount(idx, minlength=buckets).astype(np.int64)
+        fidx = fidx[(fidx >= 0) & (fidx < buckets)]
+    return np.bincount(fidx.astype(np.int64),
+                       minlength=buckets).astype(np.int64)
 
 
 def stats_partial(arr, nodata=None, hist_bins=256, hist_range=(0, 256)):
