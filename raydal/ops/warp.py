@@ -88,10 +88,17 @@ class WarpImages:
     PNG-encoded) for golden comparisons.
     """
 
-    def __init__(self, dst_crs=3857, resample="bilinear", keep_pixels=False):
+    def __init__(self, dst_crs=3857, resample="bilinear", keep_pixels=False,
+                 cutline=None):
         self.dst_crs = dst_crs
         self.resample = resample
         self.keep_pixels = keep_pixels
+        # world-coordinate cutline rings (gdalwarp -cutline, hard mask):
+        # applied as SOURCE validity before resampling, so cut taps drop
+        # out of the kernel weights exactly like the reference's unified
+        # source mask (GDALWarpCutlineMasker feeding pafUnifiedSrcDensity)
+        self.cutline = ([np.asarray(r, dtype=np.float64) for r in cutline]
+                        if cutline is not None else None)
         self.tfs = _TransformerCache()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -113,10 +120,23 @@ class WarpImages:
             dst_gt, dw, dh = suggest_output_grid(gt, w, h, src_crs,
                                                  self.dst_crs)
             tf = self.tfs.get(self.dst_crs, src_crs)
+            nodata = None
+            if self.cutline is not None:
+                from .cutline import cutline_density_mask
+
+                inv = affine.invert_gt(gt)
+                rings_px = []
+                for r in self.cutline:
+                    cx, cy = affine.apply_gt(inv, r[:, 0], r[:, 1])
+                    rings_px.append(np.stack([cx, cy], axis=1))
+                cmask = cutline_density_mask(rings_px, w, h)
+                px = px.astype(np.float64, copy=True)
+                px[cmask == 0] = -1.0      # sentinel outside the cutline
+                nodata = -1.0
             # one transform + one multi-band gather per image
             vals, valid = warp_array(px, gt, src_crs, dst_gt, dw, dh,
                                      self.dst_crs, self.resample,
-                                     transformer=tf)
+                                     transformer=tf, nodata=nodata)
             bands = [vals[:, :, b] for b in range(3)]
             b0 = copy_words_cast(np.where(valid, bands[0], 0.0), np.uint8)
             out["image_id"].append(batch["image_id"][i].as_py())

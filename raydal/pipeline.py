@@ -107,12 +107,13 @@ def _geom_stats(ds, wkb_col="wkb"):
 
 @register_step("warp")
 def _warp(ds, dst_crs=3857, resample="bilinear", concurrency=4,
-          batch_size=32):
+          batch_size=32, cutline=None):
     from .ops.warp import WarpImages
 
     return ds.map_batches(WarpImages,
                           fn_constructor_kwargs={"dst_crs": dst_crs,
-                                                 "resample": resample},
+                                                 "resample": resample,
+                                                 "cutline": cutline},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
 

@@ -245,3 +245,50 @@ class TestRasterResize:
         assert row["gt"][1] == pytest.approx(gt0[1] * w / 48)
         assert row["gt"][5] == pytest.approx(gt0[5] * h / 32)
         assert row["gt"][0] == gt0[0] and row["gt"][3] == gt0[3]
+
+
+class TestWarpCutline:
+    def test_warp_with_cutline_masks_source(self, ray_session):
+        import ray.data
+
+        from raydal.io.images import synthesize_images_batch
+        from raydal.pipeline import run_pipeline
+
+        t = synthesize_images_batch(np.arange(2))
+        gt = t["gt"][0].as_py()
+        w, h = t["w"][0].as_py(), t["h"][0].as_py()
+        # left-half rectangle in world coords of image 0's CRS
+        x0, x1 = gt[0], gt[0] + gt[1] * (w / 2)
+        y0, y1 = gt[3] + gt[5] * h, gt[3]
+        ring = [[x0, y0], [x0, y1], [x1, y1], [x1, y0], [x0, y0]]
+        # cutline only makes sense per-CRS; run on image 0's row alone
+        one = t.slice(0, 1)
+        plain = run_pipeline(ray.data.from_arrow(one),
+                             [("warp", {"concurrency": 1})]).to_pandas()
+        cut = run_pipeline(
+            ray.data.from_arrow(one),
+            [("warp", {"concurrency": 1, "cutline": [ring]})]).to_pandas()
+        assert cut.iloc[0]["valid_frac"] < plain.iloc[0]["valid_frac"]
+        assert cut.iloc[0]["valid_frac"] > 0.2
+        # caption byte-equality invariant survives the masked path
+        assert cut.iloc[0]["caption"] == plain.iloc[0]["caption"]
+
+    def test_full_extent_cutline_is_identity(self, ray_session):
+        import ray.data
+
+        from raydal.io.images import synthesize_images_batch
+        from raydal.pipeline import run_pipeline
+
+        t = synthesize_images_batch(np.arange(1))
+        gt = t["gt"][0].as_py()
+        w, h = t["w"][0].as_py(), t["h"][0].as_py()
+        pad = abs(gt[1])  # one source pixel of margin
+        x0, x1 = gt[0] - pad, gt[0] + gt[1] * w + pad
+        y0, y1 = gt[3] + gt[5] * h - pad, gt[3] + pad
+        ring = [[x0, y0], [x0, y1], [x1, y1], [x1, y0], [x0, y0]]
+        plain = run_pipeline(ray.data.from_arrow(t),
+                             [("warp", {"concurrency": 1})]).to_pandas()
+        cut = run_pipeline(
+            ray.data.from_arrow(t),
+            [("warp", {"concurrency": 1, "cutline": [ring]})]).to_pandas()
+        assert cut.iloc[0]["checksum_b0"] == plain.iloc[0]["checksum_b0"]
