@@ -24,6 +24,7 @@ from ..geo import wkb as W
 from ..geo.crs import Transformer, _norm_crs
 from ..io.codecs import decode
 from ..io.png import encode_png
+from .cutline import cutline_density_mask
 from ..kernels.checksum import checksum
 from ..kernels.resample import (bilinear_sample_fast,
                                 copy_words_cast, resample_grid)
@@ -122,8 +123,6 @@ class WarpImages:
             tf = self.tfs.get(self.dst_crs, src_crs)
             nodata = None
             if self.cutline is not None:
-                from .cutline import cutline_density_mask
-
                 inv = affine.invert_gt(gt)
                 rings_px = []
                 for r in self.cutline:
