@@ -3605,6 +3605,36 @@ def q73_viewshed(sf_dir):
                          batch_size=32))
 
 
+def q75_geojson_csv_pip(sf_dir):
+    """q38's PIP join with BOTH side tables detoured through the text
+    vector drivers: zones serialize to GeoJSON and read back
+    (io/geojson.py — WKB byte-fidelity is what makes the oracle still
+    match), points serialize to CSV with a WKT geometry column and read
+    back (io/csv.py + io/wkt.py).  Same oracle as q38, so any precision
+    or field loss in either codec breaks the hash match."""
+    import ray
+    import ray.data
+
+    from .io.csv import read_csv_features, write_csv_features
+    from .io.geojson import read_geojson, write_geojson
+    from .io.images import make_points_table, make_zones_table
+    from .ops.join import PIPJoinZones, ZoneIndex
+
+    zones_rt = read_geojson(write_geojson(make_zones_table(200),
+                                          fid_col="__none__"))
+    zones_rt = zones_rt.drop_columns(["fid"])
+    pts_tbl = make_points_table(2000)
+    tmp = os.path.join("/tmp", "raydal_cache", "q75_points.csv")
+    write_csv_features(pts_tbl, tmp, write_csvt=True)
+    pts_rt = read_csv_features(tmp)
+    zi_ref = ray.put(ZoneIndex(zones_rt))
+    pts = ray.data.from_arrow(pts_rt)
+    return pts.map_batches(
+        PIPJoinZones, fn_constructor_kwargs={"zones_ref": zi_ref,
+                                             "emit": "intersects"},
+        batch_format="pyarrow", concurrency=2)
+
+
 def q74_cutline_counts(sf_dir):
     """Warp-cutline mask counts: each image gets a deterministic
     pixel-space rectangle cutline (fractions of w/h with non-half-integer
@@ -3739,6 +3769,7 @@ QUERIES = {
     "q72_geometry_scalars": (q72_geometry_scalars, None),
     "q73_viewshed": (q73_viewshed, None),
     "q74_cutline_counts": (q74_cutline_counts, SQL_Q74),
+    "q75_geojson_csv_pip": (q75_geojson_csv_pip, SQL_Q38),
 }
 
 
