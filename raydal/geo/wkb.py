@@ -236,8 +236,12 @@ def polygons_from_wkb(buf):
 # measures
 
 def _ring_signed_area(ring):
+    # wrapping shoelace — rings are implicitly closed like the
+    # reference's OGRLinearRing::get_Area (i+1 mod n), so unclosed WKT
+    # rings (which OGR accepts) measure correctly too
     x, y = ring[:, 0], ring[:, 1]
-    return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    return 0.5 * float(np.dot(x, yn) - np.dot(xn, y))
 
 
 def polygon_area(rings):

@@ -842,3 +842,15 @@ def test_rgbsmall_band_reorder_golden():
     img = read_tiff(open(GCORE + "rgbsmall.tif", "rb").read())
     reordered = [img.bands[2], img.bands[1], img.bands[0]]
     assert [checksum(b) for b in reordered] == [21349, 21053, 21212]
+
+
+def test_geometry_area_golden():
+    """Published GetArea value (autotest/ogr/ogr_geom.py:53-67): a
+    multipolygon with UNCLOSED rings (OGR treats rings as implicitly
+    closed) measures 99.5."""
+    from raydal.geo.wkb import wkb_area
+    from raydal.io.wkt import wkt_to_wkb
+
+    w = wkt_to_wkb("MULTIPOLYGON( ((0 0,1 1,1 0,0 0)),"
+                   "((0 0,10 0, 10 10, 0 10),(1 1,1 2,2 2,2 1)) )")
+    assert wkb_area(w) == pytest.approx(99.5, abs=1e-11)
