@@ -36,7 +36,7 @@ __all__ = [
     "MULTIPOLYGON", "GEOMETRYCOLLECTION",
     "point_wkb", "linestring_wkb", "polygon_wkb", "multipolygon_wkb",
     "parse_wkb", "wkb_geom_type", "wkb_bbox", "wkb_bbox_many",
-    "wkb_rings", "polygon_area", "wkb_area",
+    "wkb_rings", "polygon_area", "wkb_area", "wkb_length",
     "points_in_ring", "points_on_ring_boundary", "winding_number",
     "points_in_polygon", "polygons_from_wkb", "polygon_intersects_polygon",
     "box_polygon",
@@ -481,3 +481,32 @@ def polygon_distance(rings_a, rings_b):
     d1 = _points_to_segments_dist(va[:, 0], va[:, 1], seg_b).min()
     d2 = _points_to_segments_dist(vb[:, 0], vb[:, 1], seg_a).min()
     return float(min(d1, d2))
+
+
+def wkb_length(buf):
+    """OGR ``Length()``: summed curve length; polygons contribute their
+    boundary (all rings, implicitly closed), collections sum their
+    parts (``ogr/ogrgeometry.cpp`` get_Length family — validated against
+    the published values in ``autotest/ogr/ogr_geom.py``:
+    multilinestring 2, mixed collection 8)."""
+    def _ring_len(arr, close):
+        a = np.asarray(arr, dtype=np.float64)
+        if len(a) < 2:
+            return 0.0
+        d = np.diff(a, axis=0)
+        total = float(np.hypot(d[:, 0], d[:, 1]).sum())
+        if close and not np.array_equal(a[0], a[-1]):
+            total += float(np.hypot(*(a[0] - a[-1])))
+        return total
+
+    def _walk(t, payload):
+        if t == POINT:
+            return 0.0
+        if t == LINESTRING:
+            return _ring_len(payload, close=False)
+        if t == POLYGON:
+            return sum(_ring_len(r, close=True) for r in payload)
+        return sum(_walk(st, sp) for (st, sp) in payload)
+
+    t, payload = parse_wkb(buf)
+    return _walk(t, payload)

@@ -854,3 +854,28 @@ def test_geometry_area_golden():
     w = wkt_to_wkb("MULTIPOLYGON( ((0 0,1 1,1 0,0 0)),"
                    "((0 0,10 0, 10 10, 0 10),(1 1,1 2,2 2,2 1)) )")
     assert wkb_area(w) == pytest.approx(99.5, abs=1e-11)
+
+
+def test_geometry_length_golden():
+    """Published Length values (autotest/ogr/ogr_geom.py:1110-1140):
+    multilinestring 2; mixed collection (polygon boundary counts) 8."""
+    from raydal.geo.wkb import wkb_length
+    from raydal.io.wkt import wkt_to_wkb
+
+    assert wkb_length(wkt_to_wkb(
+        "MULTILINESTRING((0 0,0 1),(0 0,0 1))")) == pytest.approx(2)
+    gc = ("GEOMETRYCOLLECTION( POLYGON((0 0,0 1,1 1,1 0,0 0)), "
+          "MULTILINESTRING((0 0,0 1),(0 0,0 1)), LINESTRING(0 0,0 1), "
+          "LINESTRING(0 0,0 1), POINT(0 0), GEOMETRYCOLLECTION EMPTY )")
+    assert wkb_length(wkt_to_wkb(gc)) == pytest.approx(8)
+
+
+def test_transform_to_utm_golden():
+    """Published TransformTo value (autotest/ogr/ogr_geom.py:625-638):
+    POINT(2 49) EPSG:4326 → EPSG:32631 ≈ (426857, 5427937) within 1 m —
+    pins the from-scratch Krueger UTM series."""
+    from raydal.geo.crs import Transformer
+
+    x, y = Transformer(4326, 32631).transform([2.0], [49.0])
+    assert x[0] == pytest.approx(426857, abs=1)
+    assert y[0] == pytest.approx(5427937, abs=1)
