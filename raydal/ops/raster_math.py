@@ -260,13 +260,16 @@ def clean_collar(img, threshold=15, color="black", pixel_distance=2):
     255 (white); interior pixels of the same color survive.  Returns
     (cleaned, collar_mask)."""
     img = np.asarray(img)
-    gray = img.mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
+    # nearblack_lib.cpp:588-598: a pixel is collar-colored iff EVERY
+    # band is within nearDist of the target color
     if color == "black":
-        near = gray <= threshold
         fill_value = 0
+        near = (img <= threshold if img.ndim == 2
+                else (img <= threshold).all(axis=2))
     else:
-        near = gray >= 255 - threshold
         fill_value = 255
+        near = (img >= 255 - threshold if img.ndim == 2
+                else (img >= 255 - threshold).all(axis=2))
     h, w = near.shape
     collar = np.zeros_like(near)
     collar[0, :] = near[0, :]

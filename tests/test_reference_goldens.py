@@ -879,3 +879,18 @@ def test_transform_to_utm_golden():
     x, y = Transformer(4326, 32631).transform([2.0], [49.0])
     assert x[0] == pytest.approx(426857, abs=1)
     assert y[0] == pytest.approx(5427937, abs=1)
+
+
+def test_nearblack_golden():
+    """nearblack parity (autotest/utilities/test_nearblack_lib.py:35-39):
+    rgbsmall with nearDist=15, maxNonBlack=0 → published per-band
+    checksums (both reference algorithms agree on this fixture)."""
+    from raydal.io.tiff import read_tiff
+    from raydal.ops.raster_math import clean_collar
+
+    img = read_tiff(open(GCORE + "rgbsmall.tif", "rb").read())
+    rgb = np.stack(img.bands, axis=2)
+    out, mask = clean_collar(rgb, threshold=15, color="black",
+                             pixel_distance=0)
+    assert [checksum(out[:, :, b]) for b in range(3)] == \
+        [21106, 20736, 21309]
