@@ -894,3 +894,18 @@ def test_nearblack_golden():
                              pixel_distance=0)
     assert [checksum(out[:, :, b]) for b in range(3)] == \
         [21106, 20736, 21309]
+
+
+def test_footprint_golden():
+    """gdal_footprint parity (test_gdal_footprint_lib.py:40-43): the
+    footprint of all-valid byte.tif is the published extent rectangle
+    MULTIPOLYGON (((440720 3751320,...,441920 3751320,...)))."""
+    from raydal.io.tiff import read_tiff
+    from raydal.ops.vector import raster_footprint
+
+    img = read_tiff(open(GCORE + "byte.tif", "rb").read())
+    rings = raster_footprint(np.ones((20, 20), bool), img.geotransform)
+    assert len(rings) == 1
+    expected = [(440720, 3751320), (440720, 3750120), (441920, 3750120),
+                (441920, 3751320)]
+    assert _cycle(rings[0]) == _cycle(expected)
