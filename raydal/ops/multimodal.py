@@ -1,0 +1,194 @@
+"""Multimodal (audio / video) column stages — actor-pool ``map_batches``
+plumbing over opaque ``binary`` payload columns.
+
+The graft mandate treats image/audio/video as binary columns with typed
+metadata and asks for the RAY-SIDE plumbing (schema, batch sizing, actor
+signature, output layout) to be real even where the codec libraries are
+absent from this environment.  Images have a REAL from-scratch codec
+stack (:mod:`raydal.io.codecs`); audio and video do not — no soundfile /
+ffmpeg here — so their decoders are cleanly swappable:
+
+* payloads with the engine's deterministic container magics (``FPCM``,
+  ``FVID``, produced by :func:`encode_fake_pcm` /
+  :func:`encode_fake_video`) decode for real, so every downstream stage
+  is exercised end-to-end in tests,
+* any other payload raises ``NotImplementedError`` at the decode
+  boundary with the library it would need — the documented swap point
+  (replace ``decode_audio`` / ``decode_video_frames`` with
+  soundfile/PyAV calls; nothing else changes).
+
+Stages mirror the reference's stateful-worker shape (§2.3): decoder
+state and analysis windows are built once per actor in ``__init__``;
+``__call__`` is vectorized numpy per batch.  Batch sizes default small
+(payloads are the wide column — same sizing rule as the image stages).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["encode_fake_pcm", "decode_audio", "AudioFeatures",
+           "encode_fake_video", "decode_video_frames", "VideoFrameSample"]
+
+_PCM_MAGIC = b"FPCM"
+_VID_MAGIC = b"FVID"
+
+
+def encode_fake_pcm(samples, rate=16000):
+    """Deterministic stand-in audio container: int16 mono PCM +
+    zlib."""
+    s = np.asarray(samples)
+    s = np.clip(np.round(s * 32767.0) if s.dtype.kind == "f" else s,
+                -32768, 32767).astype("<i2")
+    return (_PCM_MAGIC + struct.pack("<II", rate, len(s))
+            + zlib.compress(s.tobytes(), 1))
+
+
+def decode_audio(buf):
+    """bytes → (float64 samples in [-1, 1], sample_rate).
+
+    SWAP POINT: a real deployment replaces this body with
+    ``soundfile.read`` (wav/flac) — the actor stages only see the
+    (samples, rate) contract."""
+    buf = bytes(buf)
+    if not buf.startswith(_PCM_MAGIC):
+        raise NotImplementedError(
+            "real audio codecs (soundfile/libsndfile) are not available "
+            "in this environment; payload is not an FPCM container")
+    rate, n = struct.unpack_from("<II", buf, 4)
+    s = np.frombuffer(zlib.decompress(buf[12:]), dtype="<i2", count=n)
+    return s.astype(np.float64) / 32767.0, rate
+
+
+def encode_fake_video(frames, fps=10):
+    """Deterministic stand-in video container: uint8 gray frames +
+    zlib."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = f.shape
+    return (_VID_MAGIC + struct.pack("<IIHH", fps, n, w, h)
+            + zlib.compress(f.tobytes(), 1))
+
+
+def decode_video_frames(buf, indices=None):
+    """bytes → (frames (k, h, w) uint8, fps); ``indices`` selects frames
+    WITHOUT materializing the rest downstream.
+
+    SWAP POINT: replace with PyAV / ffmpeg frame seeking."""
+    buf = bytes(buf)
+    if not buf.startswith(_VID_MAGIC):
+        raise NotImplementedError(
+            "real video codecs (PyAV/ffmpeg) are not available in this "
+            "environment; payload is not an FVID container")
+    fps, n, w, h = struct.unpack_from("<IIHH", buf, 4)
+    f = np.frombuffer(zlib.decompress(buf[16:]), dtype=np.uint8,
+                      count=n * h * w).reshape(n, h, w)
+    if indices is not None:
+        idx = np.clip(np.asarray(indices, dtype=np.int64), 0, n - 1)
+        f = f[idx]
+    return f, fps
+
+
+class AudioFeatures:
+    """Actor stage: per-clip spectral features.
+
+    Emits (id, duration_sec, rms, zero_crossings, band energies over
+    ``n_bands`` log-spaced FFT bands) — the token-count/quality analogue
+    for the audio modality.  The FFT window and band edges are built
+    ONCE per actor."""
+
+    def __init__(self, id_col="clip_id", payload_col="audio",
+                 n_fft=512, n_bands=8):
+        self.id_col = id_col
+        self.payload_col = payload_col
+        self.n_fft = n_fft
+        self.window = np.hanning(n_fft)
+        # log-spaced band edges over the positive-frequency bins
+        edges = np.unique(np.geomspace(1, n_fft // 2, n_bands + 1)
+                          .astype(np.int64))
+        self.band_edges = edges
+        self.n_bands = len(edges) - 1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, dur, rms, zc = [], [], [], []
+        bands = [[] for _ in range(self.n_bands)]
+        payloads = batch[self.payload_col]
+        for i in range(batch.num_rows):
+            s, rate = decode_audio(payloads[i].as_py())
+            ids.append(batch[self.id_col][i].as_py())
+            dur.append(len(s) / rate)
+            rms.append(float(np.sqrt(np.mean(s * s))) if len(s) else 0.0)
+            zc.append(int(np.count_nonzero(np.diff(np.signbit(s)))))
+            n = min(len(s), self.n_fft)
+            frame = s[:n] * self.window[:n]
+            spec = np.abs(np.fft.rfft(frame, self.n_fft)) ** 2
+            for b in range(self.n_bands):
+                lo, hi = self.band_edges[b], self.band_edges[b + 1]
+                bands[b].append(float(spec[lo:hi].sum()))
+        cols = {
+            self.id_col: pa.array(ids, batch.schema.field(
+                self.id_col).type),
+            "duration_sec": pa.array(dur, pa.float64()),
+            "rms": pa.array(rms, pa.float64()),
+            "zero_crossings": pa.array(zc, pa.int64())}
+        for b in range(self.n_bands):
+            cols[f"band_{b}"] = pa.array(bands[b], pa.float64())
+        return pa.Table.from_pydict(cols)
+
+
+class VideoFrameSample:
+    """Actor stage: sample ``k`` evenly-spaced frames per clip and emit
+    one row per sampled frame with a 64-bit average-hash fingerprint —
+    the frame-sample + phash shape of a video dedup/indexing pipeline.
+    Output stays SMALL (id, frame_index, ts_sec, phash, mean) so only
+    fingerprints shuffle, never pixels."""
+
+    def __init__(self, id_col="clip_id", payload_col="video", k=4):
+        self.id_col = id_col
+        self.payload_col = payload_col
+        self.k = k
+
+    @staticmethod
+    def _ahash64(frame):
+        # 8×8 average hash: downsample by block mean, threshold at mean
+        h, w = frame.shape
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        small = np.add.reduceat(np.add.reduceat(
+            frame.astype(np.float64), ys, axis=0), xs, axis=1)
+        counts = np.outer(np.diff(np.append(ys, h)),
+                          np.diff(np.append(xs, w)))
+        small = small / counts
+        bits = (small > small.mean()).ravel()
+        return int(np.packbits(bits).view(">u8")[0].item() - (1 << 63)) \
+            if bits[0] else int(np.packbits(bits).view(">u8")[0].item())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, ts, ph, mean = [], [], [], [], []
+        payloads = batch[self.payload_col]
+        for i in range(batch.num_rows):
+            blob = payloads[i].as_py()
+            # probe the header for the frame count, then decode ONLY the
+            # sampled frames (the real-codec swap point keeps this
+            # contract: seek, don't decode-all)
+            n = struct.unpack_from("<I", bytes(blob[:16]), 8)[0]
+            want = np.unique((np.arange(self.k) * max(n, 1))
+                             // self.k)
+            frames, fps = decode_video_frames(blob, indices=want)
+            cid = batch[self.id_col][i].as_py()
+            for j, fi in enumerate(want):
+                ids.append(cid)
+                fidx.append(int(fi))
+                ts.append(float(fi) / fps)
+                ph.append(self._ahash64(frames[j]))
+                mean.append(float(frames[j].mean()))
+        return pa.Table.from_pydict({
+            self.id_col: pa.array(ids, batch.schema.field(
+                self.id_col).type),
+            "frame_index": pa.array(fidx, pa.int64()),
+            "ts_sec": pa.array(ts, pa.float64()),
+            "phash": pa.array(ph, pa.int64()),
+            "frame_mean": pa.array(mean, pa.float64())})
