@@ -35,7 +35,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .wkb import points_in_polygon, points_in_ring
+from .wkb import (_ring_signed_area as _wkb_signed_area,
+                  points_in_polygon, points_in_ring)
 
 __all__ = [
     "normalize_polygons", "boolean_op", "boolean_area", "union_all",
@@ -46,9 +47,9 @@ _TEPS = 1e-12    # parameter-space tolerance
 
 
 def _ring_signed_area(ring):
-    r = np.asarray(ring, dtype=np.float64)
-    x, y = r[:, 0], r[:, 1]
-    return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+    # shared implementation in geo/wkb.py: wrapping shoelace, so rings
+    # are implicitly closed like the reference's OGRLinearRing
+    return _wkb_signed_area(np.asarray(ring, dtype=np.float64))
 
 
 def normalize_polygons(polys):

@@ -174,8 +174,11 @@ _CSVT_NAME = {pa.int64(): "Integer64", pa.float64(): "Real",
               pa.date32(): "Date"}
 
 
-def write_csv_features(table, path, wkb_col="wkb", write_csvt=False):
-    """Arrow table / pandas frame → CSV with a WKT geometry column."""
+def write_csv_features(table, path, wkb_col="wkb", write_csvt=False,
+                       wkt_precision=15):
+    """Arrow table / pandas frame → CSV with a WKT geometry column
+    (``wkt_precision=17`` emits round-trip-exact coordinates — the
+    OGR_WKT_PRECISION analogue)."""
     if not isinstance(table, pa.Table):
         table = pa.Table.from_pandas(table, preserve_index=False)
     names = [c for c in table.column_names if c != wkb_col]
@@ -190,7 +193,7 @@ def write_csv_features(table, path, wkb_col="wkb", write_csvt=False):
             row = [("" if c[i] is None else c[i]) for c in cols]
             if geoms is not None:
                 row.append("" if geoms[i] is None
-                           else wkb_to_wkt(geoms[i]))
+                           else wkb_to_wkt(geoms[i], wkt_precision))
             w.writerow(row)
     if write_csvt:
         toks = [_CSVT_NAME.get(table.schema.field(c).type, "String")

@@ -190,65 +190,72 @@ def wkt_to_wkb(text):
     return geojson_to_wkb(g)
 
 
-def _fmt(v):
+def _fmt(v, precision=15):
     # OGRFormatDouble defaults (ogr/ogrutils.cpp:226-259): fixed
     # %.15f for |v| < 1, otherwise general 15-significant-digit
     # notation (uppercase exponent), trailing zeros trimmed; integral
-    # coordinates print bare (OGRMakeWktCoordinate int fast path)
+    # coordinates print bare (OGRMakeWktCoordinate int fast path).
+    # precision >= 17 switches to round-trip-exact %.17g (the
+    # OGR_WKT_PRECISION escape hatch).
     if v != v:   # nan
         return "nan"
     if v in (float("inf"), float("-inf")):
         return "inf" if v > 0 else "-inf"
     if v == int(v) and abs(v) < 1e15:
         return str(int(v))
-    s = f"{v:.15f}" if abs(v) < 1 else f"{v:.15G}"
+    if precision >= 17:
+        return repr(v)
+    s = f"{v:.{precision}f}" if abs(v) < 1 else f"{v:.{precision}G}"
     if "." in s and "E" not in s:
         s = s.rstrip("0").rstrip(".")
     return s
 
 
-def _fmt_coords(coords):
-    return ",".join(f"{_fmt(x)} {_fmt(y)}" for x, y in coords)
+def _fmt_coords(coords, precision=15):
+    return ",".join(f"{_fmt(x, precision)} {_fmt(y, precision)}"
+                    for x, y in coords)
 
 
-def _geom_to_wkt(g):
+def _geom_to_wkt(g, precision=15):
     t = g["type"]
     c = g.get("coordinates")
+    P = precision
     if t == "Point":
         if not c or c[0] != c[0]:    # nan-coordinate WKB == POINT EMPTY
             return "POINT EMPTY"
-        return f"POINT ({_fmt(c[0])} {_fmt(c[1])})"
+        return f"POINT ({_fmt(c[0], P)} {_fmt(c[1], P)})"
     if t == "LineString":
         if not c:
             return "LINESTRING EMPTY"
-        return f"LINESTRING ({_fmt_coords(c)})"
+        return f"LINESTRING ({_fmt_coords(c, P)})"
     if t == "Polygon":
         if not c:
             return "POLYGON EMPTY"
         return ("POLYGON (" +
-                ",".join(f"({_fmt_coords(r)})" for r in c) + ")")
+                ",".join(f"({_fmt_coords(r, P)})" for r in c) + ")")
     if t == "MultiPoint":
         if not c:
             return "MULTIPOINT EMPTY"
-        return f"MULTIPOINT ({_fmt_coords(c)})"
+        return f"MULTIPOINT ({_fmt_coords(c, P)})"
     if t == "MultiLineString":
         if not c:
             return "MULTILINESTRING EMPTY"
         return ("MULTILINESTRING (" +
-                ",".join(f"({_fmt_coords(p)})" for p in c) + ")")
+                ",".join(f"({_fmt_coords(p, P)})" for p in c) + ")")
     if t == "MultiPolygon":
         if not c:
             return "MULTIPOLYGON EMPTY"
         return ("MULTIPOLYGON (" + ",".join(
-            "(" + ",".join(f"({_fmt_coords(r)})" for r in p) + ")"
+            "(" + ",".join(f"({_fmt_coords(r, P)})" for r in p) + ")"
             for p in c) + ")")
     geoms = g.get("geometries", [])
     if not geoms:
         return "GEOMETRYCOLLECTION EMPTY"
     return ("GEOMETRYCOLLECTION (" +
-            ",".join(_geom_to_wkt(s) for s in geoms) + ")")
+            ",".join(_geom_to_wkt(s, P) for s in geoms) + ")")
 
 
-def wkb_to_wkt(buf):
-    """WKB → WKT string (classic variant formatting)."""
-    return _geom_to_wkt(wkb_to_geojson(buf))
+def wkb_to_wkt(buf, precision=15):
+    """WKB → WKT string (classic variant formatting; ``precision >= 17``
+    is round-trip exact — the OGR_WKT_PRECISION analogue)."""
+    return _geom_to_wkt(wkb_to_geojson(buf), precision)

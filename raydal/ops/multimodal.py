@@ -32,7 +32,8 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["encode_fake_pcm", "decode_audio", "AudioFeatures",
-           "encode_fake_video", "decode_video_frames", "VideoFrameSample"]
+           "encode_fake_video", "decode_video_frames", "probe_video",
+           "VideoFrameSample"]
 
 _PCM_MAGIC = b"FPCM"
 _VID_MAGIC = b"FVID"
@@ -71,6 +72,20 @@ def encode_fake_video(frames, fps=10):
     n, h, w = f.shape
     return (_VID_MAGIC + struct.pack("<IIHH", fps, n, w, h)
             + zlib.compress(f.tobytes(), 1))
+
+
+def probe_video(buf):
+    """bytes → (n_frames, fps) WITHOUT decoding pixel data.
+
+    SWAP POINT alongside :func:`decode_video_frames` — a real deployment
+    reads the container header via PyAV; stages only see the contract."""
+    buf = bytes(buf[:16])
+    if not buf.startswith(_VID_MAGIC) or len(buf) < 16:
+        raise NotImplementedError(
+            "real video codecs (PyAV/ffmpeg) are not available in this "
+            "environment; payload is not an FVID container")
+    fps, n, w, h = struct.unpack_from("<IIHH", buf, 4)
+    return n, fps
 
 
 def decode_video_frames(buf, indices=None):
@@ -153,7 +168,14 @@ class VideoFrameSample:
 
     @staticmethod
     def _ahash64(frame):
-        # 8×8 average hash: downsample by block mean, threshold at mean
+        # 8×8 average hash: downsample by block mean, threshold at mean.
+        # Frames smaller than 8 px in either axis upsample first so every
+        # block holds ≥1 pixel (no empty-block divide).
+        h, w = frame.shape
+        if h < 8:
+            frame = np.repeat(frame, -(-8 // h), axis=0)
+        if w < 8:
+            frame = np.repeat(frame, -(-8 // w), axis=1)
         h, w = frame.shape
         ys = (np.arange(8) * h) // 8
         xs = (np.arange(8) * w) // 8
@@ -163,20 +185,21 @@ class VideoFrameSample:
                           np.diff(np.append(xs, w)))
         small = small / counts
         bits = (small > small.mean()).ravel()
-        return int(np.packbits(bits).view(">u8")[0].item() - (1 << 63)) \
-            if bits[0] else int(np.packbits(bits).view(">u8")[0].item())
+        # two's-complement reinterpretation keeps all 64 bits distinct
+        return int(np.packbits(bits).view(">i8")[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, fidx, ts, ph, mean = [], [], [], [], []
         payloads = batch[self.payload_col]
         for i in range(batch.num_rows):
             blob = payloads[i].as_py()
-            # probe the header for the frame count, then decode ONLY the
-            # sampled frames (the real-codec swap point keeps this
-            # contract: seek, don't decode-all)
-            n = struct.unpack_from("<I", bytes(blob[:16]), 8)[0]
-            want = np.unique((np.arange(self.k) * max(n, 1))
-                             // self.k)
+            # probe for the frame count, then decode ONLY the sampled
+            # frames (the swap point keeps this contract: seek, don't
+            # decode-all)
+            n, _fps = probe_video(blob)
+            if n == 0:
+                continue
+            want = np.unique((np.arange(self.k) * n) // self.k)
             frames, fps = decode_video_frames(blob, indices=want)
             cid = batch[self.id_col][i].as_py()
             for j, fi in enumerate(want):

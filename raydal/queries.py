@@ -3620,13 +3620,31 @@ def q75_geojson_csv_pip(sf_dir):
     from .io.images import make_points_table, make_zones_table
     from .ops.join import PIPJoinZones, ZoneIndex
 
+    from .geo.wkb import parse_wkb, point_wkb
+    from .pipelines import _CACHE_ROOT
+
     zones_rt = read_geojson(write_geojson(make_zones_table(200),
                                           fid_col="__none__"))
     zones_rt = zones_rt.drop_columns(["fid"])
     pts_tbl = make_points_table(2000)
-    tmp = os.path.join("/tmp", "raydal_cache", "q75_points.csv")
-    write_csv_features(pts_tbl, tmp, write_csvt=True)
+    # attach point geometry so the CSV writer emits a WKT column, then
+    # REDERIVE x/y from the parsed WKT on the way back — the text codec
+    # is load-bearing for the oracle match, not just along for the ride
+    pts_tbl = pts_tbl.append_column(
+        "wkb", pa.array([point_wkb(x, y) for x, y in
+                         zip(pts_tbl["x"].to_pylist(),
+                             pts_tbl["y"].to_pylist())], pa.binary()))
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    tmp = os.path.join(_CACHE_ROOT, "q75_points.csv")
+    write_csv_features(pts_tbl.drop_columns(["x", "y"]), tmp,
+                       write_csvt=True, wkt_precision=17)
     pts_rt = read_csv_features(tmp)
+    xy = [parse_wkb(b)[1][0] for b in pts_rt["wkb"].to_pylist()]
+    pts_rt = pts_rt.drop_columns(["wkb"])
+    pts_rt = pts_rt.append_column(
+        "x", pa.array([float(p[0]) for p in xy], pa.float64()))
+    pts_rt = pts_rt.append_column(
+        "y", pa.array([float(p[1]) for p in xy], pa.float64()))
     zi_ref = ray.put(ZoneIndex(zones_rt))
     pts = ray.data.from_arrow(pts_rt)
     return pts.map_batches(

@@ -108,3 +108,45 @@ class TestStages:
         c = set(out[out.clip_id == "v1"]["phash"])
         assert a == b
         assert a != c
+
+
+class TestEdgeCases:
+    def test_top_bit_hashes_stay_distinct(self):
+        # frames whose 8x8 bit patterns differ only in bit 63 must not
+        # collide (two's-complement reinterpretation, not offset)
+        a = np.zeros((8, 8), np.uint8)
+        a[0, 0] = 255          # top-left block above mean → bit 63 set
+        a[7, :] = 200
+        b = a.copy()
+        b[0, 0] = 0            # clear bit 63 only
+        ha = VideoFrameSample._ahash64(a)
+        hb = VideoFrameSample._ahash64(b)
+        assert ha != hb
+
+    def test_tiny_frames_hash_without_warnings(self):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            h = VideoFrameSample._ahash64(
+                np.arange(24, dtype=np.uint8).reshape(4, 6))
+        assert isinstance(h, int)
+
+    def test_zero_frame_video_emits_no_rows(self, ray_session):
+        import ray.data
+
+        empty = encode_fake_video(np.zeros((0, 16, 16), np.uint8))
+        ds = ray.data.from_items(
+            [{"clip_id": "e", "video": empty}] + _videos(1))
+        out = ds.map_batches(VideoFrameSample, batch_format="pyarrow",
+                             concurrency=1).to_pandas()
+        assert set(out["clip_id"]) == {"v0"}
+
+    def test_probe_video_swap_point(self):
+        from raydal.ops.multimodal import probe_video
+
+        with pytest.raises(NotImplementedError):
+            probe_video(b"\x00\x00\x00 ftypmp4.....")
+        n, fps = probe_video(encode_fake_video(
+            np.zeros((3, 4, 4), np.uint8), fps=7))
+        assert (n, fps) == (3, 7)
