@@ -285,6 +285,87 @@ def _raster_select(ds, bands):
     return ds.map_batches(select, batch_format="pyarrow")
 
 
+@register_step("raster-sieve")
+def _raster_sieve(ds, threshold, connectivity=4):
+    """gdal raster sieve analogue over the image table (band 1),
+    GDALSieveFilter-exact semantics (published-checksum-validated in
+    ops/fill.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .io.codecs import decode, encode
+    from .ops.fill import sieve
+
+    def run(t: pa.Table) -> pa.Table:
+        blobs = []
+        for i in range(t.num_rows):
+            px = decode(t["bytes"][i].as_py())
+            band = px[:, :, 0] if px.ndim == 3 else px
+            out = sieve(band, threshold, connectivity)
+            blobs.append(encode(out.astype(band.dtype),
+                                t["fmt"][i].as_py()))
+        idx = t.schema.get_field_index("bytes")
+        return t.set_column(idx, "bytes", pa.array(blobs, pa.binary()))
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+@register_step("raster-proximity")
+def _raster_proximity(ds, target_values=None, max_dist=None,
+                      nodata=65535.0):
+    """gdal raster proximity analogue: per-image distance-to-target
+    raster (band 1), emitted as float64 stats + re-encoded byte
+    distances (GDALComputeProximity semantics, published-checksum
+    validated)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .io.codecs import decode, encode
+    from .kernels.resample import copy_words_cast
+    from .ops.fill import proximity
+
+    def run(t: pa.Table) -> pa.Table:
+        blobs = []
+        for i in range(t.num_rows):
+            px = decode(t["bytes"][i].as_py())
+            band = px[:, :, 0] if px.ndim == 3 else px
+            d = proximity(band, target_values=target_values,
+                          max_dist=max_dist, nodata=nodata)
+            blobs.append(encode(copy_words_cast(
+                np.minimum(d, 255.0), np.uint8), t["fmt"][i].as_py()))
+        idx = t.schema.get_field_index("bytes")
+        return t.set_column(idx, "bytes", pa.array(blobs, pa.binary()))
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+@register_step("raster-fill-nodata")
+def _raster_fill_nodata(ds, nodata, max_dist=16, smoothing_iterations=0):
+    """gdal raster fill-nodata analogue (alg/rasterfill.cpp semantics,
+    published-grid validated) over band 1 of each image."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .io.codecs import decode, encode
+    from .kernels.resample import copy_words_cast
+    from .ops.fill import fillnodata
+
+    def run(t: pa.Table) -> pa.Table:
+        blobs = []
+        for i in range(t.num_rows):
+            px = decode(t["bytes"][i].as_py())
+            band = px[:, :, 0] if px.ndim == 3 else px
+            out = fillnodata(band.astype(np.float64), nodata=nodata,
+                             max_dist=max_dist,
+                             smoothing_iterations=smoothing_iterations)
+            blobs.append(encode(copy_words_cast(out, np.uint8),
+                                t["fmt"][i].as_py()))
+        idx = t.schema.get_field_index("bytes")
+        return t.set_column(idx, "bytes", pa.array(blobs, pa.binary()))
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
 @register_step("raster-calc")
 def _raster_calc(ds, expr, dtype="uint8"):
     """gdal raster calc analogue: evaluate a band-algebra expression per

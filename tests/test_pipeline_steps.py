@@ -292,3 +292,22 @@ class TestWarpCutline:
             ray.data.from_arrow(t),
             [("warp", {"concurrency": 1, "cutline": [ring]})]).to_pandas()
         assert cut.iloc[0]["checksum_b0"] == plain.iloc[0]["checksum_b0"]
+
+
+class TestFillFamilySteps:
+    def test_sieve_proximity_fill_steps(self, ray_session):
+        import ray.data
+
+        from raydal.io.codecs import decode
+        from raydal.io.images import synthesize_images_batch
+        from raydal.pipeline import run_pipeline
+
+        t = synthesize_images_batch(np.arange(2))
+        for step, params in [("raster-sieve", {"threshold": 4}),
+                             ("raster-proximity", {"max_dist": 10}),
+                             ("raster-fill-nodata", {"nodata": 0})]:
+            out = run_pipeline(ray.data.from_arrow(t), [(step, params)])
+            df = out.to_pandas()
+            assert len(df) == 2
+            px = decode(df.iloc[0]["bytes"])
+            assert px.shape[:2] == decode(t["bytes"][0].as_py()).shape[:2]
