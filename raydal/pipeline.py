@@ -285,6 +285,138 @@ def _raster_select(ds, bands):
     return ds.map_batches(select, batch_format="pyarrow")
 
 
+def _per_image_band_step(fn, out_dtype=None):
+    """Factory: lift an ``array → array`` kernel over band 1 of every
+    image row (decode → kernel → GDALCopyWords cast → re-encode)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .io.codecs import decode, encode
+    from .kernels.resample import copy_words_cast
+
+    def step(t: pa.Table) -> pa.Table:
+        blobs = []
+        for i in range(t.num_rows):
+            px = decode(t["bytes"][i].as_py())
+            band = px[:, :, 0] if px.ndim == 3 else px
+            out = fn(band,
+                     tuple(t["gt"][i].as_py()) if "gt" in t.column_names
+                     else None)
+            dt = out_dtype or band.dtype
+            blobs.append(encode(copy_words_cast(
+                np.asarray(out, dtype=np.float64), np.dtype(dt)),
+                t["fmt"][i].as_py()))
+        idx = t.schema.get_field_index("bytes")
+        return t.set_column(idx, "bytes", pa.array(blobs, pa.binary()))
+
+    return step
+
+
+@register_step("raster-scale")
+def _raster_scale(ds, scale=1.0, offset=0.0, exponent=None):
+    """gdal raster scale analogue: dst = src*scale + offset (optional
+    -exponent variant, gdal_translate -scale semantics)."""
+    def fn(band, gt):
+        out = band.astype("float64") * scale + offset
+        if exponent is not None:
+            out = out ** exponent
+        return out
+
+    return ds.map_batches(_per_image_band_step(fn),
+                          batch_format="pyarrow")
+
+
+@register_step("raster-set-type")
+def _raster_set_type(ds, dtype):
+    """gdal raster set-type analogue: GDALCopyWords floor(x+0.5)/clamp
+    cast of every band-1 pixel."""
+    return ds.map_batches(
+        _per_image_band_step(lambda band, gt: band, out_dtype=dtype),
+        batch_format="pyarrow")
+
+
+@register_step("raster-reclassify")
+def _raster_reclassify(ds, table, default=None):
+    """gdal raster reclassify analogue (value → value map)."""
+    from .ops.raster_math import reclassify
+
+    # JSON-decoded mapping keys arrive as strings
+    tbl = {float(k): v for k, v in dict(table).items()}
+
+    return ds.map_batches(
+        _per_image_band_step(
+            lambda band, gt: reclassify(band, tbl, default=default)),
+        batch_format="pyarrow")
+
+
+@register_step("raster-hillshade")
+def _raster_hillshade(ds, z_factor=1.0, azimuth=315.0, altitude=45.0):
+    """gdal raster hillshade analogue (Horn gradients, published-checksum
+    validated kernels) over band 1, pixel size from each image's gt."""
+    from .ops.raster_math import hillshade
+
+    def fn(band, gt):
+        xres = abs(gt[1]) if gt else 1.0
+        yres = abs(gt[5]) if gt else 1.0
+        return hillshade(band.astype("float64"), xres, yres,
+                         azimuth=azimuth, altitude=altitude,
+                         z_factor=z_factor)
+
+    return ds.map_batches(_per_image_band_step(fn, out_dtype="uint8"),
+                          batch_format="pyarrow")
+
+
+@register_step("raster-color-map")
+def _raster_color_map(ds, breakpoints):
+    """gdal raster color-map / color-relief analogue: band 1 through the
+    interpolated color ramp → RGB re-encode."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .io.codecs import decode, encode
+    from .ops.color import color_relief
+
+    bps = [(float(v), float(rgb[0]), float(rgb[1]), float(rgb[2]))
+           for v, rgb in breakpoints]
+
+    def run(t: pa.Table) -> pa.Table:
+        blobs = []
+        for i in range(t.num_rows):
+            px = decode(t["bytes"][i].as_py())
+            band = px[:, :, 0] if px.ndim == 3 else px
+            rgb = color_relief(band.astype(np.float64), bps)
+            blobs.append(encode(rgb, t["fmt"][i].as_py()))
+        idx = t.schema.get_field_index("bytes")
+        return t.set_column(idx, "bytes", pa.array(blobs, pa.binary()))
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+@register_step("raster-clean-collar")
+def _raster_clean_collar(ds, threshold=15, color="black",
+                         pixel_distance=2):
+    """gdal raster clean-collar / nearblack analogue (per-band near
+    criterion, published-checksum validated)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .io.codecs import decode, encode
+    from .ops.raster_math import clean_collar
+
+    def run(t: pa.Table) -> pa.Table:
+        blobs = []
+        for i in range(t.num_rows):
+            px = decode(t["bytes"][i].as_py())
+            out, mask = clean_collar(px, threshold=threshold,
+                                     color=color,
+                                     pixel_distance=pixel_distance)
+            blobs.append(encode(out, t["fmt"][i].as_py()))
+        idx = t.schema.get_field_index("bytes")
+        return t.set_column(idx, "bytes", pa.array(blobs, pa.binary()))
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
 @register_step("raster-sieve")
 def _raster_sieve(ds, threshold, connectivity=4):
     """gdal raster sieve analogue over the image table (band 1),

@@ -311,3 +311,37 @@ class TestFillFamilySteps:
             assert len(df) == 2
             px = decode(df.iloc[0]["bytes"])
             assert px.shape[:2] == decode(t["bytes"][0].as_py()).shape[:2]
+
+
+class TestBandKernelSteps:
+    def test_scale_settype_reclassify_hillshade_colormap_collar(
+            self, ray_session):
+        import ray.data
+
+        from raydal.io.codecs import decode
+        from raydal.io.images import synthesize_images_batch
+        from raydal.pipeline import run_pipeline
+
+        t = synthesize_images_batch(np.arange(2))
+        orig = decode(t["bytes"][0].as_py())
+        b0 = orig[:, :, 0] if orig.ndim == 3 else orig
+
+        out = run_pipeline(ray.data.from_arrow(t),
+                           [("raster-scale", {"scale": 0.5})]).to_pandas()
+        px = decode(out.iloc[0]["bytes"])
+        p0 = px[:, :, 0] if px.ndim == 3 else px
+        if t["fmt"][0].as_py() == "png":
+            expect = np.clip(np.floor(b0 * 0.5 + 0.5), 0, 255)
+            np.testing.assert_array_equal(p0, expect.astype(np.uint8))
+
+        for step, params in [
+                ("raster-set-type", {"dtype": "uint8"}),
+                ("raster-reclassify", {"table": {0: 255}, "default": None}),
+                ("raster-hillshade", {}),
+                ("raster-color-map", {"breakpoints": [
+                    (0, (0, 0, 255)), (255, (255, 0, 0))]}),
+                ("raster-clean-collar", {"threshold": 10})]:
+            df = run_pipeline(ray.data.from_arrow(t),
+                              [(step, params)]).to_pandas()
+            assert len(df) == 2
+            assert decode(df.iloc[0]["bytes"]).shape[:2] == b0.shape
