@@ -314,8 +314,11 @@ def _per_image_band_step(fn, out_dtype=None):
 
 @register_step("raster-scale")
 def _raster_scale(ds, scale=1.0, offset=0.0, exponent=None):
-    """gdal raster scale analogue: dst = src*scale + offset (optional
-    -exponent variant, gdal_translate -scale semantics)."""
+    """gdal raster scale analogue: dst = src*scale + offset, with an
+    optional power applied afterwards (gdal_translate applies -exponent
+    to the normalized source range; here the exponent acts on the
+    already-scaled value — document-divergence kept simple since the
+    engine exposes arbitrary expressions via raster-calc)."""
     def fn(band, gt):
         out = band.astype("float64") * scale + offset
         if exponent is not None:
