@@ -118,6 +118,10 @@ def _warp(ds, dst_crs=3857, resample="bilinear", concurrency=4,
                           concurrency=concurrency)
 
 
+# the reference CLI names this verb "reproject"; keep both spellings
+STEP_REGISTRY["raster-reproject"] = _warp
+
+
 @register_step("text-quality")
 def _quality(ds, col="text"):
     from .ops.text import quality_score_batch, token_count_batch
