@@ -424,6 +424,49 @@ def _raster_clean_collar(ds, threshold=15, color="black",
     return ds.map_batches(run, batch_format="pyarrow")
 
 
+@register_step("raster-contour")
+def _raster_contour(ds, levels=(64.0, 128.0)):
+    """gdal raster contour analogue: marching-squares iso-lines of each
+    image's band 1 at the given levels, emitted as one LineString-WKB
+    row per chained polyline in world coordinates (raster → vector
+    dataset-shape change, like the reference's contour step)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .geo.affine import apply_gt
+    from .geo.wkb import linestring_wkb
+    from .io.codecs import decode
+    from .ops.contour import chain_segments, contour_segments
+
+    levels = tuple(float(v) for v in levels)
+
+    def run(t: pa.Table) -> pa.Table:
+        ids, lvl, wkbs = [], [], []
+        for i in range(t.num_rows):
+            px = decode(t["bytes"][i].as_py())
+            band = (px[:, :, 0] if px.ndim == 3
+                    else px).astype(np.float64)
+            gt = (tuple(t["gt"][i].as_py())
+                  if "gt" in t.column_names else None)
+            img_id = t["image_id"][i].as_py()
+            for level in levels:
+                segs = contour_segments(band, level)
+                for line in chain_segments(segs):
+                    pts = np.asarray(line, dtype=np.float64)
+                    if gt is not None:
+                        gx, gy = apply_gt(gt, pts[:, 0], pts[:, 1])
+                        pts = np.stack([gx, gy], axis=1)
+                    ids.append(img_id)
+                    lvl.append(level)
+                    wkbs.append(linestring_wkb(pts))
+        return pa.Table.from_pydict({
+            "image_id": pa.array(ids, pa.string()),
+            "level": pa.array(lvl, pa.float64()),
+            "wkb": pa.array(wkbs, pa.binary())})
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
 @register_step("raster-sieve")
 def _raster_sieve(ds, threshold, connectivity=4):
     """gdal raster sieve analogue over the image table (band 1),

@@ -345,3 +345,28 @@ class TestBandKernelSteps:
                               [(step, params)]).to_pandas()
             assert len(df) == 2
             assert decode(df.iloc[0]["bytes"]).shape[:2] == b0.shape
+
+
+class TestContourStep:
+    def test_contour_emits_world_polylines(self, ray_session):
+        import ray.data
+
+        from raydal.geo.wkb import parse_wkb, wkb_geom_type, LINESTRING
+        from raydal.io.images import synthesize_images_batch
+        from raydal.pipeline import run_pipeline
+
+        t = synthesize_images_batch(np.arange(1))
+        out = run_pipeline(ray.data.from_arrow(t),
+                           [("raster-contour", {"levels": [128.0]})])
+        df = out.to_pandas()
+        assert len(df) > 0
+        assert set(df["level"]) == {128.0}
+        buf = df.iloc[0]["wkb"]
+        assert wkb_geom_type(buf) == LINESTRING
+        # world coordinates: inside the image's geotransformed extent
+        gt = t["gt"][0].as_py()
+        w, h = t["w"][0].as_py(), t["h"][0].as_py()
+        _, coords = parse_wkb(buf)
+        xs = coords[:, 0]
+        assert xs.min() >= min(gt[0], gt[0] + gt[1] * w) - 1e-6
+        assert xs.max() <= max(gt[0], gt[0] + gt[1] * w) + 1e-6
