@@ -467,6 +467,45 @@ def _raster_contour(ds, levels=(64.0, 128.0)):
     return ds.map_batches(run, batch_format="pyarrow")
 
 
+@register_step("raster-polygonize")
+def _raster_polygonize(ds, connectivity=4, background=None):
+    """gdal raster polygonize analogue: per-image connected components
+    of band 1 → one polygon row (world-coordinate outer ring WKB, DN
+    value, pixel count) — published-fixture-validated kernels
+    (ops/polygonize.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .geo.wkb import polygon_wkb
+    from .io.codecs import decode
+    from .ops.polygonize import polygonize_array
+
+    def run(t: pa.Table) -> pa.Table:
+        ids, dn, npx, holes, wkbs = [], [], [], [], []
+        for i in range(t.num_rows):
+            px = decode(t["bytes"][i].as_py())
+            band = px[:, :, 0] if px.ndim == 3 else px
+            gt = (tuple(t["gt"][i].as_py())
+                  if "gt" in t.column_names else None)
+            img_id = t["image_id"][i].as_py()
+            for p in polygonize_array(band, gt=gt,
+                                      connectivity=connectivity,
+                                      background=background):
+                ids.append(img_id)
+                dn.append(float(p["value"]))
+                npx.append(int(p["n_pixels"]))
+                holes.append(int(p["n_holes"]))
+                wkbs.append(polygon_wkb([np.asarray(p["ring"])]))
+        return pa.Table.from_pydict({
+            "image_id": pa.array(ids, pa.string()),
+            "dn": pa.array(dn, pa.float64()),
+            "n_pixels": pa.array(npx, pa.int64()),
+            "n_holes": pa.array(holes, pa.int64()),
+            "wkb": pa.array(wkbs, pa.binary())})
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
 @register_step("raster-sieve")
 def _raster_sieve(ds, threshold, connectivity=4):
     """gdal raster sieve analogue over the image table (band 1),

@@ -370,3 +370,25 @@ class TestContourStep:
         xs = coords[:, 0]
         assert xs.min() >= min(gt[0], gt[0] + gt[1] * w) - 1e-6
         assert xs.max() <= max(gt[0], gt[0] + gt[1] * w) + 1e-6
+
+
+class TestPolygonizeStep:
+    def test_polygonize_rows(self, ray_session):
+        import ray.data
+
+        from raydal.geo.wkb import POLYGON, wkb_geom_type
+        from raydal.io.images import synthesize_images_batch
+        from raydal.pipeline import run_pipeline
+
+        t = synthesize_images_batch(np.arange(1))
+        out = run_pipeline(
+            ray.data.from_arrow(t),
+            [("raster-sieve", {"threshold": 64}),  # coarsen components
+             ("raster-polygonize", {})])
+        df = out.to_pandas()
+        assert len(df) > 0
+        assert wkb_geom_type(df.iloc[0]["wkb"]) == POLYGON
+        # pixel counts conserve the raster area
+        w, h = t["w"][0].as_py(), t["h"][0].as_py()
+        per_img = df.groupby("image_id")["n_pixels"].sum()
+        assert int(per_img.iloc[0]) == w * h
