@@ -298,18 +298,30 @@ def _per_image_band_step(fn, out_dtype=None):
     from .io.codecs import decode, encode
     from .kernels.resample import copy_words_cast
 
+    def one(band, gt, dt):
+        out = np.asarray(fn(band, gt), dtype=np.float64)
+        if np.dtype(dt).kind == "f":
+            return out.astype(dt)
+        return copy_words_cast(out, np.dtype(dt))
+
     def step(t: pa.Table) -> pa.Table:
         blobs = []
         for i in range(t.num_rows):
             px = decode(t["bytes"][i].as_py())
-            band = px[:, :, 0] if px.ndim == 3 else px
-            out = fn(band,
-                     tuple(t["gt"][i].as_py()) if "gt" in t.column_names
-                     else None)
-            dt = out_dtype or band.dtype
-            blobs.append(encode(copy_words_cast(
-                np.asarray(out, dtype=np.float64), np.dtype(dt)),
-                t["fmt"][i].as_py()))
+            gt = (tuple(t["gt"][i].as_py())
+                  if "gt" in t.column_names else None)
+            dt = out_dtype or px.dtype
+            if np.dtype(dt) != np.uint8:
+                raise NotImplementedError(
+                    "image-table payloads are 8-bit PNG/JPEG; for other "
+                    "working dtypes use the kernels directly "
+                    "(ops/raster_math.set_type) on TIFF-backed pixels")
+            if px.ndim == 3:           # every band, like the reference
+                out = np.stack([one(px[:, :, b], gt, dt)
+                                for b in range(px.shape[2])], axis=2)
+            else:
+                out = one(px, gt, dt)
+            blobs.append(encode(out, t["fmt"][i].as_py()))
         idx = t.schema.get_field_index("bytes")
         return t.set_column(idx, "bytes", pa.array(blobs, pa.binary()))
 
@@ -336,7 +348,9 @@ def _raster_scale(ds, scale=1.0, offset=0.0, exponent=None):
 @register_step("raster-set-type")
 def _raster_set_type(ds, dtype):
     """gdal raster set-type analogue: GDALCopyWords floor(x+0.5)/clamp
-    cast of every band-1 pixel."""
+    cast of every band.  The encoded image table carries 8-bit payloads,
+    so only ``uint8`` round-trips through this step; other working
+    dtypes raise with a pointer at the library-level kernel."""
     return ds.map_batches(
         _per_image_band_step(lambda band, gt: band, out_dtype=dtype),
         batch_format="pyarrow")
@@ -347,8 +361,14 @@ def _raster_reclassify(ds, table, default=None):
     """gdal raster reclassify analogue (value → value map)."""
     from .ops.raster_math import reclassify
 
-    # JSON-decoded mapping keys arrive as strings
-    tbl = {float(k): v for k, v in dict(table).items()}
+    # JSON-decoded scalar keys arrive as strings; (lo, hi) range keys
+    # pass through to the kernel untouched
+    tbl = {}
+    for k, v in dict(table).items():
+        if isinstance(k, (tuple, list)):
+            tbl[tuple(float(x) for x in k)] = v
+        else:
+            tbl[float(k)] = v
 
     return ds.map_batches(
         _per_image_band_step(
@@ -441,6 +461,8 @@ def _raster_contour(ds, levels=(64.0, 128.0)):
     levels = tuple(float(v) for v in levels)
 
     def run(t: pa.Table) -> pa.Table:
+        if "image_id" not in t.column_names:
+            raise ValueError("raster-contour needs an 'image_id' column")
         ids, lvl, wkbs = [], [], []
         for i in range(t.num_rows):
             px = decode(t["bytes"][i].as_py())
@@ -454,7 +476,10 @@ def _raster_contour(ds, levels=(64.0, 128.0)):
                 for line in chain_segments(segs):
                     pts = np.asarray(line, dtype=np.float64)
                     if gt is not None:
-                        gx, gy = apply_gt(gt, pts[:, 0], pts[:, 1])
+                        # contour coords are pixel CENTERS; the affine
+                        # expects corner-based pixel coords (+0.5)
+                        gx, gy = apply_gt(gt, pts[:, 0] + 0.5,
+                                          pts[:, 1] + 0.5)
                         pts = np.stack([gx, gy], axis=1)
                     ids.append(img_id)
                     lvl.append(level)
@@ -481,6 +506,9 @@ def _raster_polygonize(ds, connectivity=4, background=None):
     from .ops.polygonize import polygonize_array
 
     def run(t: pa.Table) -> pa.Table:
+        if "image_id" not in t.column_names:
+            raise ValueError(
+                "raster-polygonize needs an 'image_id' column")
         ids, dn, npx, holes, wkbs = [], [], [], [], []
         for i in range(t.num_rows):
             px = decode(t["bytes"][i].as_py())
@@ -535,9 +563,9 @@ def _raster_sieve(ds, threshold, connectivity=4):
 def _raster_proximity(ds, target_values=None, max_dist=None,
                       nodata=65535.0):
     """gdal raster proximity analogue: per-image distance-to-target
-    raster (band 1), emitted as float64 stats + re-encoded byte
-    distances (GDALComputeProximity semantics, published-checksum
-    validated)."""
+    raster (band 1) re-encoded as Byte distances — the same clamp a
+    Byte destination gets in the reference (test_proximity_1 semantics:
+    values and the nodata sentinel alike saturate at 255)."""
     import numpy as np
     import pyarrow as pa
 
@@ -579,7 +607,7 @@ def _raster_fill_nodata(ds, nodata, max_dist=16, smoothing_iterations=0):
             out = fillnodata(band.astype(np.float64), nodata=nodata,
                              max_dist=max_dist,
                              smoothing_iterations=smoothing_iterations)
-            blobs.append(encode(copy_words_cast(out, np.uint8),
+            blobs.append(encode(copy_words_cast(out, band.dtype),
                                 t["fmt"][i].as_py()))
         idx = t.schema.get_field_index("bytes")
         return t.set_column(idx, "bytes", pa.array(blobs, pa.binary()))

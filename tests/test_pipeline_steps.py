@@ -392,3 +392,62 @@ class TestPolygonizeStep:
         w, h = t["w"][0].as_py(), t["h"][0].as_py()
         per_img = df.groupby("image_id")["n_pixels"].sum()
         assert int(per_img.iloc[0]) == w * h
+
+
+class TestStepReviewRegressions:
+    def test_scale_preserves_all_bands(self, ray_session):
+        import ray.data
+
+        from raydal.io.codecs import decode
+        from raydal.io.images import synthesize_images_batch
+        from raydal.pipeline import run_pipeline
+
+        t = synthesize_images_batch(np.arange(1))
+        orig = decode(t["bytes"][0].as_py())
+        if orig.ndim != 3:
+            pytest.skip("fixture not multiband")
+        out = run_pipeline(ray.data.from_arrow(t),
+                           [("raster-scale", {"scale": 1.0})]).to_pandas()
+        px = decode(out.iloc[0]["bytes"])
+        assert px.ndim == 3 and px.shape[2] == orig.shape[2]
+        if t["fmt"][0].as_py() == "png":
+            np.testing.assert_array_equal(px, orig)
+
+    def test_contour_world_coords_pixel_center_offset(self, ray_session):
+        import ray.data
+
+        from raydal.geo.wkb import parse_wkb
+        from raydal.io.codecs import decode
+        from raydal.io.images import synthesize_images_batch
+        from raydal.ops.contour import contour_segments
+        from raydal.pipeline import run_pipeline
+
+        t = synthesize_images_batch(np.arange(1))
+        px = decode(t["bytes"][0].as_py())
+        band = (px[:, :, 0] if px.ndim == 3 else px).astype(np.float64)
+        gt = t["gt"][0].as_py()
+        # kernel's own gt path is the ground truth for world mapping
+        segs = contour_segments(band, 128.0, gt=tuple(gt))
+        ref_xs = np.asarray([p for s in segs for p in s])[:, 0]
+        out = run_pipeline(ray.data.from_arrow(t),
+                           [("raster-contour", {"levels": [128.0]})])
+        xs = np.concatenate([
+            parse_wkb(b)[1][:, 0]
+            for b in out.to_pandas()["wkb"]])
+        assert abs(xs.min() - ref_xs.min()) < 1e-9
+        assert abs(xs.max() - ref_xs.max()) < 1e-9
+
+    def test_reclassify_range_keys(self, ray_session):
+        import ray.data
+
+        from raydal.io.codecs import decode
+        from raydal.io.images import synthesize_images_batch
+        from raydal.pipeline import run_pipeline
+
+        t = synthesize_images_batch(np.arange(1))
+        out = run_pipeline(
+            ray.data.from_arrow(t),
+            [("raster-reclassify", {"table": {(0, 255): 7}})]).to_pandas()
+        px = decode(out.iloc[0]["bytes"])
+        if t["fmt"][0].as_py() == "png":
+            assert (np.unique(px) == [7]).all()
