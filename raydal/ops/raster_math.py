@@ -24,7 +24,7 @@ import numpy as np
 from ..kernels.resample import copy_words_cast
 
 __all__ = ["PIXEL_FUNCTIONS", "apply_pixel_function", "set_type",
-           "gdal_histogram",
+           "gdal_histogram", "parse_reclassify_mapping", "reclassify_mapping",
            "reclassify", "hillshade", "slope", "aspect", "tri", "tpi",
            "roughness", "stats_partial", "stats_merge", "stats_final",
            "pansharpen", "clean_collar"]
@@ -91,6 +91,77 @@ def set_type(arr, dtype):
         v = np.trunc(arr.astype(np.float64) + 0.5)
         return np.clip(v, info.min, info.max).astype(dtype)
     return arr.astype(dtype)
+
+
+def parse_reclassify_mapping(text):
+    """Parse the reference's reclassify mapping DSL
+    (``frmts/vrt/vrtreclassifier.cpp`` Interval::Parse +
+    ``test_gdalalg_raster_reclassify.py`` examples):
+    ``165 = 120; (-inf, 0) = 140; (0, 100] = PASS_THROUGH; DEFAULT = 160``
+    — ``#`` comments, newline/semicolon separators, open/closed interval
+    bounds, ``-inf``/``inf``, PASS_THROUGH and DEFAULT.
+
+    Returns ``(rules, default)`` where rules are
+    ``(lo, hi, lo_inc, hi_inc, target)`` evaluated in order (a scalar
+    key becomes a closed single-point interval); target is a float or
+    the string ``"PASS_THROUGH"``."""
+    import re
+
+    rules = []
+    default = None
+    body = re.sub(r"#[^\n]*", "", text)
+    for part in re.split(r"[;\n]", body):
+        part = part.strip()
+        if not part:
+            continue
+        lhs, _, rhs = part.partition("=")
+        lhs, rhs = lhs.strip(), rhs.strip()
+        if rhs.upper() == "PASS_THROUGH":
+            tgt = "PASS_THROUGH"
+        elif rhs.upper() == "NO_DATA":
+            raise ValueError(
+                "NO_DATA targets need a band nodata value; the image "
+                "table carries none (reference parity gap documented)")
+        else:
+            tgt = float(rhs)
+        if lhs.upper() == "DEFAULT":
+            default = tgt
+            continue
+        if lhs.upper() == "NO_DATA":
+            raise ValueError(
+                "NO_DATA source needs a band nodata value; unsupported "
+                "on the image table")
+        m = re.match(r"^([\(\[])\s*(-?inf|[-+0-9.eE]+)\s*,"
+                     r"\s*(-?inf|\+?inf|[-+0-9.eE]+)\s*([\)\]])$", lhs)
+        if m:
+            lo = float(m.group(2).replace("inf", "inf"))
+            hi = float(m.group(3))
+            rules.append((lo, hi, m.group(1) == "[", m.group(4) == "]",
+                          tgt))
+        else:
+            v = float(lhs)
+            rules.append((v, v, True, True, tgt))
+    return rules, default
+
+
+def reclassify_mapping(arr, text):
+    """Apply a DSL mapping string (first matching rule wins, DEFAULT for
+    the rest; unmatched without DEFAULT passes through — the
+    vrtreclassifier evaluation order)."""
+    rules, default = parse_reclassify_mapping(text)
+    arr = np.asarray(arr, dtype=np.float64)
+    out = arr.copy()
+    matched = np.zeros(arr.shape, dtype=bool)
+    for lo, hi, lo_inc, hi_inc, tgt in rules:
+        sel = (arr >= lo) if lo_inc else (arr > lo)
+        sel &= (arr <= hi) if hi_inc else (arr < hi)
+        sel &= ~matched
+        if tgt != "PASS_THROUGH":
+            out[sel] = tgt
+        matched |= sel
+    if default is not None:
+        out[~matched] = default
+    return out
 
 
 def reclassify(arr, table, default=None):

@@ -357,10 +357,21 @@ def _raster_set_type(ds, dtype):
 
 
 @register_step("raster-reclassify")
-def _raster_reclassify(ds, table, default=None):
-    """gdal raster reclassify analogue (value → value map)."""
-    from .ops.raster_math import reclassify
+def _raster_reclassify(ds, table=None, default=None, mapping=None):
+    """gdal raster reclassify analogue.  ``mapping`` takes the
+    reference's DSL string ("165 = 120; (0, 100] = 140; DEFAULT = 160",
+    ``frmts/vrt/vrtreclassifier.cpp`` grammar incl. open/closed bounds,
+    -inf/inf, PASS_THROUGH, # comments); ``table`` takes a dict of
+    scalar or (lo, hi) inclusive-range keys."""
+    from .ops.raster_math import (parse_reclassify_mapping, reclassify,
+                                  reclassify_mapping)
 
+    if mapping is not None:
+        parse_reclassify_mapping(mapping)   # validate at plan time
+        return ds.map_batches(
+            _per_image_band_step(
+                lambda band, gt: reclassify_mapping(band, mapping)),
+            batch_format="pyarrow")
     # JSON-decoded scalar keys arrive as strings; (lo, hi) range keys
     # pass through to the kernel untouched
     tbl = {}

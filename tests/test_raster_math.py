@@ -108,3 +108,38 @@ class TestStats:
         arr = np.array([1.0, -9999.0, 3.0])
         p = rm.stats_partial(arr, nodata=-9999.0)
         assert p["count"] == 2 and p["sum"] == 4.0
+
+
+class TestReclassifyMappingDSL:
+    def test_reference_example_semantics(self):
+        """The exact mapping string from
+        test_gdalalg_raster_reclassify.py:46-48 (minus the NO_DATA rule,
+        which needs a band nodata the image table doesn't carry)."""
+        from raydal.ops.raster_math import reclassify_mapping
+
+        m = ("165 = 120; (-inf, 0) = 140; (0, 100] = 140; "
+             "(100,  130] = PASS_THROUGH; DEFAULT = 160")
+        arr = np.array([165.0, -5.0, 50.0, 120.0, 150.0, 0.0, 100.0,
+                        130.0])
+        out = reclassify_mapping(arr, m)
+        np.testing.assert_array_equal(
+            out, [120, 140, 140, 120, 160, 160, 140, 130])
+
+    def test_comments_and_newlines(self):
+        from raydal.ops.raster_math import reclassify_mapping
+
+        m = """
+        # A sample reclassification
+        165         = 120
+        [0, 100)    = 7  # closed-open
+        """
+        out = reclassify_mapping(np.array([165.0, 0.0, 100.0]), m)
+        np.testing.assert_array_equal(out, [120, 7, 100])
+
+    def test_nodata_rules_raise(self):
+        from raydal.ops.raster_math import parse_reclassify_mapping
+
+        with pytest.raises(ValueError):
+            parse_reclassify_mapping("NO_DATA = 5")
+        with pytest.raises(ValueError):
+            parse_reclassify_mapping("5 = NO_DATA")
