@@ -404,6 +404,37 @@ def _raster_hillshade(ds, z_factor=1.0, azimuth=315.0, altitude=45.0):
                           batch_format="pyarrow")
 
 
+def _dem_step(kernel_name, **fixed):
+    """Factory for the gdaldem-family verbs over band 1 (published-
+    checksum-validated kernels in ops/raster_math.py)."""
+    from .ops import raster_math as RM
+
+    kern = getattr(RM, kernel_name)
+
+    def factory(ds, **params):
+        kw = dict(fixed)
+        kw.update(params)
+
+        def fn(band, gt):
+            xres = abs(gt[1]) if gt else 1.0
+            yres = abs(gt[5]) if gt else 1.0
+            return kern(band.astype("float64"), xres, yres, **kw) \
+                if kernel_name in ("slope", "aspect", "hillshade") \
+                else kern(band.astype("float64"))
+
+        return ds.map_batches(_per_image_band_step(fn, out_dtype="uint8"),
+                              batch_format="pyarrow")
+
+    return factory
+
+
+STEP_REGISTRY["raster-slope"] = _dem_step("slope")
+STEP_REGISTRY["raster-aspect"] = _dem_step("aspect")
+STEP_REGISTRY["raster-tpi"] = _dem_step("tpi")
+STEP_REGISTRY["raster-tri"] = _dem_step("tri")
+STEP_REGISTRY["raster-roughness"] = _dem_step("roughness")
+
+
 @register_step("raster-color-map")
 def _raster_color_map(ds, breakpoints):
     """gdal raster color-map / color-relief analogue: band 1 through the

@@ -451,3 +451,20 @@ class TestStepReviewRegressions:
         px = decode(out.iloc[0]["bytes"])
         if t["fmt"][0].as_py() == "png":
             assert (np.unique(px) == [7]).all()
+
+
+class TestDemSteps:
+    @pytest.mark.parametrize("step", ["raster-slope", "raster-aspect",
+                                      "raster-tpi", "raster-tri",
+                                      "raster-roughness"])
+    def test_dem_family_steps_run(self, ray_session, step):
+        import ray.data
+
+        from raydal.io.codecs import decode
+        from raydal.io.images import synthesize_images_batch
+        from raydal.pipeline import run_pipeline
+
+        t = synthesize_images_batch(np.arange(1))
+        out = run_pipeline(ray.data.from_arrow(t), [step]).to_pandas()
+        px = decode(out.iloc[0]["bytes"])
+        assert px.shape[:2] == decode(t["bytes"][0].as_py()).shape[:2]
