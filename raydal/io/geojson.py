@@ -171,6 +171,12 @@ def _field_order(key_lists):
 
 
 def _infer_arrow_type(values):
+    """Field type from the value set with OGR's promotion ladder
+    (``ogrgeojsonreader.cpp`` OGRGeoJSONSchemaAdd / the published
+    test_type_promotion matrix): bool → int → real → string; anything
+    mixed with strings/objects/arrays becomes string (nested values
+    serialize as JSON — the reference's non-flattened String-JSON
+    mapping)."""
     kinds = set()
     for v in values:
         if v is None:
@@ -185,16 +191,18 @@ def _infer_arrow_type(values):
             kinds.add("str")
         else:
             kinds.add("json")
-    if kinds <= {"bool"} and kinds:
+    if kinds == {"bool"}:
         return pa.bool_(), None
-    if kinds <= {"int"} and kinds:
-        return pa.int64(), None
-    if kinds <= {"int", "float"} and kinds:
+    if kinds and kinds <= {"bool", "int"}:
+        return pa.int64(), int
+    if kinds and kinds <= {"bool", "int", "float"}:
         return pa.float64(), float
-    if "json" in kinds or kinds == {"str"} or not kinds:
+    if "json" in kinds or not kinds:
         return pa.string(), (lambda v: v if isinstance(v, str)
                              else json.dumps(v))
-    return pa.string(), (lambda v: v if isinstance(v, str) else str(v))
+    # any string in the mix → string; bools spell true/false like JSON
+    return pa.string(), (lambda v: v if isinstance(v, str)
+                         else json.dumps(v))
 
 
 def read_geojson(src, wkb_col="wkb"):

@@ -111,3 +111,25 @@ class TestRoundTrip:
         p2 = str(tmp_path / "out.geojson")
         write_sink("geojson", ds, p2)
         assert read_geojson(p2).num_rows == 5
+
+
+@needs_fixtures
+def test_scalar_type_promotion_matrix():
+    """OGR's field promotion ladder (published fixture pair
+    test_type_promotion.json / _ref.json, ogr_geojson.py:3178+): bool →
+    int → real → string for the scalar cells; promoted values follow the
+    _ref serialization (true → 1 into int, "true" into string)."""
+    import pyarrow as pa
+
+    t = read_geojson(GJ + "test_type_promotion.json")
+    got = {f.name: f.type for f in t.schema}
+    assert got["bool_then_bool"] == pa.bool_()
+    assert got["bool_then_int"] == pa.int64()
+    assert got["bool_then_real"] == pa.float64()
+    assert got["bool_then_string"] == pa.string()
+    assert got["int_then_real"] == pa.float64()
+    assert got["int_then_string"] == pa.string()
+    assert got["real_then_int"] == pa.float64()   # real never narrows
+    assert got["string_then_int"] == pa.string()
+    assert t["bool_then_int"].to_pylist()[0] == 1
+    assert t["bool_then_string"].to_pylist()[0] == "true"
