@@ -315,11 +315,14 @@ def buffer_convex(ring, dist, quad_segs=8):
 
 
 def geometry_stats_batch(batch: pa.Table, wkb_col="wkb") -> pa.Table:
-    """Per-geometry derived columns: area, n_parts, n_rings, n_vertices,
-    centroid — the OGR special fields (OGR_GEOM_AREA etc.) as a batch op.
+    """Per-geometry derived columns: area, length (OGR ``Length()``),
+    n_parts, n_rings, n_vertices, centroid — the OGR special fields
+    (OGR_GEOM_AREA etc.) as a batch op.
     """
-    areas, parts, rings_n, verts, cx, cy = [], [], [], [], [], []
+    areas, lengths, parts, rings_n, verts, cx, cy = \
+        [], [], [], [], [], [], []
     for blob in batch[wkb_col].to_pylist():
+        lengths.append(W.wkb_length(blob))
         t = W.wkb_geom_type(blob)
         if t in (W.POLYGON, W.MULTIPOLYGON):
             polys = W.polygons_from_wkb(blob)
@@ -356,6 +359,7 @@ def geometry_stats_batch(batch: pa.Table, wkb_col="wkb") -> pa.Table:
             cy.append(float(coords[:, 1].mean()))
     out = batch
     for name, vals, typ in (("geom_area", areas, pa.float64()),
+                            ("geom_length", lengths, pa.float64()),
                             ("n_parts", parts, pa.int64()),
                             ("n_rings", rings_n, pa.int64()),
                             ("n_vertices", verts, pa.int64()),

@@ -182,3 +182,16 @@ class TestRound3Scalars:
                       [4, 8], [0, 8], [0, 0]], float)
         r = simplify_preserve_topology(u, 3.0)
         assert not _ring_self_intersects(r)
+
+
+def test_geometry_stats_length_column():
+    import pyarrow as pa
+
+    from raydal.geo.wkb import linestring_wkb, polygon_wkb, box_polygon
+    from raydal.ops.vector import geometry_stats_batch
+
+    t = pa.Table.from_pydict({"wkb": pa.array(
+        [linestring_wkb([[0, 0], [3, 4]]),
+         polygon_wkb(box_polygon(0, 0, 2, 2))], pa.binary())})
+    out = geometry_stats_batch(t)
+    assert out["geom_length"].to_pylist() == [5.0, 8.0]
