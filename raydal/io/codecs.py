@@ -23,7 +23,7 @@ from .bmp import decode_bmp
 from .gif import decode_gif
 from .jpeg import decode_jpeg, encode_jpeg
 from .png import decode_png, encode_png
-from .tiff import read_tiff
+from .tiff import read_tiff, write_tiff
 
 __all__ = ["encode", "decode", "FAKE_JPEG_MAGIC"]
 
@@ -56,11 +56,20 @@ def encode(arr, fmt, quality=95):
     # 4:2:0 at quality 95 keeps round-trip PSNR ≥ 41.9 dB on the worst
     # synthetic fixture — above the north rule's ≥ 40 dB lossy gate —
     # while keeping the pure-Python decode ~8 ms for a 257×256 RGB.
-    """uint8 pixels → bytes for the given ``fmt`` ("png" | "jpeg")."""
+    """pixels → bytes for the given ``fmt`` ("png" | "jpeg" | "tiff").
+
+    "tiff" carries any dtype the strip writer supports (float32 DEM
+    outputs included); png/jpeg are the 8-bit payload formats."""
     if fmt == "png":
         return encode_png(arr)
     if fmt == "jpeg":
         return encode_jpeg(arr, quality=quality)
+    if fmt == "tiff":
+        a = np.asarray(arr)
+        bands = ([a] if a.ndim == 2
+                 else [np.ascontiguousarray(a[:, :, b])
+                       for b in range(a.shape[2])])
+        return write_tiff(bands)
     raise NotImplementedError(f"codec {fmt!r} not available in this build")
 
 

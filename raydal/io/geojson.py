@@ -197,10 +197,8 @@ def _infer_arrow_type(values):
         return pa.int64(), int
     if kinds and kinds <= {"bool", "int", "float"}:
         return pa.float64(), float
-    if "json" in kinds or not kinds:
-        return pa.string(), (lambda v: v if isinstance(v, str)
-                             else json.dumps(v))
-    # any string in the mix → string; bools spell true/false like JSON
+    # everything else (strings/objects/arrays in the mix) → string;
+    # non-string values serialize as JSON (bools spell true/false)
     return pa.string(), (lambda v: v if isinstance(v, str)
                          else json.dumps(v))
 

@@ -24,7 +24,7 @@ import numpy as np
 from ..kernels.resample import copy_words_cast
 
 __all__ = ["PIXEL_FUNCTIONS", "apply_pixel_function", "set_type",
-           "gdal_histogram", "parse_reclassify_mapping", "reclassify_mapping",
+           "gdal_histogram", "parse_reclassify_mapping", "reclassify_mapping", "apply_reclassify_rules",
            "reclassify", "hillshade", "slope", "aspect", "tri", "tpi",
            "roughness", "stats_partial", "stats_merge", "stats_final",
            "pansharpen", "clean_collar"]
@@ -125,16 +125,20 @@ def parse_reclassify_mapping(text):
         else:
             tgt = float(rhs)
         if lhs.upper() == "DEFAULT":
-            default = tgt
+            # DEFAULT = PASS_THROUGH (SetDefaultPassThrough) == no default
+            default = None if tgt == "PASS_THROUGH" else tgt
             continue
         if lhs.upper() == "NO_DATA":
             raise ValueError(
                 "NO_DATA source needs a band nodata value; unsupported "
                 "on the image table")
+        if lhs.upper() == "NAN":
+            rules.append(("nan", None, False, False, tgt))
+            continue
         m = re.match(r"^([\(\[])\s*(-?inf|[-+0-9.eE]+)\s*,"
                      r"\s*(-?inf|\+?inf|[-+0-9.eE]+)\s*([\)\]])$", lhs)
         if m:
-            lo = float(m.group(2).replace("inf", "inf"))
+            lo = float(m.group(2))
             hi = float(m.group(3))
             rules.append((lo, hi, m.group(1) == "[", m.group(4) == "]",
                           tgt))
@@ -144,24 +148,33 @@ def parse_reclassify_mapping(text):
     return rules, default
 
 
-def reclassify_mapping(arr, text):
-    """Apply a DSL mapping string (first matching rule wins, DEFAULT for
-    the rest; unmatched without DEFAULT passes through — the
-    vrtreclassifier evaluation order)."""
-    rules, default = parse_reclassify_mapping(text)
+def apply_reclassify_rules(arr, rules, default):
+    """Apply pre-parsed mapping rules (first match wins; DEFAULT for the
+    rest; no DEFAULT → pass through)."""
     arr = np.asarray(arr, dtype=np.float64)
     out = arr.copy()
     matched = np.zeros(arr.shape, dtype=bool)
     for lo, hi, lo_inc, hi_inc, tgt in rules:
-        sel = (arr >= lo) if lo_inc else (arr > lo)
-        sel &= (arr <= hi) if hi_inc else (arr < hi)
-        sel &= ~matched
+        if lo == "nan":                      # NAN source rule
+            sel = np.isnan(arr) & ~matched
+        else:
+            sel = (arr >= lo) if lo_inc else (arr > lo)
+            sel &= (arr <= hi) if hi_inc else (arr < hi)
+            sel &= ~matched
         if tgt != "PASS_THROUGH":
             out[sel] = tgt
         matched |= sel
     if default is not None:
         out[~matched] = default
     return out
+
+
+def reclassify_mapping(arr, text):
+    """Apply a DSL mapping string (first matching rule wins, DEFAULT for
+    the rest; unmatched without DEFAULT passes through — the
+    vrtreclassifier evaluation order)."""
+    rules, default = parse_reclassify_mapping(text)
+    return apply_reclassify_rules(arr, rules, default)
 
 
 def reclassify(arr, table, default=None):

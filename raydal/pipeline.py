@@ -363,15 +363,26 @@ def _raster_reclassify(ds, table=None, default=None, mapping=None):
     ``frmts/vrt/vrtreclassifier.cpp`` grammar incl. open/closed bounds,
     -inf/inf, PASS_THROUGH, # comments); ``table`` takes a dict of
     scalar or (lo, hi) inclusive-range keys."""
-    from .ops.raster_math import (parse_reclassify_mapping, reclassify,
-                                  reclassify_mapping)
+    from .ops.raster_math import (apply_reclassify_rules,
+                                  parse_reclassify_mapping, reclassify)
 
     if mapping is not None:
-        parse_reclassify_mapping(mapping)   # validate at plan time
+        # parse ONCE at plan time; workers close over the rule list
+        rules, default = parse_reclassify_mapping(mapping)
+        for lo, hi, li, hi_inc, tgt in rules:
+            if tgt != "PASS_THROUGH" and not (
+                    0 <= tgt <= 255 and float(tgt).is_integer()):
+                raise ValueError(
+                    f"target {tgt!r} not representable in the 8-bit "
+                    "payload (the reference errors the same way: "
+                    "vrtreclassifier GDALIsValueExactAs)")
         return ds.map_batches(
             _per_image_band_step(
-                lambda band, gt: reclassify_mapping(band, mapping)),
+                lambda band, gt: apply_reclassify_rules(band, rules,
+                                                        default)),
             batch_format="pyarrow")
+    if table is None:
+        raise ValueError("raster-reclassify needs 'table' or 'mapping'")
     # JSON-decoded scalar keys arrive as strings; (lo, hi) range keys
     # pass through to the kernel untouched
     tbl = {}
@@ -388,51 +399,71 @@ def _raster_reclassify(ds, table=None, default=None, mapping=None):
 
 
 @register_step("raster-hillshade")
-def _raster_hillshade(ds, z_factor=1.0, azimuth=315.0, altitude=45.0):
-    """gdal raster hillshade analogue (Horn gradients, published-checksum
-    validated kernels) over band 1, pixel size from each image's gt."""
-    from .ops.raster_math import hillshade
+def _raster_hillshade(ds, z_factor=1.0, azimuth=315.0, altitude=45.0,
+                      alg="horn"):
+    """gdal raster hillshade analogue on the published-checksum-validated
+    ``hillshade_gdal`` kernel (n43.tif parity); Byte output like the
+    reference."""
+    from .ops.raster_math import hillshade_gdal
 
     def fn(band, gt):
-        xres = abs(gt[1]) if gt else 1.0
-        yres = abs(gt[5]) if gt else 1.0
-        return hillshade(band.astype("float64"), xres, yres,
-                         azimuth=azimuth, altitude=altitude,
-                         z_factor=z_factor)
+        g = gt if gt else (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+        return hillshade_gdal(band.astype("float64"), g,
+                              z_factor=z_factor, azimuth=azimuth,
+                              altitude=altitude, alg=alg)
 
     return ds.map_batches(_per_image_band_step(fn, out_dtype="uint8"),
                           batch_format="pyarrow")
 
 
-def _dem_step(kernel_name, **fixed):
-    """Factory for the gdaldem-family verbs over band 1 (published-
-    checksum-validated kernels in ops/raster_math.py)."""
+def _dem_step(kernel_name, needs_gt=False):
+    """Factory for the gdaldem-family verbs over band 1, on the
+    PUBLISHED-CHECKSUM-VALIDATED ``*_gdal`` kernels (n43.tif parity,
+    ops/raster_math.py).  Outputs are Float32 like the reference's
+    gdaldem, carried as TIFF payloads (``fmt`` column becomes
+    ``tiff``); step params pass straight through to the kernel."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .io.codecs import decode, encode
     from .ops import raster_math as RM
 
     kern = getattr(RM, kernel_name)
 
     def factory(ds, **params):
-        kw = dict(fixed)
-        kw.update(params)
+        def run(t: pa.Table) -> pa.Table:
+            blobs, fmts = [], []
+            for i in range(t.num_rows):
+                px = decode(t["bytes"][i].as_py())
+                band = (px[:, :, 0] if px.ndim == 3
+                        else px).astype(np.float64)
+                if needs_gt:
+                    gt = (tuple(t["gt"][i].as_py())
+                          if "gt" in t.column_names
+                          else (0.0, 1.0, 0.0, 0.0, 0.0, -1.0))
+                    out = kern(band, gt, **params)
+                else:
+                    out = kern(band, **params)
+                blobs.append(encode(out.astype(np.float32), "tiff"))
+                fmts.append("tiff")
+            out_t = t.set_column(t.schema.get_field_index("bytes"),
+                                 "bytes", pa.array(blobs, pa.binary()))
+            if "fmt" in out_t.column_names:
+                out_t = out_t.set_column(
+                    out_t.schema.get_field_index("fmt"), "fmt",
+                    pa.array(fmts, pa.string()))
+            return out_t
 
-        def fn(band, gt):
-            xres = abs(gt[1]) if gt else 1.0
-            yres = abs(gt[5]) if gt else 1.0
-            return kern(band.astype("float64"), xres, yres, **kw) \
-                if kernel_name in ("slope", "aspect", "hillshade") \
-                else kern(band.astype("float64"))
-
-        return ds.map_batches(_per_image_band_step(fn, out_dtype="uint8"),
-                              batch_format="pyarrow")
+        return ds.map_batches(run, batch_format="pyarrow")
 
     return factory
 
 
-STEP_REGISTRY["raster-slope"] = _dem_step("slope")
-STEP_REGISTRY["raster-aspect"] = _dem_step("aspect")
-STEP_REGISTRY["raster-tpi"] = _dem_step("tpi")
-STEP_REGISTRY["raster-tri"] = _dem_step("tri")
-STEP_REGISTRY["raster-roughness"] = _dem_step("roughness")
+STEP_REGISTRY["raster-slope"] = _dem_step("slope_gdal", needs_gt=True)
+STEP_REGISTRY["raster-aspect"] = _dem_step("aspect_gdal")
+STEP_REGISTRY["raster-tpi"] = _dem_step("tpi_gdal")
+STEP_REGISTRY["raster-tri"] = _dem_step("tri_gdal")
+STEP_REGISTRY["raster-roughness"] = _dem_step("roughness_gdal")
 
 
 @register_step("raster-color-map")

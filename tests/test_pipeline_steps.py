@@ -468,3 +468,33 @@ class TestDemSteps:
         out = run_pipeline(ray.data.from_arrow(t), [step]).to_pandas()
         px = decode(out.iloc[0]["bytes"])
         assert px.shape[:2] == decode(t["bytes"][0].as_py()).shape[:2]
+
+
+class TestDemStepFloatOutputs:
+    def test_aspect_full_range_survives(self, ray_session):
+        import ray.data
+
+        from raydal.io.codecs import decode
+        from raydal.io.images import synthesize_images_batch
+        from raydal.pipeline import run_pipeline
+
+        t = synthesize_images_batch(np.arange(1))
+        out = run_pipeline(ray.data.from_arrow(t),
+                           ["raster-aspect"]).to_pandas()
+        assert out.iloc[0]["fmt"] == "tiff"
+        px = decode(out.iloc[0]["bytes"])
+        assert px.dtype == np.float32
+        vals = px[np.isfinite(px) & (px != -9999.0)]
+        # azimuth degrees span past the old uint8 clamp point
+        assert vals.max() > 255.5
+
+    def test_reclassify_rejects_unrepresentable_target(self, ray_session):
+        import ray.data
+
+        from raydal.io.images import synthesize_images_batch
+        from raydal.pipeline import run_pipeline
+
+        t = synthesize_images_batch(np.arange(1))
+        with pytest.raises(ValueError):
+            run_pipeline(ray.data.from_arrow(t),
+                         [("raster-reclassify", {"mapping": "5 = 300"})])

@@ -143,3 +143,19 @@ class TestReclassifyMappingDSL:
             parse_reclassify_mapping("NO_DATA = 5")
         with pytest.raises(ValueError):
             parse_reclassify_mapping("5 = NO_DATA")
+
+
+class TestReclassifyMappingEdges:
+    def test_default_pass_through(self):
+        from raydal.ops.raster_math import reclassify_mapping
+
+        out = reclassify_mapping(np.array([1.0, 5.0]),
+                                 "5 = 9; DEFAULT = PASS_THROUGH")
+        np.testing.assert_array_equal(out, [1.0, 9.0])
+
+    def test_nan_source_rule(self):
+        from raydal.ops.raster_math import reclassify_mapping
+
+        out = reclassify_mapping(np.array([np.nan, 1.0]),
+                                 "NAN = 5; DEFAULT = 9")
+        np.testing.assert_array_equal(out, [5.0, 9.0])
