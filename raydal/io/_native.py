@@ -130,18 +130,30 @@ int jentropy_decode(
 }
 """
 
-_DIR = "/tmp/raydal_native"
+def _cache_dir():
+    """Per-user, mode-0700 build cache.  A world-writable shared dir
+    would let another local user pre-plant a .so that we CDLL-load."""
+    base = os.environ.get("XDG_CACHE_HOME") or "/tmp"
+    return os.path.join(base, f"raydal_native-{os.getuid()}")
+
+
 _lib = None
 _tried = False
 
 
 def _build():
+    import stat
     import subprocess
 
+    _DIR = _cache_dir()
     h = hashlib.sha256(_C_SRC.encode()).hexdigest()[:16]
     so = os.path.join(_DIR, f"jentropy_{h}.so")
+    os.makedirs(_DIR, mode=0o700, exist_ok=True)
+    st = os.stat(_DIR)
+    if st.st_uid != os.getuid() or (st.st_mode & (stat.S_IWGRP |
+                                                  stat.S_IWOTH)):
+        raise RuntimeError(f"refusing untrusted native cache dir {_DIR}")
     if not os.path.exists(so):
-        os.makedirs(_DIR, exist_ok=True)
         cpath = os.path.join(_DIR, f"jentropy_{h}_{os.getpid()}.c")
         tmp = os.path.join(_DIR, f"jentropy_{h}_{os.getpid()}.so.tmp")
         with open(cpath, "w") as f:

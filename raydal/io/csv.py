@@ -80,7 +80,13 @@ def _autodetect(vals):
 def _convert(vals, typ):
     clean = [None if v in ("", None) else v for v in vals]
     if typ == pa.int64():
-        return pa.array([None if v is None else int(float(v))
+        # int(v) first: int(float(v)) silently corrupts values > 2^53
+        def _as_int(v):
+            try:
+                return int(v)
+            except ValueError:
+                return int(float(v))
+        return pa.array([None if v is None else _as_int(v)
                          for v in clean], typ)
     if typ == pa.float64():
         return pa.array([None if v is None else float(v)

@@ -20,6 +20,7 @@ Computation runs in float64 like the reference's muparser doubles.
 from __future__ import annotations
 
 import ast
+import re
 
 import numpy as np
 
@@ -41,7 +42,6 @@ _FUNCS = {
     "min": lambda *a: _reduce(np.minimum, a),
     "max": lambda *a: _reduce(np.maximum, a),
     "if_": lambda c, a, b: np.where(c != 0, a, b),
-    "if": lambda c, a, b: np.where(c != 0, a, b),
 }
 
 _BINOPS = {ast.Add: np.add, ast.Sub: np.subtract, ast.Mult: np.multiply,
@@ -117,12 +117,68 @@ class _Evaluator:
         return np.float64(n.value)   # Constant
 
 
+def _rewrite_ternary(text):
+    """muparser ternary ``c ? a : b`` → ``if_(c, a, b)`` (paren- and
+    nesting-aware; right-associative like muparser)."""
+    depth = 0
+    q = -1
+    for i, ch in enumerate(text):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "?" and depth == 0:
+            q = i
+            break
+    if q < 0:
+        if "?" not in text:
+            return text
+        # no top-level ternary: rewrite inside each paren group
+        out, i = [], 0
+        depth = 0
+        start = -1
+        for j, ch in enumerate(text):
+            if ch in "([":
+                if depth == 0:
+                    out.append(text[i:j + 1])
+                    start = j + 1
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+                if depth == 0:
+                    out.append(_rewrite_ternary(text[start:j]))
+                    i = j
+        out.append(text[i:])
+        return "".join(out)
+    # find the matching ':' at depth 0, skipping nested '?'
+    depth = 0
+    nest = 0
+    for j in range(q + 1, len(text)):
+        ch = text[j]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "?" and depth == 0:
+            nest += 1
+        elif ch == ":" and depth == 0:
+            if nest == 0:
+                cond = _rewrite_ternary(text[:q])
+                then = _rewrite_ternary(text[q + 1:j])
+                other = _rewrite_ternary(text[j + 1:])
+                return f"if_(({cond}), ({then}), ({other}))"
+            nest -= 1
+    raise ValueError(f"unmatched '?' in expression: {text!r}")
+
+
 def compile_expression(expr):
     """Expression string → callable(env dict of band arrays) → float64
     array.  Compile once (step/actor ``__init__``), evaluate per batch."""
-    # muparser conveniences: ternary ?: and && / || map onto the
-    # whitelisted AST surface
-    text = (expr.replace("&&", "&").replace("||", "|"))
+    # muparser conveniences rewritten onto the whitelisted AST surface:
+    # && / || → & / |, if(c,a,b) → if_(c,a,b), ternary c ? a : b → if_()
+    text = expr.replace("&&", "&").replace("||", "|")
+    text = re.sub(r"\bif\s*\(", "if_(", text)
+    text = _rewrite_ternary(text)
     tree = ast.parse(text, mode="eval")
     _check(tree)
     return _Evaluator(tree)

@@ -310,8 +310,10 @@ def simhash_batch(batch: pa.Table, col="text", out_col="simhash") -> pa.Table:
         votes = (2 * bits - 1).sum(axis=0)
         # pack the 64 majority bits into one signed word (bit b = 1<<b);
         # the int64 view applies two's complement for the sign bit
+        # explicit little-endian view so simhash values match the SQL
+        # oracle on any host endianness (video ahash pins '>i8' likewise)
         out[i] = np.packbits(votes > 0,
-                             bitorder="little").view(np.int64)[0]
+                             bitorder="little").view("<i8")[0]
     return batch.append_column(out_col, pa.array(out, pa.int64()))
 
 

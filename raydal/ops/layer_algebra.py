@@ -297,10 +297,12 @@ def method_leftovers(pairs_ds, method_table):
     import ray
     import ray.data
 
-    ref = ray.put(MethodLayer(method_table))
+    ml = MethodLayer(method_table)
+    ref = ray.put(ml)
+    zid_type = _zid_type(ml)
     zone_ids = method_table["zone_id"].to_pylist()
     seeds = pa.Table.from_pydict({
-        "zone_id": pa.array(zone_ids, pa.int64()),
+        "zone_id": pa.array(zone_ids, zid_type),
         "wkb": pa.array([b""] * len(zone_ids), pa.binary())})
 
     def reduce_zone(t: pa.Table) -> pa.Table:
@@ -317,12 +319,12 @@ def method_leftovers(pairs_ds, method_table):
         if not remaining or area <= 1e-9:
             return pa.Table.from_pydict({
                 "feat_id": pa.array([], pa.int64()),
-                "zone_id": pa.array([], pa.int64()),
+                "zone_id": pa.array([], zid_type),
                 "wkb": pa.array([], pa.binary()),
                 "area": pa.array([], pa.float64())})
         return pa.Table.from_pydict({
             "feat_id": pa.nulls(1, pa.int64()),
-            "zone_id": pa.array([zid], pa.int64()),
+            "zone_id": pa.array([zid], zid_type),
             "wkb": pa.array([_polys_wkb(remaining)], pa.binary()),
             "area": pa.array([area], pa.float64())})
 
@@ -368,7 +370,7 @@ def layer_update(ds, method_table):
     ml = MethodLayer(method_table)
     mt = pa.Table.from_pydict({
         "feat_id": pa.nulls(len(ml.ids), pa.int64()),
-        "zone_id": pa.array(ml.ids.tolist(), pa.int64()),
+        "zone_id": pa.array(ml.ids.tolist(), _zid_type(ml)),
         "wkb": pa.array(ml.wkbs, pa.binary()),
         "area": pa.array([_polys_area(p) for p in ml.polys],
                          pa.float64())})

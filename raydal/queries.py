@@ -3711,6 +3711,108 @@ FROM cr
 SQL_Q74 = None if _Q37_GLOB is None else _build_sql_q74(_Q37_GLOB)
 
 
+# ---------------------------------------------------------------------------
+# q76: layer-algebra Clip against an OVERLAPPING method layer.
+# OGR Clip semantics are input ∩ UNION(method) (ogrlayer.cpp:3567);
+# clip_batch carves pieces from the not-yet-clipped remainder so
+# overlapping method features must NOT double-count.  The oracle computes
+# |S ∩ (M1 ∪ M2 ∪ M3)| closed-form by inclusion-exclusion over the three
+# deliberately-overlapping axis-aligned method rects per site (rect
+# intersections of rects stay rects).
+
+def _q76_tables():
+    """24 subject rects on a 40-unit site grid; per site THREE method
+    rects that pairwise (and often triply) overlap.  All geometry stays
+    within [0, 20]² of its site origin so sites never interact."""
+    subs, meths = [], []
+    for i in range(24):
+        sx, sy = (i % 6) * 40, (i // 6) * 40
+        j = (i * 7) % 5
+        subs.append((i, sx + j, sy + j, sx + j + 14, sy + j + 14))
+        a, b = (i * 3) % 4, (i * 5) % 7
+        meths.append((3 * i + 0, sx + a, sy, sx + a + 9, sy + 20))
+        meths.append((3 * i + 1, sx + a + 5, sy + 2, sx + a + 13, sy + 19))
+        meths.append((3 * i + 2, sx, sy + b, sx + 20, sy + b + 6))
+    return subs, meths
+
+
+def _q76_arrow_tables():
+    from .geo.wkb import polygon_wkb
+
+    subs, meths = _q76_tables()
+
+    def rect_wkb(x0, y0, x1, y1):
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                        dtype=np.float64)
+        return polygon_wkb([ring])
+
+    subj = pa.Table.from_pydict({
+        "feat_id": pa.array([s[0] for s in subs], pa.int64()),
+        "wkb": pa.array([rect_wkb(*s[1:]) for s in subs], pa.binary())})
+    meth = pa.Table.from_pydict({
+        "zone_id": pa.array([m[0] for m in meths], pa.int64()),
+        "wkb": pa.array([rect_wkb(*m[1:]) for m in meths], pa.binary())})
+    return subj, meth
+
+
+def q76_clip_overlap_area(sf_dir):
+    """Clip with an overlapping method layer — input ∩ UNION(method),
+    no double-counting (ogrlayer.cpp:3567; VERDICT r3 'What's wrong' #1).
+    Oracle: exact inclusion-exclusion over each site's method triple."""
+    import ray.data
+
+    from .ops.layer_algebra import layer_clip
+
+    subj, meth = _q76_arrow_tables()
+    out = layer_clip(ray.data.from_arrow(subj), meth)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "feat_id": t["feat_id"],
+            "area": pa.array(round_half_away(np.asarray(t["area"]), 6),
+                             pa.float64())})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+def _build_sql_q76():
+    subs, meths = _q76_tables()
+    svals = ", ".join(f"({i}, {x0}, {y0}, {x1}, {y1})"
+                      for (i, x0, y0, x1, y1) in subs)
+    # pivot the method triples wide: one row per site
+    mrows = []
+    for i in range(24):
+        m1, m2, m3 = meths[3 * i], meths[3 * i + 1], meths[3 * i + 2]
+        mrows.append(f"({i}, " + ", ".join(
+            f"{v}" for m in (m1, m2, m3) for v in m[1:]) + ")")
+    mvals = ", ".join(mrows)
+
+    def ov(*rects):
+        xs0 = ", ".join(f"{r}x0" for r in rects)
+        ys0 = ", ".join(f"{r}y0" for r in rects)
+        xs1 = ", ".join(f"{r}x1" for r in rects)
+        ys1 = ", ".join(f"{r}y1" for r in rects)
+        return (f"GREATEST(LEAST(s.x1, {xs1}) - GREATEST(s.x0, {xs0}), 0)"
+                f" * GREATEST(LEAST(s.y1, {ys1}) - GREATEST(s.y0, {ys0}),"
+                " 0)")
+
+    expr = (f"{ov('a')} + {ov('b')} + {ov('c')}"
+            f" - {ov('a', 'b')} - {ov('a', 'c')} - {ov('b', 'c')}"
+            f" + {ov('a', 'b', 'c')}")
+    return f"""
+WITH s(feat_id, x0, y0, x1, y1) AS (VALUES {svals}),
+m(feat_id, ax0, ay0, ax1, ay1, bx0, by0, bx1, by1,
+  cx0, cy0, cx1, cy1) AS (VALUES {mvals})
+SELECT CAST(s.feat_id AS BIGINT) AS feat_id,
+       ROUND(CAST({expr} AS DOUBLE), 6) AS area
+FROM s JOIN m USING (feat_id)
+WHERE {expr} > 0
+"""
+
+
+SQL_Q76 = _build_sql_q76()
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -3788,11 +3890,25 @@ QUERIES = {
     "q73_viewshed": (q73_viewshed, None),
     "q74_cutline_counts": (q74_cutline_counts, SQL_Q74),
     "q75_geojson_csv_pip": (q75_geojson_csv_pip, SQL_Q38),
+    "q76_clip_overlap_area": (q76_clip_overlap_area, SQL_Q76),
 }
 
 
 def query_fns():
-    return {name: fn for name, (fn, _) in QUERIES.items()}
+    # The driver's CORRECTNESS snapshot verifies the FIRST 50 entries of
+    # this dict.  Order oracle-backed queries (sql is not None) ahead of
+    # rows-only queries so every driver slot carries a DuckDB oracle, and
+    # pin the strongest never-driver-verified oracles (shuffle join,
+    # intersection area, distributed as-of, cutline, codec round-trip)
+    # to the very front; relative order is otherwise preserved.
+    # Rows-only queries (raster outputs) keep their parity in pytest
+    # published-goldens; the local 75-query gate still runs everything.
+    front = {"q63_shuffle_join", "q64_intersection_area",
+             "q68_asof_shuffle", "q74_cutline_counts",
+             "q75_geojson_csv_pip", "q76_clip_overlap_area"}
+    ordered = sorted(QUERIES.items(),
+                     key=lambda kv: (kv[1][1] is None, kv[0] not in front))
+    return {name: fn for name, (fn, _) in ordered}
 
 
 def oracle_sqls():

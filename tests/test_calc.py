@@ -41,6 +41,26 @@ class TestExpression:
             eval_expression("(x < 2) || (x > 8)", {"x": x}),
             ((x < 2) | (x > 8)).astype(float))
 
+    def test_muparser_if_and_ternary(self):
+        # muparser spellings: if(c,a,b) and right-associative c ? a : b
+        x = np.array([1.0, 5.0, 9.0])
+        np.testing.assert_allclose(
+            eval_expression("if(x > 4, 255, 0)", {"x": x}),
+            np.where(x > 4, 255.0, 0.0))
+        np.testing.assert_allclose(
+            eval_expression("x > 4 ? 255 : 0", {"x": x}),
+            np.where(x > 4, 255.0, 0.0))
+        np.testing.assert_allclose(
+            eval_expression("x > 8 ? 2 : x > 4 ? 1 : 0", {"x": x}),
+            np.array([0.0, 1.0, 2.0]))
+        np.testing.assert_allclose(
+            eval_expression("sqrt(x > 4 ? x : 4 * (x < 2 ? 4 : 1))",
+                            {"x": x}),
+            np.sqrt(np.array([16.0, 5.0, 9.0])))
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            eval_expression("x > 4 ? 1", {"x": x})
+
     def test_compile_once_reuse(self):
         fn = compile_expression("b1 * 0.5 + b2 * 0.5")
         for seed in (0, 1):

@@ -132,6 +132,19 @@ class TestLayerAlgebra:
         assert out.num_rows == 1
         assert out["area"][0].as_py() == pytest.approx(80.0)
 
+    def test_triple_overlapping_method_clip(self):
+        # three method rects with pairwise AND triple overlap: Clip area
+        # must equal |S ∩ (M1∪M2∪M3)| by inclusion-exclusion
+        feats = _feat_table([(0, 0, 14, 14)])
+        method = MethodLayer(_feat_table(
+            [(0, 0, 9, 20), (5, 2, 13, 19), (0, 3, 20, 9)], "zone_id"))
+        out = clip_batch(feats, method)
+        # |S∩M1|=9*14=126, |S∩M2|=8*12=96, |S∩M3|=14*6=84
+        # |S∩M1∩M2|=4*12=48, |S∩M1∩M3|=9*6=54, |S∩M2∩M3|=8*6=48
+        # |S∩M1∩M2∩M3|=4*6=24 → 126+96+84-48-54-48+24 = 180
+        assert out.num_rows == 1
+        assert out["area"][0].as_py() == pytest.approx(180.0)
+
     def test_holed_method_erase(self):
         donut = [np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
                           float),
@@ -257,6 +270,21 @@ class TestUnionFamilyRay:
         sleft = rows[rows.zone_id.isna()]
         mleft = rows[rows.feat_id.isna()]
         assert len(pairs) == 2 and len(sleft) == 2 and len(mleft) == 2
+
+    def test_union_string_zone_ids(self, ray_session):
+        # ADVICE r3: method_leftovers / layer_update must follow the
+        # method table's actual id type, not hardcode int64
+        import ray.data
+
+        from raydal.ops.layer_algebra import layer_union
+
+        ds, meth = self._layers()
+        meth = meth.set_column(
+            0, "zone_id", pa.array(["za", "zb"], pa.string()))
+        rows = layer_union(ds, meth).to_pandas()
+        assert rows.zone_id.dtype == object
+        assert set(rows.zone_id.dropna()) <= {"za", "zb"}
+        assert rows.feat_id.isna().sum() == 2  # method leftovers
 
     def test_symdifference(self, ray_session):
         from raydal.geo.boolean import boolean_area
