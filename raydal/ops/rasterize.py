@@ -258,8 +258,8 @@ def rasterize_zones(zones_ds, z, value_col="pop", merge="add",
         # zones are lon/lat — project rings to mercator before burning
         inv = invert_gt(tile_gt)
         out = np.zeros((tile_size, tile_size), dtype=np.float64)
-        for _, row in g.iterrows():
-            for rings in W.polygons_from_wkb(row["wkb"]):
+        for wkb_b, val in zip(g["wkb"].values, g["value"].values):
+            for rings in W.polygons_from_wkb(wkb_b):
                 merc_rings = []
                 for ring in rings:
                     mx, my = lonlat_to_mercator(ring[:, 0], ring[:, 1])
@@ -268,10 +268,10 @@ def rasterize_zones(zones_ds, z, value_col="pop", merge="add",
                 if merge == "add":
                     mask = fill_polygon_even_odd(rings_px, tile_size,
                                                  tile_size, value=1.0)
-                    out += mask * row["value"]
+                    out += mask * val
                 else:
                     fill_polygon_even_odd(rings_px, tile_size, tile_size,
-                                          out=out, value=row["value"],
+                                          out=out, value=val,
                                           merge="replace")
         return pd.DataFrame({
             "cell": [cell], "z": [cz], "tile_x": [cx], "tile_y": [cy],

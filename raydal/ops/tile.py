@@ -155,14 +155,17 @@ def _compose4_group(g: pd.DataFrame) -> pd.DataFrame:
     pz, px, py = (int(v) for v in cells.unpack_cell(np.int64(parent)))
     big = np.zeros((2 * ts, 2 * ts, 3), dtype=np.float64)
     valid = np.zeros((2 * ts, 2 * ts), dtype=bool)
-    for _, row in g.iterrows():
-        cz, cx, cy = (int(v) for v in cells.unpack_cell(np.int64(row["cell"])))
+    winners = (g["winner"].values if "winner" in g.columns
+               else [None] * len(g))
+    for cell_v, rgb_b, win_b in zip(g["cell"].values, g["tile_rgb"].values,
+                                    winners):
+        cz, cx, cy = (int(v) for v in cells.unpack_cell(np.int64(cell_v)))
         ox = (cx - 2 * px) * ts
         oy = (cy - 2 * py) * ts
-        rgb = np.frombuffer(row["tile_rgb"], dtype=np.uint8).reshape(ts, ts, 3)
+        rgb = np.frombuffer(rgb_b, dtype=np.uint8).reshape(ts, ts, 3)
         big[oy:oy + ts, ox:ox + ts] = rgb
-        if "winner" in row and row["winner"] is not None:
-            w = np.frombuffer(row["winner"], dtype=np.int64).reshape(ts, ts)
+        if win_b is not None:
+            w = np.frombuffer(win_b, dtype=np.int64).reshape(ts, ts)
             valid[oy:oy + ts, ox:ox + ts] = w >= 0
         else:
             valid[oy:oy + ts, ox:ox + ts] = True

@@ -1803,22 +1803,47 @@ def q28_vector_reproject(sf_dir):
         lambda t: _derive_points(t, "c_custkey"), batch_format="pyarrow")
 
     def to_wkb(t: pa.Table) -> pa.Table:
-        blobs = [W.point_wkb(x, y) for x, y in
-                 zip(np.asarray(t["x"]), np.asarray(t["y"]))]
+        # fixed-layout point WKB (21 B: order + type + x + y), built as
+        # one strided uint8 matrix — no per-row struct.pack
+        n = t.num_rows
+        seg = np.empty((n, 21), dtype=np.uint8)
+        seg[:, 0] = 1                      # little-endian marker
+        seg[:, 1:5] = np.array([1, 0, 0, 0], dtype=np.uint8)  # POINT
+        seg[:, 5:13] = np.ascontiguousarray(
+            np.asarray(t["x"], dtype="<f8")).view(np.uint8).reshape(n, 8)
+        seg[:, 13:21] = np.ascontiguousarray(
+            np.asarray(t["y"], dtype="<f8")).view(np.uint8).reshape(n, 8)
+        offsets = np.arange(0, 21 * (n + 1), 21, dtype=np.int32)
+        wkb = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(seg.tobytes())])
         return pa.Table.from_pydict({
-            "c_custkey": t["c_custkey"],
-            "wkb": pa.array(blobs, pa.binary())})
+            "c_custkey": t["c_custkey"], "wkb": wkb})
 
     def from_wkb(t: pa.Table) -> pa.Table:
-        xs, ys = [], []
-        for b in t["wkb"].to_pylist():
-            _, c = W.parse_wkb(b)
-            xs.append(c[0, 0])
-            ys.append(c[0, 1])
+        # strided view over the fixed 21-byte point layout; fall back to
+        # the generic parser only on unexpected shapes
+        arr = t["wkb"].combine_chunks()
+        n = len(arr)
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset:arr.offset + n + 1]
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        if n and (np.diff(offs) == 21).all():
+            seg = data[offs[0]:offs[-1]].reshape(n, 21)
+            assert (seg[:, 0] == 1).all() and (seg[:, 1] == 1).all()
+            xs = seg[:, 5:13].copy().view("<f8").ravel()
+            ys = seg[:, 13:21].copy().view("<f8").ravel()
+        else:
+            xs = np.empty(n)
+            ys = np.empty(n)
+            for i, b in enumerate(arr.to_pylist()):
+                _, c = W.parse_wkb(b)
+                xs[i], ys[i] = c[0, 0], c[0, 1]
         return pa.Table.from_pydict({
             "c_custkey": t["c_custkey"].cast(pa.int64()),
-            "mx": pa.array(round_half_away(np.array(xs), 4), pa.float64()),
-            "my": pa.array(round_half_away(np.array(ys), 4), pa.float64())})
+            "mx": pa.array(round_half_away(xs, 4), pa.float64()),
+            "my": pa.array(round_half_away(ys, 4), pa.float64())})
 
     return (pts.map_batches(to_wkb, batch_format="pyarrow")
             .map_batches(VectorReproject,
@@ -2734,20 +2759,22 @@ def q55_cell_partitioned_join(sf_dir):
         if len(p) == 0 or len(r) == 0:
             return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
                                  "rect_id": pd.Series([], dtype="int64")})
-        out_c, out_r = [], []
-        px = p["px"].values
-        py = p["py"].values
-        ck = p["c_custkey"].values
-        for _, rr in r.iterrows():
-            hit = ((px >= rr["xmin"]) & (px <= rr["xmax"])
-                   & (py >= rr["ymin"]) & (py <= rr["ymax"]))
-            # PBSM dedup: a point lies in exactly one cell, so pairs are
-            # already unique — the reference-point rule is trivially the
-            # point's own cell (kept explicit for the bbox×bbox case).
-            out_c.extend(ck[hit].tolist())
-            out_r.extend([rr["rect_id"]] * int(hit.sum()))
-        return pd.DataFrame({"c_custkey": pd.Series(out_c, dtype="int64"),
-                             "rect_id": pd.Series(out_r, dtype="int64")})
+        # broadcast-compare points × rects within the cell group (no
+        # per-rect Python loop; skewed cells stay vectorized).
+        # PBSM dedup: a point lies in exactly one cell, so pairs are
+        # already unique — the reference-point rule is trivially the
+        # point's own cell (kept explicit for the bbox×bbox case).
+        px = p["px"].values[:, None]
+        py = p["py"].values[:, None]
+        hit = ((px >= r["xmin"].values[None, :])
+               & (px <= r["xmax"].values[None, :])
+               & (py >= r["ymin"].values[None, :])
+               & (py <= r["ymax"].values[None, :]))
+        pi, ri = np.nonzero(hit)
+        return pd.DataFrame({
+            "c_custkey": pd.Series(p["c_custkey"].values[pi],
+                                   dtype="int64"),
+            "rect_id": pd.Series(r["rect_id"].values[ri], dtype="int64")})
 
     return both.groupby("cell").map_groups(join_cell, batch_format="pandas")
 
