@@ -32,7 +32,102 @@ from .footprint import _flatten_gt, footprint_corners
 from .join import SpatialJoinZones
 
 __all__ = ["WarpImages", "WarpKernelsFanout", "WarpToTiles",
-           "suggest_output_grid", "warp_array"]
+           "suggest_output_grid", "warp_array", "approx_project_rows",
+           "project_grid", "APPROX_ERROR_DEFAULT"]
+
+# gdalwarp's default approx-transformer error threshold, in source
+# pixels (apps/gdalwarp_lib.cpp:1588 "-et 0.125")
+APPROX_ERROR_DEFAULT = 0.125
+
+
+def approx_project_rows(chain_fn, xcols, yrows, threshold=0.125):
+    """Scanline approximate transform — GDALApproxTransform semantics
+    (``alg/gdaltransformer.cpp`` GDALApproxTransformInternal): per
+    scanline segment, transform start/middle/end exactly; if the L1
+    midpoint error (|Δx|+|Δy|) of linear interpolation between the
+    endpoints is within ``threshold`` (in the chain's OUTPUT units,
+    i.e. source pixels for warp), interpolate the whole segment, else
+    subdivide around the middle; segments of ≤5 points always use the
+    exact transform.  (Deviation from the reference: both halves reuse
+    the exact midpoint as a shared endpoint instead of re-transforming
+    mid−1 — one fewer exact point, same error control.)
+
+    Vectorized ACROSS rows: every recursion level issues one batched
+    ``chain_fn`` call for all still-subdividing rows.  ``xcols``/
+    ``yrows`` are the per-column input x and per-row input y (unrotated
+    destination grids).  Returns (sx, sy) of shape (h, w).
+    """
+    xcols = np.asarray(xcols, dtype=np.float64)
+    yrows = np.asarray(yrows, dtype=np.float64)
+    h, w = len(yrows), len(xcols)
+    sx = np.empty((h, w))
+    sy = np.empty((h, w))
+
+    def exact_fill(rows, lo, hi):
+        X = np.broadcast_to(xcols[lo:hi + 1], (len(rows), hi - lo + 1))
+        Y = np.broadcast_to(yrows[rows][:, None],
+                            (len(rows), hi - lo + 1))
+        tx, ty = chain_fn(X, Y)
+        sx[rows, lo:hi + 1] = tx
+        sy[rows, lo:hi + 1] = ty
+
+    def solve(rows, lo, hi, lox, loy, hix, hiy):
+        npts = hi - lo + 1
+        if npts <= 5:
+            exact_fill(rows, lo, hi)
+            return
+        mid = lo + (npts - 1) // 2
+        mx, my = chain_fn(np.full(len(rows), xcols[mid]), yrows[rows])
+        t = (xcols[mid] - xcols[lo]) / (xcols[hi] - xcols[lo])
+        err = (np.abs(lox + (hix - lox) * t - mx)
+               + np.abs(loy + (hiy - loy) * t - my))
+        ok = err <= threshold          # NaN → subdivide → exact
+        if ok.any():
+            r = rows[ok]
+            tt = ((xcols[lo:hi + 1] - xcols[lo])
+                  / (xcols[hi] - xcols[lo]))[None, :]
+            sx[r[:, None], np.arange(lo, hi + 1)[None, :]] = \
+                lox[ok][:, None] + (hix - lox)[ok][:, None] * tt
+            sy[r[:, None], np.arange(lo, hi + 1)[None, :]] = \
+                loy[ok][:, None] + (hiy - loy)[ok][:, None] * tt
+        bad = ~ok
+        if bad.any():
+            rb = rows[bad]
+            solve(rb, lo, mid, lox[bad], loy[bad], mx[bad], my[bad])
+            solve(rb, mid, hi, mx[bad], my[bad], hix[bad], hiy[bad])
+
+    rows = np.arange(h)
+    if w <= 5:
+        exact_fill(rows, 0, w - 1)
+        return sx, sy
+    lox, loy = chain_fn(np.full(h, xcols[0]), yrows)
+    hix, hiy = chain_fn(np.full(h, xcols[-1]), yrows)
+    solve(rows, 0, w - 1, lox, loy, hix, hiy)
+    return sx, sy
+
+
+def project_grid(tf, inv_src_gt, dst_gt, dst_w, dst_h,
+                 approx_error=APPROX_ERROR_DEFAULT):
+    """Destination pixel centers → source pixel coordinates.
+
+    Runs the approx scanline path (0.125 src px default, like gdalwarp)
+    when the destination grid is unrotated; ``approx_error=0`` forces
+    the exact per-pixel transform.  Identity CRS pairs skip the approx
+    machinery entirely — the dst→src map is a pure affine composition
+    there and the exact path is already the cheapest."""
+    if (approx_error > 0 and dst_gt[2] == 0 and dst_gt[4] == 0
+            and dst_w >= 8 and tf.src != tf.dst):
+        xcols = dst_gt[0] + (np.arange(dst_w) + 0.5) * dst_gt[1]
+        yrows = dst_gt[3] + (np.arange(dst_h) + 0.5) * dst_gt[5]
+
+        def chain(x, y):
+            wx, wy = tf.transform(x, y)
+            return affine.apply_gt(inv_src_gt, wx, wy)
+
+        return approx_project_rows(chain, xcols, yrows, approx_error)
+    X, Y = affine.pixel_centers(dst_gt, dst_w, dst_h)
+    sx_w, sy_w = tf.transform(X, Y)
+    return affine.apply_gt(inv_src_gt, sx_w, sy_w)
 
 
 def suggest_output_grid(gt, w, h, src_crs, dst_crs, densify=21):
@@ -51,19 +146,21 @@ def suggest_output_grid(gt, w, h, src_crs, dst_crs, densify=21):
 
 def warp_array(src_band, src_gt, src_crs, dst_gt, dst_w, dst_h, dst_crs,
                resample="bilinear", nodata=None, transformer=None,
-               acc_dtype=np.float64):
+               acc_dtype=np.float64, approx_error=None):
     """Warp one band onto an explicit destination grid.
 
     Returns (values (dst_h, dst_w), valid bool).  ``transformer``
     (dst→src) may be supplied from actor state to skip construction;
     ``acc_dtype=float32`` halves kernel memory traffic when float64
     accumulation precision isn't needed (uint8 payloads).
+    ``approx_error`` enables the GDALApproxTransform scanline fast path
+    (default: gdalwarp's 0.125 source px; pass 0 for exact per-pixel).
     """
     tf = transformer or Transformer(dst_crs, src_crs)
-    X, Y = affine.pixel_centers(dst_gt, dst_w, dst_h)
-    sx_w, sy_w = tf.transform(X, Y)
     inv = affine.invert_gt(src_gt)
-    sx, sy = affine.apply_gt(inv, sx_w, sy_w)
+    if approx_error is None:
+        approx_error = APPROX_ERROR_DEFAULT
+    sx, sy = project_grid(tf, inv, dst_gt, dst_w, dst_h, approx_error)
     return resample_grid(src_band, sx, sy, resample, nodata=nodata,
                          acc_dtype=acc_dtype)
 
@@ -194,12 +291,11 @@ class WarpKernelsFanout:
             tf = self.tfs.get(self.dst_crs, src_crs)
             img_id = batch["image_id"][i].as_py()
             # the dst→src coordinate grid is kernel-independent: compute
-            # the projected source-pixel coordinates once, then run each
-            # resampling kernel over the same (sx, sy) lattice
-            X, Y = affine.pixel_centers(dst_gt, dw, dh)
-            sx_w, sy_w = tf.transform(X, Y)
-            inv = affine.invert_gt(gt)
-            sx, sy = affine.apply_gt(inv, sx_w, sy_w)
+            # the projected source-pixel coordinates once (approx
+            # scanline path), then run each resampling kernel over the
+            # same (sx, sy) lattice
+            sx, sy = project_grid(tf, affine.invert_gt(gt),
+                                  dst_gt, dw, dh)
             band0 = px[:, :, 0]
             for kernel in self.kernels:
                 vals, valid = resample_grid(band0, sx, sy, kernel)
@@ -261,11 +357,10 @@ class FlagshipActor:
                                                  self.dst_crs)
             tf = self.tfs.get(self.dst_crs, src_crs)
             if self.resample == "bilinear":
-                # throughput path: specialized uint8 bilinear gather
-                X, Y = affine.pixel_centers(dst_gt, dw, dh)
-                sx_w, sy_w = tf.transform(X, Y)
-                inv_gt = affine.invert_gt(gt)
-                sxp, syp = affine.apply_gt(inv_gt, sx_w, sy_w)
+                # throughput path: approx scanline transform (gdalwarp
+                # -et 0.125 default) + specialized uint8 bilinear gather
+                sxp, syp = project_grid(tf, affine.invert_gt(gt),
+                                        dst_gt, dw, dh)
                 vals, valid = bilinear_sample_fast(px, sxp, syp)
             else:
                 vals, valid = warp_array(px, gt, src_crs, dst_gt, dw, dh,

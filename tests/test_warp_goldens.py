@@ -80,3 +80,54 @@ class TestWarpInvariants:
         assert not np.allclose(bl, cu)
         inner = okc & (np.abs(bl - cu) < 100)
         assert psnr(bl[inner], cu[inner]) > 20
+
+
+class TestApproxTransform:
+    """GDALApproxTransform scanline fast path (alg/gdaltransformer.cpp
+    GDALApproxTransformInternal; gdalwarp default -et 0.125,
+    apps/gdalwarp_lib.cpp:1588)."""
+
+    def _grids(self, src_crs, src_gt, threshold=0.125):
+        from raydal.geo.crs import Transformer
+        from raydal.geo import affine
+        from raydal.ops.warp import project_grid
+        tf = Transformer(3857, src_crs)
+        dst_gt, dw, dh = suggest_output_grid(src_gt, 64, 64, src_crs, 3857)
+        inv = affine.invert_gt(src_gt)
+        appr = project_grid(tf, inv, dst_gt, dw, dh, threshold)
+        exact = project_grid(tf, inv, dst_gt, dw, dh, 0)
+        return appr, exact
+
+    def test_within_threshold_utm(self):
+        (ax, ay), (ex, ey) = self._grids(
+            32631, (500000.0, 10.0, 0, 5000000.0, 0, -10.0))
+        err = np.abs(ax - ex) + np.abs(ay - ey)
+        assert err.max() <= 0.125
+
+    def test_within_threshold_geographic(self):
+        (ax, ay), (ex, ey) = self._grids(
+            4326, (10.0, 0.001, 0, 45.0, 0, -0.001))
+        err = np.abs(ax - ex) + np.abs(ay - ey)
+        assert err.max() <= 0.125
+
+    def test_tight_threshold_subdivides(self):
+        """A 1e-6-px threshold must still honor its (tighter) bound —
+        proves the midpoint-error subdivision actually recurses."""
+        (ax, ay), (ex, ey) = self._grids(
+            32631, (500000.0, 10.0, 0, 5000000.0, 0, -10.0),
+            threshold=1e-6)
+        err = np.abs(ax - ex) + np.abs(ay - ey)
+        assert err.max() <= 1e-5   # interpolation bound, near-exact
+
+    def test_warp_pixels_match_exact(self):
+        """Warped pixels with the fast path on vs forced-exact: byte
+        output identical after the uint8 cast (0.125 px ≪ 1 LSB here)."""
+        src = image_pixels(4).astype(np.float64)[:, :, 0]
+        gt = (500000.0, 10.0, 0.0, 5000000.0, 0.0, -10.0)
+        h, w = src.shape
+        dst_gt, dw, dh = suggest_output_grid(gt, w, h, 32631, 3857)
+        va, _ = warp_array(src, gt, 32631, dst_gt, dw, dh, 3857,
+                           "bilinear")
+        ve, _ = warp_array(src, gt, 32631, dst_gt, dw, dh, 3857,
+                           "bilinear", approx_error=0)
+        assert np.nanmax(np.abs(va - ve)) < 0.5
