@@ -1,0 +1,155 @@
+"""RIFF/WAVE PCM codec — pure stdlib/numpy, public Microsoft/IBM spec.
+
+Fills the real-audio side of the multimodal swap point
+(:mod:`raydal.ops.multimodal`): ``decode_wav`` handles the formats a
+training-data crawl actually contains — integer PCM at 8/16/24/32 bits
+(format tag 1), IEEE float 32/64 (tag 3), and WAVE_FORMAT_EXTENSIBLE
+(tag 0xFFFE, sub-format resolved from the GUID) — mono or multi-channel.
+``encode_wav`` writes canonical 44-byte-header PCM for round-trips.
+
+Reference parity: GDAL ingests externally-decoded rasters through its
+driver layer rather than shipping an audio codec; the contract this
+module satisfies (bytes → (samples, rate) at a documented boundary) is
+the one :class:`raydal.ops.multimodal.AudioFeatures` defines.  Golden
+tests validate against Python's stdlib ``wave`` writer as an
+independent public encoder (tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_wav", "encode_wav"]
+
+_TAG_PCM = 0x0001
+_TAG_FLOAT = 0x0003
+_TAG_EXTENSIBLE = 0xFFFE
+# first 2 bytes of the KSDATAFORMAT_SUBTYPE_* GUIDs carry the tag
+_SUBFORMAT_GUID_TAIL = bytes.fromhex("000000001000800000aa00389b71")
+
+
+def _iter_chunks(buf, start, end):
+    """Yield (fourcc, payload_offset, size) walking even-aligned RIFF
+    chunks in buf[start:end]."""
+    pos = start
+    while pos + 8 <= end:
+        cc, size = struct.unpack_from("<4sI", buf, pos)
+        yield cc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def decode_wav(buf):
+    """WAV bytes → (samples float64 in [-1, 1] of shape (n,) mono or
+    (n, ch), sample_rate).
+
+    Raises ``ValueError`` on malformed containers and on compressed
+    format tags this from-scratch reader does not implement (ADPCM,
+    mu-law, MP3-in-WAV …).
+    """
+    buf = bytes(buf)
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    riff_size = struct.unpack_from("<I", buf, 4)[0]
+    end = min(len(buf), 8 + riff_size)
+
+    fmt = None
+    data = None
+    for cc, off, size in _iter_chunks(buf, 12, end):
+        if cc == b"fmt " and fmt is None:
+            if size < 16 or off + 16 > len(buf):
+                raise ValueError("truncated fmt chunk")
+            tag, ch, rate, _bps, block, bits = struct.unpack_from(
+                "<HHIIHH", buf, off)
+            if tag == _TAG_EXTENSIBLE:
+                # cbSize >= 22: wValidBits, dwChannelMask, SubFormat GUID
+                if size < 40 or off + 40 > len(buf):
+                    raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE")
+                sub = buf[off + 24:off + 40]
+                if sub[2:] != _SUBFORMAT_GUID_TAIL:
+                    raise ValueError("unknown EXTENSIBLE sub-format GUID")
+                tag = struct.unpack_from("<H", sub, 0)[0]
+            fmt = (tag, ch, rate, block, bits)
+        elif cc == b"data" and data is None:
+            data = buf[off:off + min(size, len(buf) - off)]
+    if fmt is None:
+        raise ValueError("missing fmt chunk")
+    if data is None:
+        raise ValueError("missing data chunk")
+    tag, ch, rate, block, bits = fmt
+    if ch < 1 or rate < 1:
+        raise ValueError("invalid channel count / sample rate")
+
+    if tag == _TAG_PCM:
+        if bits == 8:            # unsigned, offset 128
+            s = (np.frombuffer(data, np.uint8).astype(np.float64)
+                 - 128.0) / 128.0
+        elif bits == 16:
+            s = np.frombuffer(
+                data[:len(data) // 2 * 2], "<i2").astype(np.float64) \
+                / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(data[:len(data) // 3 * 3], np.uint8)
+            raw = raw.reshape(-1, 3)
+            v = (raw[:, 0].astype(np.int32)
+                 | (raw[:, 1].astype(np.int32) << 8)
+                 | (raw[:, 2].astype(np.int32) << 16))
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            s = v.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            s = np.frombuffer(
+                data[:len(data) // 4 * 4], "<i4").astype(np.float64) \
+                / float(1 << 31)
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif tag == _TAG_FLOAT:
+        if bits == 32:
+            s = np.frombuffer(
+                data[:len(data) // 4 * 4], "<f4").astype(np.float64)
+        elif bits == 64:
+            s = np.frombuffer(data[:len(data) // 8 * 8],
+                              "<f8").astype(np.float64)
+        else:
+            raise ValueError(f"unsupported float bit depth {bits}")
+    else:
+        raise ValueError(
+            f"unsupported WAVE format tag 0x{tag:04x} (compressed "
+            "codecs are out of scope for the from-scratch reader)")
+
+    if ch > 1:
+        s = s[:len(s) // ch * ch].reshape(-1, ch)
+    return s, rate
+
+
+def encode_wav(samples, rate=16000, bits=16):
+    """samples (float in [-1, 1] or int16) → canonical PCM WAV bytes.
+
+    (n,) writes mono; (n, ch) interleaves channels."""
+    s = np.asarray(samples)
+    ch = 1 if s.ndim == 1 else s.shape[1]
+    if s.dtype.kind == "f":
+        s = np.clip(np.round(s * (1 << (bits - 1))),
+                    -(1 << (bits - 1)), (1 << (bits - 1)) - 1)
+    if bits == 16:
+        payload = s.astype("<i2").tobytes()
+    elif bits == 8:
+        payload = (s.astype(np.int64) + 128).astype(np.uint8).tobytes()
+    elif bits == 24:
+        v = s.astype(np.int64) & 0xFFFFFF
+        raw = np.empty((v.size, 3), np.uint8)
+        flat = v.ravel()
+        raw[:, 0] = flat & 0xFF
+        raw[:, 1] = (flat >> 8) & 0xFF
+        raw[:, 2] = (flat >> 16) & 0xFF
+        payload = raw.tobytes()
+    elif bits == 32:
+        payload = s.astype("<i4").tobytes()
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    block = ch * (bits // 8)
+    hdr = (b"WAVEfmt " + struct.pack("<IHHIIHH", 16, _TAG_PCM, ch,
+                                     rate, rate * block, block, bits)
+           + b"data" + struct.pack("<I", len(payload)))
+    return (b"RIFF" + struct.pack("<I", len(hdr) + len(payload))
+            + hdr + payload + (b"\x00" if len(payload) & 1 else b""))

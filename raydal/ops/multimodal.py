@@ -2,20 +2,20 @@
 plumbing over opaque ``binary`` payload columns.
 
 The graft mandate treats image/audio/video as binary columns with typed
-metadata and asks for the RAY-SIDE plumbing (schema, batch sizing, actor
-signature, output layout) to be real even where the codec libraries are
-absent from this environment.  Images have a REAL from-scratch codec
-stack (:mod:`raydal.io.codecs`); audio and video do not — no soundfile /
-ffmpeg here — so their decoders are cleanly swappable:
+metadata.  All three modalities now have REAL from-scratch codecs:
 
-* payloads with the engine's deterministic container magics (``FPCM``,
-  ``FVID``, produced by :func:`encode_fake_pcm` /
-  :func:`encode_fake_video`) decode for real, so every downstream stage
-  is exercised end-to-end in tests,
-* any other payload raises ``NotImplementedError`` at the decode
-  boundary with the library it would need — the documented swap point
-  (replace ``decode_audio`` / ``decode_video_frames`` with
-  soundfile/PyAV calls; nothing else changes).
+* images — :mod:`raydal.io.codecs` (JPEG/PNG/TIFF/…),
+* audio — RIFF/WAVE PCM + IEEE float via :mod:`raydal.io.wav`
+  (8/16/24/32-bit, EXTENSIBLE, multi-channel → mono mean), validated
+  against Python's stdlib ``wave`` writer as an independent encoder,
+* video — MJPEG-in-AVI via :mod:`raydal.io.avi` (``idx1``-indexed
+  frame SEEKING + the from-scratch JPEG decode per sampled frame).
+
+The deterministic container magics (``FPCM``, ``FVID``) remain as
+cheap fixtures.  Payloads needing codecs genuinely absent from this
+environment (flac/ogg/mp3 audio, h264/vp9 inter-frame video) raise
+``NotImplementedError`` at the decode boundary — the documented swap
+point (add ``soundfile`` / PyAV branches; nothing else changes).
 
 Stages mirror the reference's stateful-worker shape (§2.3): decoder
 state and analysis windows are built once per actor in ``__init__``;
@@ -30,6 +30,10 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+
+from ..io.avi import decode_avi_frames as _avi_frames
+from ..io.avi import probe_avi as _avi_probe
+from ..io.wav import decode_wav as _wav_decode
 
 __all__ = ["encode_fake_pcm", "decode_audio", "AudioFeatures",
            "encode_fake_video", "decode_video_frames", "probe_video",
@@ -50,16 +54,25 @@ def encode_fake_pcm(samples, rate=16000):
 
 
 def decode_audio(buf):
-    """bytes → (float64 samples in [-1, 1], sample_rate).
+    """bytes → (float64 mono samples in [-1, 1], sample_rate).
 
-    SWAP POINT: a real deployment replaces this body with
-    ``soundfile.read`` (wav/flac) — the actor stages only see the
-    (samples, rate) contract."""
+    REAL path: RIFF/WAVE PCM + IEEE-float containers decode via the
+    from-scratch reader (:mod:`raydal.io.wav` — 8/16/24/32-bit int,
+    32/64-bit float, EXTENSIBLE; multi-channel averages to mono).
+    The deterministic ``FPCM`` container remains for fixtures.  SWAP
+    POINT for everything else (flac/ogg/mp3): replace with
+    ``soundfile.read`` — stages only see the (samples, rate) contract."""
     buf = bytes(buf)
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        s, rate = _wav_decode(buf)
+        if s.ndim > 1:
+            s = s.mean(axis=1)
+        return s, rate
     if not buf.startswith(_PCM_MAGIC):
         raise NotImplementedError(
-            "real audio codecs (soundfile/libsndfile) are not available "
-            "in this environment; payload is not an FPCM container")
+            "compressed audio codecs (soundfile/libsndfile) are not "
+            "available in this environment; payload is neither WAV nor "
+            "an FPCM container")
     rate, n = struct.unpack_from("<II", buf, 4)
     s = np.frombuffer(zlib.decompress(buf[12:]), dtype="<i2", count=n)
     return s.astype(np.float64) / 32767.0, rate
@@ -77,27 +90,36 @@ def encode_fake_video(frames, fps=10):
 def probe_video(buf):
     """bytes → (n_frames, fps) WITHOUT decoding pixel data.
 
-    SWAP POINT alongside :func:`decode_video_frames` — a real deployment
-    reads the container header via PyAV; stages only see the contract."""
-    buf = bytes(buf[:16])
-    if not buf.startswith(_VID_MAGIC) or len(buf) < 16:
+    REAL path: MJPEG-in-AVI probes the ``avih``/``strh`` headers
+    (:mod:`raydal.io.avi`).  SWAP POINT for inter-frame codecs
+    (h264/vp9): replace with PyAV — stages only see the contract."""
+    head = bytes(buf[:16])
+    if head[:4] == b"RIFF" and head[8:12] == b"AVI ":
+        return _avi_probe(buf)
+    if not head.startswith(_VID_MAGIC) or len(head) < 16:
         raise NotImplementedError(
-            "real video codecs (PyAV/ffmpeg) are not available in this "
-            "environment; payload is not an FVID container")
-    fps, n, w, h = struct.unpack_from("<IIHH", buf, 4)
+            "inter-frame video codecs (PyAV/ffmpeg) are not available "
+            "in this environment; payload is neither MJPEG-AVI nor an "
+            "FVID container")
+    fps, n, w, h = struct.unpack_from("<IIHH", head, 4)
     return n, fps
 
 
 def decode_video_frames(buf, indices=None):
-    """bytes → (frames (k, h, w) uint8, fps); ``indices`` selects frames
-    WITHOUT materializing the rest downstream.
+    """bytes → (frames (k, h, w) uint8 gray, fps); ``indices`` selects
+    frames WITHOUT decoding the rest.
 
-    SWAP POINT: replace with PyAV / ffmpeg frame seeking."""
+    REAL path: MJPEG-in-AVI seeks via the ``idx1`` index and runs the
+    from-scratch JPEG decode on only the selected frames
+    (:mod:`raydal.io.avi`).  SWAP POINT for inter-frame codecs: PyAV."""
     buf = bytes(buf)
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        return _avi_frames(buf, indices=indices)
     if not buf.startswith(_VID_MAGIC):
         raise NotImplementedError(
-            "real video codecs (PyAV/ffmpeg) are not available in this "
-            "environment; payload is not an FVID container")
+            "inter-frame video codecs (PyAV/ffmpeg) are not available "
+            "in this environment; payload is neither MJPEG-AVI nor an "
+            "FVID container")
     fps, n, w, h = struct.unpack_from("<IIHH", buf, 4)
     f = np.frombuffer(zlib.decompress(buf[16:]), dtype=np.uint8,
                       count=n * h * w).reshape(n, h, w)

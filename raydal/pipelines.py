@@ -84,6 +84,85 @@ def ensure_images_parquet(sf_dir=None, n=None, use_ray=True):
     return out
 
 
+def audio_count_for_sf(sf_dir):
+    """Audio-clip-table size derived from the sf's part-table rows."""
+    return max(40, image_count_for_sf(sf_dir) // 5)
+
+
+def synthesize_audio_batch(indices):
+    """Deterministic audio-clip rows for the given clip indices.
+
+    Each clip is a two-tone sine mixture + seeded noise, quantized and
+    containerized as a REAL RIFF/WAVE file (bit depth cycles
+    16/16/8/24/32, every 4th clip stereo) via
+    :func:`raydal.io.wav.encode_wav`.  The ground-truth decoded mono
+    samples (quantization formula applied directly, independent of the
+    container parse under test) are stored as a ``list<double>`` column
+    so a SQL oracle can recompute feature stats without any codec.
+    """
+    from .io.images import _mix64
+    from .io.wav import encode_wav
+
+    ids, blobs, rates, nss, samples = [], [], [], [], []
+    for i in (int(v) for v in indices):
+        rng = np.random.default_rng(_mix64(i ^ 0xA0D10) & 0xFFFFFFFF)
+        rate = (8000, 16000, 22050)[i % 3]
+        n = 1500 + int(_mix64(i) % 1200)
+        bits = (16, 16, 8, 24, 32)[i % 5]
+        stereo = i % 4 == 3
+        t = np.arange(n) / rate
+        f0 = 80.0 + (i % 40) * 23.0
+        base = (0.45 * np.sin(2 * np.pi * f0 * t)
+                + 0.25 * np.sin(2 * np.pi * 2.7 * f0 * t)
+                + 0.08 * rng.standard_normal(n))
+        sig = np.clip(
+            np.stack([base, base * 0.5
+                      + 0.1 * rng.standard_normal(n)], axis=1)
+            if stereo else base, -0.999, 0.999)
+        half = 1 << (bits - 1)
+        q = np.clip(np.round(sig * half), -half, half - 1) / float(half)
+        mono = q.mean(axis=1) if stereo else q
+        ids.append(f"clip_{i:07d}")
+        blobs.append(encode_wav(sig, rate, bits=bits))
+        rates.append(rate)
+        nss.append(n)
+        samples.append(mono)
+    return pa.Table.from_pydict({
+        "clip_id": pa.array(ids, pa.string()),
+        "audio": pa.array(blobs, pa.binary()),
+        "rate": pa.array(rates, pa.int64()),
+        "n_samples": pa.array(nss, pa.int64()),
+        "samples": pa.array([s.tolist() for s in samples],
+                            pa.list_(pa.float64()))})
+
+
+def ensure_audio_parquet(sf_dir=None, n=None):
+    """Materialize (once) the deterministic audio-clip table — WAV
+    payload column + ground-truth sample column for SQL oracles."""
+    if n is None:
+        n = audio_count_for_sf(sf_dir)
+    out = os.path.join(_CACHE_ROOT, f"audio_{n}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    tmp = f"{out}.tmp.{os.getpid()}"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(synthesize_audio_batch(range(n)),
+                   os.path.join(tmp, "part-0.parquet"),
+                   row_group_size=128)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # another writer won
+    return out
+
+
 def ensure_zone_index(n_zones=500):
     """Zone index for the join side (built once per process)."""
     return ZoneIndex(imgfix.make_zones_table(n_zones))

@@ -3840,6 +3840,73 @@ WHERE {expr} > 0
 SQL_Q76 = _build_sql_q76()
 
 
+def q77_audio_features(sf_dir):
+    """Audio feature stats over REAL RIFF/WAVE payloads.
+
+    The fixture table carries WAV bytes (bit depth cycles 16/8/24/32,
+    every 4th clip stereo) plus the ground-truth decoded samples as a
+    ``list<double>`` column.  The Ray side reads ONLY (clip_id, audio),
+    decodes through the from-scratch RIFF reader inside the
+    ``AudioFeatures`` actor pool, and emits (duration, rms,
+    zero-crossings); the oracle recomputes the same stats in SQL from
+    the stored samples — so any container-parse bug (24-bit sign
+    extension, EXTENSIBLE GUIDs, stereo interleave) breaks parity."""
+    import ray.data
+
+    from .ops.multimodal import AudioFeatures
+    from .pipelines import ensure_audio_parquet
+
+    path = ensure_audio_parquet(sf_dir)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "clip_id": t["clip_id"],
+            "duration_sec": pa.array(round_half_away(
+                np.asarray(t["duration_sec"]), 7), pa.float64()),
+            "rms": pa.array(round_half_away(
+                np.asarray(t["rms"]), 7), pa.float64()),
+            "zero_crossings": t["zero_crossings"]})
+
+    return (ray.data.read_parquet(path, columns=["clip_id", "audio"])
+            .map_batches(AudioFeatures, batch_format="pyarrow",
+                         concurrency=4, batch_size=64)
+            .map_batches(proj, batch_format="pyarrow"))
+
+
+def _audio_cache_glob_sf001():
+    from .pipelines import _CACHE_ROOT, audio_count_for_sf
+
+    try:
+        n = audio_count_for_sf("/root/testdata/sf0.01")
+    except Exception:
+        return None
+    return os.path.join(_CACHE_ROOT, f"audio_{n}", "*.parquet")
+
+
+_Q77_GLOB = _audio_cache_glob_sf001()
+# parallel unnests zip positionally in DuckDB; lag() restores sample
+# adjacency per clip for the zero-crossing count (same np.signbit
+# convention: "negative" = v < 0)
+SQL_Q77 = None if _Q77_GLOB is None else f"""
+WITH u AS (
+  SELECT clip_id, rate, n_samples,
+         unnest(samples) AS v,
+         unnest(generate_series(1, len(samples))) AS i
+  FROM read_parquet('{_Q77_GLOB}')),
+lagd AS (
+  SELECT clip_id, rate, n_samples, v,
+         lag(v) OVER (PARTITION BY clip_id ORDER BY i) AS pv
+  FROM u)
+SELECT clip_id,
+       ROUND(any_value(n_samples) / CAST(any_value(rate) AS DOUBLE), 7)
+         AS duration_sec,
+       ROUND(sqrt(avg(v * v)), 7) AS rms,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM lagd GROUP BY clip_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -3918,6 +3985,7 @@ QUERIES = {
     "q74_cutline_counts": (q74_cutline_counts, SQL_Q74),
     "q75_geojson_csv_pip": (q75_geojson_csv_pip, SQL_Q38),
     "q76_clip_overlap_area": (q76_clip_overlap_area, SQL_Q76),
+    "q77_audio_features": (q77_audio_features, SQL_Q77),
 }
 
 
@@ -3932,7 +4000,8 @@ def query_fns():
     # published-goldens; the local 75-query gate still runs everything.
     front = {"q63_shuffle_join", "q64_intersection_area",
              "q68_asof_shuffle", "q74_cutline_counts",
-             "q75_geojson_csv_pip", "q76_clip_overlap_area"}
+             "q75_geojson_csv_pip", "q76_clip_overlap_area",
+             "q77_audio_features"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}
@@ -3946,9 +4015,15 @@ def oracle_sqls():
 
     from .pipelines import ensure_images_parquet
 
+    from .pipelines import ensure_audio_parquet
+
     try:
         ensure_images_parquet("/root/testdata/sf0.01",
                               use_ray=ray.is_initialized())
+    except Exception:
+        pass
+    try:
+        ensure_audio_parquet("/root/testdata/sf0.01")
     except Exception:
         pass
     return {name: sql for name, (_, sql) in QUERIES.items()

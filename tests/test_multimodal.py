@@ -10,7 +10,8 @@ import pytest
 
 from raydal.ops.multimodal import (AudioFeatures, VideoFrameSample,
                                    decode_audio, decode_video_frames,
-                                   encode_fake_pcm, encode_fake_video)
+                                   encode_fake_pcm, encode_fake_video,
+                                   probe_video)
 
 
 def _clips(n=6, rate=8000):
@@ -50,10 +51,15 @@ class TestCodecs:
         np.testing.assert_array_equal(sel, frames[[0, 4]])
 
     def test_unknown_payload_raises_swap_point(self):
+        # non-WAV, non-FPCM audio (e.g. an mp3 frame header) and
+        # non-AVI, non-FVID video (an mp4 ftyp box) hit the swap point
         with pytest.raises(NotImplementedError):
-            decode_audio(b"RIFF....WAVE")
+            decode_audio(b"\xff\xfb\x90\x00" + b"\x00" * 32)
         with pytest.raises(NotImplementedError):
             decode_video_frames(b"\x00\x00\x00 ftypmp4")
+        # malformed WAV routes to the real reader: decode error
+        with pytest.raises(ValueError):
+            decode_audio(b"RIFF\x04\x00\x00\x00WAVE")
 
 
 class TestStages:
@@ -150,3 +156,220 @@ class TestEdgeCases:
         n, fps = probe_video(encode_fake_video(
             np.zeros((3, 4, 4), np.uint8), fps=7))
         assert (n, fps) == (3, 7)
+
+
+class TestRealWav:
+    """From-scratch RIFF/WAVE reader vs stdlib ``wave`` (independent
+    public encoder) — the real-audio side of the swap point."""
+
+    def _stdlib_wav(self, raw, width, ch, rate=22050):
+        import io
+        import wave
+
+        bio = io.BytesIO()
+        w = wave.open(bio, "wb")
+        w.setnchannels(ch)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(raw)
+        w.close()
+        return bio.getvalue()
+
+    def test_stdlib_wave_parity_16bit(self):
+        rng = np.random.default_rng(7)
+        v = rng.integers(-32768, 32768, 400).astype("<i2")
+        s, rate = decode_audio(self._stdlib_wav(v.tobytes(), 2, 1))
+        assert rate == 22050
+        np.testing.assert_allclose(s, v.astype(np.float64) / 32768.0)
+
+    def test_stdlib_wave_parity_8_24_32bit(self):
+        rng = np.random.default_rng(8)
+        from raydal.io.wav import decode_wav
+
+        u8 = rng.integers(0, 256, 100).astype(np.uint8)
+        s, _ = decode_wav(self._stdlib_wav(u8.tobytes(), 1, 1))
+        np.testing.assert_allclose(
+            s, (u8.astype(np.float64) - 128.0) / 128.0)
+
+        v24 = rng.integers(-(1 << 23), 1 << 23, 100).astype(np.int64)
+        raw = np.empty((100, 3), np.uint8)
+        raw[:, 0] = v24 & 0xFF
+        raw[:, 1] = (v24 >> 8) & 0xFF
+        raw[:, 2] = (v24 >> 16) & 0xFF
+        s, _ = decode_wav(self._stdlib_wav(raw.tobytes(), 3, 1))
+        np.testing.assert_allclose(s, v24 / float(1 << 23))
+
+        v32 = rng.integers(-(1 << 31), 1 << 31, 100).astype("<i4")
+        s, _ = decode_wav(self._stdlib_wav(v32.tobytes(), 4, 1))
+        np.testing.assert_allclose(s, v32 / float(1 << 31))
+
+    def test_stereo_averages_to_mono(self):
+        left = np.full(50, 16384, "<i2")
+        right = np.full(50, -16384, "<i2")
+        inter = np.empty(100, "<i2")
+        inter[0::2] = left
+        inter[1::2] = right
+        s, _ = decode_audio(self._stdlib_wav(inter.tobytes(), 2, 2))
+        np.testing.assert_allclose(s, 0.0, atol=1e-12)
+
+    def test_encode_wav_round_trip_and_stdlib_cross_read(self):
+        import io
+        import wave
+
+        from raydal.io.wav import decode_wav, encode_wav
+
+        rng = np.random.default_rng(9)
+        v = rng.integers(-32768, 32768, 777).astype(np.int16)
+        buf = encode_wav(v, 16000, bits=16)
+        s, rate = decode_wav(buf)
+        assert rate == 16000
+        np.testing.assert_allclose(s, v / 32768.0)
+        w = wave.open(io.BytesIO(buf))
+        assert (w.getnframes(), w.getframerate(),
+                w.getsampwidth()) == (777, 16000, 2)
+        back = np.frombuffer(w.readframes(777), "<i2")
+        np.testing.assert_array_equal(back, v)
+
+    def test_float_and_extensible_formats(self):
+        import struct
+
+        from raydal.io.wav import decode_wav
+
+        rng = np.random.default_rng(10)
+        v = rng.standard_normal(64)
+        for bits, fmt in ((32, "<f4"), (64, "<f8")):
+            payload = v.astype(fmt).tobytes()
+            hdr = (b"WAVEfmt "
+                   + struct.pack("<IHHIIHH", 16, 3, 1, 8000,
+                                 8000 * bits // 8, bits // 8, bits)
+                   + b"data" + struct.pack("<I", len(payload)))
+            buf = (b"RIFF" + struct.pack("<I", len(hdr) + len(payload))
+                   + hdr + payload)
+            s, _ = decode_wav(buf)
+            np.testing.assert_allclose(s, v.astype(fmt).astype("f8"))
+        # WAVE_FORMAT_EXTENSIBLE wrapping PCM16
+        v16 = rng.integers(-32768, 32768, 128).astype("<i2")
+        guid = (struct.pack("<H", 1)
+                + bytes.fromhex("000000001000800000aa00389b71"))
+        f = (struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 32000, 2, 16)
+             + struct.pack("<HHI", 22, 16, 4) + guid)
+        hdr = (b"WAVEfmt " + struct.pack("<I", len(f)) + f
+               + b"data" + struct.pack("<I", len(v16.tobytes())))
+        buf = (b"RIFF" + struct.pack("<I", len(hdr) + 256) + hdr
+               + v16.tobytes())
+        s, rate = decode_wav(buf)
+        assert rate == 16000
+        np.testing.assert_allclose(s, v16 / 32768.0)
+
+    def test_compressed_tag_rejected(self):
+        import struct
+
+        from raydal.io.wav import decode_wav
+
+        hdr = (b"WAVEfmt "
+               + struct.pack("<IHHIIHH", 16, 2, 1, 8000, 8000, 1, 4)
+               + b"data" + struct.pack("<I", 4))
+        buf = b"RIFF" + struct.pack("<I", len(hdr) + 4) + hdr + b"\0" * 4
+        with pytest.raises(ValueError, match="format tag"):
+            decode_wav(buf)
+
+    def test_audio_features_over_real_wav(self, ray_session):
+        """AudioFeatures runs unchanged over real WAV payloads."""
+        import ray.data
+
+        from raydal.io.wav import encode_wav
+
+        rate = 8000
+        t = np.arange(rate // 2) / rate
+        rows = [{"clip_id": f"w{i}",
+                 "audio": encode_wav(
+                     0.5 * np.sin(2 * np.pi * 200.0 * (i + 1) * t),
+                     rate)} for i in range(4)]
+        out = (ray.data.from_items(rows)
+               .map_batches(AudioFeatures, batch_format="pyarrow",
+                            concurrency=2, batch_size=2).to_pandas())
+        assert len(out) == 4
+        assert out["rms"].iloc[0] == pytest.approx(0.3535, abs=2e-3)
+        zc = out.sort_values("clip_id")["zero_crossings"].to_numpy()
+        assert (np.diff(zc) > 0).all()
+
+
+class TestRealAvi:
+    """MJPEG-in-AVI container: idx1-seek + from-scratch JPEG decode."""
+
+    def _frames(self, n=12, h=48, w=64):
+        base = np.add.outer(np.arange(h), np.arange(w)).astype(np.float64)
+        return np.stack([(base * (i + 1) * 0.4) % 200 + 20
+                         for i in range(n)]).astype(np.uint8)
+
+    def test_probe_and_decode_psnr(self):
+        from raydal.io.avi import encode_avi_mjpeg
+
+        frames = self._frames()
+        avi = encode_avi_mjpeg(frames, fps=8, quality=95)
+        n, fps = probe_video(avi)
+        assert (n, fps) == (12, 8.0)
+        dec, fps2 = decode_video_frames(avi)
+        assert dec.shape == frames.shape and fps2 == 8.0
+        for i in range(12):
+            mse = np.mean((frames[i].astype(np.float64)
+                           - dec[i].astype(np.float64)) ** 2)
+            assert 10 * np.log10(255 ** 2 / mse) >= 40.0
+
+    def test_idx1_seek_matches_full_decode(self):
+        from raydal.io.avi import encode_avi_mjpeg
+
+        avi = encode_avi_mjpeg(self._frames(), fps=8, quality=95)
+        full, _ = decode_video_frames(avi)
+        sel, _ = decode_video_frames(avi, indices=[0, 5, 11])
+        np.testing.assert_array_equal(sel, full[[0, 5, 11]])
+
+    def test_movi_scan_fallback_without_idx1(self):
+        import struct
+
+        from raydal.io.avi import encode_avi_mjpeg
+
+        avi = encode_avi_mjpeg(self._frames(), fps=8, quality=95)
+        full, _ = decode_video_frames(avi)
+        cut = avi[:avi.rfind(b"idx1")]
+        noidx = b"RIFF" + struct.pack("<I", len(cut) - 8) + cut[8:]
+        sel, _ = decode_video_frames(noidx, indices=[0, 5, 11])
+        np.testing.assert_array_equal(sel, full[[0, 5, 11]])
+
+    def test_rgb_frames_gray_conversion(self):
+        from raydal.io.avi import decode_avi_frames, encode_avi_mjpeg
+
+        f = self._frames(3)
+        rgb = np.stack([np.dstack([x, x // 2, 255 - x]) for x in f])
+        avi = encode_avi_mjpeg(rgb, fps=10, quality=95)
+        color, _ = decode_avi_frames(avi, indices=[1], gray=False)
+        assert color.shape == (1, 48, 64, 3)
+        g, _ = decode_avi_frames(avi, indices=[1])
+        # gray = BT.601 luma of the color decode, CopyWords rounding
+        y = np.floor(0.299 * color[0, ..., 0] + 0.587 * color[0, ..., 1]
+                     + 0.114 * color[0, ..., 2] + 0.5).astype(np.uint8)
+        np.testing.assert_array_equal(g[0], y)
+
+    def test_video_frame_sample_over_real_avi(self, ray_session):
+        """VideoFrameSample seeks + JPEG-decodes only sampled frames of
+        real AVI payloads; duplicate clips collide on every phash."""
+        import ray.data
+
+        from raydal.io.avi import encode_avi_mjpeg
+
+        base = self._frames(10, 32, 40)
+        rows = [{"clip_id": f"a{i}",
+                 "video": encode_avi_mjpeg(
+                     np.roll(base[:, ::(1 if i % 2 == 0 else -1)],
+                             i * 9, axis=2), fps=5)}
+                for i in range(3)]
+        rows.append(dict(rows[0], clip_id="a0_copy"))
+        out = (ray.data.from_items(rows)
+               .map_batches(VideoFrameSample,
+                            fn_constructor_kwargs={"k": 4},
+                            batch_format="pyarrow",
+                            concurrency=2, batch_size=2).to_pandas())
+        assert len(out) == 16
+        a = set(out[out.clip_id == "a0"]["phash"])
+        assert a == set(out[out.clip_id == "a0_copy"]["phash"])
+        assert a != set(out[out.clip_id == "a1"]["phash"])
