@@ -966,6 +966,19 @@ def _sink_geojson(ds, path, **kwargs):
     return write_geojson(pa.concat_tables(tables), path, **kwargs)
 
 
+@register_sink("shapefile")
+def _sink_shapefile(ds, path, **kwargs):
+    import pyarrow as pa
+
+    from .io.shapefile import write_shapefile
+
+    # single-file format contract: bounded vector output, driver-side
+    # finish (heavy outputs stay parquet)
+    tables = [pa.Table.from_pandas(b) for b in
+              ds.iter_batches(batch_format="pandas")]
+    return write_shapefile(pa.concat_tables(tables), path, **kwargs)
+
+
 @register_source("csv")
 def _src_csv(path, **kwargs):
     import ray.data

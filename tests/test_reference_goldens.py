@@ -909,3 +909,142 @@ def test_footprint_golden():
     expected = [(440720, 3751320), (440720, 3750120), (441920, 3750120),
                 (441920, 3751320)]
     assert _cycle(rings[0]) == _cycle(expected)
+
+
+class TestShapefileWriter:
+    """write_shapefile → re-read parity (reference write path:
+    ogr/ogrsf_frmts/shape/ogrshapelayer.cpp)."""
+
+    def _round_trip(self, table):
+        import tempfile
+
+        from raydal.io.shapefile import read_shapefile, write_shapefile
+
+        d = tempfile.mkdtemp()
+        write_shapefile(table, os.path.join(d, "rt.shp"))
+        return read_shapefile(os.path.join(d, "rt.shp"))
+
+    def test_poly_shp_round_trip_published_counts(self):
+        """Write→re-read of poly.shp reproduces the published eas_id
+        ordering [168,169,166,158,165] (ogr_shape.py:99-102), per-
+        feature bboxes, and every attribute bit-exactly."""
+        from raydal.geo import wkb as W
+        from raydal.io.shapefile import read_shapefile
+
+        t = read_shapefile("/root/reference/autotest/ogr/data/poly.shp")
+        t2 = self._round_trip(t)
+        assert t2.num_rows == 10
+        eas = t2["EAS_ID"].to_pylist()
+        assert [v for v in eas if v < 170] == [168, 169, 166, 158, 165]
+        for a, b in zip(t["wkb"].to_pylist(), t2["wkb"].to_pylist()):
+            assert W.wkb_bbox(a) == W.wkb_bbox(b)
+        for c in ("AREA", "EAS_ID", "PRFEDEA"):
+            assert t[c].to_pylist() == t2[c].to_pylist()
+
+    def test_geometry_types_round_trip(self):
+        """Every writable base type survives write→re-read with exact
+        coordinates (corpus-style WKT fixtures)."""
+        import pyarrow as pa
+
+        from raydal.geo import wkb as W
+        from raydal.io.wkt import wkb_to_wkt, wkt_to_wkb
+
+        cases = {
+            "point": ["POINT (1 2)", "POINT (-3.5 400000.25)"],
+            "multipoint": ["MULTIPOINT (0 0,10 20,5 5)"],
+            "line": ["LINESTRING (0 0,1 1,2 0)",
+                     "MULTILINESTRING ((0 0,1 1),(5 5,6 7,8 8))"],
+            "poly": ["POLYGON ((0 0,10 0,10 10,0 10,0 0),"
+                     "(2 2,2 4,4 4,4 2,2 2))",
+                     "MULTIPOLYGON (((0 0,4 0,4 4,0 4,0 0)),"
+                     "((10 10,14 10,14 14,10 14,10 10)))"],
+        }
+        for name, wkts in cases.items():
+            t = pa.table({
+                "wkb": pa.array([wkt_to_wkb(w) for w in wkts],
+                                pa.binary()),
+                "tag": pa.array(list(range(len(wkts))), pa.int64())})
+            t2 = self._round_trip(t)
+            assert t2.num_rows == len(wkts)
+            for orig, back in zip(wkts, t2["wkb"].to_pylist()):
+                a = W.parse_wkb(wkt_to_wkb(orig))
+                b = W.parse_wkb(back)
+                # same vertex SET and bbox (polygon ring orientation /
+                # closure may be normalized by the spec on write)
+                ga = np.vstack(list(W._iter_coord_arrays(a)))
+                gb = np.vstack(list(W._iter_coord_arrays(b)))
+                assert set(map(tuple, ga)) == set(map(tuple, gb)), (
+                    name, orig, wkb_to_wkt(back))
+
+    def test_polygon_ring_orientation_written_to_spec(self):
+        """Outer rings must come back clockwise (negative shoelace),
+        holes counter-clockwise — regardless of input orientation."""
+        import pyarrow as pa
+
+        from raydal.geo import wkb as W
+        from raydal.geo.clip import ring_area
+        from raydal.io.wkt import wkt_to_wkb
+
+        # outer CCW + hole CW: both must be flipped on write
+        w = ("POLYGON ((0 0,10 0,10 10,0 10,0 0),"
+             "(2 2,2 4,4 4,4 2,2 2))")
+        t = pa.table({"wkb": pa.array([wkt_to_wkb(w)], pa.binary())})
+        back = self._round_trip(t)["wkb"].to_pylist()[0]
+        _, rings = W.parse_wkb(back)
+        assert ring_area(rings[0]) < 0          # outer CW
+        assert ring_area(rings[1]) > 0          # hole CCW
+        # reader reassembles hole containment: 100 - 4 interior area
+        assert abs(abs(ring_area(rings[0])) - 100) < 1e-9
+        assert abs(abs(ring_area(rings[1])) - 4) < 1e-9
+
+    def test_float_attrs_bit_exact_and_nulls(self):
+        import pyarrow as pa
+
+        from raydal.io.wkt import wkt_to_wkb
+
+        vals = [0.1 + 0.2, 1e-17, -123456789.123456789, None]
+        t = pa.table({
+            "wkb": pa.array([wkt_to_wkb(f"POINT ({i} {i})")
+                             for i in range(4)], pa.binary()),
+            "x": pa.array(vals, pa.float64()),
+            "flag": pa.array([True, False, None, True]),
+            "label": pa.array(["a", None, "ccc", "dd"])})
+        t2 = self._round_trip(t)
+        assert t2["x"].to_pylist() == vals
+        assert t2["flag"].to_pylist() == [True, False, None, True]
+        assert t2["label"].to_pylist() == ["a", None, "ccc", "dd"]
+
+    def test_null_geometry_and_mixed_types(self):
+        import pyarrow as pa
+        import pytest
+
+        from raydal.io.wkt import wkt_to_wkb
+
+        t = pa.table({"wkb": pa.array(
+            [wkt_to_wkb("POINT (1 1)"), None], pa.binary())})
+        t2 = self._round_trip(t)
+        assert t2["wkb"].to_pylist()[1] is None
+        bad = pa.table({"wkb": pa.array(
+            [wkt_to_wkb("POINT (1 1)"),
+             wkt_to_wkb("LINESTRING (0 0,1 1)")], pa.binary())})
+        with pytest.raises(ValueError, match="one shape type"):
+            self._round_trip(bad)
+
+    def test_shx_index_matches_shp_records(self):
+        """The .shx offsets must point exactly at each .shp record."""
+        import struct
+        import tempfile
+
+        from raydal.io.shapefile import read_shapefile, write_shapefile
+
+        t = read_shapefile("/root/reference/autotest/ogr/data/poly.shp")
+        d = tempfile.mkdtemp()
+        write_shapefile(t, os.path.join(d, "rt.shp"))
+        shp = open(os.path.join(d, "rt.shp"), "rb").read()
+        shx = open(os.path.join(d, "rt.shx"), "rb").read()
+        n = (len(shx) - 100) // 8
+        assert n == 10
+        for i in range(n):
+            off_w, len_w = struct.unpack_from(">2i", shx, 100 + 8 * i)
+            rec_no, clen = struct.unpack_from(">2i", shp, off_w * 2)
+            assert rec_no == i + 1 and clen == len_w
