@@ -966,6 +966,15 @@ def _sink_geojson(ds, path, **kwargs):
     return write_geojson(pa.concat_tables(tables), path, **kwargs)
 
 
+@register_source("flatgeobuf")
+def _src_flatgeobuf(path, bbox=None, **kwargs):
+    import ray.data
+
+    from .io.flatgeobuf import read_flatgeobuf
+
+    return ray.data.from_arrow(read_flatgeobuf(path, bbox=bbox))
+
+
 @register_sink("shapefile")
 def _sink_shapefile(ds, path, **kwargs):
     import pyarrow as pa
