@@ -18,6 +18,14 @@ GDAL-parity work here is the GeoPackage layer itself:
 Feature output: one Arrow table with ``fid`` (int64), attribute columns
 (sqlite decltype-mapped), and the geometry as a plain ``wkb`` binary
 column (GPB header stripped) — the engine's native geometry layout.
+
+Write side (:func:`write_gpkg_features`): a spec-conformant features
+GeoPackage — ``GPKG`` application_id pragma, the three mandatory
+``gpkg_spatial_ref_sys`` rows, contents/geometry_columns registration,
+GPB-encoded geometry with XY envelopes, and the R-tree spatial index
+(bulk-loaded after insert, as the reference does in
+``ogrgeopackagetablelayer.cpp:2698``) with the spec trigger set so
+external editors keep it in sync.
 """
 
 from __future__ import annotations
@@ -28,11 +36,12 @@ import struct
 import numpy as np
 import pyarrow as pa
 
+from ..geo import wkb as W
 from .codecs import decode as _decode_image
 
 __all__ = ["gpkg_layers", "parse_gpb", "read_gpkg_features",
            "read_gpkg_tiles", "read_gpkg_raster",
-           "read_gpkg_dataset"]
+           "read_gpkg_dataset", "write_gpkg_features"]
 
 _ENV_DOUBLES = {0: 0, 1: 4, 2: 6, 3: 6, 4: 8}
 
@@ -229,3 +238,204 @@ def read_gpkg_dataset(path, layer=None, **kwargs):
     import ray.data
 
     return ray.data.from_arrow(read_gpkg_features(path, layer=layer))
+
+
+_GPKG_SQL_TYPE = {
+    "int": "INTEGER", "float": "REAL", "bool": "BOOLEAN",
+    "str": "TEXT", "bytes": "BLOB"}
+
+_GEOM_NAME = {1: "POINT", 2: "LINESTRING", 3: "POLYGON",
+              4: "MULTIPOINT", 5: "MULTILINESTRING", 6: "MULTIPOLYGON",
+              7: "GEOMCOLLECTION"}
+
+
+def _encode_gpb(wkb, srs_id):
+    """plain WKB → GeoPackageBinary (little-endian, XY envelope)."""
+    if wkb is None:
+        # empty-geometry flag, no envelope
+        return struct.pack("<2sBBi", b"GP", 0, 0x01 | 0x10, srs_id)
+    x0, y0, x1, y1 = W.wkb_bbox(wkb)
+    return (struct.pack("<2sBBi", b"GP", 0, 0x01 | (1 << 1), srs_id)
+            + struct.pack("<4d", x0, x1, y0, y1) + bytes(wkb))
+
+
+def _sql_type_of(pa_type):
+    if pa.types.is_boolean(pa_type):
+        return "BOOLEAN"
+    if pa.types.is_integer(pa_type):
+        return "INTEGER"
+    if pa.types.is_floating(pa_type):
+        return "REAL"
+    if pa.types.is_binary(pa_type) or pa.types.is_large_binary(pa_type):
+        return "BLOB"
+    return "TEXT"
+
+
+_SRS_ROWS = [
+    # spec-mandatory minimum (OGC 12-128 §1.1.2.1.2)
+    ("Undefined cartesian SRS", -1, "NONE", -1, "undefined", None),
+    ("Undefined geographic SRS", 0, "NONE", 0, "undefined", None),
+    ("WGS 84 geodetic", 4326, "EPSG", 4326,
+     'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+     '298.257223563,AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG",'
+     '"6326"]],PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
+     'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
+     'AUTHORITY["EPSG","4326"]]', None),
+]
+
+
+def write_gpkg_features(table, path, layer="layer", srs_id=4326,
+                        wkb_col="wkb", spatial_index=True):
+    """Arrow table with a plain-WKB geometry column → features .gpkg.
+
+    ``fid`` columns become the INTEGER PRIMARY KEY; geometry is
+    GPB-encoded with an XY envelope; the R-tree index is bulk-loaded
+    from the envelopes after the inserts (the reference's CreateSpatial
+    Index shape, ``ogrgeopackagetablelayer.cpp:2698``) and wired with
+    the spec's sync triggers."""
+    import os
+
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    try:
+        con.execute("PRAGMA application_id = 0x47504B47")   # 'GPKG'
+        con.execute("PRAGMA user_version = 10300")          # 1.3.0
+        con.execute("""CREATE TABLE gpkg_spatial_ref_sys (
+            srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,
+            organization TEXT NOT NULL,
+            organization_coordsys_id INTEGER NOT NULL,
+            definition TEXT NOT NULL, description TEXT)""")
+        con.executemany(
+            "INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)",
+            [(n, i, o, c, d if d is not None else "undefined", desc)
+             for n, i, o, c, d, desc in _SRS_ROWS])
+        if srs_id not in (-1, 0, 4326):
+            con.execute(
+                "INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)",
+                (f"EPSG:{srs_id}", srs_id, "EPSG", srs_id,
+                 "undefined", None))
+        con.execute("""CREATE TABLE gpkg_contents (
+            table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT
+            NULL, identifier TEXT UNIQUE, description TEXT DEFAULT '',
+            last_change DATETIME NOT NULL DEFAULT
+            (strftime('%Y-%m-%dT%H:%M:%fZ','now')),
+            min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE,
+            srs_id INTEGER)""")
+        con.execute("""CREATE TABLE gpkg_geometry_columns (
+            table_name TEXT NOT NULL, column_name TEXT NOT NULL,
+            geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL,
+            z TINYINT NOT NULL, m TINYINT NOT NULL,
+            CONSTRAINT pk_geom_cols PRIMARY KEY
+            (table_name, column_name))""")
+
+        wkbs = table[wkb_col].to_pylist()
+        gtypes = {W.wkb_geom_type(b) for b in wkbs if b is not None}
+        gname = (_GEOM_NAME[gtypes.pop()] if len(gtypes) == 1
+                 else "GEOMETRY")
+
+        attrs = [(n, t) for n, t in zip(table.schema.names,
+                                        table.schema.types)
+                 if n not in (wkb_col, "fid")]
+        cols_sql = ", ".join(
+            f'"{n}" {_sql_type_of(t)}' for n, t in attrs)
+        con.execute(
+            f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY '
+            f'AUTOINCREMENT, geom GEOMETRY'
+            + (", " + cols_sql if cols_sql else "") + ")")
+
+        fids = (table["fid"].to_pylist() if "fid" in table.schema.names
+                else list(range(1, table.num_rows + 1)))
+        acols = [table[n].to_pylist() for n, _ in attrs]
+        rows = [(fids[i], _encode_gpb(wkbs[i], srs_id),
+                 *(c[i] for c in acols)) for i in range(table.num_rows)]
+        ph = ",".join("?" * (2 + len(attrs)))
+        con.executemany(f'INSERT INTO "{layer}" VALUES ({ph})', rows)
+
+        env = [W.wkb_bbox(b) for b in wkbs if b is not None]
+        bb = ((min(e[0] for e in env), min(e[1] for e in env),
+               max(e[2] for e in env), max(e[3] for e in env))
+              if env else (None, None, None, None))
+        con.execute(
+            "INSERT INTO gpkg_contents (table_name, data_type, "
+            "identifier, min_x, min_y, max_x, max_y, srs_id) "
+            "VALUES (?,?,?,?,?,?,?,?)",
+            (layer, "features", layer, *bb, srs_id))
+        con.execute(
+            "INSERT INTO gpkg_geometry_columns VALUES (?,?,?,?,0,0)",
+            (layer, "geom", gname, srs_id))
+
+        if spatial_index:
+            _create_rtree(con, layer, "geom", wkbs, fids)
+        con.commit()
+    finally:
+        con.close()
+    return path
+
+
+def _create_rtree(con, layer, gcol, wkbs, fids):
+    """Bulk-load the gpkg R-tree + register extension + sync triggers
+    (spec §F.3; reference CreateSpatialIndex bulk path)."""
+    rt = f"rtree_{layer}_{gcol}"
+    con.execute(f'CREATE VIRTUAL TABLE "{rt}" USING rtree(id, minx, '
+                "maxx, miny, maxy)")
+    con.executemany(
+        f'INSERT INTO "{rt}" VALUES (?,?,?,?,?)',
+        [(fid, e[0], e[2], e[1], e[3]) for fid, e in
+         ((f, W.wkb_bbox(b)) for f, b in zip(fids, wkbs)
+          if b is not None)])
+    con.execute("""CREATE TABLE IF NOT EXISTS gpkg_extensions (
+        table_name TEXT, column_name TEXT, extension_name TEXT NOT
+        NULL, definition TEXT NOT NULL, scope TEXT NOT NULL,
+        CONSTRAINT ge_tce UNIQUE (table_name, column_name,
+        extension_name))""")
+    con.execute(
+        "INSERT INTO gpkg_extensions VALUES (?,?,?,?,?)",
+        (layer, gcol, "gpkg_rtree_index",
+         "http://www.geopackage.org/spec120/#extension_rtree",
+         "write-only"))
+    # spec trigger set (insert/update/delete keep the index in sync
+    # for editors that open the file after us)
+    t = f'"{layer}"'
+    r = f'"{rt}"'
+    g = f'"{gcol}"'
+    con.executescript(f"""
+CREATE TRIGGER "{rt}_insert" AFTER INSERT ON {t}
+  WHEN (NEW.{g} NOT NULL AND NOT ST_IsEmpty(NEW.{g}))
+BEGIN
+  INSERT OR REPLACE INTO {r} VALUES (NEW.fid, ST_MinX(NEW.{g}),
+    ST_MaxX(NEW.{g}), ST_MinY(NEW.{g}), ST_MaxY(NEW.{g}));
+END;
+CREATE TRIGGER "{rt}_update1" AFTER UPDATE OF {g} ON {t}
+  WHEN OLD.fid = NEW.fid AND
+       (NEW.{g} NOTNULL AND NOT ST_IsEmpty(NEW.{g}))
+BEGIN
+  INSERT OR REPLACE INTO {r} VALUES (NEW.fid, ST_MinX(NEW.{g}),
+    ST_MaxX(NEW.{g}), ST_MinY(NEW.{g}), ST_MaxY(NEW.{g}));
+END;
+CREATE TRIGGER "{rt}_update2" AFTER UPDATE OF {g} ON {t}
+  WHEN OLD.fid = NEW.fid AND
+       (NEW.{g} ISNULL OR ST_IsEmpty(NEW.{g}))
+BEGIN
+  DELETE FROM {r} WHERE id = OLD.fid;
+END;
+CREATE TRIGGER "{rt}_update3" AFTER UPDATE ON {t}
+  WHEN OLD.fid != NEW.fid AND
+       (NEW.{g} NOTNULL AND NOT ST_IsEmpty(NEW.{g}))
+BEGIN
+  DELETE FROM {r} WHERE id = OLD.fid;
+  INSERT OR REPLACE INTO {r} VALUES (NEW.fid, ST_MinX(NEW.{g}),
+    ST_MaxX(NEW.{g}), ST_MinY(NEW.{g}), ST_MaxY(NEW.{g}));
+END;
+CREATE TRIGGER "{rt}_update4" AFTER UPDATE ON {t}
+  WHEN OLD.fid != NEW.fid AND
+       (NEW.{g} ISNULL OR ST_IsEmpty(NEW.{g}))
+BEGIN
+  DELETE FROM {r} WHERE id IN (OLD.fid, NEW.fid);
+END;
+CREATE TRIGGER "{rt}_delete" AFTER DELETE ON {t}
+  WHEN OLD.{g} NOT NULL
+BEGIN
+  DELETE FROM {r} WHERE id = OLD.fid;
+END;
+""")

@@ -966,6 +966,17 @@ def _sink_geojson(ds, path, **kwargs):
     return write_geojson(pa.concat_tables(tables), path, **kwargs)
 
 
+@register_sink("gpkg")
+def _sink_gpkg(ds, path, **kwargs):
+    import pyarrow as pa
+
+    from .io.gpkg import write_gpkg_features
+
+    tables = [pa.Table.from_pandas(b) for b in
+              ds.iter_batches(batch_format="pandas")]
+    return write_gpkg_features(pa.concat_tables(tables), path, **kwargs)
+
+
 @register_source("flatgeobuf")
 def _src_flatgeobuf(path, bbox=None, **kwargs):
     import ray.data
