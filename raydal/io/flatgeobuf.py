@@ -29,6 +29,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..geo import wkb as W
+from ..geo.cells import hilbert_d
 
 __all__ = ["read_flatgeobuf", "read_flatgeobuf_dataset"]
 
@@ -333,3 +334,331 @@ def read_flatgeobuf_dataset(path, bbox=None, **kwargs):
     import ray.data
 
     return ray.data.from_arrow(read_flatgeobuf(path, bbox=bbox))
+
+
+class _Builder:
+    """Minimal FlatBuffers builder (prepend-style, like the official
+    implementation): offsets are tracked as distance-from-buffer-end,
+    which makes uoffset/soffset arithmetic independent of final size.
+    """
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.minalign = 4
+
+    def _align(self, n):
+        self.minalign = max(self.minalign, n)
+        while len(self.buf) % n:
+            self.buf[:0] = b"\x00"
+
+    def _prepend(self, data):
+        self.buf[:0] = data
+
+    def pos(self):
+        return len(self.buf)
+
+    def string(self, s):
+        raw = s.encode("utf-8") + b"\x00"
+        # trailing pad keeps the next-lower object 4-aligned; the
+        # length prefix must sit DIRECTLY before the bytes
+        self._prepend(b"\x00" * ((-len(raw)) % 4))
+        self._prepend(raw)
+        self._prepend(struct.pack("<I", len(raw) - 1))
+        return self.pos()
+
+    def vector(self, fmt_char, values):
+        """Scalar vector; fmt_char one of 'd','I','B' etc."""
+        elem = struct.calcsize("<" + fmt_char)
+        self.minalign = max(self.minalign, elem)
+        raw = b"".join(struct.pack("<" + fmt_char, v) for v in values)
+        self._prepend(b"\x00" * ((-len(raw)) % 4))
+        self._prepend(raw)
+        self._prepend(struct.pack("<I", len(values)))
+        return self.pos()
+
+    def byte_vector(self, raw):
+        raw = bytes(raw)
+        self._prepend(b"\x00" * ((-len(raw)) % 4))
+        self._prepend(raw)
+        self._prepend(struct.pack("<I", len(raw)))
+        return self.pos()
+
+    def offset_vector(self, offsets):
+        """Vector of uoffsets to already-built tables."""
+        self._align(4)
+        # build back-to-front so each slot's uoffset accounts for the
+        # slots written after (i.e. before it in the file)
+        for o in reversed(offsets):
+            self._prepend(struct.pack("<I", self.pos() + 4 - o))
+        self._prepend(struct.pack("<I", len(offsets)))
+        return self.pos()
+
+    def table(self, fields):
+        """fields: list of (field_id, kind, value) with kind in
+        {'offset', scalar struct fmt like 'B','H','Q','d'}; returns
+        table end-offset.  Inline data laid out in the given order."""
+        if not fields:
+            # empty table: soffset + empty vtable
+            vt = struct.pack("<HH", 4, 4)
+            self._align(4)
+            self._prepend(struct.pack("<i", 4))
+            self._prepend(vt)
+            return self.pos() - len(vt)
+        max_id = max(f[0] for f in fields)
+        # compute inline layout (relative to table start, after the
+        # 4-byte soffset), aligning each scalar to its own size
+        slots = {}
+        off = 4
+        layout = []
+        for fid, kind, val in fields:
+            size = 4 if kind == "offset" else struct.calcsize("<" + kind)
+            pad = (-off) % size
+            off += pad
+            layout.append((fid, kind, val, pad, size))
+            slots[fid] = off
+            off += size
+        table_size = off
+        tail_pad = (-table_size) % 4
+        table_size_padded = table_size + tail_pad
+        vt_len = 4 + 2 * (max_id + 1)
+        vt = struct.pack("<HH", vt_len, table_size) + b"".join(
+            struct.pack("<H", slots.get(i, 0))
+            for i in range(max_id + 1))
+
+        self._align(8)
+        self._prepend(b"\x00" * tail_pad)
+        # inline fields, back to front
+        for fid, kind, val, pad, size in reversed(layout):
+            if kind == "offset":
+                self._prepend(struct.pack("<I", self.pos() + 4 - val))
+            else:
+                self._prepend(struct.pack("<" + kind, val))
+            self._prepend(b"\x00" * pad)
+        # soffset: vtable sits immediately before the table start
+        self._prepend(struct.pack("<i", vt_len))
+        table_pos = self.pos()
+        self._prepend(vt)
+        return table_pos
+
+    def finish_size_prefixed(self, root):
+        self._align(4)
+        self._prepend(struct.pack("<I", self.pos() + 4 - root))
+        self._prepend(struct.pack("<I", len(self.buf)))
+        return bytes(self.buf)
+
+
+def _build_feature(wkb_bytes, props_blob):
+    b = _Builder()
+    fields = []
+    if wkb_bytes is not None:
+        g = W.parse_wkb(wkb_bytes)
+        gt, payload = g
+        gfields = []
+        if gt == W.POINT:
+            xy = b.vector("d", [float(payload[0, 0]),
+                                float(payload[0, 1])])
+            gfields.append((1, "offset", xy))
+            gtype = _GT_POINT
+        elif gt == W.LINESTRING:
+            xy = b.vector("d", np.asarray(payload,
+                                          np.float64).ravel().tolist())
+            gfields.append((1, "offset", xy))
+            gtype = _GT_LINESTRING
+        elif gt == W.POLYGON:
+            pts = np.vstack(payload)
+            ends = np.cumsum([len(r) for r in payload])
+            ev = b.vector("I", [int(e) for e in ends])
+            xy = b.vector("d", pts.ravel().tolist())
+            gfields.append((0, "offset", ev))
+            gfields.append((1, "offset", xy))
+            gtype = _GT_POLYGON
+        elif gt == W.MULTIPOINT:
+            pts = np.vstack([sub[1] for sub in payload])
+            xy = b.vector("d", pts.ravel().tolist())
+            gfields.append((1, "offset", xy))
+            gtype = _GT_MULTIPOINT
+        elif gt == W.MULTILINESTRING:
+            lines = [sub[1] for sub in payload]
+            pts = np.vstack(lines)
+            ends = np.cumsum([len(ln) for ln in lines])
+            ev = b.vector("I", [int(e) for e in ends])
+            xy = b.vector("d", pts.ravel().tolist())
+            gfields.append((0, "offset", ev))
+            gfields.append((1, "offset", xy))
+            gtype = _GT_MULTILINESTRING
+        elif gt == W.MULTIPOLYGON:
+            parts = []
+            for _, rings in payload:
+                pts = np.vstack(rings)
+                ends = np.cumsum([len(r) for r in rings])
+                pf = []
+                ev = b.vector("I", [int(e) for e in ends])
+                xy = b.vector("d", pts.ravel().tolist())
+                pf.append((0, "offset", ev))
+                pf.append((1, "offset", xy))
+                pf.append((6, "B", _GT_POLYGON))
+                parts.append(b.table(pf))
+            pv = b.offset_vector(parts)
+            gfields.append((7, "offset", pv))
+            gtype = _GT_MULTIPOLYGON
+        else:
+            raise NotImplementedError(
+                f"FlatGeobuf write for geometry type {gt}")
+        gfields.append((6, "B", gtype))
+        geom = b.table(gfields)
+        fields.append((0, "offset", geom))
+    if props_blob:
+        pv = b.byte_vector(props_blob)
+        fields.append((1, "offset", pv))
+    root = b.table(fields)
+    return b.finish_size_prefixed(root)
+
+
+def _encode_properties(columns, row_vals):
+    out = bytearray()
+    for ci, ((name, ctype), v) in enumerate(zip(columns, row_vals)):
+        if v is None:
+            continue
+        out += struct.pack("<H", ci)
+        if ctype in _COLTYPES:
+            fmt, _ = _COLTYPES[ctype]
+            out += struct.pack(fmt, int(v) if ctype != 10 and ctype != 9
+                               else float(v))
+        else:
+            raw = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            out += struct.pack("<I", len(raw)) + raw
+    return bytes(out)
+
+
+def _column_type_of(pa_type):
+    if pa.types.is_boolean(pa_type):
+        return 2
+    if pa.types.is_integer(pa_type):
+        return 7                                  # Long
+    if pa.types.is_floating(pa_type):
+        return 10                                 # Double
+    if pa.types.is_binary(pa_type) or pa.types.is_large_binary(pa_type):
+        return 14                                 # Binary
+    return 11                                     # String
+
+
+def write_flatgeobuf(table, path, layer="layer", node_size=16,
+                     wkb_col="wkb"):
+    """Arrow table with a plain-WKB column → .fgb with a packed Hilbert
+    R-tree index (reference writer shape:
+    ``ogrflatgeobuflayer.cpp`` + ``packedrtree.cpp`` hilbertSort/
+    bulk-build).  Features are Hilbert-sorted on a 2^16 grid over the
+    extent — the format's locality contract — then indexed bottom-up.
+    Null-geometry rows are not writable to an indexed file (matching
+    the reference, which rejects them when SPATIAL_INDEX=YES)."""
+    wkbs = table[wkb_col].to_pylist()
+    if any(b is None for b in wkbs):
+        raise ValueError("null geometry not writable with a spatial "
+                         "index (write the rows filtered, or extend "
+                         "with node_size=0 support)")
+    n = len(wkbs)
+    boxes = np.array([W.wkb_bbox(b) for b in wkbs]) if n else \
+        np.empty((0, 4))
+    if n:
+        ext = (boxes[:, 0].min(), boxes[:, 1].min(),
+               boxes[:, 2].max(), boxes[:, 3].max())
+        w = max(ext[2] - ext[0], 1e-12)
+        h = max(ext[3] - ext[1], 1e-12)
+        cx = (boxes[:, 0] + boxes[:, 2]) / 2
+        cy = (boxes[:, 1] + boxes[:, 3]) / 2
+        gx = np.clip(((cx - ext[0]) / w * 65535).astype(np.int64),
+                     0, 65535)
+        gy = np.clip(((cy - ext[1]) / h * 65535).astype(np.int64),
+                     0, 65535)
+        order = np.argsort(hilbert_d(16, gx, gy), kind="stable")
+    else:
+        ext = (0.0, 0.0, 0.0, 0.0)
+        order = np.array([], np.int64)
+
+    attrs = [(nm, t) for nm, t in zip(table.schema.names,
+                                      table.schema.types)
+             if nm not in (wkb_col, "fid")]
+    columns = [(nm, _column_type_of(t)) for nm, t in attrs]
+    acols = [table[nm].to_pylist() for nm, _ in attrs]
+
+    feats = []
+    offs = []
+    total = 0
+    for i in order:
+        props = _encode_properties(columns,
+                                   [c[i] for c in acols])
+        blob = _build_feature(wkbs[i], props)
+        offs.append(total)
+        total += len(blob)
+        feats.append(blob)
+
+    gtypes = {W.wkb_geom_type(b) for b in wkbs}
+    gname_code = ({W.POINT: 1, W.LINESTRING: 2, W.POLYGON: 3,
+                   W.MULTIPOINT: 4, W.MULTILINESTRING: 5,
+                   W.MULTIPOLYGON: 6}[gtypes.pop()]
+                  if len(gtypes) == 1 else 0)
+
+    # header
+    b = _Builder()
+    col_tabs = []
+    for nm, ct in columns:
+        s = b.string(nm)
+        col_tabs.append(b.table([(0, "offset", s), (1, "B", ct)]))
+    cols_vec = b.offset_vector(col_tabs) if col_tabs else None
+    env = b.vector("d", [ext[0], ext[1], ext[2], ext[3]])
+    nm_off = b.string(layer)
+    hfields = [(0, "offset", nm_off), (1, "offset", env),
+               (2, "B", gname_code)]
+    if cols_vec is not None:
+        hfields.append((7, "offset", cols_vec))
+    hfields.append((8, "Q", n))
+    hfields.append((9, "H", node_size if n else 0))
+    header = b.finish_size_prefixed(b.table(hfields))
+
+    # packed R-tree, bottom-up; file layout root..leaves
+    tree = b""
+    if n:
+        item = np.dtype([("xmin", "<f8"), ("ymin", "<f8"),
+                         ("xmax", "<f8"), ("ymax", "<f8"),
+                         ("off", "<u8")])
+        leaves = np.empty(n, item)
+        sb = boxes[order]
+        leaves["xmin"], leaves["ymin"] = sb[:, 0], sb[:, 1]
+        leaves["xmax"], leaves["ymax"] = sb[:, 2], sb[:, 3]
+        leaves["off"] = np.asarray(offs, np.uint64)
+        levels = [leaves]
+        while len(levels[-1]) > 1:
+            child = levels[-1]
+            m = (len(child) + node_size - 1) // node_size
+            parent = np.empty(m, item)
+            for j in range(m):
+                grp = child[j * node_size:(j + 1) * node_size]
+                parent[j]["xmin"] = grp["xmin"].min()
+                parent[j]["ymin"] = grp["ymin"].min()
+                parent[j]["xmax"] = grp["xmax"].max()
+                parent[j]["ymax"] = grp["ymax"].max()
+                parent[j]["off"] = 0        # child index filled below
+            levels.append(parent)
+        if len(levels) == 1:                 # single item still gets a
+            levels.append(levels[0].copy())  # root (do-while semantics)
+            levels[-1] = levels[-1][:1]
+        levels.reverse()                     # root first
+        # internal items point at the node index of their first child
+        start = 0
+        starts = []
+        for lv in levels:
+            starts.append(start)
+            start += len(lv)
+        for li in range(len(levels) - 1):
+            child_start = starts[li + 1]
+            for j in range(len(levels[li])):
+                levels[li][j]["off"] = child_start + j * node_size
+        tree = b"".join(lv.tobytes() for lv in levels)
+
+    with open(path, "wb") as f:
+        f.write(MAGIC + b"\x01")
+        f.write(header)
+        f.write(tree)
+        for blob in feats:
+            f.write(blob)
+    return path

@@ -986,6 +986,17 @@ def _src_flatgeobuf(path, bbox=None, **kwargs):
     return ray.data.from_arrow(read_flatgeobuf(path, bbox=bbox))
 
 
+@register_sink("flatgeobuf")
+def _sink_flatgeobuf(ds, path, **kwargs):
+    import pyarrow as pa
+
+    from .io.flatgeobuf import write_flatgeobuf
+
+    tables = [pa.Table.from_pandas(b) for b in
+              ds.iter_batches(batch_format="pandas")]
+    return write_flatgeobuf(pa.concat_tables(tables), path, **kwargs)
+
+
 @register_sink("shapefile")
 def _sink_shapefile(ds, path, **kwargs):
     import pyarrow as pa

@@ -3907,6 +3907,115 @@ FROM lagd GROUP BY clip_id
 """
 
 
+def _ensure_fgb_fixture(sf_dir):
+    """Deterministic rect-feature fixture: one parquet (oracle side) +
+    one .fgb written from it through write_flatgeobuf (Ray side).
+    Returns (fgb_path, parquet_glob, n)."""
+    import pyarrow.parquet as pq
+
+    from .geo import wkb as W
+    from .io.flatgeobuf import write_flatgeobuf
+    from .pipelines import _CACHE_ROOT, image_count_for_sf
+
+    n = max(200, image_count_for_sf(sf_dir))
+    out = os.path.join(_CACHE_ROOT, f"fgb_{n}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(_CACHE_ROOT, exist_ok=True)
+        tmp = f"{out}.tmp.{os.getpid()}"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        i = np.arange(n, dtype=np.int64)
+        # splitmix64-ish scatter (same style as the image fixture)
+        h = (i * np.int64(-7046029254386353131)) & np.int64(2**62 - 1)
+        x0 = (h % 100000) / 100.0
+        y0 = ((h // 100000) % 100000) / 100.0 % 1000.0
+        w = 1.0 + (i % 17).astype(np.float64)
+        ht = 1.0 + (i % 13).astype(np.float64)
+        tbl = pa.Table.from_pydict({
+            "feat_id": pa.array(i, pa.int64()),
+            "x0": pa.array(x0, pa.float64()),
+            "y0": pa.array(y0, pa.float64()),
+            "x1": pa.array(x0 + w, pa.float64()),
+            "y1": pa.array(y0 + ht, pa.float64())})
+        pq.write_table(tbl, os.path.join(tmp, "part-0.parquet"),
+                       row_group_size=256)
+        wkbs = [W.polygon_wkb([np.array(
+            [[a, b], [c, b], [c, d], [a, d], [a, b]])])
+            for a, b, c, d in zip(x0, y0, x0 + w, y0 + ht)]
+        write_flatgeobuf(pa.table({
+            "wkb": pa.array(wkbs, pa.binary()),
+            "feat_id": pa.array(i, pa.int64())}),
+            os.path.join(tmp, "data.fgb"), layer="rects")
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write("ok")
+        try:
+            os.replace(tmp, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return (os.path.join(out, "data.fgb"),
+            os.path.join(out, "*.parquet"), n)
+
+
+_Q78_BBOX = (200.0, 150.0, 420.0, 400.0)
+
+
+def q78_fgb_roundtrip_filter(sf_dir):
+    """FlatGeobuf write → packed-R-tree bbox read, oracled in SQL.
+
+    The fixture rects are written to .fgb through write_flatgeobuf
+    (Hilbert sort + bulk-built index); the query reads the file back
+    WITH a bbox (so the packed-R-tree search drives feature selection)
+    and re-derives each rect from the decoded WKB.  The oracle applies
+    the same bbox-intersects predicate to the parquet twin — any bug in
+    the flatbuffer encode/decode, Hilbert sort, tree build, or index
+    search breaks parity."""
+    import ray.data
+
+    from .geo import wkb as W
+
+    fgb, _glob, _n = _ensure_fgb_fixture(sf_dir)
+    from .io.flatgeobuf import read_flatgeobuf
+
+    t = read_flatgeobuf(fgb, bbox=_Q78_BBOX)
+
+    def rect_cols(tbl: pa.Table) -> pa.Table:
+        x0, y0, x1, y1 = W.wkb_bbox_many(tbl["wkb"].to_pylist())
+        return pa.Table.from_pydict({
+            "feat_id": tbl["feat_id"],
+            "x0": pa.array(x0, pa.float64()),
+            "y0": pa.array(y0, pa.float64()),
+            "x1": pa.array(x1, pa.float64()),
+            "y1": pa.array(y1, pa.float64())})
+
+    return (ray.data.from_arrow(t)
+            .map_batches(rect_cols, batch_format="pyarrow"))
+
+
+def _fgb_cache_glob_sf001():
+    from .pipelines import _CACHE_ROOT, image_count_for_sf
+
+    try:
+        n = max(200, image_count_for_sf("/root/testdata/sf0.01"))
+    except Exception:
+        return None
+    return os.path.join(_CACHE_ROOT, f"fgb_{n}", "*.parquet")
+
+
+_Q78_GLOB = _fgb_cache_glob_sf001()
+SQL_Q78 = None if _Q78_GLOB is None else f"""
+SELECT feat_id, x0, y0, x1, y1
+FROM read_parquet('{_Q78_GLOB}')
+WHERE x1 >= {_Q78_BBOX[0]!r} AND x0 <= {_Q78_BBOX[2]!r}
+  AND y1 >= {_Q78_BBOX[1]!r} AND y0 <= {_Q78_BBOX[3]!r}
+"""
+
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -3986,6 +4095,7 @@ QUERIES = {
     "q75_geojson_csv_pip": (q75_geojson_csv_pip, SQL_Q38),
     "q76_clip_overlap_area": (q76_clip_overlap_area, SQL_Q76),
     "q77_audio_features": (q77_audio_features, SQL_Q77),
+    "q78_fgb_roundtrip_filter": (q78_fgb_roundtrip_filter, SQL_Q78),
 }
 
 
@@ -4024,6 +4134,10 @@ def oracle_sqls():
         pass
     try:
         ensure_audio_parquet("/root/testdata/sf0.01")
+    except Exception:
+        pass
+    try:
+        _ensure_fgb_fixture("/root/testdata/sf0.01")
     except Exception:
         pass
     return {name: sql for name, (_, sql) in QUERIES.items()
