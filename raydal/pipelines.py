@@ -169,7 +169,7 @@ def ensure_zone_index(n_zones=500):
 
 
 def flagship(sf_dir, z=10, n_zones=500, warp_sample=None, concurrency=None,
-             zone_index=None):
+             zone_index=None, epochs=1):
     """Run the headline pipeline; returns a dict of small result tables.
 
     Physical plan (the scalable shape — ONE pass over the heavy bytes):
@@ -185,7 +185,11 @@ def flagship(sf_dir, z=10, n_zones=500, warp_sample=None, concurrency=None,
        run off it.
 
     ``warp_sample``: if set, limit the heavy stage to that many images
-    (smoke runs).
+    (smoke runs).  ``epochs``: stream the input that many times through
+    the same pool in ONE pipeline (steady-state scaling measurements —
+    at production scale a job runs hours, so the few-second pool
+    spin-up/ramp transient is measurement noise at small sf; 2 epochs
+    halves its weight without changing the job shape).
     """
     import ray
     import ray.data
@@ -204,9 +208,13 @@ def flagship(sf_dir, z=10, n_zones=500, warp_sample=None, concurrency=None,
     zi = zone_index or ensure_zone_index(n_zones)
     zi_ref = ray.put(zi)
 
-    full = ray.data.read_parquet(
-        path, columns=["image_id", "bytes", "caption", "w", "h", "crs", "gt"],
-        override_num_blocks=max(concurrency * 8, 16))
+    cols = ["image_id", "bytes", "caption", "w", "h", "crs", "gt"]
+    nb = max(concurrency * 8, 16)
+    full = ray.data.read_parquet(path, columns=cols,
+                                 override_num_blocks=nb)
+    for _ in range(int(epochs) - 1):
+        full = full.union(ray.data.read_parquet(
+            path, columns=cols, override_num_blocks=nb))
     if warp_sample:
         full = full.limit(warp_sample)
     per_image = full.map_batches(
