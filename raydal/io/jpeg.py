@@ -1,6 +1,6 @@
 """Pure-Python baseline JPEG codec (decode + encode), from scratch.
 
-Decoder: SOI/APPn/DQT/DHT/SOF0/DRI/SOS parse, table-driven Huffman
+Decoder: SOI/APPn/DQT/DHT/SOF0-3/DRI/SOS parse, table-driven Huffman
 entropy decode, dequantize, the IJG integer "islow" IDCT (13-bit
 fixed-point, replicated so sample values match libjpeg bit-exactly),
 libjpeg "fancy" (triangle) chroma upsampling for 4:2:0 / 4:2:2, and the
@@ -93,12 +93,14 @@ def _idct_islow_1d(c0, c1, c2, c3, c4, c5, c6, c7, shift):
             _descale(t11 - o2, shift), _descale(t10 - o3, shift))
 
 
-def idct_islow(blocks):
+def idct_islow(blocks, precision=8):
     """IJG jpeg_idct_islow over (N, 8, 8) int32 dequantized coefficients.
 
-    Returns (N, 8, 8) uint8 samples (center 128, clamped).  Bit-exact
-    with libjpeg's integer IDCT (the parity anchor for the published
-    albania.jpg checksum)."""
+    Returns (N, 8, 8) samples centered at 2^(P-1) and clamped to
+    [0, 2^P - 1] — uint8 for the 8-bit path (bit-exact with libjpeg,
+    the parity anchor for the published albania.jpg checksum), uint16
+    for 12-bit extended-sequential frames (libjpeg ``BITS_IN_JSAMPLE
+    == 12`` build semantics)."""
     b = blocks.astype(np.int64)
     # pass 1: over columns
     cols = [b[:, i, :] for i in range(8)]
@@ -107,8 +109,10 @@ def idct_islow(blocks):
     # pass 2: over rows
     rows = [ws[:, :, i] for i in range(8)]
     r2 = _idct_islow_1d(*rows, _CONST_BITS + _PASS1_BITS + 3)
-    out = np.stack(r2, axis=2) + 128
-    return np.clip(out, 0, 255).astype(np.uint8)
+    out = np.stack(r2, axis=2) + (1 << (precision - 1))
+    if precision == 8:
+        return np.clip(out, 0, 255).astype(np.uint8)
+    return np.clip(out, 0, (1 << precision) - 1).astype(np.uint16)
 
 
 _HUFF_CACHE = {}
@@ -217,8 +221,9 @@ def _unstuff(data):
 
 
 def decode_jpeg(buf):
-    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG → uint8
-    (h, w) grayscale or (h, w, 3) RGB.
+    """Decode a baseline (SOF0/1, 8- or 12-bit), progressive (SOF2)
+    or lossless (SOF3) JPEG → (h, w) grayscale or (h, w, 3) RGB;
+    uint8 for 8-bit precision, uint16 for 12-bit / deep lossless.
 
     Progressive streams (spectral selection + successive approximation,
     ITU T.81 Annex G; reference behavior ``frmts/jpeg/jpgdataset.cpp``
@@ -278,11 +283,14 @@ def _decode_jpeg_impl(buf):
                 qt[pq_tq & 15] = tbl
         elif m == 0xC4:  # DHT
             _parse_huff(data, seg, end, huff)
-        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif m in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2 + SOF3 lossless
             prec, h, w, nc = struct.unpack_from(">BHHB", data, seg)
             if h == 0 or w == 0 or nc == 0 or nc > 4 or \
                     h * w > (1 << 28):
                 raise ValueError(f"implausible JPEG frame {w}x{h}x{nc}")
+            if m != 0xC3 and prec not in (8, 12):
+                raise NotImplementedError(
+                    f"unsupported DCT sample precision {prec}")
             comps = []
             for c in range(nc):
                 cid, samp, tq = struct.unpack_from(
@@ -292,13 +300,13 @@ def _decode_jpeg_impl(buf):
                     raise ValueError(
                         f"invalid sampling factors {ch}x{cv}")
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps,
-                     "progressive": m == 0xC2}
-        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec,
+                     "progressive": m == 0xC2, "lossless": m == 0xC3}
+        elif m in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline (SOF0/1) and progressive (SOF2) JPEG "
-                "supported")
+                "only baseline (SOF0/1), progressive (SOF2) and "
+                "lossless (SOF3) JPEG supported")
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", data, seg)
         elif m == 0xDA:  # SOS
@@ -309,6 +317,13 @@ def _decode_jpeg_impl(buf):
             for c in range(ns):
                 cs, td_ta = data[seg + 1 + 2 * c], data[seg + 2 + 2 * c]
                 scomps.append({"cs": cs, "td": td_ta >> 4, "ta": td_ta & 15})
+            if frame.get("lossless"):
+                # SOF3: Ss = predictor selector, Al = point transform
+                px = data[seg + 1 + 2 * ns]
+                pt = data[seg + 3 + 2 * ns] & 15
+                entropy, _stop = _unstuff(data[end:])
+                return _decode_lossless(frame, scomps, huff, px, pt,
+                                        entropy, restart_interval)
             if frame["progressive"] or ns < len(frame["comps"]):
                 # progressive, or baseline NON-INTERLEAVED (one scan
                 # per component subset): collect scans + entropy spans
@@ -376,7 +391,7 @@ def _decode_jpeg_impl(buf):
     # compiler is present or RAYDAL_NO_NATIVE is set — bit-identical
     # either way (differential-tested)
     jfn = _native.get_jentropy()
-    if jfn is not None and len(comps) <= 4:
+    if jfn is not None and len(comps) <= 4 and frame.get("prec", 8) == 8:
         ncomp = len(comps)
         ch_a = np.array([c["h"] for c in comps], dtype=np.int32)
         cv_a = np.array([c["v"] for c in comps], dtype=np.int32)
@@ -544,7 +559,8 @@ def _reconstruct(frame, comps, qt):
         deq = c["coef"] * qt[c["tq"]][None, :]
         nat = np.zeros_like(deq)
         nat[:, ZIGZAG] = deq
-        pix = idct_islow(nat.reshape(-1, 8, 8))
+        pix = idct_islow(nat.reshape(-1, 8, 8),
+                         precision=frame.get("prec", 8))
         # assemble blocks → plane
         plane = pix.reshape(c["bh"], c["bw"], 8, 8).transpose(
             0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
@@ -579,6 +595,92 @@ def _reconstruct(frame, comps, qt):
                 p = np.repeat(p, fx, axis=1)
         full.append(p[:h, :w])
     return _ycc_to_rgb(full[0], full[1], full[2])
+
+
+def _decode_lossless(frame, scomps, huff, px, pt, entropy,
+                     restart_interval):
+    """Lossless JPEG (SOF3, ITU T.81 Annex H) — Huffman-coded
+    prediction residuals, no DCT.
+
+    Predictors 0-7 per H.1.2.1; point transform Pt shifts the output
+    left by Pt; differences are modulo 2^16.  Reference consumers:
+    ``frmts/jpeg`` via libjpeg-turbo lossless
+    (autotest/gdrivers/jpeg.py byte_lossless.jpg, published band
+    checksum 4672).  Restart markers reset the predictor state.
+    Components must be 1x1-sampled (the only layout the reference
+    fixtures use; interleaved MCU = one sample per component)."""
+    comps = frame["comps"]
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise NotImplementedError(
+            "lossless JPEG with subsampled components")
+    if len(scomps) != len(comps):
+        raise NotImplementedError(
+            "non-interleaved multi-scan lossless JPEG")
+    prec = frame["prec"]
+    h, w, nc = frame["h"], frame["w"], len(comps)
+    luts = []
+    for sc in scomps:
+        t = huff.get((0, sc["td"]))
+        if t is None:
+            raise ValueError("missing lossless Huffman table")
+        luts.append(t.lut)
+    br = _BitReader(entropy)
+    out = np.zeros((nc, h, w), dtype=np.int64)
+    default = 1 << (prec - pt - 1)
+    samples_since_restart = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and samples_since_restart \
+                    == restart_interval:
+                # RSTn bytes were stripped by _unstuff; realign and
+                # reset the predictor to the start-of-scan default
+                br.align()
+                samples_since_restart = 0
+            for ci in range(nc):
+                s = br.huff(luts[ci])
+                if s == 16:
+                    diff = 32768
+                elif s == 0:
+                    diff = 0
+                else:
+                    diff = _extend(br.bits(s), s)
+                plane = out[ci]
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = plane[0, x - 1]
+                elif x == 0:
+                    pred = plane[y - 1, 0]
+                else:
+                    ra = plane[y, x - 1]
+                    rb = plane[y - 1, x]
+                    rc = plane[y - 1, x - 1]
+                    if px == 1:
+                        pred = ra
+                    elif px == 2:
+                        pred = rb
+                    elif px == 3:
+                        pred = rc
+                    elif px == 4:
+                        pred = ra + rb - rc
+                    elif px == 5:
+                        pred = ra + ((rb - rc) >> 1)
+                    elif px == 6:
+                        pred = rb + ((ra - rc) >> 1)
+                    elif px == 7:
+                        pred = (ra + rb) >> 1
+                    else:                       # px == 0: no prediction
+                        pred = default
+                plane[y, x] = (pred + diff) & 0xFFFF
+            samples_since_restart += 1
+    out = (out << pt) & ((1 << 16) - 1)
+    if prec <= 8:
+        out = out.astype(np.uint8)
+    else:
+        out = out.astype(np.uint16)
+    if nc == 1:
+        return out[0]
+    return np.transpose(out, (1, 2, 0))
 
 
 class _BitReader:

@@ -1048,3 +1048,44 @@ class TestShapefileWriter:
             off_w, len_w = struct.unpack_from(">2i", shx, 100 + 8 * i)
             rec_no, clen = struct.unpack_from(">2i", shp, off_w * 2)
             assert rec_no == i + 1 and clen == len_w
+
+
+class TestJpeg12BitAndLossless:
+    """SOF1 12-bit extended-sequential + SOF3 lossless decode vs the
+    reference's published expectations (autotest/gdrivers/jpeg.py)."""
+
+    JP = "/root/reference/autotest/gdrivers/data/jpeg/"
+
+    def test_lossless_published_checksum(self):
+        """byte_lossless.jpg: checksum 4672, LOSSLESS reversibility
+        (jpeg.py:1526-1531)."""
+        from raydal.io.jpeg import decode_jpeg
+
+        px = decode_jpeg(open(self.JP + "byte_lossless.jpg",
+                              "rb").read())
+        assert px.shape == (20, 20) and px.dtype == np.uint8
+        assert checksum(px) == 4672
+
+    def test_12bit_published_mean(self):
+        """12bit_rose_extract.jpg: UInt16 band, mean in [3613, 3614]
+        (jpeg.py:374-377)."""
+        from raydal.io.jpeg import decode_jpeg
+
+        px = decode_jpeg(open(self.JP + "12bit_rose_extract.jpg",
+                              "rb").read())
+        assert px.dtype == np.uint16 and px.shape == (50, 50)
+        assert 3613 <= px.mean() <= 3614
+
+    def test_lossless_round_trip_of_known_pixels(self):
+        """byte_lossless.jpg is the reversible coding of the classic
+        byte.tif — the decoded pixels must match that raster exactly,
+        not just its checksum."""
+        from raydal.io.jpeg import decode_jpeg
+        from raydal.io.tiff import read_tiff
+
+        px = decode_jpeg(open(self.JP + "byte_lossless.jpg",
+                              "rb").read())
+        ref = read_tiff(open(
+            "/root/reference/autotest/gcore/data/byte.tif",
+            "rb").read()).bands[0]
+        assert np.array_equal(px, ref)
