@@ -133,6 +133,8 @@ def _geometry_wkb(g, header_gt):
     gt = g.scalar(6, "<B") or header_gt
     xy = g.vector(1, "<f8")
     ends = g.vector(0, "<u4")
+    if xy is None and gt not in (_GT_MULTIPOLYGON, _GT_COLLECTION):
+        raise ValueError("corrupt FlatGeobuf geometry: missing xy")
     if gt == _GT_POINT:
         return W.point_wkb(float(xy[0]), float(xy[1]))
     pts = (np.asarray(xy, dtype=np.float64).reshape(-1, 2)

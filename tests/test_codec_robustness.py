@@ -100,3 +100,66 @@ def test_tiff_corrupt_errors_are_typed():
             read_tiff(bytes(b))
         except typed:
             pass
+
+
+def test_wav_fuzz_clean_failures():
+    from raydal.io.wav import decode_wav, encode_wav
+
+    rng = np.random.default_rng(21)
+    data = encode_wav(
+        (rng.standard_normal(500) * 0.4).astype(np.float64), 16000)
+    _fuzz(decode_wav, data, rng)
+
+
+def test_avi_fuzz_clean_failures():
+    from raydal.io.avi import decode_avi_frames, encode_avi_mjpeg
+
+    rng = np.random.default_rng(22)
+    frames = (np.add.outer(np.arange(16), np.arange(24)) * 3
+              % 200).astype(np.uint8)[None].repeat(4, axis=0)
+    data = encode_avi_mjpeg(frames, fps=5)
+    _fuzz(lambda b: decode_avi_frames(b, indices=[0, 3]), data, rng,
+          n_trunc=15, n_flip=25)
+
+
+def test_fgb_fuzz_clean_failures(tmp_path):
+    import pyarrow as pa
+
+    from raydal.geo import wkb as W
+    from raydal.io.flatgeobuf import read_flatgeobuf, write_flatgeobuf
+
+    rng = np.random.default_rng(23)
+    t = pa.table({
+        "wkb": pa.array([W.point_wkb(float(i), float(i % 7))
+                         for i in range(40)], pa.binary()),
+        "v": pa.array(list(range(40)))})
+    p = str(tmp_path / "f.fgb")
+    write_flatgeobuf(t, p)
+    data = open(p, "rb").read()
+
+    def decode(b):
+        q = tmp_path / "fuzz.fgb"
+        q.write_bytes(b)
+        read_flatgeobuf(str(q))
+        read_flatgeobuf(str(q), bbox=(0, 0, 10, 10))
+
+    _fuzz(decode, data, rng, n_trunc=15, n_flip=25)
+
+
+def test_gpkg_corrupt_blob_clean_failures(tmp_path):
+    from raydal.io.gpkg import parse_gpb
+
+    rng = np.random.default_rng(24)
+    import struct as _s
+
+    good = (b"GP\x00\x03" + _s.pack("<i", 4326)
+            + _s.pack("<4d", 0, 1, 0, 1) + b"\x01" + b"\x00" * 20)
+    for _ in range(30):
+        buf = bytearray(good)
+        for _ in range(int(rng.integers(1, 6))):
+            buf[int(rng.integers(0, len(buf)))] = int(
+                rng.integers(0, 256))
+        try:
+            parse_gpb(bytes(buf))
+        except OK_ERRORS:
+            pass
