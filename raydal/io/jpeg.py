@@ -27,7 +27,8 @@ from raydal.io import _native
 
 import numpy as np
 
-__all__ = ["decode_jpeg", "encode_jpeg"]
+__all__ = ["decode_jpeg", "encode_jpeg", "encode_jpeg12",
+           "encode_jpeg_lossless"]
 
 ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -1344,6 +1345,250 @@ def encode_jpeg(arr, quality=85, subsample="420", restart_interval=0):
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bwr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _optimal_huffman(freq):
+    """JPEG optimal Huffman table from symbol frequencies — the
+    Annex K.2 / libjpeg ``jpeg_gen_optimal_table`` procedure (merge
+    two least-frequent, track code sizes, fold lengths > 16 down via
+    the prefix-stealing adjustment, drop the reserved all-ones slot).
+    Returns (counts[16], symbols) in canonical order."""
+    freq = dict(freq)
+    freq[256] = 1                       # reserved: ensures no all-ones
+    codesize = {}
+    others = {s: None for s in freq}
+    f = {s: int(v) for s, v in freq.items() if v > 0}
+    while len(f) > 1:
+        # two smallest (ties: larger symbol value first, per libjpeg)
+        c1 = min(f, key=lambda s: (f[s], -s))
+        f1 = f.pop(c1)
+        c2 = min(f, key=lambda s: (f[s], -s))
+        f[c2] += f1
+        # bump codesize along both chains, link c2's chain to c1
+        v = c2
+        while v is not None:
+            codesize[v] = codesize.get(v, 0) + 1
+            last = v
+            v = others[v]
+        others[last] = c1
+        v = c1
+        while v is not None:
+            codesize[v] = codesize.get(v, 0) + 1
+            v = others[v]
+    bits = [0] * (max(codesize.values()) + 1)
+    for s, size in codesize.items():
+        bits[size] += 1
+    # limit code lengths to 16 (jpeg_gen_optimal_table's back-off)
+    i = len(bits) - 1
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while i > 0 and bits[i] == 0:
+        i -= 1
+    bits[i] -= 1                        # remove the reserved symbol
+    symbols = sorted((s for s in codesize if s != 256),
+                     key=lambda s: (codesize[s], s))
+    counts = (bits[1:] + [0] * 16)[:16]
+    return counts, symbols
+
+
+def _collect_block_stats(blocks, dc_freq, ac_freq):
+    """Pass-1 symbol statistics over (N, 64) zigzag blocks."""
+    pred = 0
+    for blk in blocks:
+        s, _ = _magnitude(int(blk[0]) - pred)
+        pred = int(blk[0])
+        dc_freq[s] = dc_freq.get(s, 0) + 1
+        nz = np.nonzero(blk[1:])[0]
+        last_nz = nz[-1] + 1 if len(nz) else 0
+        run = 0
+        k = 1
+        while k <= last_nz:
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                k += 1
+                continue
+            while run > 15:
+                ac_freq[0xF0] = ac_freq.get(0xF0, 0) + 1
+                run -= 16
+            s, _ = _magnitude(v)
+            sym = (run << 4) | s
+            ac_freq[sym] = ac_freq.get(sym, 0) + 1
+            run = 0
+            k += 1
+        if last_nz < 63:
+            ac_freq[0x00] = ac_freq.get(0x00, 0) + 1
+
+
+def encode_jpeg12(arr, quality=85):
+    """Encode uint16 (h, w) [or (h, w, C≤4), 1x1 sampling] 12-bit data
+    → extended-sequential (SOF1) JPEG bytes.
+
+    Mirrors a ``BITS_IN_JSAMPLE == 12`` libjpeg build: level shift
+    2048, Annex-K tables scaled by quality, and per-image OPTIMAL
+    Huffman tables (libjpeg forces ``optimize_coding`` for > 8-bit
+    precision because the fixed 8-bit tables cannot express the larger
+    magnitude categories).  Reference consumer parity target:
+    ``autotest/gdrivers/jpeg.py`` test_jpeg_11 (12-bit create)."""
+    a = np.asarray(arr)
+    if a.dtype != np.uint16:
+        raise ValueError("encode_jpeg12 expects uint16")
+    if a.max() > 4095:
+        raise ValueError("12-bit samples must be <= 4095")
+    planes = ([a.astype(np.float64) - 2048.0] if a.ndim == 2 else
+              [a[:, :, c].astype(np.float64) - 2048.0
+               for c in range(a.shape[2])])
+    h, w = a.shape[:2]
+    scale = _quality_scale(quality)
+    ql = np.clip((_QL * scale + 50) // 100, 1, 255)
+    bw_, bh_ = -(-w // 8), -(-h // 8)
+    comp_blocks = [_plane_blocks(p, ql, bw_, bh_) for p in planes]
+
+    dc_freq, ac_freq = {}, {}
+    for blocks in comp_blocks:
+        _collect_block_stats(blocks, dc_freq, ac_freq)
+    dc_counts, dc_syms = _optimal_huffman(dc_freq)
+    ac_counts, ac_syms = _optimal_huffman(ac_freq)
+    dct = _enc_codes(dc_counts, dc_syms)
+    act = _enc_codes(ac_counts, ac_syms)
+
+    bwr = _BitWriter()
+    preds = [0] * len(planes)
+    for bi in range(bh_ * bw_):
+        for ci in range(len(planes)):
+            preds[ci] = _encode_block(bwr, comp_blocks[ci][bi],
+                                      preds[ci], dct, act)
+    bwr.flush()
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) \
+            + payload
+
+    ncomp = len(planes)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(ql[ZIGZAG].astype(np.uint8)))
+    compspec = b"".join(bytes([ci + 1, 0x11, 0]) for ci in range(ncomp))
+    out += seg(0xC1, struct.pack(">BHHB", 12, h, w, ncomp) + compspec)
+    out += seg(0xC4, bytes([0x00] + dc_counts + dc_syms))
+    out += seg(0xC4, bytes([0x10] + ac_counts + ac_syms))
+    sos = bytes([ncomp]) + b"".join(
+        bytes([ci + 1, 0x00]) for ci in range(ncomp))
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bwr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_lossless(arr, predictor=1):
+    """Encode (h, w) or (h, w, C≤4) integer data → LOSSLESS (SOF3)
+    JPEG bytes — decode reproduces the input bit-exactly.
+
+    T.81 Annex H predictive coding with a per-image optimal Huffman
+    table; precision derives from the dtype (uint8 → 8, uint16 → 16).
+    The reversibility contract matches the reference's
+    COMPRESSION_REVERSIBILITY=LOSSLESS metadata for SOF3 streams
+    (autotest/gdrivers/jpeg.py byte_lossless.jpg)."""
+    a = np.asarray(arr)
+    if a.dtype == np.uint8:
+        prec = 8
+    elif a.dtype == np.uint16:
+        prec = 16 if a.max() > 4095 else 12
+    else:
+        raise ValueError("encode_jpeg_lossless expects uint8/uint16")
+    if a.ndim == 2:
+        chans = [a.astype(np.int64)]
+    else:
+        chans = [a[:, :, c].astype(np.int64) for c in range(a.shape[2])]
+    h, w = a.shape[:2]
+    px = int(predictor)
+    if not 1 <= px <= 7:
+        raise ValueError("predictor must be 1..7")
+
+    # vectorized prediction per plane (pass 1 computes all diffs)
+    default = 1 << (prec - 1)
+    diffs = []
+    for p in chans:
+        ra = np.empty_like(p)
+        ra[:, 1:] = p[:, :-1]
+        rb = np.empty_like(p)
+        rb[1:, :] = p[:-1, :]
+        rc = np.empty_like(p)
+        rc[1:, 1:] = p[:-1, :-1]
+        if px == 1:
+            pred = ra
+        elif px == 2:
+            pred = rb
+        elif px == 3:
+            pred = rc
+        elif px == 4:
+            pred = ra + rb - rc
+        elif px == 5:
+            pred = ra + ((rb - rc) >> 1)
+        elif px == 6:
+            pred = rb + ((ra - rc) >> 1)
+        else:
+            pred = (ra + rb) >> 1
+        pred[0, 1:] = p[0, :-1]         # first line: Ra
+        pred[1:, 0] = p[:-1, 0]         # first column: Rb
+        pred[0, 0] = default
+        d = p - pred
+        # modulo 2^16 into the symmetric range the category code expects
+        d = ((d + (1 << 15)) & 0xFFFF) - (1 << 15)
+        diffs.append(d)
+
+    freq = {}
+    cats = []
+    for d in diffs:
+        ad = np.abs(d)
+        cat = np.zeros(d.shape, dtype=np.int32)
+        nz = ad > 0
+        cat[nz] = np.floor(np.log2(ad[nz])).astype(np.int32) + 1
+        cat[d == -32768] = 16
+        cats.append(cat)
+        u, c = np.unique(cat, return_counts=True)
+        for s, n in zip(u.tolist(), c.tolist()):
+            freq[s] = freq.get(s, 0) + n
+    counts, syms = _optimal_huffman(freq)
+    lut = _enc_codes(counts, syms)
+
+    bwr = _BitWriter()
+    nc = len(chans)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(nc):
+                s = int(cats[ci][y, x])
+                hc, hl = lut[s]
+                bwr.put(hc, hl)
+                if 0 < s < 16:
+                    v = int(diffs[ci][y, x])
+                    code = v if v > 0 else v + (1 << s) - 1
+                    bwr.put(code, s)
+    bwr.flush()
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) \
+            + payload
+
+    out = bytearray(b"\xff\xd8")
+    compspec = b"".join(bytes([ci + 1, 0x11, 0]) for ci in range(nc))
+    out += seg(0xC3, struct.pack(">BHHB", prec, h, w, nc) + compspec)
+    out += seg(0xC4, bytes([0x00] + counts + syms))
+    sos = bytes([nc]) + b"".join(bytes([ci + 1, 0x00])
+                                 for ci in range(nc))
+    sos += bytes([px, 0, 0])            # Ss=predictor, Se=0, Ah/Al=0
     out += seg(0xDA, sos)
     out += bwr.out
     out += b"\xff\xd9"

@@ -1089,3 +1089,37 @@ class TestJpeg12BitAndLossless:
             "/root/reference/autotest/gcore/data/byte.tif",
             "rb").read()).bands[0]
         assert np.array_equal(px, ref)
+
+    def test_12bit_encode_round_trip(self):
+        """encode_jpeg12 (optimal Huffman, like libjpeg's forced
+        optimize_coding for >8-bit) decodes back at PSNR > 40 dB."""
+        from raydal.io.jpeg import decode_jpeg, encode_jpeg12
+
+        yy, xx = np.mgrid[0:60, 0:80]
+        img = ((np.sin(xx / 9.0) + np.cos(yy / 7.0) + 2) / 4
+               * 4095).astype(np.uint16)
+        dec = decode_jpeg(encode_jpeg12(img, quality=95))
+        assert dec.dtype == np.uint16 and dec.shape == img.shape
+        err = dec.astype(np.float64) - img.astype(np.float64)
+        psnr = 10 * np.log10(4095 ** 2 / np.mean(err ** 2))
+        assert psnr > 40
+
+    def test_lossless_encode_bit_exact_all_predictors(self):
+        """encode_jpeg_lossless → decode_jpeg reproduces the input
+        exactly for every T.81 predictor, 8- and 16-bit, multi-chan."""
+        from raydal.io.jpeg import decode_jpeg, encode_jpeg_lossless
+        from raydal.io.tiff import read_tiff
+
+        ref = read_tiff(open(
+            "/root/reference/autotest/gcore/data/byte.tif",
+            "rb").read()).bands[0]
+        for p in range(1, 8):
+            back = decode_jpeg(encode_jpeg_lossless(ref, predictor=p))
+            assert np.array_equal(back, ref), p
+        rng = np.random.default_rng(6)
+        a16 = rng.integers(0, 65536, (40, 50)).astype(np.uint16)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_lossless(a16, predictor=4)), a16)
+        c = rng.integers(0, 256, (20, 30, 3)).astype(np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_lossless(c, predictor=7)), c)
