@@ -4015,6 +4015,74 @@ WHERE x1 >= {_Q78_BBOX[0]!r} AND x0 <= {_Q78_BBOX[2]!r}
 """
 
 
+def q79_vector_writers_roundtrip(sf_dir):
+    """Shapefile AND GeoPackage writer fidelity, oracled in SQL.
+
+    The same fixture rects flow through BOTH vector writers —
+    write_shapefile (.shp/.shx/.dbf) and write_gpkg_features (GPB
+    blobs + R-tree) — are read back by the corresponding readers, and
+    the recovered (feat_id, bbox) rows from the two formats are
+    unioned with a format tag.  The oracle recomputes the expected
+    union from the parquet twin: any drift in either writer/reader
+    pair (dBASE numeric formatting, ring orientation, GPB envelopes,
+    fid handling) breaks parity."""
+    import tempfile
+
+    import ray.data
+
+    from .geo import wkb as W
+
+    _fgb, _glob, n = _ensure_fgb_fixture(sf_dir)
+    import pyarrow.parquet as _pq
+
+    src_tbl = _pq.read_table(_glob.replace("*.parquet",
+                                           "part-0.parquet"))
+    wkbs = [W.polygon_wkb([np.array(
+        [[a, b], [c, b], [c, d], [a, d], [a, b]])])
+        for a, b, c, d in zip(src_tbl["x0"].to_pylist(),
+                              src_tbl["y0"].to_pylist(),
+                              src_tbl["x1"].to_pylist(),
+                              src_tbl["y1"].to_pylist())]
+    feats = pa.table({
+        "wkb": pa.array(wkbs, pa.binary()),
+        "feat_id": src_tbl["feat_id"]})
+
+    from .io.gpkg import read_gpkg_features, write_gpkg_features
+    from .io.shapefile import read_shapefile, write_shapefile
+
+    d = tempfile.mkdtemp(prefix="raydal_q79_")
+    write_shapefile(feats, os.path.join(d, "rt.shp"))
+    shp = read_shapefile(os.path.join(d, "rt.shp"))
+    write_gpkg_features(feats, os.path.join(d, "rt.gpkg"),
+                        layer="rects", srs_id=0)
+    gp = read_gpkg_features(os.path.join(d, "rt.gpkg"), layer="rects")
+
+    def rows(tbl, fmt, ids):
+        x0, y0, x1, y1 = W.wkb_bbox_many(tbl["wkb"].to_pylist())
+        return pa.Table.from_pydict({
+            "fmt": pa.array([fmt] * tbl.num_rows, pa.string()),
+            "feat_id": pa.array(ids, pa.int64()),
+            "x0": pa.array(x0, pa.float64()),
+            "y0": pa.array(y0, pa.float64()),
+            "x1": pa.array(x1, pa.float64()),
+            "y1": pa.array(y1, pa.float64())})
+
+    both = pa.concat_tables([
+        rows(shp, "shp", shp["feat_id"].to_pylist()),
+        rows(gp, "gpkg", gp["feat_id"].to_pylist())])
+    return ray.data.from_arrow(both)
+
+
+SQL_Q79 = None if _Q78_GLOB is None else f"""
+SELECT fmt, feat_id, x0, y0, x1, y1
+FROM (SELECT 'shp' AS fmt, feat_id, x0, y0, x1, y1
+      FROM read_parquet('{_Q78_GLOB}')
+      UNION ALL
+      SELECT 'gpkg' AS fmt, feat_id, x0, y0, x1, y1
+      FROM read_parquet('{_Q78_GLOB}'))
+"""
+
+
 
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
@@ -4096,6 +4164,8 @@ QUERIES = {
     "q76_clip_overlap_area": (q76_clip_overlap_area, SQL_Q76),
     "q77_audio_features": (q77_audio_features, SQL_Q77),
     "q78_fgb_roundtrip_filter": (q78_fgb_roundtrip_filter, SQL_Q78),
+    "q79_vector_writers_roundtrip": (q79_vector_writers_roundtrip,
+                                     SQL_Q79),
 }
 
 
