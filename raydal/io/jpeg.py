@@ -595,7 +595,8 @@ def _reconstruct(frame, comps, qt):
             if fx != 1:
                 p = np.repeat(p, fx, axis=1)
         full.append(p[:h, :w])
-    return _ycc_to_rgb(full[0], full[1], full[2])
+    return _ycc_to_rgb(full[0], full[1], full[2],
+                       precision=frame.get("prec", 8))
 
 
 def _decode_lossless(frame, scomps, huff, px, pt, entropy,
@@ -1006,7 +1007,7 @@ def _upsample2_h_fancy(p):
     # exact edge behavior: first/last output copy the edge sample
     out[:, 0] = p32[:, 0]
     out[:, -1] = p32[:, -1]
-    return out.astype(np.uint8)
+    return out          # int32; values fit any JPEG precision
 
 
 def _upsample2_v_fancy(p):
@@ -1042,19 +1043,23 @@ def _upsample2_h_sums(sums):
     out[:, 1::2] = (sums * 3 + right + 7) >> 4
     out[:, 0] = (sums[:, 0] * 4 + 8) >> 4
     out[:, -1] = (sums[:, -1] * 4 + 7) >> 4
-    return out.astype(np.uint8)
+    return out          # int32; values fit any JPEG precision
 
 
-def _ycc_to_rgb(y, cb, cr):
-    """libjpeg integer YCbCr→RGB (jdcolor.c, SCALEBITS=16)."""
+def _ycc_to_rgb(y, cb, cr, precision=8):
+    """libjpeg integer YCbCr→RGB (jdcolor.c, SCALEBITS=16); chroma
+    centered at 2^(P-1), output clamped to [0, 2^P - 1]."""
+    center = 1 << (precision - 1)
+    maxval = (1 << precision) - 1
     yl = y.astype(np.int32)
-    cb = cb.astype(np.int32) - 128
-    cr = cr.astype(np.int32) - 128
+    cb = cb.astype(np.int32) - center
+    cr = cr.astype(np.int32) - center
     half = 1 << 15
     r = yl + ((91881 * cr + half) >> 16)            # FIX(1.40200)
     b = yl + ((116130 * cb + half) >> 16)           # FIX(1.77200)
     g = yl + ((-22554 * cb - 46802 * cr + half) >> 16)
-    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+    out = np.clip(np.stack([r, g, b], axis=-1), 0, maxval)
+    return out.astype(np.uint8 if precision == 8 else np.uint16)
 
 
 # ---------------------------------------------------------------- encode

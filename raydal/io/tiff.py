@@ -29,11 +29,14 @@ import zlib
 
 import numpy as np
 
+from .jpeg import decode_jpeg
+
 __all__ = ["TiffImage", "read_tiff", "read_tiff_overviews",
            "write_tiff"]
 
 _TAG_NAMES = {
     256: "width", 257: "height", 258: "bits_per_sample", 259: "compression",
+    347: "jpeg_tables",
     262: "photometric", 273: "strip_offsets", 277: "samples_per_pixel",
     278: "rows_per_strip", 279: "strip_byte_counts", 284: "planar_config",
     317: "predictor", 322: "tile_width", 323: "tile_length",
@@ -68,6 +71,10 @@ def _read_ifd_values(buf, bo, ttype, count, value_field, big=False):
                 for i in range(0, 2 * count, 2)]
     if ttype == 2:  # ASCII
         return raw.rstrip(b"\0").decode("latin-1")
+    if ttype == 7:  # UNDEFINED: opaque bytes (JPEGTables etc.)
+        if len(raw) < nbytes:
+            raise ValueError("truncated IFD value")
+        return bytes(raw[:nbytes])
     fmt = _TYPE_FMT.get(ttype)
     if fmt is None:
         return None
@@ -147,6 +154,25 @@ def packbits_decode(data):
                 i += 1
         # h == 128: no-op
     return bytes(out)
+
+
+def _jpeg_chunk_array(raw, tables):
+    """JPEG-in-TIFF chunk (compression 7) → pixel array.
+
+    Abbreviated per-chunk streams share DQT/DHT via the JPEGTables tag
+    (TIFF-EP): splice the tables' segments after the chunk's SOI —
+    libtiff ``tif_jpeg.c`` JPEGTables handling.  3-component chunks
+    come back RGB (JFIF YCbCr convention), 4-component (RGBA/CMYK)
+    come back as raw stored components, 12-bit as uint16 — all via
+    the from-scratch JPEG decoder."""
+    raw = bytes(raw)
+    if tables and len(tables) > 4 and raw[:2] == b"\xff\xd8":
+        core = bytes(tables)[2:]
+        if core[-2:] == b"\xff\xd9":
+            core = core[:-2]
+        raw = raw[:2] + core + raw[2:]
+    px = decode_jpeg(raw)
+    return px if px.ndim == 3 else px[..., None]
 
 
 def _decompress(chunk, compression, max_out=1 << 30):
@@ -332,7 +358,13 @@ def _read_tiff_impl(buf, ifd_index=0):
     planar = int(scalar("planar_config", 1))
     sfmt_list = tags.get("sample_format", [1])
     sfmt = int(sfmt_list[0])
-    dt = _dtype(sfmt, bits, bo)
+    jpeg_tables = tags.get("jpeg_tables")
+    if compression == 7:
+        # JPEG payloads decode through the JPEG codec; 12-bit frames
+        # land in uint16 regardless of the dtype ladder
+        dt = np.dtype("<u2" if bits > 8 else "u1")
+    else:
+        dt = _dtype(sfmt, bits, bo)
     itemsize = dt.itemsize if dt is not None else 1
     if width * height * spp * itemsize > (4 << 30):
         raise ValueError("TIFF exceeds the 4 GiB decode budget "
@@ -379,6 +411,8 @@ def _read_tiff_impl(buf, ifd_index=0):
         if off == 0 or cnt == 0:
             return None  # sparse/empty chunk: pixels stay zero-filled
         raw = buf[off:off + cnt] if cnt else buf[off:]
+        if compression == 7:
+            return raw                 # decoded by _jpeg_chunk_array
         return _decompress(raw, compression, max_out=max_chunk)
 
     if tiled:
@@ -392,7 +426,9 @@ def _read_tiff_impl(buf, ifd_index=0):
                     raw = chunk_bytes(idx)
                     if raw is None:
                         continue
-                    if bits == 1:
+                    if compression == 7:
+                        arr = _jpeg_chunk_array(raw, jpeg_tables)
+                    elif bits == 1:
                         arr = _unpack_bits1(raw, th, tw)[..., None]
                     else:
                         arr = _decode_chunk(raw, th, tw, chans_per_chunk,
@@ -416,7 +452,10 @@ def _read_tiff_impl(buf, ifd_index=0):
                     continue
                 y0 = s * rps
                 nrows = min(rps, height - y0)
-                if bits == 1:
+                if compression == 7:
+                    arr = _jpeg_chunk_array(raw, jpeg_tables)
+                    arr = arr[:nrows, :width]
+                elif bits == 1:
                     arr = _unpack_bits1(raw, nrows, width)[..., None]
                 else:
                     row_bytes = width * chans_per_chunk * dt.itemsize
@@ -424,10 +463,12 @@ def _read_tiff_impl(buf, ifd_index=0):
                         nrows = max(1, len(raw) // row_bytes)
                     arr = _decode_chunk(raw, nrows, width, chans_per_chunk,
                                         dt, predictor)
+                nrows = min(nrows, arr.shape[0])
                 if planar == 2:
-                    out[y0:y0 + nrows, :, plane] = arr[..., 0]
+                    out[y0:y0 + nrows, :arr.shape[1], plane] = \
+                        arr[:nrows, :, 0]
                 else:
-                    out[y0:y0 + nrows, :, :] = arr
+                    out[y0:y0 + nrows, :arr.shape[1], :] = arr[:nrows]
 
     bands = [np.ascontiguousarray(out[:, :, c]) for c in range(spp)]
     return TiffImage(bands, tags)

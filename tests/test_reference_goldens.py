@@ -1123,3 +1123,47 @@ class TestJpeg12BitAndLossless:
         c = rng.integers(0, 256, (20, 30, 3)).astype(np.uint8)
         assert np.array_equal(
             decode_jpeg(encode_jpeg_lossless(c, predictor=7)), c)
+
+
+class TestJpegInTiff:
+    """TIFF compression 7 (JPEG, TIFF-EP JPEGTables splicing) vs the
+    reference's published values (autotest/gcore/tiff_read.py,
+    tiff_write.py)."""
+
+    G = "/root/reference/autotest/gcore/data/"
+
+    @pytest.mark.parametrize("name", [
+        "stefan_full_rgba_jpeg_contig.tif",     # INTERLEAVE=PIXEL
+        "stefan_full_rgba_jpeg_separate.tif",   # INTERLEAVE=BAND
+    ])
+    def test_rgba_published_checksums(self, name):
+        """tiff_read.py:1069-1099: band checksums
+        [16404, 62700, 37913, 14174] for both interleaves."""
+        img = read_tiff(open(self.G + name, "rb").read())
+        assert [checksum(b) for b in img.bands] == [
+            16404, 62700, 37913, 14174]
+
+    def test_12bit_jpeg_in_tiff_published_mean(self):
+        """tiff_read.py:740-742: mandrilmini_12bitjpeg band-1 mean in
+        [2150, 2180] (12-bit YCbCr 4:2:0 chunks)."""
+        img = read_tiff(open(
+            self.G + "mandrilmini_12bitjpeg.tif", "rb").read())
+        assert img.bands[0].dtype == np.uint16
+        assert 2150 <= img.bands[0].mean() <= 2180
+
+    def test_unusual_jpegtables_published_checksum(self):
+        """tiff_write.py:5841: byte_jpg_unusual_jpegtable.tif reads at
+        checksum 4771 (JPEGTables with quirky padding)."""
+        img = read_tiff(open(
+            self.G + "byte_jpg_unusual_jpegtable.tif", "rb").read())
+        assert checksum(img.bands[0]) == 4771
+
+    def test_irregular_tile_size_fails_cleanly(self):
+        """tiff_read.py:1261+: corrupt JPEG-in-TIFF with irregular
+        tiles must error, not crash."""
+        data = open(self.G + "irregular_tile_size_jpeg_in_tiff.tif",
+                    "rb").read()
+        try:
+            read_tiff(data)
+        except (ValueError, NotImplementedError):
+            pass
