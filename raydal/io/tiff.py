@@ -29,7 +29,7 @@ import zlib
 
 import numpy as np
 
-from .jpeg import decode_jpeg
+from .jpeg import decode_jpeg, encode_jpeg
 
 __all__ = ["TiffImage", "read_tiff", "read_tiff_overviews",
            "write_tiff"]
@@ -499,6 +499,14 @@ def write_tiff(bands, geotransform=None, compression="none"):
     if compression == "deflate":
         payload = _zlib.compress(raw)
         comp_tag = 8
+    elif compression == "jpeg":
+        if dt != np.uint8 or spp not in (1, 3):
+            raise NotImplementedError(
+                "jpeg compression writes uint8 gray/RGB only")
+        payload = encode_jpeg(interleaved[:, :, 0] if spp == 1
+                              else interleaved, quality=90,
+                              subsample="444")
+        comp_tag = 7
     elif compression == "none":
         payload = raw
         comp_tag = 1
@@ -521,7 +529,8 @@ def write_tiff(bands, geotransform=None, compression="none"):
     else:
         tag_short(258, bits)
     tag_short(259, comp_tag)
-    tag_short(262, 2 if spp >= 3 else 1)  # RGB for 3+ bands else gray
+    # JPEG 3-band payloads are stored YCbCr (JFIF convention)
+    tag_short(262, (6 if comp_tag == 7 else 2) if spp >= 3 else 1)
     tag_long(273, 0)            # StripOffsets (patched below)
     tag_short(277, spp)
     tag_long(278, h)            # RowsPerStrip: single strip
@@ -577,11 +586,25 @@ def _tile_payloads(bands, bs, compression):
     ty = -(-h // bs)
     inter = np.stack(bands, axis=-1).astype(dt.newbyteorder("<"),
                                             copy=False)
+    if compression == "jpeg":
+        if inter.dtype != np.uint8 or spp not in (1, 3):
+            raise NotImplementedError(
+                "jpeg tiles are uint8 gray/RGB only")
     tiles = []
     for tyy in range(ty):
         for txx in range(tx):
-            tile = np.zeros((bs, bs, spp), dtype=inter.dtype)
             sub = inter[tyy * bs:(tyy + 1) * bs, txx * bs:(txx + 1) * bs]
+            if compression == "jpeg":
+                # edge-replicate padding: zero padding would ring into
+                # the valid pixels of lossy edge tiles
+                tile = np.pad(sub, ((0, bs - sub.shape[0]),
+                                    (0, bs - sub.shape[1]), (0, 0)),
+                              mode="edge")
+                tiles.append(encode_jpeg(
+                    tile[:, :, 0] if spp == 1 else tile,
+                    quality=90, subsample="444"))
+                continue
+            tile = np.zeros((bs, bs, spp), dtype=inter.dtype)
             tile[:sub.shape[0], :sub.shape[1]] = sub
             raw = tile.tobytes()
             if compression == "deflate":
@@ -624,7 +647,7 @@ def write_cog(bands, geotransform=None, blocksize=256, compression="none",
 
     levels = [bands] + [[np.ascontiguousarray(b) for b in ov]
                         for ov in overviews]
-    comp_tag = {"none": 1, "deflate": 8}[compression]
+    comp_tag = {"none": 1, "deflate": 8, "jpeg": 7}[compression]
     spp = len(bands)
     dt = bands[0].dtype
     kind = {"u": 1, "i": 2, "f": 3}[dt.kind]
@@ -646,7 +669,8 @@ def write_cog(bands, geotransform=None, blocksize=256, compression="none",
         e.append((257, 4, 1, struct.pack("<I", h)))
         e.append((258, 3, spp, struct.pack(f"<{spp}H", *([bits] * spp))))
         e.append((259, 3, 1, struct.pack("<HH", comp_tag, 0)))
-        e.append((262, 3, 1, struct.pack("<HH", 2 if spp >= 3 else 1, 0)))
+        e.append((262, 3, 1, struct.pack(
+            "<HH", ((6 if comp_tag == 7 else 2) if spp >= 3 else 1), 0)))
         e.append((277, 3, 1, struct.pack("<HH", spp, 0)))
         e.append((284, 3, 1, struct.pack("<HH", 1, 0)))
         e.append((322, 4, 1, struct.pack("<I", blocksize)))

@@ -217,3 +217,48 @@ class TestImageFixtures:
             assert W.wkb_geom_type(blob) in (W.POLYGON, W.MULTIPOLYGON)
         p = images.make_points_table(100)
         assert p.num_rows >= 100
+
+
+class TestJpegTiffWrite:
+    """JPEG compression (tag 7) in write_tiff / write_cog — lossy
+    round-trips through the from-scratch reader at PSNR >= 40 dB (the
+    north rule's lossy gate)."""
+
+    @staticmethod
+    def _psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 10 * np.log10(255 ** 2 / mse)
+
+    def test_strip_jpeg_rgb_and_gray(self):
+        from raydal.io.images import image_pixels
+        from raydal.io.tiff import read_tiff, write_tiff
+
+        px = image_pixels(3)
+        bands = [np.ascontiguousarray(px[:, :, i]) for i in range(3)]
+        back = read_tiff(write_tiff(bands, compression="jpeg"))
+        assert min(self._psnr(b, r)
+                   for b, r in zip(bands, back.bands)) >= 40
+        g = bands[0]
+        back = read_tiff(write_tiff(g, compression="jpeg"))
+        assert self._psnr(g, back.bands[0]) >= 40
+
+    def test_cog_jpeg_tiles_and_overviews(self):
+        from raydal.io.tiff import (read_tiff, read_tiff_overviews,
+                                    write_cog)
+
+        big = (np.add.outer(np.arange(600), np.arange(600))
+               % 251).astype(np.uint8)
+        cog = write_cog([big], blocksize=256, compression="jpeg")
+        back = read_tiff(cog)
+        assert self._psnr(big, back.bands[0]) >= 40
+        ovs = read_tiff_overviews(cog)
+        assert [o.bands[0].shape for o in ovs] == [
+            (600, 600), (300, 300), (150, 150)]
+        # lossy tiles compress: the file must be much smaller than raw
+        assert len(cog) < big.nbytes // 3
+
+    def test_jpeg_write_rejects_unsupported(self):
+        from raydal.io.tiff import write_tiff
+
+        with pytest.raises(NotImplementedError):
+            write_tiff(np.zeros((8, 8), np.uint16), compression="jpeg")
