@@ -23,7 +23,8 @@ import numpy as np
 
 from .jpeg import decode_jpeg, encode_jpeg
 
-__all__ = ["encode_avi_mjpeg", "probe_avi", "decode_avi_frames"]
+__all__ = ["encode_avi_mjpeg", "probe_avi", "decode_avi_frames",
+           "extract_avi_audio"]
 
 
 def _chunk(cc, payload):
@@ -35,13 +36,23 @@ def _list(kind, payload):
     return _chunk(b"LIST", kind + payload)
 
 
-def encode_avi_mjpeg(frames, fps=10, quality=90):
+def encode_avi_mjpeg(frames, fps=10, quality=90, audio=None,
+                     audio_rate=16000):
     """frames uint8 (n, h, w) gray or (n, h, w, 3) RGB → MJPEG AVI
-    bytes (one baseline JPEG per ``00dc`` chunk, idx1 index)."""
+    bytes (one baseline JPEG per ``00dc`` chunk, idx1 index).
+
+    ``audio``: optional int16/float mono samples written as a second
+    ``auds`` stream (PCM ``01wb`` chunks, one per video frame)."""
     f = np.ascontiguousarray(frames, dtype=np.uint8)
     n = f.shape[0]
     h, w = f.shape[1], f.shape[2]
     jpegs = [encode_jpeg(f[i], quality=quality) for i in range(n)]
+    pcm = None
+    if audio is not None:
+        a = np.asarray(audio)
+        if a.dtype.kind == "f":
+            a = np.clip(np.round(a * 32767.0), -32768, 32767)
+        pcm = a.astype("<i2")
 
     avih = struct.pack(
         "<IIIIIIIIII4I",
@@ -49,7 +60,7 @@ def encode_avi_mjpeg(frames, fps=10, quality=90):
         sum(len(j) for j in jpegs) * fps // max(n, 1),  # dwMaxBytesPerSec
         0,                                      # dwPaddingGranularity
         0x10,                                   # AVIF_HASINDEX
-        n, 0, 1,                                # frames, initial, streams
+        n, 0, 1 + (pcm is not None),            # frames, initial, streams
         max((len(j) for j in jpegs), default=0),  # dwSuggestedBufferSize
         w, h, 0, 0, 0, 0)
     strh = struct.pack(
@@ -62,21 +73,40 @@ def encode_avi_mjpeg(frames, fps=10, quality=90):
         0, 0, 0, int(w), int(h))
     strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
                        w * h * 3, 0, 0, 0, 0)
-    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
-                 + _list(b"strl", _chunk(b"strh", strh)
-                         + _chunk(b"strf", strf)))
+    hdrl_body = _chunk(b"avih", avih) + _list(
+        b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+    if pcm is not None:
+        astrh = struct.pack(
+            "<4s4sIHHIIIIIIIi4h",
+            b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+            1, int(audio_rate),                 # dwScale, dwRate
+            0, len(pcm), len(pcm) * 2, 0xFFFFFFFF, 2, 0, 0, 0, 0)
+        # WAVEFORMATEX: PCM, mono, 16-bit
+        astrf = struct.pack("<HHIIHH", 1, 1, int(audio_rate),
+                            int(audio_rate) * 2, 2, 16)
+        hdrl_body += _list(b"strl", _chunk(b"strh", astrh)
+                           + _chunk(b"strf", astrf))
+    hdrl = _list(b"hdrl", hdrl_body)
 
     movi_payload = b"movi"
     idx = []
-    for j in jpegs:
+    # interleave: one '01wb' slice per video frame (CD-style layout)
+    aud_per = (-(-len(pcm) // max(n, 1)) if pcm is not None else 0)
+    for fi, j in enumerate(jpegs):
         # idx1 offsets point at the chunk fourcc, measured from the
         # start of the 'movi' fourcc (the common convention)
-        idx.append((len(movi_payload) - 4, len(j)))
+        idx.append((b"00dc", len(movi_payload) - 4, len(j)))
         movi_payload += _chunk(b"00dc", j)
+        if pcm is not None:
+            s = pcm[fi * aud_per:(fi + 1) * aud_per]
+            if len(s):
+                raw = s.tobytes()
+                idx.append((b"01wb", len(movi_payload) - 4, len(raw)))
+                movi_payload += _chunk(b"01wb", raw)
     movi = _chunk(b"LIST", movi_payload)
     idx1 = _chunk(b"idx1", b"".join(
-        struct.pack("<4sIII", b"00dc", 0x10, off + 4, size)
-        for off, size in idx))
+        struct.pack("<4sIII", cc, 0x10, off + 4, size)
+        for cc, off, size in idx))
     body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -199,3 +229,63 @@ def decode_avi_frames(buf, indices=None, gray=True):
         px = decode_jpeg(buf[off:off + size])
         frames.append(_to_gray(px) if gray else px)
     return np.stack(frames) if frames else np.empty((0, 0, 0), np.uint8), fps
+
+
+def extract_avi_audio(buf):
+    """AVI bytes → (float64 mono samples in [-1, 1], sample_rate) from
+    the first ``auds`` stream's PCM ``..wb`` chunks.
+
+    Raises ``ValueError`` when the container has no audio stream."""
+    buf = bytes(buf)
+    _avih, movi, idx1 = _walk(buf)
+    # find the auds strh for the rate (scan hdrl again, minimal walk)
+    rate = None
+    end = min(len(buf), 8 + struct.unpack_from("<I", buf, 4)[0])
+    pos = 12
+    while pos + 8 <= end and rate is None:
+        cc, size = struct.unpack_from("<4sI", buf, pos)
+        if cc == b"LIST" and buf[pos + 8:pos + 12] == b"hdrl":
+            p = pos + 12
+            hend = pos + 8 + size
+            while p + 8 <= hend:
+                c2, s2 = struct.unpack_from("<4sI", buf, p)
+                if c2 == b"LIST" and buf[p + 8:p + 12] == b"strl":
+                    q = p + 12
+                    lend = p + 8 + s2
+                    while q + 8 <= lend:
+                        c3, s3 = struct.unpack_from("<4sI", buf, q)
+                        if c3 == b"strh" \
+                                and buf[q + 8:q + 12] == b"auds":
+                            scale, r = struct.unpack_from(
+                                "<II", buf, q + 8 + 20)
+                            rate = r // max(scale, 1)
+                        q += 8 + s3 + (s3 & 1)
+                p += 8 + s2 + (s2 & 1)
+        pos += 8 + size + (size & 1)
+    if rate is None:
+        raise ValueError("AVI has no audio (auds) stream")
+    if movi is None:
+        raise ValueError("missing movi list")
+    m0, m1 = movi
+    pieces = []
+    if idx1:
+        base = m0 - 4
+        for cc, _flags, off, size in idx1:
+            if cc[2:4] == b"wb":
+                p = base + off
+                if buf[p:p + 4] != cc and buf[off:off + 4] == cc:
+                    p = off
+                pieces.append(buf[p + 8:p + 8 + size])
+    else:
+        p = m0
+        while p + 8 <= m1:
+            cc, size = struct.unpack_from("<4sI", buf, p)
+            if cc == b"LIST":
+                p += 12
+                continue
+            if cc[2:4] == b"wb":
+                pieces.append(buf[p + 8:p + 8 + size])
+            p += 8 + size + (size & 1)
+    raw = b"".join(pieces)
+    s = np.frombuffer(raw[:len(raw) // 2 * 2], "<i2")
+    return s.astype(np.float64) / 32768.0, rate

@@ -32,6 +32,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..io.avi import decode_avi_frames as _avi_frames
+from ..io.avi import extract_avi_audio as _avi_audio
 from ..io.avi import probe_avi as _avi_probe
 from ..io.wav import decode_wav as _wav_decode
 
@@ -56,18 +57,23 @@ def encode_fake_pcm(samples, rate=16000):
 def decode_audio(buf):
     """bytes → (float64 mono samples in [-1, 1], sample_rate).
 
-    REAL path: RIFF/WAVE PCM + IEEE-float containers decode via the
+    REAL paths: RIFF/WAVE PCM + IEEE-float containers decode via the
     from-scratch reader (:mod:`raydal.io.wav` — 8/16/24/32-bit int,
-    32/64-bit float, EXTENSIBLE; multi-channel averages to mono).
-    The deterministic ``FPCM`` container remains for fixtures.  SWAP
-    POINT for everything else (flac/ogg/mp3): replace with
-    ``soundfile.read`` — stages only see the (samples, rate) contract."""
+    32/64-bit float, EXTENSIBLE; multi-channel averages to mono), and
+    RIFF/AVI containers yield their PCM audio TRACK
+    (:func:`raydal.io.avi.extract_avi_audio`).  The deterministic
+    ``FPCM`` container remains for fixtures.  SWAP POINT for
+    everything else (flac/ogg/mp3): replace with ``soundfile.read`` —
+    stages only see the (samples, rate) contract."""
     buf = bytes(buf)
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         s, rate = _wav_decode(buf)
         if s.ndim > 1:
             s = s.mean(axis=1)
         return s, rate
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        # audio TRACK of a video container (PCM 'auds' stream)
+        return _avi_audio(buf)
     if not buf.startswith(_PCM_MAGIC):
         raise NotImplementedError(
             "compressed audio codecs (soundfile/libsndfile) are not "

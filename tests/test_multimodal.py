@@ -373,3 +373,63 @@ class TestRealAvi:
         a = set(out[out.clip_id == "a0"]["phash"])
         assert a == set(out[out.clip_id == "a0_copy"]["phash"])
         assert a != set(out[out.clip_id == "a1"]["phash"])
+
+
+class TestAviAudioTrack:
+    """PCM 'auds' stream in AVI: decode_audio extracts the audio track
+    of a video container; VideoFrameSample/AudioFeatures both run on
+    the SAME payload."""
+
+    def _clip(self):
+        from raydal.io.avi import encode_avi_mjpeg
+
+        base = np.add.outer(np.arange(32), np.arange(40)) \
+            .astype(np.float64)
+        frames = np.stack([(base * (i + 1) * 0.5) % 220 + 10
+                           for i in range(8)]).astype(np.uint8)
+        t = np.arange(8000) / 8000.0
+        audio = 0.5 * np.sin(2 * np.pi * 300 * t)
+        return encode_avi_mjpeg(frames, fps=4, audio=audio,
+                                audio_rate=8000), audio
+
+    def test_audio_extraction_exact(self):
+        avi, audio = self._clip()
+        s, rate = decode_audio(avi)
+        assert rate == 8000 and len(s) == 8000
+        q = np.clip(np.round(audio * 32767), -32768, 32767) / 32768.0
+        np.testing.assert_allclose(s, q)
+
+    def test_video_stream_unaffected_by_audio_chunks(self):
+        avi, _ = self._clip()
+        from raydal.ops.multimodal import probe_video
+
+        n, fps = probe_video(avi)
+        assert (n, fps) == (8, 4.0)
+        frames, _ = decode_video_frames(avi, indices=[0, 7])
+        assert frames.shape == (2, 32, 40)
+
+    def test_both_stages_on_one_payload(self, ray_session):
+        import ray.data
+
+        avi, _ = self._clip()
+        rows = [{"clip_id": "av0", "video": avi, "audio": avi}]
+        vf = (ray.data.from_items(rows)
+              .map_batches(VideoFrameSample,
+                           fn_constructor_kwargs={"k": 2},
+                           batch_format="pyarrow",
+                           concurrency=1).to_pandas())
+        assert len(vf) == 2
+        af = (ray.data.from_items(rows)
+              .map_batches(AudioFeatures, batch_format="pyarrow",
+                           concurrency=1).to_pandas())
+        assert len(af) == 1
+        assert af["duration_sec"].iloc[0] == 1.0
+        assert af["rms"].iloc[0] > 0.3
+
+    def test_no_audio_stream_raises(self):
+        from raydal.io.avi import encode_avi_mjpeg, extract_avi_audio
+
+        avi = encode_avi_mjpeg(
+            np.zeros((2, 16, 16), np.uint8), fps=2)
+        with pytest.raises(ValueError, match="no audio"):
+            extract_avi_audio(avi)
