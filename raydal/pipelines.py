@@ -163,6 +163,71 @@ def ensure_audio_parquet(sf_dir=None, n=None):
     return out
 
 
+def video_count_for_sf(sf_dir):
+    """Video-clip-table size derived from the sf's part-table rows."""
+    return max(24, image_count_for_sf(sf_dir) // 10)
+
+
+def synthesize_video_batch(indices):
+    """Deterministic video-clip rows: MJPEG-in-AVI containers with a
+    PCM audio track (raydal.io.avi), procedural frames.  Container
+    metadata (n_frames, fps) is stored alongside so SQL oracles can
+    recompute the probe/seek arithmetic exactly."""
+    from .io.avi import encode_avi_mjpeg
+    from .io.images import _mix64
+
+    ids, blobs, nfs, fpss = [], [], [], []
+    for i in (int(v) for v in indices):
+        n = 6 + int(_mix64(i) % 10)             # 6..15 frames
+        fps = (4, 5, 8, 10)[i % 4]
+        h = 24 + (i % 3) * 8
+        w = 32 + (i % 2) * 16
+        base = np.add.outer(np.arange(h), np.arange(w)).astype(
+            np.float64)
+        ph = (_mix64(i ^ 0x71DE0) % 89) / 10.0
+        frames = np.stack([
+            ((base * (f + 1) * 0.37 + ph * f) % 203 + 20)
+            for f in range(n)]).astype(np.uint8)
+        t = np.arange(2000) / 8000.0
+        audio = 0.4 * np.sin(2 * np.pi * (100 + i % 50 * 7) * t)
+        ids.append(f"vid_{i:07d}")
+        blobs.append(encode_avi_mjpeg(frames, fps=fps, audio=audio,
+                                      audio_rate=8000))
+        nfs.append(n)
+        fpss.append(fps)
+    return pa.Table.from_pydict({
+        "clip_id": pa.array(ids, pa.string()),
+        "video": pa.array(blobs, pa.binary()),
+        "n_frames": pa.array(nfs, pa.int64()),
+        "fps": pa.array(fpss, pa.int64())})
+
+
+def ensure_video_parquet(sf_dir=None, n=None):
+    """Materialize (once) the deterministic AVI video-clip table."""
+    if n is None:
+        n = video_count_for_sf(sf_dir)
+    out = os.path.join(_CACHE_ROOT, f"video_{n}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    tmp = f"{out}.tmp.{os.getpid()}"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(synthesize_video_batch(range(n)),
+                   os.path.join(tmp, "part-0.parquet"),
+                   row_group_size=64)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # another writer won
+    return out
+
+
 def ensure_zone_index(n_zones=500):
     """Zone index for the join side (built once per process)."""
     return ZoneIndex(imgfix.make_zones_table(n_zones))

@@ -4084,6 +4084,65 @@ FROM (SELECT 'shp' AS fmt, feat_id, x0, y0, x1, y1
 
 
 
+def q80_video_frame_sample(sf_dir):
+    """Video probe/seek/sampling over REAL MJPEG-AVI payloads, oracled
+    in SQL.
+
+    VideoFrameSample probes each AVI's header for (n_frames, fps),
+    picks k=4 evenly-spaced frame indices (unique((arange(k)*n)//k)),
+    seeks them via the idx1 index and JPEG-decodes ONLY those frames.
+    The emitted (clip_id, frame_index, ts_sec) rows are pure container
+    arithmetic, so the oracle recomputes them exactly from the stored
+    (n_frames, fps) metadata columns — a header-parse, index-seek or
+    frame-count bug breaks parity (and a JPEG decode failure aborts
+    the query).  The phash/frame_mean columns (lossy-pixel-derived)
+    are checked by pytest instead."""
+    import ray.data
+
+    from .ops.multimodal import VideoFrameSample
+    from .pipelines import ensure_video_parquet
+
+    path = ensure_video_parquet(sf_dir)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "clip_id": t["clip_id"],
+            "frame_index": t["frame_index"],
+            "ts_sec": pa.array(round_half_away(
+                np.asarray(t["ts_sec"]), 7), pa.float64())})
+
+    return (ray.data.read_parquet(path, columns=["clip_id", "video"])
+            .map_batches(VideoFrameSample,
+                         fn_constructor_kwargs={"k": 4},
+                         batch_format="pyarrow",
+                         concurrency=4, batch_size=16)
+            .map_batches(proj, batch_format="pyarrow"))
+
+
+def _video_cache_glob_sf001():
+    from .pipelines import _CACHE_ROOT, video_count_for_sf
+
+    try:
+        n = video_count_for_sf("/root/testdata/sf0.01")
+    except Exception:
+        return None
+    return os.path.join(_CACHE_ROOT, f"video_{n}", "*.parquet")
+
+
+_Q80_GLOB = _video_cache_glob_sf001()
+# k=4 sampled indices = unique((j*n)//4 for j in 0..3); ts = idx/fps
+SQL_Q80 = None if _Q80_GLOB is None else f"""
+WITH j AS (SELECT unnest([0, 1, 2, 3]) AS j),
+s AS (
+  SELECT clip_id, fps, (j.j * n_frames) // 4 AS frame_index
+  FROM read_parquet('{_Q80_GLOB}'), j
+  GROUP BY clip_id, fps, (j.j * n_frames) // 4)
+SELECT clip_id, frame_index,
+       ROUND(frame_index / CAST(fps AS DOUBLE), 7) AS ts_sec
+FROM s
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -4166,6 +4225,7 @@ QUERIES = {
     "q78_fgb_roundtrip_filter": (q78_fgb_roundtrip_filter, SQL_Q78),
     "q79_vector_writers_roundtrip": (q79_vector_writers_roundtrip,
                                      SQL_Q79),
+    "q80_video_frame_sample": (q80_video_frame_sample, SQL_Q80),
 }
 
 
@@ -4208,6 +4268,12 @@ def oracle_sqls():
         pass
     try:
         _ensure_fgb_fixture("/root/testdata/sf0.01")
+    except Exception:
+        pass
+    from .pipelines import ensure_video_parquet
+
+    try:
+        ensure_video_parquet("/root/testdata/sf0.01")
     except Exception:
         pass
     return {name: sql for name, (_, sql) in QUERIES.items()
