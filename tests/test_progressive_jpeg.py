@@ -106,3 +106,59 @@ class TestProgressiveRobustness:
         for p in glob.glob(os.path.join(HERE, "*.jpg")):
             arr = decode_jpeg(open(p, "rb").read())
             assert arr.size > 0
+
+
+class TestProgressiveEncode:
+    """encode_jpeg_progressive (SOF2, spectral selection + EOB-run
+    coding, per-scan optimal Huffman).  The pinned hashes below were
+    cross-validated against the compiled IJG libjpeg decoder (the same
+    vendored-source harness that produced GOLDENS above): IJG decodes
+    our streams to BIT-IDENTICAL pixels, so these are IJG-verified
+    anchors, not self-pins."""
+
+    # (fixture index, mode, shape, FNV-1a of decoded pixels)
+    PINS = [
+        (0, "rgb", (64, 64, 3), 1311373632392104001),
+        (0, "gray", (64, 64), 283260834543919725),
+        (2, "rgb", (64, 256, 3), 7401338514638450738),
+        (2, "gray", (64, 256), 1475110458598187860),
+        (3, "rgb", (64, 257, 3), 12661824450060679505),
+        (3, "gray", (64, 257), 7319219241817954141),
+    ]
+
+    @pytest.mark.parametrize("idx,mode,shape,pin", PINS,
+                             ids=[f"{p[0]}-{p[1]}" for p in PINS])
+    def test_ijg_verified_pins(self, idx, mode, shape, pin):
+        from raydal.io.images import image_pixels
+        from raydal.io.jpeg import encode_jpeg_progressive
+
+        px = image_pixels(idx)
+        img = px if mode == "rgb" else np.ascontiguousarray(px[:, :, 0])
+        dec = decode_jpeg(encode_jpeg_progressive(img, quality=90))
+        assert dec.shape == shape
+        assert _fnv(dec) == pin
+
+    def test_progressive_equals_baseline_coefficients(self):
+        """Same quantized coefficients as the baseline encoder: the
+        decoded pixels of both encodings are identical."""
+        from raydal.io.images import image_pixels
+        from raydal.io.jpeg import encode_jpeg, encode_jpeg_progressive
+
+        for i in (0, 3):
+            px = image_pixels(i)
+            for img in (px, np.ascontiguousarray(px[:, :, 0])):
+                base = decode_jpeg(encode_jpeg(img, quality=90,
+                                               subsample="444"))
+                prog = decode_jpeg(encode_jpeg_progressive(img,
+                                                           quality=90))
+                assert np.array_equal(base, prog)
+
+    def test_sof2_marker_and_scan_structure(self):
+        """The stream really is progressive: SOF2 marker + 1 DC scan +
+        one AC scan per component."""
+        from raydal.io.images import image_pixels
+        from raydal.io.jpeg import encode_jpeg_progressive
+
+        buf = encode_jpeg_progressive(image_pixels(0), quality=90)
+        assert b"\xff\xc2" in buf and b"\xff\xc0" not in buf
+        assert buf.count(b"\xff\xda") == 4      # DC + 3 AC scans
