@@ -1,0 +1,198 @@
+"""GCP georeferencing vs the reference's published expectations
+(autotest/gcore/gcps2geotransform.py — every case), plus the
+polynomial/TPS transformer family (alg/gdal_crs.cpp, gdal_tps.cpp
+capabilities) and warp integration."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from raydal.geo import affine
+from raydal.geo.gcp import (GCPPolynomialTransformer, TPSTransformer,
+                            gcps_to_geotransform)
+
+
+def _check(gt, want, tol=1e-6):
+    assert gt is not None
+    for a, b in zip(gt, want):
+        assert abs(a - b) <= tol * max(1.0, abs(b)) or abs(a - b) <= tol
+
+
+class TestGcpsToGeoTransform:
+    """Published cases, same numbering as gcps2geotransform.py."""
+
+    def test_1_exact_three_points(self):
+        _check(gcps_to_geotransform(
+            [(0, 0, 400000, 370000), (100, 0, 410000, 370000),
+             (100, 200, 410000, 368000)]),
+            (400000.0, 100.0, 0.0, 370000.0, 0.0, -10.0))
+
+    def test_2_least_squares_non_exact(self):
+        _check(gcps_to_geotransform(
+            [(0, 0, 400000, 370000), (100, 0, 410000, 370000),
+             (100, 200, 410000, 368000), (0, 200, 400000, 368000.01)]),
+            (400000.0, 100.0, 0.0, 370000.0025, -5e-05, -9.999975))
+
+    def test_3_approx_ok_false_rejects_bad_fit(self):
+        assert gcps_to_geotransform(
+            [(0, 0, 400000, 370000), (100, 0, 410000, 370000),
+             (100, 200, 410000, 368000), (0, 200, 400000, 360000)],
+            approx_ok=False) is None
+
+    def test_4_single_point_rejected(self):
+        assert gcps_to_geotransform([(0, 0, 400000, 370000)]) is None
+
+    def test_5_two_points_scale_offset(self):
+        _check(gcps_to_geotransform(
+            [(0, 0, 400000, 370000), (100, 200, 410000, 368000)]),
+            (400000.0, 100.0, 0.0, 370000.0, 0.0, -10.0))
+
+    def test_6_7_four_corner_orders(self):
+        for order in ([(400000, 370000), (410000, 370000),
+                       (410000, 368000), (400000, 368000)],
+                      [(400000, 370000), (410000, 368000),
+                       (410000, 370000), (400000, 368000)]):
+            gcps = [(x, y, x, y) for x, y in order]
+            _check(gcps_to_geotransform(gcps),
+                   (0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+
+    def test_8_messy_real_world(self):
+        gt = gcps_to_geotransform(
+            [(0.01, 0.04, -87.05528672907, 39.22759504228),
+             (0.01, 2688.02, -86.97079900719, 39.27075713986),
+             (4031.99, 2688.04, -87.05960736744, 39.37569137000),
+             (1988.16, 1540.80, -87.055069186699924,
+              39.304963106777514),
+             (1477.41, 2400.83, -87.013419295885001,
+              39.304705030894979),
+             (1466.02, 2376.92, -87.013906298363295,
+              39.304056190007913)])
+        want = (-87.056612873288, -2.232795668658e-05,
+                3.178617809303e-05, 39.227856615716,
+                2.6091510188921e-05, 1.596921026218e-05)
+        assert gt is not None
+        for a, b in zip(gt, want):
+            assert abs(a - b) <= 1e-5
+
+    def test_broken_hour_glass_rejected(self):
+        """github.com/OSGeo/gdal/issues/11618: degenerate hour-glass
+        GCP layouts must return None, both variants."""
+        assert gcps_to_geotransform(
+            [(0, 0, 0, 0), (0, 10, 0, 10),
+             (10, 0, 10, 10), (10, 10, 10, 0)]) is None
+        assert gcps_to_geotransform(
+            [(0, 0, 0, 0), (0, 10, 10, 0),
+             (10, 0, 0, 10), (10, 10, 10, 10)]) is None
+
+
+class TestPolynomialTransformer:
+    def _affine_gcps(self, rng, n=20):
+        A = (1000.0, 2.5, 0.3, 500.0, -0.2, -3.0)
+        px = rng.uniform(0, 100, n)
+        ln = rng.uniform(0, 80, n)
+        gx = A[0] + A[1] * px + A[2] * ln
+        gy = A[3] + A[4] * px + A[5] * ln
+        return px, ln, gx, gy
+
+    def test_order1_recovers_affine_both_directions(self):
+        px, ln, gx, gy = self._affine_gcps(np.random.default_rng(3))
+        t = GCPPolynomialTransformer(
+            np.column_stack([px, ln, gx, gy]), order=1)
+        tx, ty = t.transform(px, ln)
+        np.testing.assert_allclose(tx, gx)
+        np.testing.assert_allclose(ty, gy)
+        ix, iy = t.inverse(gx, gy)
+        np.testing.assert_allclose(ix, px)
+        np.testing.assert_allclose(iy, ln)
+
+    def test_order2_fits_quadratic_order1_cannot(self):
+        px, ln, gx, gy = self._affine_gcps(np.random.default_rng(4))
+        gx2 = gx + 0.01 * px * px - 0.02 * px * ln
+        gy2 = gy + 0.005 * ln * ln
+        g = np.column_stack([px, ln, gx2, gy2])
+        tx, _ = GCPPolynomialTransformer(g, order=2).transform(px, ln)
+        np.testing.assert_allclose(tx, gx2)
+        tx1, _ = GCPPolynomialTransformer(g, order=1).transform(px, ln)
+        assert not np.allclose(tx1, gx2)
+
+    def test_order3_fits_cubic(self):
+        rng = np.random.default_rng(5)
+        px = rng.uniform(0, 50, 30)
+        ln = rng.uniform(0, 50, 30)
+        gx = 1 + px + 1e-4 * px ** 3
+        gy = 2 + ln + 1e-4 * ln ** 2 * px
+        t = GCPPolynomialTransformer(
+            np.column_stack([px, ln, gx, gy]), order=3)
+        tx, ty = t.transform(px, ln)
+        np.testing.assert_allclose(tx, gx, atol=1e-8)
+        np.testing.assert_allclose(ty, gy, atol=1e-8)
+
+    def test_min_gcp_counts_enforced(self):
+        g = [(0, 0, 0, 0), (1, 0, 1, 0), (0, 1, 0, 1)]
+        GCPPolynomialTransformer(g, order=1)
+        with pytest.raises(ValueError, match="needs >= 6"):
+            GCPPolynomialTransformer(g, order=2)
+
+
+class TestTPS:
+    def test_exact_interpolation_at_gcps(self):
+        rng = np.random.default_rng(6)
+        px = rng.uniform(0, 100, 20)
+        ln = rng.uniform(0, 80, 20)
+        gx = 1000 + 2 * px + 5 * np.sin(px / 20.0)
+        gy = 500 - 3 * ln + 4 * np.cos(ln / 15.0)
+        t = TPSTransformer(np.column_stack([px, ln, gx, gy]))
+        tx, ty = t.transform(px, ln)
+        np.testing.assert_allclose(tx, gx, atol=1e-6)
+        np.testing.assert_allclose(ty, gy, atol=1e-6)
+
+    def test_reduces_to_affine_for_affine_data(self):
+        rng = np.random.default_rng(7)
+        px = rng.uniform(0, 100, 15)
+        ln = rng.uniform(0, 80, 15)
+        gx = 10 + 2 * px + 0.5 * ln
+        gy = -5 - 0.25 * px + 3 * ln
+        t = TPSTransformer(np.column_stack([px, ln, gx, gy]))
+        qx = rng.uniform(10, 90, 40)
+        qy = rng.uniform(10, 70, 40)
+        tx, ty = t.transform(qx, qy)
+        np.testing.assert_allclose(tx, 10 + 2 * qx + 0.5 * qy,
+                                   atol=1e-5)
+        np.testing.assert_allclose(ty, -5 - 0.25 * qx + 3 * qy,
+                                   atol=1e-5)
+
+
+class _GcpDstToSrc:
+    """dst-world → src-pixel chain for warp_array (inverse GCP fit,
+    identity source geotransform) — the gdalwarp -order/-tps shape."""
+
+    src, dst = "geo", "pixel"
+
+    def __init__(self, t):
+        self.t = t
+
+    def transform(self, x, y):
+        return self.t.inverse(x, y)
+
+
+class TestGcpWarp:
+    def test_gcp_warp_matches_direct_affine_warp(self):
+        from raydal.io.images import image_pixels
+        from raydal.ops.warp import warp_array
+
+        src = image_pixels(1).astype(np.float64)[:, :, 0]
+        h, w = src.shape
+        src_gt = (5000.0, 2.0, 0.0, 8000.0, 0.0, -2.0)
+        corners = [(0, 0), (w - 1, 0), (0, h - 1), (w - 1, h - 1),
+                   (w // 2, h // 3)]
+        gcps = [(cx, cy, *affine.apply_gt(src_gt, cx, cy))
+                for cx, cy in corners]
+        tf = GCPPolynomialTransformer(gcps, order=1)
+        got, ok1 = warp_array(src, (0, 1, 0, 0, 0, 1), "pixel",
+                              src_gt, w, h, "geo", "bilinear",
+                              transformer=_GcpDstToSrc(tf))
+        want, ok2 = warp_array(src, src_gt, 4326, src_gt, w, h, 4326,
+                               "bilinear")
+        m = ok1 & ok2
+        np.testing.assert_allclose(got[m], want[m], atol=1e-6)
