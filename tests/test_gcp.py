@@ -196,3 +196,72 @@ class TestGcpWarp:
                                "bilinear")
         m = ok1 & ok2
         np.testing.assert_allclose(got[m], want[m], atol=1e-6)
+
+
+class TestRPC:
+    """RPC00B rational-polynomial transformer vs the reference's
+    published points (autotest/gcore/transformer.py test_transformer_5,
+    coefficients from its rpc.vrt fixture)."""
+
+    @staticmethod
+    def _rpc():
+        import re
+
+        txt = open("/root/reference/autotest/gcore/data/rpc.vrt").read()
+        md = dict(re.findall(r'<MDI key="([A-Z_]+)">([^<]+)</MDI>',
+                             txt))
+        return {k: v for k, v in md.items()
+                if "COEFF" in k or k.endswith("_OFF")
+                or k.endswith("_SCALE")}
+
+    def test_published_forward_point(self):
+        """transformer.py:194-200: (20.5, 10.5) →
+        (125.64830100509131, 39.869433991997553) within 1e-6."""
+        from raydal.geo.gcp import RPCTransformer
+
+        t = RPCTransformer(self._rpc(), pixel_error_threshold=0.05)
+        lon, lat = t.transform(np.array([20.5]), np.array([10.5]))
+        assert abs(lon[0] - 125.64830100509131) < 1e-6
+        assert abs(lat[0] - 39.869433991997553) < 1e-6
+
+    def test_published_inverse_round_trip(self):
+        from raydal.geo.gcp import RPCTransformer
+
+        t = RPCTransformer(self._rpc(), pixel_error_threshold=0.05)
+        lon, lat = t.transform(np.array([20.5]), np.array([10.5]))
+        px, ln = t.inverse(lon, lat)
+        assert abs(px[0] - 20.5) < 0.05 and abs(ln[0] - 10.5) < 0.05
+
+    def test_published_height_30_point(self):
+        """transformer.py:212-218 (and the RPC_HEIGHT=30 variant):
+        same pixel at height 30 →
+        (125.64828521533849, 39.869345204440144)."""
+        from raydal.geo.gcp import RPCTransformer
+
+        t = RPCTransformer(self._rpc(), height=30,
+                           pixel_error_threshold=0.05)
+        lon, lat = t.transform(np.array([20.5]), np.array([10.5]))
+        assert abs(lon[0] - 125.64828521533849) < 1e-6
+        assert abs(lat[0] - 39.869345204440144) < 1e-6
+
+    def test_vectorized_grid(self):
+        from raydal.geo.gcp import RPCTransformer
+
+        t = RPCTransformer(self._rpc(), pixel_error_threshold=0.05)
+        px, ln = np.meshgrid(np.linspace(0, 2000, 9),
+                             np.linspace(0, 2000, 9))
+        lon, lat = t.transform(px, ln)
+        assert lon.shape == px.shape
+        bx, by = t.inverse(lon, lat)
+        assert np.abs(bx - px).max() < 0.05
+        assert np.abs(by - ln).max() < 0.05
+
+    def test_coefficient_validation(self):
+        import pytest
+
+        from raydal.geo.gcp import RPCTransformer
+
+        rpc = self._rpc()
+        rpc["LINE_NUM_COEFF"] = "1 2 3"
+        with pytest.raises(ValueError, match="20 coefficients"):
+            RPCTransformer(rpc)
