@@ -33,7 +33,8 @@ import numpy as np
 from . import affine
 
 __all__ = ["gcps_to_geotransform", "GCPPolynomialTransformer",
-           "TPSTransformer", "RPCTransformer"]
+           "TPSTransformer", "RPCTransformer",
+           "GCPHomographyTransformer"]
 
 
 def _compose_gt(a, b):
@@ -365,3 +366,62 @@ class RPCTransformer:
 
     def inverse(self, lon, lat):
         return self.geo_to_pixel(lon, lat)
+
+
+class GCPHomographyTransformer:
+    """Projective (homography) GCP transformer — the reference's
+    GCP_HOMOGRAPHY method (``alg/gdal_homography.cpp``): 8-parameter
+    DLT least-squares fit with coordinate normalization; the inverse
+    is the matrix inverse of the forward homography."""
+
+    src = "pixel"
+    dst = "geo"
+
+    def __init__(self, gcps):
+        g = np.asarray(gcps, dtype=np.float64)
+        if len(g) < 4:
+            raise ValueError("homography needs >= 4 GCPs")
+        self._H = self._fit(g[:, 0], g[:, 1], g[:, 2], g[:, 3])
+        try:
+            self._Hinv = np.linalg.inv(self._H)
+        except np.linalg.LinAlgError as e:
+            raise ValueError("degenerate homography") from e
+
+    @staticmethod
+    def _norm(x, y):
+        mx, my = x.mean(), y.mean()
+        s = np.sqrt(2) / max(np.hypot(x - mx, y - my).mean(), 1e-300)
+        T = np.array([[s, 0, -s * mx], [0, s, -s * my], [0, 0, 1.0]])
+        return T
+
+    @classmethod
+    def _fit(cls, px, ln, gx, gy):
+        # normalized DLT (Hartley): condition both spaces first
+        T1 = cls._norm(px, ln)
+        T2 = cls._norm(gx, gy)
+        p = T1 @ np.stack([px, ln, np.ones_like(px)])
+        q = T2 @ np.stack([gx, gy, np.ones_like(gx)])
+        n = len(px)
+        A = np.zeros((2 * n, 9))
+        A[0::2, 0:3] = p.T
+        A[0::2, 6:9] = -q[0][:, None] * p.T
+        A[1::2, 3:6] = p.T
+        A[1::2, 6:9] = -q[1][:, None] * p.T
+        _u, _s, vt = np.linalg.svd(A)
+        Hn = vt[-1].reshape(3, 3)
+        H = np.linalg.inv(T2) @ Hn @ T1
+        return H / H[2, 2]
+
+    @staticmethod
+    def _apply(H, x, y):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        w = H[2, 0] * x + H[2, 1] * y + H[2, 2]
+        return ((H[0, 0] * x + H[0, 1] * y + H[0, 2]) / w,
+                (H[1, 0] * x + H[1, 1] * y + H[1, 2]) / w)
+
+    def transform(self, x, y):
+        return self._apply(self._H, x, y)
+
+    def inverse(self, x, y):
+        return self._apply(self._Hinv, x, y)

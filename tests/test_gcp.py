@@ -265,3 +265,45 @@ class TestRPC:
         rpc["LINE_NUM_COEFF"] = "1 2 3"
         with pytest.raises(ValueError, match="20 coefficients"):
             RPCTransformer(rpc)
+
+
+class TestHomographyAndGcpsVrtPoint:
+    """transformer.py test_transformer_3 / test_transformer_homography:
+    the gcps.vrt corner GCPs map (20, 10) → (441920, 3750720) under
+    both GCP_TPS and GCP_HOMOGRAPHY, with exact reverses."""
+
+    GCPS = [(0, 0, 440720, 3751320), (100, 0, 446720, 3751320),
+            (0, 100, 440720, 3745320), (100, 100, 446720, 3745320)]
+
+    def test_published_point_tps_and_homography(self):
+        from raydal.geo.gcp import GCPHomographyTransformer
+
+        for T in (GCPHomographyTransformer(self.GCPS),
+                  TPSTransformer(self.GCPS)):
+            x, y = T.transform(np.array([20.0]), np.array([10.0]))
+            assert abs(x[0] - 441920) < 1e-3
+            assert abs(y[0] - 3750720) < 1e-3
+            bx, by = T.inverse(x, y)
+            assert abs(bx[0] - 20) < 1e-3 and abs(by[0] - 10) < 1e-3
+
+    def test_projective_mapping_recovered_exactly(self):
+        from raydal.geo.gcp import GCPHomographyTransformer
+
+        rng = np.random.default_rng(9)
+        H = np.array([[1.2, 0.1, 5.0], [-0.05, 0.9, 2.0],
+                      [1e-3, -2e-3, 1.0]])
+        px = rng.uniform(0, 100, 12)
+        ln = rng.uniform(0, 100, 12)
+        w = H[2, 0] * px + H[2, 1] * ln + 1
+        gx = (H[0, 0] * px + H[0, 1] * ln + H[0, 2]) / w
+        gy = (H[1, 0] * px + H[1, 1] * ln + H[1, 2]) / w
+        t = GCPHomographyTransformer(np.column_stack([px, ln, gx, gy]))
+        tx, ty = t.transform(px, ln)
+        np.testing.assert_allclose(tx, gx, atol=1e-8)
+        np.testing.assert_allclose(ty, gy, atol=1e-8)
+
+    def test_min_gcps(self):
+        from raydal.geo.gcp import GCPHomographyTransformer
+
+        with pytest.raises(ValueError, match=">= 4"):
+            GCPHomographyTransformer(self.GCPS[:3])
