@@ -34,7 +34,7 @@ from . import affine
 
 __all__ = ["gcps_to_geotransform", "GCPPolynomialTransformer",
            "TPSTransformer", "RPCTransformer",
-           "GCPHomographyTransformer"]
+           "GCPHomographyTransformer", "GeolocArrayTransformer"]
 
 
 def _compose_gt(a, b):
@@ -425,3 +425,95 @@ class GCPHomographyTransformer:
 
     def inverse(self, x, y):
         return self._apply(self._Hinv, x, y)
+
+
+class GeolocArrayTransformer:
+    """Geolocation-array transformer (``alg/gdalgeoloc.cpp``
+    GEOLOC_ARRAY method): per-pixel longitude/latitude arrays map the
+    raster to geography.
+
+    Forward (pixel, line) → (geox, geoy): geoloc index = (coord −
+    OFFSET) / STEP (TOP_LEFT_CORNER convention, the reference
+    default), bilinear between the four surrounding samples with
+    closest-cell extension beyond the edges — the reference's
+    PixelLineToXY.  Inverse: coarse nearest-cell seed over the arrays
+    followed by Newton iteration on the local bilinear patch (the
+    reference uses a precomputed backmap; same fixed point).
+
+    Validated against the published ``autotest/gcore/transformer.py``
+    test_transformer_4 point on the reference's sstgeo fixture."""
+
+    src = "pixel"
+    dst = "geo"
+
+    def __init__(self, geo_x, geo_y, pixel_offset=0.0, pixel_step=1.0,
+                 line_offset=0.0, line_step=1.0):
+        self.gx = np.asarray(geo_x, dtype=np.float64)
+        self.gy = np.asarray(geo_y, dtype=np.float64)
+        if self.gx.shape != self.gy.shape or self.gx.ndim != 2:
+            raise ValueError("geolocation arrays must be same-shape 2D")
+        self.pixel_offset = float(pixel_offset)
+        self.pixel_step = float(pixel_step)
+        self.line_offset = float(line_offset)
+        self.line_step = float(line_step)
+
+    def _sample(self, fx, fy):
+        """Bilinear sample of both arrays at fractional geoloc index
+        (fx, fy), clamped with edge extension."""
+        h, w = self.gx.shape
+        fx = np.clip(np.asarray(fx, dtype=np.float64), 0, w - 1)
+        fy = np.clip(np.asarray(fy, dtype=np.float64), 0, h - 1)
+        ix = np.minimum(fx.astype(np.int64), w - 2) \
+            if w > 1 else np.zeros_like(fx, dtype=np.int64)
+        iy = np.minimum(fy.astype(np.int64), h - 2) \
+            if h > 1 else np.zeros_like(fy, dtype=np.int64)
+        tx = fx - ix
+        ty = fy - iy
+        def bil(a):
+            return ((1 - ty) * ((1 - tx) * a[iy, ix]
+                                + tx * a[iy, ix + 1])
+                    + ty * ((1 - tx) * a[iy + 1, ix]
+                            + tx * a[iy + 1, ix + 1]))
+        return bil(self.gx), bil(self.gy)
+
+    def transform(self, px, ln):
+        fx = (np.asarray(px, dtype=np.float64)
+              - self.pixel_offset) / self.pixel_step
+        fy = (np.asarray(ln, dtype=np.float64)
+              - self.line_offset) / self.line_step
+        return self._sample(fx, fy)
+
+    def inverse(self, gx, gy):
+        gx = np.asarray(gx, dtype=np.float64)
+        gy = np.asarray(gy, dtype=np.float64)
+        shape = gx.shape
+        qx = gx.ravel()
+        qy = gy.ravel()
+        h, w = self.gx.shape
+        # coarse seed: nearest geoloc sample (flat argmin per query)
+        d2 = ((self.gx.ravel()[None, :] - qx[:, None]) ** 2
+              + (self.gy.ravel()[None, :] - qy[:, None]) ** 2)
+        seed = np.argmin(d2, axis=1)
+        fy = (seed // w).astype(np.float64)
+        fx = (seed % w).astype(np.float64)
+        eps = 1e-6
+        for _ in range(25):
+            sx, sy = self._sample(fx, fy)
+            ex = qx - sx
+            ey = qy - sy
+            if max(np.abs(ex).max(initial=0),
+                   np.abs(ey).max(initial=0)) < 1e-12:
+                break
+            sxp, syp = self._sample(fx + eps, fy)
+            sxl, syl = self._sample(fx, fy + eps)
+            j00 = (sxp - sx) / eps
+            j01 = (sxl - sx) / eps
+            j10 = (syp - sy) / eps
+            j11 = (syl - sy) / eps
+            det = j00 * j11 - j01 * j10
+            det = np.where(np.abs(det) < 1e-300, np.nan, det)
+            fx = np.clip(fx + (ex * j11 - ey * j01) / det, 0, w - 1)
+            fy = np.clip(fy + (ey * j00 - ex * j10) / det, 0, h - 1)
+        px = fx * self.pixel_step + self.pixel_offset
+        ln = fy * self.line_step + self.line_offset
+        return px.reshape(shape), ln.reshape(shape)

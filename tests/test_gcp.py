@@ -307,3 +307,45 @@ class TestHomographyAndGcpsVrtPoint:
 
         with pytest.raises(ValueError, match=">= 4"):
             GCPHomographyTransformer(self.GCPS[:3])
+
+
+class TestGeolocArray:
+    """GEOLOC_ARRAY transformer vs the published transformer.py
+    test_transformer_4 point, geolocation bands read from the
+    reference's own sstgeo.tif fixture with the from-scratch TIFF
+    reader."""
+
+    @staticmethod
+    def _t():
+        from raydal.geo.gcp import GeolocArrayTransformer
+        from raydal.io.tiff import read_tiff
+
+        img = read_tiff(open(
+            "/root/reference/autotest/gcore/data/sstgeo.tif",
+            "rb").read())
+        return GeolocArrayTransformer(img.bands[0], img.bands[1])
+
+    def test_published_forward_and_inverse(self):
+        """(20, 10) → (-81.961341857910156, 29.612689971923828),
+        both directions at 1e-6 (transformer.py:162-178)."""
+        t = self._t()
+        x, y = t.transform(np.array([20.0]), np.array([10.0]))
+        assert abs(x[0] - -81.961341857910156) < 1e-6
+        assert abs(y[0] - 29.612689971923828) < 1e-6
+        px, ln = t.inverse(x, y)
+        assert abs(px[0] - 20) < 1e-6 and abs(ln[0] - 10) < 1e-6
+
+    def test_fractional_positions_round_trip(self):
+        t = self._t()
+        rng = np.random.default_rng(12)
+        px = rng.uniform(1, 58, 25)
+        ln = rng.uniform(1, 37, 25)
+        x, y = t.transform(px, ln)
+        bx, by = t.inverse(x, y)
+        np.testing.assert_allclose(bx, px, atol=1e-6)
+        np.testing.assert_allclose(by, ln, atol=1e-6)
+
+    def test_edge_extension_clamps(self):
+        t = self._t()
+        x, y = t.transform(np.array([-5.0, 1e6]), np.array([-5.0, 1e6]))
+        assert np.isfinite(x).all() and np.isfinite(y).all()
