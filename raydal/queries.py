@@ -4143,6 +4143,78 @@ FROM s
 """
 
 
+def q81_gcp_georef_recovery(sf_dir):
+    """GCP → geotransform recovery over the image table, oracled in
+    SQL.
+
+    For every image, three corner GCPs are derived from its stored
+    geotransform (the exact-3-point case of GDALGCPsToGeoTransform),
+    the affine is RECOVERED via gcps_to_geotransform's normalized
+    least-squares path, and the footprint bbox is computed from the
+    recovered transform.  The oracle recomputes the same bbox in SQL
+    straight from the stored gt columns — any drift in the GCP fit
+    (normalization, composition, inversion) breaks parity."""
+    import ray.data
+
+    from .geo.gcp import gcps_to_geotransform
+    from .pipelines import ensure_images_parquet
+
+    path = ensure_images_parquet(sf_dir)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        ws = np.asarray(t["w"], dtype=np.float64)
+        hs = np.asarray(t["h"], dtype=np.float64)
+        gts = [tuple(v) for v in t["gt"].to_pylist()]
+        x0, y0, x1, y1 = [], [], [], []
+        for w, h, gt in zip(ws, hs, gts):
+            corners = [(0.0, 0.0), (w, 0.0), (w, h)]
+            gcps = [(cx, cy,
+                     gt[0] + gt[1] * cx + gt[2] * cy,
+                     gt[3] + gt[4] * cx + gt[5] * cy)
+                    for cx, cy in corners]
+            r = gcps_to_geotransform(gcps, approx_ok=False)
+            xs = [r[0] + r[1] * cx + r[2] * cy
+                  for cx in (0.0, w) for cy in (0.0, h)]
+            ys = [r[3] + r[4] * cx + r[5] * cy
+                  for cx in (0.0, w) for cy in (0.0, h)]
+            x0.append(min(xs))
+            y0.append(min(ys))
+            x1.append(max(xs))
+            y1.append(max(ys))
+        # 3 decimals (mm at meter scale): the LS recovery agrees with
+        # the stored gt to ~1e-9 relative, so mm-rounding is collision-
+        # safe while still proving the fit end-to-end
+        return pa.Table.from_pydict({
+            "image_id": t["image_id"],
+            "x0": pa.array(round_half_away(np.array(x0), 3),
+                           pa.float64()),
+            "y0": pa.array(round_half_away(np.array(y0), 3),
+                           pa.float64()),
+            "x1": pa.array(round_half_away(np.array(x1), 3),
+                           pa.float64()),
+            "y1": pa.array(round_half_away(np.array(y1), 3),
+                           pa.float64())})
+
+    return (ray.data.read_parquet(
+        path, columns=["image_id", "w", "h", "gt"])
+        .map_batches(fn, batch_format="pyarrow"))
+
+
+SQL_Q81 = None if _Q37_GLOB is None else f"""
+SELECT image_id,
+  ROUND(LEAST(gt[1], gt[1] + gt[2] * w, gt[1] + gt[3] * h,
+              gt[1] + gt[2] * w + gt[3] * h), 3) AS x0,
+  ROUND(LEAST(gt[4], gt[4] + gt[5] * w, gt[4] + gt[6] * h,
+              gt[4] + gt[5] * w + gt[6] * h), 3) AS y0,
+  ROUND(GREATEST(gt[1], gt[1] + gt[2] * w, gt[1] + gt[3] * h,
+                 gt[1] + gt[2] * w + gt[3] * h), 3) AS x1,
+  ROUND(GREATEST(gt[4], gt[4] + gt[5] * w, gt[4] + gt[6] * h,
+                 gt[4] + gt[5] * w + gt[6] * h), 3) AS y1
+FROM read_parquet('{_Q37_GLOB}')
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -4226,6 +4298,7 @@ QUERIES = {
     "q79_vector_writers_roundtrip": (q79_vector_writers_roundtrip,
                                      SQL_Q79),
     "q80_video_frame_sample": (q80_video_frame_sample, SQL_Q80),
+    "q81_gcp_georef_recovery": (q81_gcp_georef_recovery, SQL_Q81),
 }
 
 
@@ -4241,7 +4314,9 @@ def query_fns():
     front = {"q63_shuffle_join", "q64_intersection_area",
              "q68_asof_shuffle", "q74_cutline_counts",
              "q75_geojson_csv_pip", "q76_clip_overlap_area",
-             "q77_audio_features"}
+             "q77_audio_features", "q78_fgb_roundtrip_filter",
+             "q79_vector_writers_roundtrip", "q80_video_frame_sample",
+             "q81_gcp_georef_recovery"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}
