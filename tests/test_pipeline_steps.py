@@ -498,3 +498,37 @@ class TestDemStepFloatOutputs:
         with pytest.raises(ValueError):
             run_pipeline(ray.data.from_arrow(t),
                          [("raster-reclassify", {"mapping": "5 = 300"})])
+
+
+class TestGeoreferenceGcpsStep:
+    def test_affine_and_tps_methods(self, ray_session):
+        import ray.data
+
+        from raydal.pipeline import STEP_REGISTRY
+
+        ds = ray.data.from_items([{"image_id": "a", "w": 100, "h": 80},
+                                  {"image_id": "b", "w": 50, "h": 40}])
+        gcps = [(0, 0, 400000, 370000), (100, 0, 410000, 370000),
+                (100, 200, 410000, 368000)]
+        out = STEP_REGISTRY["georeference-gcps"](
+            ds, gcps=gcps, method="affine").to_pandas()
+        gt = list(out["gt"].iloc[0])
+        assert gt[0] == 400000.0 and gt[1] == 100.0
+        assert abs(gt[5] - -10.0) < 1e-9
+        out2 = STEP_REGISTRY["georeference-gcps"](
+            ds, gcps=gcps, method="tps").to_pandas()
+        gt2 = [round(v, 6) for v in out2["gt"].iloc[0]]
+        assert gt2 == [400000.0, 100.0, 0.0, 370000.0, 0.0, -10.0]
+
+    def test_rejects_degenerate(self, ray_session):
+        import pytest
+        import ray.data
+
+        from raydal.pipeline import STEP_REGISTRY
+
+        ds = ray.data.from_items([{"image_id": "a"}])
+        with pytest.raises(ValueError, match="affine fit"):
+            STEP_REGISTRY["georeference-gcps"](
+                ds, gcps=[(0, 0, 0, 0), (0, 10, 0, 10),
+                          (10, 0, 10, 10), (10, 10, 10, 0)],
+                method="affine")
