@@ -513,7 +513,8 @@ class TestGeoreferenceGcpsStep:
         out = STEP_REGISTRY["georeference-gcps"](
             ds, gcps=gcps, method="affine").to_pandas()
         gt = list(out["gt"].iloc[0])
-        assert gt[0] == 400000.0 and gt[1] == 100.0
+        assert abs(gt[0] - 400000.0) < 1e-6
+        assert abs(gt[1] - 100.0) < 1e-9
         assert abs(gt[5] - -10.0) < 1e-9
         out2 = STEP_REGISTRY["georeference-gcps"](
             ds, gcps=gcps, method="tps").to_pandas()
