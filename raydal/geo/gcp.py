@@ -490,10 +490,19 @@ class GeolocArrayTransformer:
         qx = gx.ravel()
         qy = gy.ravel()
         h, w = self.gx.shape
-        # coarse seed: nearest geoloc sample (flat argmin per query)
-        d2 = ((self.gx.ravel()[None, :] - qx[:, None]) ** 2
-              + (self.gy.ravel()[None, :] - qy[:, None]) ** 2)
-        seed = np.argmin(d2, axis=1)
+        # coarse seed: nearest geoloc sample, chunked so memory stays
+        # O(chunk × grid) instead of O(n_queries × grid) — warp-sized
+        # query batches over large geolocation arrays must not build
+        # the full distance matrix
+        gxf = self.gx.ravel()
+        gyf = self.gy.ravel()
+        seed = np.empty(len(qx), dtype=np.int64)
+        step = max(1, int(4e7) // max(gxf.size, 1))
+        for lo in range(0, len(qx), step):
+            hi = min(lo + step, len(qx))
+            d2 = ((gxf[None, :] - qx[lo:hi, None]) ** 2
+                  + (gyf[None, :] - qy[lo:hi, None]) ** 2)
+            seed[lo:hi] = np.argmin(d2, axis=1)
         fy = (seed // w).astype(np.float64)
         fx = (seed % w).astype(np.float64)
         eps = 1e-6

@@ -145,12 +145,14 @@ def _walk(buf):
                         lend = p + 8 + s2
                         while q + 8 <= lend:
                             c3, s3 = struct.unpack_from("<4sI", buf, q)
-                            if c3 == b"strh" and avih is not None \
-                                    and buf[q + 8:q + 12] == b"vids":
+                            if c3 == b"strh" and avih is not None:
+                                stype = buf[q + 8:q + 12]
                                 scale, rate = struct.unpack_from(
                                     "<II", buf, q + 8 + 20)
-                                if scale:
+                                if stype == b"vids" and scale:
                                     avih["fps"] = rate / scale
+                                elif stype == b"auds" and scale:
+                                    avih["audio_rate"] = rate // scale
                             q += 8 + s3 + (s3 & 1)
                     p += 8 + s2 + (s2 & 1)
             elif kind == b"movi":
@@ -237,31 +239,8 @@ def extract_avi_audio(buf):
 
     Raises ``ValueError`` when the container has no audio stream."""
     buf = bytes(buf)
-    _avih, movi, idx1 = _walk(buf)
-    # find the auds strh for the rate (scan hdrl again, minimal walk)
-    rate = None
-    end = min(len(buf), 8 + struct.unpack_from("<I", buf, 4)[0])
-    pos = 12
-    while pos + 8 <= end and rate is None:
-        cc, size = struct.unpack_from("<4sI", buf, pos)
-        if cc == b"LIST" and buf[pos + 8:pos + 12] == b"hdrl":
-            p = pos + 12
-            hend = pos + 8 + size
-            while p + 8 <= hend:
-                c2, s2 = struct.unpack_from("<4sI", buf, p)
-                if c2 == b"LIST" and buf[p + 8:p + 12] == b"strl":
-                    q = p + 12
-                    lend = p + 8 + s2
-                    while q + 8 <= lend:
-                        c3, s3 = struct.unpack_from("<4sI", buf, q)
-                        if c3 == b"strh" \
-                                and buf[q + 8:q + 12] == b"auds":
-                            scale, r = struct.unpack_from(
-                                "<II", buf, q + 8 + 20)
-                            rate = r // max(scale, 1)
-                        q += 8 + s3 + (s3 & 1)
-                p += 8 + s2 + (s2 & 1)
-        pos += 8 + size + (size & 1)
+    avih, movi, idx1 = _walk(buf)   # _walk collects the auds rate too
+    rate = avih.get("audio_rate")
     if rate is None:
         raise ValueError("AVI has no audio (auds) stream")
     if movi is None:

@@ -369,11 +369,17 @@ class _Builder:
         return self.pos()
 
     def vector(self, fmt_char, values):
-        """Scalar vector; fmt_char one of 'd','I','B' etc."""
+        """Scalar vector; fmt_char one of 'd','I','B' etc.
+
+        Element data must be elem-aligned in the FINISHED buffer:
+        distance-from-end alignment + the finish pad to minalign give
+        absolute alignment (the FlatBuffers verifier checks this)."""
         elem = struct.calcsize("<" + fmt_char)
-        self.minalign = max(self.minalign, elem)
+        align_to = max(4, elem)
+        self.minalign = max(self.minalign, align_to)
         raw = b"".join(struct.pack("<" + fmt_char, v) for v in values)
-        self._prepend(b"\x00" * ((-len(raw)) % 4))
+        pad = (-(len(self.buf) + len(raw))) % align_to
+        self._prepend(b"\x00" * pad)
         self._prepend(raw)
         self._prepend(struct.pack("<I", len(values)))
         return self.pos()
@@ -427,7 +433,13 @@ class _Builder:
             struct.pack("<H", slots.get(i, 0))
             for i in range(max_id + 1))
 
-        self._align(8)
+        # table start must be aligned to the widest inline scalar in
+        # the finished buffer: distance alignment + finish pad
+        max_align = max([4] + [sz for _f, k, _v, _p, sz in layout
+                               if k != "offset"])
+        self.minalign = max(self.minalign, max_align)
+        tail_pad += (-(len(self.buf) + tail_pad + table_size)) \
+            % max_align
         self._prepend(b"\x00" * tail_pad)
         # inline fields, back to front
         for fid, kind, val, pad, size in reversed(layout):
@@ -443,7 +455,13 @@ class _Builder:
         return table_pos
 
     def finish_size_prefixed(self, root):
-        self._align(4)
+        # absolute offset (within the flatbuffer, which starts AFTER
+        # the u32 size prefix) = flatbuffer_size − distance; pad so
+        # flatbuffer_size (root uoffset included, prefix excluded) is
+        # a multiple of minalign, making every distance-aligned object
+        # absolutely aligned — readers memcpy from after the prefix
+        self._prepend(b"\x00" * ((-(len(self.buf) + 4))
+                                  % self.minalign))
         self._prepend(struct.pack("<I", self.pos() + 4 - root))
         self._prepend(struct.pack("<I", len(self.buf)))
         return bytes(self.buf)

@@ -630,14 +630,18 @@ def _decode_lossless(frame, scomps, huff, px, pt, entropy,
     out = np.zeros((nc, h, w), dtype=np.int64)
     default = 1 << (prec - pt - 1)
     samples_since_restart = 0
-    for y in range(h):
+    ry, rx = 0, 0         # raster position where the current restart
+    for y in range(h):    # interval began (scan start counts as one)
         for x in range(w):
             if restart_interval and samples_since_restart \
                     == restart_interval:
                 # RSTn bytes were stripped by _unstuff; realign and
-                # reset the predictor to the start-of-scan default
+                # restart prediction as at scan start (T.81 H.1.1:
+                # first sample uses the default, the rest of that
+                # line uses Ra)
                 br.align()
                 samples_since_restart = 0
+                ry, rx = y, x
             for ci in range(nc):
                 s = br.huff(luts[ci])
                 if s == 16:
@@ -647,10 +651,10 @@ def _decode_lossless(frame, scomps, huff, px, pt, entropy,
                 else:
                     diff = _extend(br.bits(s), s)
                 plane = out[ci]
-                if y == 0 and x == 0:
+                if y == ry and x == rx:
                     pred = default
-                elif y == 0:
-                    pred = plane[0, x - 1]
+                elif y == ry:
+                    pred = plane[y, x - 1]
                 elif x == 0:
                     pred = plane[y - 1, 0]
                 else:
@@ -1452,9 +1456,24 @@ def encode_jpeg12(arr, quality=85):
         raise ValueError("encode_jpeg12 expects uint16")
     if a.max() > 4095:
         raise ValueError("12-bit samples must be <= 4095")
-    planes = ([a.astype(np.float64) - 2048.0] if a.ndim == 2 else
-              [a[:, :, c].astype(np.float64) - 2048.0
-               for c in range(a.shape[2])])
+    if a.ndim == 3 and a.shape[2] not in (1, 3):
+        raise ValueError("encode_jpeg12 writes 1 (gray) or 3 (RGB) "
+                         "channels")
+    if a.ndim == 2 or a.shape[2] == 1:
+        gray = a if a.ndim == 2 else a[:, :, 0]
+        planes = [gray.astype(np.float64) - 2048.0]
+    else:
+        # decoders (ours and libjpeg) apply YCbCr→RGB to every
+        # 3-component scan, so RGB input MUST be converted here —
+        # same BT.601 matrix as the 8-bit encoder, chroma centered at
+        # 2048 for 12-bit precision
+        rf = a[:, :, 0].astype(np.float64)
+        gf = a[:, :, 1].astype(np.float64)
+        bf = a[:, :, 2].astype(np.float64)
+        planes = [
+            0.299 * rf + 0.587 * gf + 0.114 * bf - 2048.0,
+            -0.168736 * rf - 0.331264 * gf + 0.5 * bf,
+            0.5 * rf - 0.418688 * gf - 0.081312 * bf]
     h, w = a.shape[:2]
     scale = _quality_scale(quality)
     ql = np.clip((_QL * scale + 50) // 100, 1, 255)
@@ -1497,7 +1516,7 @@ def encode_jpeg12(arr, quality=85):
     return bytes(out)
 
 
-def encode_jpeg_lossless(arr, predictor=1):
+def encode_jpeg_lossless(arr, predictor=1, restart_interval=0):
     """Encode (h, w) or (h, w, C≤4) integer data → LOSSLESS (SOF3)
     JPEG bytes — decode reproduces the input bit-exactly.
 
@@ -1505,7 +1524,9 @@ def encode_jpeg_lossless(arr, predictor=1):
     table; precision derives from the dtype (uint8 → 8, uint16 → 16).
     The reversibility contract matches the reference's
     COMPRESSION_REVERSIBILITY=LOSSLESS metadata for SOF3 streams
-    (autotest/gdrivers/jpeg.py byte_lossless.jpg)."""
+    (autotest/gdrivers/jpeg.py byte_lossless.jpg).
+    ``restart_interval`` > 0 writes a DRI segment and RSTn markers
+    every that many samples, with T.81 H.1.1 predictor resets."""
     a = np.asarray(arr)
     if a.dtype == np.uint8:
         prec = 8
@@ -1554,6 +1575,42 @@ def encode_jpeg_lossless(arr, predictor=1):
         d = ((d + (1 << 15)) & 0xFFFF) - (1 << 15)
         diffs.append(d)
 
+    ri = int(restart_interval)
+    if ri:
+        if len(chans) > 1:
+            raise NotImplementedError(
+                "restart_interval with multi-channel lossless")
+        # recompute diffs with restart-reset prediction (the simple
+        # vectorized prediction above assumed no restarts)
+        diffs = []
+        for p in chans:
+            d = np.empty_like(p)
+            n_since = 0
+            rY, rX = 0, 0
+            for y in range(h):
+                for x in range(w):
+                    if n_since == ri:
+                        n_since = 0
+                        rY, rX = y, x
+                    if y == rY and x == rX:
+                        pred = default
+                    elif y == rY:
+                        pred = p[y, x - 1]
+                    elif x == 0:
+                        pred = p[y - 1, 0]
+                    else:
+                        ra, rb, rc = p[y, x - 1], p[y - 1, x], \
+                            p[y - 1, x - 1]
+                        pred = (ra if px == 1 else rb if px == 2
+                                else rc if px == 3
+                                else ra + rb - rc if px == 4
+                                else ra + ((rb - rc) >> 1) if px == 5
+                                else rb + ((ra - rc) >> 1) if px == 6
+                                else (ra + rb) >> 1)
+                    dd = int(p[y, x]) - int(pred)
+                    d[y, x] = ((dd + (1 << 15)) & 0xFFFF) - (1 << 15)
+                    n_since += 1
+            diffs.append(d)
     freq = {}
     cats = []
     for d in diffs:
@@ -1571,8 +1628,14 @@ def encode_jpeg_lossless(arr, predictor=1):
 
     bwr = _BitWriter()
     nc = len(chans)
+    n_since = 0
+    nrst = 0
     for y in range(h):
         for x in range(w):
+            if ri and n_since == ri:
+                bwr.restart(nrst)
+                nrst += 1
+                n_since = 0
             for ci in range(nc):
                 s = int(cats[ci][y, x])
                 hc, hl = lut[s]
@@ -1581,6 +1644,7 @@ def encode_jpeg_lossless(arr, predictor=1):
                     v = int(diffs[ci][y, x])
                     code = v if v > 0 else v + (1 << s) - 1
                     bwr.put(code, s)
+            n_since += 1
     bwr.flush()
 
     def seg(marker, payload):
@@ -1591,6 +1655,8 @@ def encode_jpeg_lossless(arr, predictor=1):
     compspec = b"".join(bytes([ci + 1, 0x11, 0]) for ci in range(nc))
     out += seg(0xC3, struct.pack(">BHHB", prec, h, w, nc) + compspec)
     out += seg(0xC4, bytes([0x00] + counts + syms))
+    if ri:
+        out += seg(0xDD, struct.pack(">H", ri))
     sos = bytes([nc]) + b"".join(bytes([ci + 1, 0x00])
                                  for ci in range(nc))
     sos += bytes([px, 0, 0])            # Ss=predictor, Se=0, Ah/Al=0

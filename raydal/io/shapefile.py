@@ -267,7 +267,12 @@ def _dbf_fields(table, skip):
         if pa.types.is_boolean(typ):
             fields.append((name, "L", 1, 0))
         elif pa.types.is_integer(typ):
-            fields.append((name, "N", 18, 0))
+            # widen past the OGR default 18 when values need it (e.g.
+            # int64 extremes are 20 chars) — silent truncation would
+            # corrupt the value on re-read
+            width = max([18] + [len(str(v)) for v in col.to_pylist()
+                                if v is not None])
+            fields.append((name, "N", min(width, 30), 0))
         elif pa.types.is_floating(typ):
             fields.append((name, "N", 30, 15))
         elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
@@ -290,7 +295,11 @@ def _dbf_cell(v, ftype, flen):
         # == v), so numeric attributes survive write → re-read bit-exact
         s = (f"{int(v)}" if isinstance(v, (int, np.integer))
              else repr(float(v)))
-        s = s[:flen].rjust(flen)
+        if len(s) > flen:
+            raise ValueError(
+                f"numeric value {s!r} exceeds dBASE field width "
+                f"{flen} — refusing silent truncation")
+        s = s.rjust(flen)
     else:
         s = str(v)[:flen].ljust(flen)
     return s.encode("ascii", "replace")

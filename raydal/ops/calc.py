@@ -118,8 +118,25 @@ class _Evaluator:
 
 
 def _rewrite_ternary(text):
-    """muparser ternary ``c ? a : b`` → ``if_(c, a, b)`` (paren- and
-    nesting-aware; right-associative like muparser)."""
+    """muparser ternary ``c ? a : b`` → ``if_(c, a, b)`` (paren-,
+    comma- and nesting-aware; right-associative like muparser)."""
+    # a ternary never spans a top-level comma (function-argument
+    # boundary): split on depth-0 commas and rewrite each argument,
+    # so e.g. max(x, c ? a : b) keeps "x" out of the condition
+    depth = 0
+    parts = []
+    last = 0
+    for i, ch in enumerate(text):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[last:i])
+            last = i + 1
+    if parts:
+        parts.append(text[last:])
+        return ",".join(_rewrite_ternary(p) for p in parts)
     depth = 0
     q = -1
     for i, ch in enumerate(text):

@@ -131,8 +131,7 @@ def _georeference_gcps(ds, gcps=None, order=None, method="polynomial",
     respective transformer and store its affine approximation of the
     image extent for downstream north-up steps).
 
-    ``gcps``: list of (pixel, line, geox, geoy) applied to every row
-    (batch fixtures), or None to derive from per-row 'gcps' columns.
+    ``gcps``: list of (pixel, line, geox, geoy) applied to every row.
     """
     import pyarrow as pa
 

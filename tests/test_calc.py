@@ -103,3 +103,20 @@ class TestCalcStep:
                 orig.astype(np.float64).sum(axis=2) / 3 + 0.5),
                 0, 255).astype(np.uint8)
             np.testing.assert_array_equal(px, expect)
+
+
+def test_ternary_inside_function_arguments():
+    """Regression: a ternary as ONE argument of a multi-arg call must
+    not absorb the sibling arguments into its condition."""
+    import numpy as np
+
+    from raydal.ops.calc import compile_expression
+
+    env = {"x": np.array([1.0, 5.0, 9.0]), "B": np.array([-2.0, 0.0, 3.0])}
+    assert np.array_equal(
+        compile_expression("max(x, x > 4 ? x : 4)")(env), [4.0, 5.0, 9.0])
+    assert np.array_equal(
+        compile_expression("min(x, B>0 ? B : 0)")(env), [0.0, 0.0, 3.0])
+    assert np.array_equal(
+        compile_expression("x > 4 ? (B > 0 ? 1 : 2) : 3")(env),
+        [3.0, 2.0, 1.0])

@@ -1167,3 +1167,54 @@ class TestJpegInTiff:
             read_tiff(data)
         except (ValueError, NotImplementedError):
             pass
+
+    def test_12bit_rgb_encode_round_trip(self):
+        """RGB input must go through the YCbCr transform the decoder
+        reverses (regression: raw-channel writes decoded to garbage)."""
+        from raydal.io.jpeg import decode_jpeg, encode_jpeg12
+
+        yy, xx = np.mgrid[0:32, 0:48]
+        rgb = np.stack([(np.sin(xx / 7.0) + 1) / 2,
+                        (np.cos(yy / 9.0) + 1) / 2,
+                        (np.sin((xx + yy) / 11.0) + 1) / 2], axis=-1)
+        img = (rgb * 4095).astype(np.uint16)
+        dec = decode_jpeg(encode_jpeg12(img, quality=98))
+        err = dec.astype(np.float64) - img.astype(np.float64)
+        assert 10 * np.log10(4095 ** 2 / np.mean(err ** 2)) > 40
+        with pytest.raises(ValueError, match="1 .gray. or 3"):
+            encode_jpeg12(np.zeros((8, 8, 2), np.uint16))
+
+    def test_int64_extremes_round_trip(self):
+        """dBASE N fields widen past 18 chars instead of silently
+        truncating int64 extremes."""
+        import pyarrow as pa
+        import tempfile
+
+        from raydal.geo import wkb as W
+        from raydal.io.shapefile import read_shapefile, write_shapefile
+
+        t = pa.table({
+            "wkb": pa.array([W.point_wkb(0.0, 0.0),
+                             W.point_wkb(1.0, 1.0)], pa.binary()),
+            "big": pa.array([-(2 ** 63), 2 ** 63 - 1], pa.int64())})
+        d = tempfile.mkdtemp()
+        write_shapefile(t, os.path.join(d, "big.shp"))
+        back = read_shapefile(os.path.join(d, "big.shp"))
+        assert back["big"].to_pylist() == [-(2 ** 63), 2 ** 63 - 1]
+
+    def test_lossless_restart_intervals_round_trip(self):
+        """DRI + RSTn in lossless streams: predictors reset per T.81
+        H.1.1 (first sample after restart uses the default, rest of
+        that line uses Ra) — byte.tif round-trips exactly across
+        intervals and predictors."""
+        from raydal.io.jpeg import decode_jpeg, encode_jpeg_lossless
+        from raydal.io.tiff import read_tiff
+
+        ref = read_tiff(open(
+            "/root/reference/autotest/gcore/data/byte.tif",
+            "rb").read()).bands[0]
+        for ri in (7, 33):
+            for p in (1, 4, 7):
+                back = decode_jpeg(encode_jpeg_lossless(
+                    ref, predictor=p, restart_interval=ri))
+                assert np.array_equal(back, ref), (ri, p)
