@@ -513,16 +513,24 @@ class GeolocArrayTransformer:
             if max(np.abs(ex).max(initial=0),
                    np.abs(ey).max(initial=0)) < 1e-12:
                 break
-            sxp, syp = self._sample(fx + eps, fy)
-            sxl, syl = self._sample(fx, fy + eps)
-            j00 = (sxp - sx) / eps
-            j01 = (sxl - sx) / eps
-            j10 = (syp - sy) / eps
-            j11 = (syl - sy) / eps
+            # finite differences step INWARD at the grid edge (an
+            # outward step would clamp to the same sample and produce
+            # a singular zero Jacobian)
+            fxd = np.where(fx + eps > w - 1, fx - eps, fx + eps)
+            fyd = np.where(fy + eps > h - 1, fy - eps, fy + eps)
+            sxp, syp = self._sample(fxd, fy)
+            sxl, syl = self._sample(fx, fyd)
+            j00 = (sxp - sx) / (fxd - fx)
+            j10 = (syp - sy) / (fxd - fx)
+            j01 = (sxl - sx) / (fyd - fy)
+            j11 = (syl - sy) / (fyd - fy)
             det = j00 * j11 - j01 * j10
-            det = np.where(np.abs(det) < 1e-300, np.nan, det)
-            fx = np.clip(fx + (ex * j11 - ey * j01) / det, 0, w - 1)
-            fy = np.clip(fy + (ey * j00 - ex * j10) / det, 0, h - 1)
+            bad = ~np.isfinite(det) | (np.abs(det) < 1e-300)
+            det = np.where(bad, 1.0, det)
+            ux = np.where(bad, 0.0, (ex * j11 - ey * j01) / det)
+            uy = np.where(bad, 0.0, (ey * j00 - ex * j10) / det)
+            fx = np.clip(fx + ux, 0, w - 1)
+            fy = np.clip(fy + uy, 0, h - 1)
         px = fx * self.pixel_step + self.pixel_offset
         ln = fy * self.line_step + self.line_offset
         return px.reshape(shape), ln.reshape(shape)

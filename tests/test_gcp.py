@@ -349,3 +349,40 @@ class TestGeolocArray:
         t = self._t()
         x, y = t.transform(np.array([-5.0, 1e6]), np.array([-5.0, 1e6]))
         assert np.isfinite(x).all() and np.isfinite(y).all()
+
+
+class TestGeolocWarp:
+    def test_geoloc_warp_matches_direct_affine_warp(self):
+        """A geolocation array generated from a hidden affine must warp
+        identically to the direct affine path — dst world → src pixel
+        via GeolocArrayTransformer.inverse plugged into warp_array."""
+        from raydal.geo.gcp import GeolocArrayTransformer
+        from raydal.io.images import image_pixels
+        from raydal.ops.warp import warp_array
+
+        src = image_pixels(1).astype(np.float64)[:, :, 0]
+        h, w = src.shape
+        src_gt = (5000.0, 2.0, 0.0, 8000.0, 0.0, -2.0)
+        px, py = np.meshgrid(np.arange(w, dtype=np.float64),
+                             np.arange(h, dtype=np.float64))
+        gx, gy = affine.apply_gt(src_gt, px, py)
+        t = GeolocArrayTransformer(gx, gy)
+
+        class _DstToSrc:
+            src, dst = "geo", "pixel"
+
+            def transform(self, x, y):
+                return t.inverse(x, y)
+
+        got, ok1 = warp_array(src, (0, 1, 0, 0, 0, 1), "pixel",
+                              src_gt, w, h, "geo", "bilinear",
+                              transformer=_DstToSrc())
+        want, ok2 = warp_array(src, src_gt, 4326, src_gt, w, h, 4326,
+                               "bilinear")
+        # the geoloc grid ends at the last pixel CENTER, so the outer
+        # half-pixel ring clamps instead of extrapolating (same as the
+        # reference's geoloc transformer) — compare the interior
+        m = (ok1 & ok2)[1:-1, 1:-1]
+        assert m.mean() > 0.9
+        np.testing.assert_allclose(got[1:-1, 1:-1][m],
+                                   want[1:-1, 1:-1][m], atol=1e-6)
