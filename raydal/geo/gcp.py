@@ -497,7 +497,9 @@ class GeolocArrayTransformer:
         gxf = self.gx.ravel()
         gyf = self.gy.ravel()
         seed = np.empty(len(qx), dtype=np.int64)
-        step = max(1, int(4e7) // max(gxf.size, 1))
+        # ~4e6-element budget keeps per-chunk temporaries ~tens of MB
+        # even with many concurrent warp actors
+        step = max(1, int(4e6) // max(gxf.size, 1))
         for lo in range(0, len(qx), step):
             hi = min(lo + step, len(qx))
             d2 = ((gxf[None, :] - qx[lo:hi, None]) ** 2

@@ -121,6 +121,7 @@ def _walk(buf):
     avih = None
     movi = None
     idx1 = None
+    streams = {}
     pos = 12
     while pos + 8 <= end:
         cc, size = struct.unpack_from("<4sI", buf, pos)
@@ -145,14 +146,19 @@ def _walk(buf):
                         lend = p + 8 + s2
                         while q + 8 <= lend:
                             c3, s3 = struct.unpack_from("<4sI", buf, q)
-                            if c3 == b"strh" and avih is not None:
+                            if c3 == b"strh":
                                 stype = buf[q + 8:q + 12]
                                 scale, rate = struct.unpack_from(
                                     "<II", buf, q + 8 + 20)
                                 if stype == b"vids" and scale:
-                                    avih["fps"] = rate / scale
-                                elif stype == b"auds" and scale:
-                                    avih["audio_rate"] = rate // scale
+                                    streams.setdefault(
+                                        "fps", rate / scale)
+                                elif stype == b"auds":
+                                    # dwScale==0 tolerated (rate//1);
+                                    # FIRST auds stream wins
+                                    streams.setdefault(
+                                        "audio_rate",
+                                        rate // max(scale, 1))
                             q += 8 + s3 + (s3 & 1)
                     p += 8 + s2 + (s2 & 1)
             elif kind == b"movi":
@@ -164,6 +170,7 @@ def _walk(buf):
         pos += 8 + size + (size & 1)
     if avih is None:
         raise ValueError("missing avih header")
+    avih.update(streams)
     return avih, movi, idx1
 
 

@@ -361,9 +361,9 @@ class _Builder:
 
     def string(self, s):
         raw = s.encode("utf-8") + b"\x00"
-        # trailing pad keeps the next-lower object 4-aligned; the
-        # length prefix must sit DIRECTLY before the bytes
-        self._prepend(b"\x00" * ((-len(raw)) % 4))
+        # absolute 4-alignment of the length prefix: pad so the data
+        # start lands on a 4-boundary (prefix sits directly before it)
+        self._prepend(b"\x00" * ((-(len(self.buf) + len(raw))) % 4))
         self._prepend(raw)
         self._prepend(struct.pack("<I", len(raw) - 1))
         return self.pos()
@@ -386,7 +386,7 @@ class _Builder:
 
     def byte_vector(self, raw):
         raw = bytes(raw)
-        self._prepend(b"\x00" * ((-len(raw)) % 4))
+        self._prepend(b"\x00" * ((-(len(self.buf) + len(raw))) % 4))
         self._prepend(raw)
         self._prepend(struct.pack("<I", len(raw)))
         return self.pos()
@@ -427,7 +427,6 @@ class _Builder:
             off += size
         table_size = off
         tail_pad = (-table_size) % 4
-        table_size_padded = table_size + tail_pad
         vt_len = 4 + 2 * (max_id + 1)
         vt = struct.pack("<HH", vt_len, table_size) + b"".join(
             struct.pack("<H", slots.get(i, 0))

@@ -1543,10 +1543,13 @@ def encode_jpeg_lossless(arr, predictor=1, restart_interval=0):
     if not 1 <= px <= 7:
         raise ValueError("predictor must be 1..7")
 
-    # vectorized prediction per plane (pass 1 computes all diffs)
+    # vectorized prediction per plane (pass 1 computes all diffs);
+    # restart intervals need per-sample reset state, so they take the
+    # serial path below instead
     default = 1 << (prec - 1)
+    ri = int(restart_interval)
     diffs = []
-    for p in chans:
+    for p in (chans if not ri else []):
         ra = np.empty_like(p)
         ra[:, 1:] = p[:, :-1]
         rb = np.empty_like(p)
@@ -1575,14 +1578,11 @@ def encode_jpeg_lossless(arr, predictor=1, restart_interval=0):
         d = ((d + (1 << 15)) & 0xFFFF) - (1 << 15)
         diffs.append(d)
 
-    ri = int(restart_interval)
     if ri:
         if len(chans) > 1:
             raise NotImplementedError(
                 "restart_interval with multi-channel lossless")
-        # recompute diffs with restart-reset prediction (the simple
-        # vectorized prediction above assumed no restarts)
-        diffs = []
+        # restart-reset prediction, per-sample (T.81 H.1.1)
         for p in chans:
             d = np.empty_like(p)
             n_since = 0

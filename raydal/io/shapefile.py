@@ -269,8 +269,13 @@ def _dbf_fields(table, skip):
         elif pa.types.is_integer(typ):
             # widen past the OGR default 18 when values need it (e.g.
             # int64 extremes are 20 chars) — silent truncation would
-            # corrupt the value on re-read
-            width = max([18] + [len(str(v)) for v in col.to_pylist()
+            # corrupt the value on re-read; min/max bound the width
+            # without materializing the column
+            import pyarrow.compute as pc
+
+            mm = pc.min_max(col).as_py()
+            width = max([18] + [len(str(v))
+                                for v in (mm["min"], mm["max"])
                                 if v is not None])
             fields.append((name, "N", min(width, 30), 0))
         elif pa.types.is_floating(typ):
