@@ -230,8 +230,9 @@ def decode_avi_frames(buf, indices=None, gray=True):
     if indices is None:
         want = range(n)
     else:
-        want = np.clip(np.asarray(indices, dtype=np.int64), 0,
-                       max(n - 1, 0))
+        if n == 0:
+            raise ValueError("AVI has no video frames")
+        want = np.clip(np.asarray(indices, dtype=np.int64), 0, n - 1)
     frames = []
     for fi in want:
         off, size = table[int(fi)]

@@ -252,8 +252,11 @@ _GEOM_NAME = {1: "POINT", 2: "LINESTRING", 3: "POLYGON",
 def _encode_gpb(wkb, srs_id):
     """plain WKB → GeoPackageBinary (little-endian, XY envelope)."""
     if wkb is None:
-        # empty-geometry flag, no envelope
-        return struct.pack("<2sBBi", b"GP", 0, 0x01 | 0x10, srs_id)
+        # empty-geometry flag; the spec still expects a well-formed
+        # (empty) WKB body after the header — POINT EMPTY as NaN coords
+        return (struct.pack("<2sBBi", b"GP", 0, 0x01 | 0x10, srs_id)
+                + b"\x01\x01\x00\x00\x00"
+                + struct.pack("<2d", float("nan"), float("nan")))
     x0, y0, x1, y1 = W.wkb_bbox(wkb)
     return (struct.pack("<2sBBi", b"GP", 0, 0x01 | (1 << 1), srs_id)
             + struct.pack("<4d", x0, x1, y0, y1) + bytes(wkb))

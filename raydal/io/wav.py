@@ -151,5 +151,8 @@ def encode_wav(samples, rate=16000, bits=16):
     hdr = (b"WAVEfmt " + struct.pack("<IHHIIHH", 16, _TAG_PCM, ch,
                                      rate, rate * block, block, bits)
            + b"data" + struct.pack("<I", len(payload)))
-    return (b"RIFF" + struct.pack("<I", len(hdr) + len(payload))
-            + hdr + payload + (b"\x00" if len(payload) & 1 else b""))
+    # the odd-payload pad byte belongs INSIDE the RIFF chunk: include
+    # it in the container size so strict parsers see no trailing junk
+    pad = len(payload) & 1
+    return (b"RIFF" + struct.pack("<I", len(hdr) + len(payload) + pad)
+            + hdr + payload + b"\x00" * pad)

@@ -1829,9 +1829,16 @@ def q28_vector_reproject(sf_dir):
         offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
             arr.offset:arr.offset + n + 1]
         data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        seg = None
         if n and (np.diff(offs) == 21).all():
-            seg = data[offs[0]:offs[-1]].reshape(n, 21)
-            assert (seg[:, 0] == 1).all() and (seg[:, 1] == 1).all()
+            cand = data[offs[0]:offs[-1]].reshape(n, 21)
+            # byte-order 1 (LE) + geometry type 1 (point) required for
+            # the strided view; anything else (BE, non-point) falls
+            # through to the generic parser
+            if ((cand[:, 0] == 1).all() and (cand[:, 1] == 1).all()
+                    and not cand[:, 2:5].any()):
+                seg = cand
+        if seg is not None:
             xs = seg[:, 5:13].copy().view("<f8").ravel()
             ys = seg[:, 13:21].copy().view("<f8").ravel()
         else:
@@ -4050,7 +4057,15 @@ def q79_vector_writers_roundtrip(sf_dir):
     from .io.gpkg import read_gpkg_features, write_gpkg_features
     from .io.shapefile import read_shapefile, write_shapefile
 
-    d = tempfile.mkdtemp(prefix="raydal_q79_")
+    # fixed cache dir keyed by fixture size (like _ensure_fgb_fixture)
+    # instead of a fresh mkdtemp per invocation, which leaked dirs
+    # across repeated driver runs
+    from .pipelines import _CACHE_ROOT
+    d = os.path.join(_CACHE_ROOT, f"q79_rt_{n}")
+    if os.path.isdir(d):
+        import shutil
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
     write_shapefile(feats, os.path.join(d, "rt.shp"))
     shp = read_shapefile(os.path.join(d, "rt.shp"))
     write_gpkg_features(feats, os.path.join(d, "rt.gpkg"),

@@ -212,3 +212,24 @@ class TestWriter:
         p = os.path.join(tempfile.mkdtemp(), "sink.gpkg")
         write_sink("gpkg", ds, p, layer="poly")
         assert open_source("gpkg", p, layer="poly").count() == 10
+
+
+class TestNullGeometryGPB:
+    def test_null_geometry_blob_has_wellformed_empty_wkb_body(self):
+        """A null geometry's GPB must carry a well-formed (empty) WKB
+        body after the header — POINT EMPTY as NaN coords — so strict
+        external readers don't reject the blob."""
+        import struct
+
+        from raydal.io.gpkg import _encode_gpb, parse_gpb
+
+        blob = _encode_gpb(None, 4326)
+        # header: GP, version, flags (LE | empty), srs_id
+        magic, ver, flags, srs = struct.unpack_from("<2sBBi", blob, 0)
+        assert magic == b"GP" and flags & 0x10 and srs == 4326
+        body = blob[8:]
+        assert body[:5] == b"\x01\x01\x00\x00\x00"   # LE point
+        x, y = struct.unpack("<2d", body[5:])
+        assert np.isnan(x) and np.isnan(y)
+        srs2, env, wkb = parse_gpb(blob)
+        assert srs2 == 4326 and wkb is None   # our reader: empty → None

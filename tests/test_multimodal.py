@@ -433,3 +433,32 @@ class TestAviAudioTrack:
             np.zeros((2, 16, 16), np.uint8), fps=2)
         with pytest.raises(ValueError, match="no audio"):
             extract_avi_audio(avi)
+
+
+class TestContainerStrictness:
+    def test_wav_riff_size_includes_odd_payload_pad(self):
+        """Strict RIFF parsers trust the container size field: the
+        odd-payload pad byte must be counted inside it."""
+        import struct
+
+        from raydal.io.wav import encode_wav
+
+        v = np.array([0.1, -0.2, 0.3], np.float64)   # 3×1 byte = odd
+        buf = encode_wav(v, 8000, bits=8)
+        riff_size = struct.unpack_from("<I", buf, 4)[0]
+        assert len(buf) == 8 + riff_size   # no bytes outside RIFF
+
+    def test_avi_no_video_frames_with_indices_raises(self):
+        import struct
+
+        from raydal.io.avi import decode_avi_frames
+
+        # minimal AVI: hdrl with avih only, empty movi, no frames
+        avih = (b"avih" + struct.pack("<I", 56) + struct.pack(
+            "<14I", 33333, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+        hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+        movi = b"LIST" + struct.pack("<I", 4) + b"movi"
+        body = b"AVI " + hdrl + movi
+        buf = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(ValueError, match="no video frames"):
+            decode_avi_frames(buf, indices=[0])
