@@ -365,3 +365,119 @@ class TestReviewRegressions:
         out = intersect_batch(feats, MethodLayer(meth))
         assert out["feat_id"].to_pylist() == ["a"]
         assert out["zone_id"].to_pylist() == ["z1"]
+
+
+class TestShuffledLayerAlgebra:
+    """Cell-partitioned (PBSM) layer algebra ≡ the broadcast family on
+    the same layers — every op, mixed convex/concave/holed geometry.
+    The shuffled path is the scale route for method layers beyond the
+    broadcast budget (reference streams the method side per input
+    feature, ogrlayer.cpp:3345)."""
+
+    WINDOW = (0.0, 0.0, 64.0, 64.0)
+    Z = 3
+
+    @staticmethod
+    def _mixed_layers(n_subj=40, n_meth=80, seed=7):
+        import ray.data
+
+        rng = np.random.default_rng(seed)
+
+        def geoms(n, off):
+            out = []
+            for i in range(n):
+                x = float(rng.uniform(1, 57))
+                y = float(rng.uniform(1, 57))
+                w = float(rng.uniform(0.5, 6.0))
+                h = float(rng.uniform(0.5, 6.0))
+                kind = (i + off) % 3
+                if kind == 0:          # rect (convex fast path)
+                    out.append(box_polygon(x, y, x + w, y + h))
+                elif kind == 1:        # concave L
+                    out.append([np.array(
+                        [[x, y], [x + w, y], [x + w, y + h / 2],
+                         [x + w / 2, y + h / 2], [x + w / 2, y + h],
+                         [x, y + h], [x, y]], float)])
+                else:                  # holed donut
+                    hx, hy = x + w / 4, y + h / 4
+                    out.append([np.array(
+                        [[x, y], [x + w, y], [x + w, y + h],
+                         [x, y + h], [x, y]], float),
+                        np.array([[hx, hy], [hx, hy + h / 4],
+                                  [hx + w / 4, hy + h / 4],
+                                  [hx + w / 4, hy], [hx, hy]], float)])
+            return out
+
+        subj = pa.Table.from_pydict({
+            "feat_id": pa.array(range(n_subj), pa.int64()),
+            "wkb": pa.array([polygon_wkb(g) for g in geoms(n_subj, 0)],
+                            pa.binary())})
+        meth = pa.Table.from_pydict({
+            "zone_id": pa.array(range(1000, 1000 + n_meth), pa.int64()),
+            "wkb": pa.array([polygon_wkb(g) for g in geoms(n_meth, 1)],
+                            pa.binary())})
+        return ray.data.from_arrow(subj), subj, meth
+
+    @staticmethod
+    def _canon(ds, cols):
+        import pandas as pd
+
+        df = ds.to_pandas()
+        out = pd.DataFrame()
+        for c in cols:
+            if c == "area":
+                out[c] = df["area"].round(6)
+            else:
+                out[c] = df[c].astype("float64").fillna(-1).astype(
+                    "int64")
+        return out.sort_values(cols).reset_index(drop=True)
+
+    @pytest.mark.parametrize("op,cols", [
+        ("intersection", ["feat_id", "zone_id", "area"]),
+        ("clip", ["feat_id", "area"]),
+        ("erase", ["feat_id", "area"]),
+        ("identity", ["feat_id", "zone_id", "area"]),
+        ("union", ["feat_id", "zone_id", "area"]),
+        ("symdifference", ["feat_id", "zone_id", "area"]),
+        ("update", ["feat_id", "zone_id", "area"]),
+    ])
+    def test_shuffled_matches_broadcast(self, ray_session, op, cols):
+        import pandas as pd
+        import ray.data
+
+        from raydal.ops import layer_algebra as LA
+
+        ds, subj_tbl, meth = self._mixed_layers()
+        bc = LA._BROADCAST[op](ds, meth)
+        sh = LA._SHUFFLED[op](ray.data.from_arrow(subj_tbl),
+                              ray.data.from_arrow(meth),
+                              self.Z, self.WINDOW)
+        a = self._canon(bc, cols)
+        b = self._canon(sh, cols)
+        assert len(a) > 10, f"{op}: degenerate fixture"
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_auto_gate_routes_by_budget(self, ray_session):
+        import ray.data
+
+        from raydal.ops.layer_algebra import layer_op_auto
+
+        ds, subj_tbl, meth = self._mixed_layers()
+        small = layer_op_auto("intersection", ds, meth)  # fits budget
+        big = layer_op_auto(
+            "intersection", ray.data.from_arrow(subj_tbl),
+            ray.data.from_arrow(meth), z=self.Z, window=self.WINDOW,
+            method_bytes=1 << 30, budget_bytes=1 << 20)  # forced shuffle
+        a = self._canon(small, ["feat_id", "zone_id", "area"])
+        b = self._canon(big, ["feat_id", "zone_id", "area"])
+        import pandas as pd
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_auto_gate_dataset_without_hint_raises(self, ray_session):
+        import ray.data
+
+        from raydal.ops.layer_algebra import layer_op_auto
+
+        ds, subj_tbl, meth = self._mixed_layers(n_subj=4, n_meth=4)
+        with pytest.raises(ValueError, match="method_bytes"):
+            layer_op_auto("erase", ds, ray.data.from_arrow(meth))
