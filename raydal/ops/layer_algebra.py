@@ -37,7 +37,8 @@ import pyarrow as pa
 from ..geo import boolean as B
 from ..geo import clip as C
 from ..geo import wkb as W
-from .join import resolve_zone_index_cached
+from .join import (cell_cover_bbox, pbsm_keep_mask,
+                   resolve_zone_index_cached)
 
 __all__ = ["MethodLayer", "intersect_batch", "clip_batch", "erase_batch",
            "identity_batch", "symdiff_subject_batch",
@@ -410,8 +411,6 @@ def _shuffle_cover(ds, id_col, wkb_col, side, z, window, fid_type,
                    zid_type):
     """Flat-map a polygon layer onto covering cells with a tagged,
     union-compatible schema."""
-    from .join import cell_cover_bbox
-
     def cover(t: pa.Table) -> pa.Table:
         x0, y0, x1, y1 = W.wkb_bbox_many(t[wkb_col].to_pylist())
         tb = pa.Table.from_pydict({
@@ -455,8 +454,6 @@ def layer_intersection_shuffled(ds, method_ds, z, window,
     MethodLayer over only its method rows and clips its subject rows;
     PBSM keeps each pair in exactly one cell.  Output schema matches
     :func:`layer_intersection`."""
-    from .join import pbsm_keep_mask
-
     fid_type = fid_type or pa.int64()
     zid_type = zid_type or pa.int64()
     s_cells = _shuffle_cover(ds, id_col, wkb_col, "s", z, window,
@@ -524,8 +521,6 @@ def candidate_pairs_shuffled(ds, method_ds, z, window,
 
     Rows: (feat_id, zone_id, s_wkb, m_wkb) — anchors have the other
     side's columns null."""
-    from .join import pbsm_keep_mask
-
     fid_type = fid_type or pa.int64()
     zid_type = zid_type or pa.int64()
     s_cells = _shuffle_cover(ds, id_col, wkb_col, "s", z, window,

@@ -4230,6 +4230,106 @@ FROM read_parquet('{_Q37_GLOB}')
 """
 
 
+_Q82_WINDOW = (-20.0, -10.0, 40.0, 50.0)
+
+
+def _q82_subject_rects(t: pa.Table) -> pa.Table:
+    from .geo.wkb import box_polygon, polygon_wkb
+
+    k = np.asarray(t["c_custkey"], dtype=np.int64)
+    cx = -20.0 + ((k * 48271) % 59000) / 1000.0
+    cy = -10.0 + ((k * 16807) % 59000) / 1000.0
+    w = (5 + k % 36) / 100.0
+    h = (5 + k % 46) / 100.0
+    wkbs = [polygon_wkb(box_polygon(cx[i], cy[i], cx[i] + w[i],
+                                    cy[i] + h[i]))
+            for i in range(len(k))]
+    return pa.Table.from_pydict({
+        "feat_id": pa.array(k, pa.int64()),
+        "wkb": pa.array(wkbs, pa.binary())})
+
+
+def _q82_method_rects(t: pa.Table) -> pa.Table:
+    from .geo.wkb import box_polygon, polygon_wkb
+
+    k = np.asarray(t["o_orderkey"], dtype=np.int64)
+    cx = -20.0 + ((k * 69621) % 59000) / 1000.0
+    cy = -10.0 + ((k * 40692) % 59000) / 1000.0
+    w = (5 + k % 26) / 100.0
+    h = (5 + k % 31) / 100.0
+    wkbs = [polygon_wkb(box_polygon(cx[i], cy[i], cx[i] + w[i],
+                                    cy[i] + h[i]))
+            for i in range(len(k))]
+    return pa.Table.from_pydict({
+        "zone_id": pa.array(k, pa.int64()),
+        "wkb": pa.array(wkbs, pa.binary())})
+
+
+def q82_layer_intersection_shuffled(sf_dir):
+    """Layer-algebra Intersection through the CELL-PARTITIONED path —
+    the method layer (one rect per order, 10× the subject layer) is
+    beyond the broadcast budget: both layers flat-map onto a z=5
+    covering grid, ONE ``groupby(cell)`` co-locates them, each group
+    clips against a local MethodLayer, and PBSM reference-point dedup
+    keeps each pair exactly once (ops/layer_algebra.py; reference
+    streaming-method semantics ogrlayer.cpp:3345).
+
+    Routed via ``layer_op_auto`` with the method side estimated from
+    parquet METADATA (q25 as-of gate pattern) against a budget set
+    below the method layer's size, so the driver exercises the shuffle
+    path end-to-end at every sf.  Oracle: closed-form rect∩rect areas
+    in SQL."""
+    from .ops.layer_algebra import layer_op_auto
+
+    subj = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        _q82_subject_rects, batch_format="pyarrow")
+    meth = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        _q82_method_rects, batch_format="pyarrow")
+    # metadata-only size estimate: rows × (93-byte rect WKB + 8-byte id)
+    m_bytes = _parquet_row_count(sf_dir, "orders") * 101
+    out = layer_op_auto("intersection", subj, meth, z=5,
+                        window=_Q82_WINDOW, method_bytes=m_bytes,
+                        budget_bytes=1_000_000)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "feat_id": t["feat_id"],
+            "zone_id": t["zone_id"],
+            "area": pa.array(round_half_away(np.asarray(t["area"]), 6),
+                             pa.float64())})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_Q82 = """
+WITH s AS (
+  SELECT c_custkey AS feat_id,
+         -20 + ((c_custkey * 48271) % 59000) / 1000.0 AS x0,
+         -10 + ((c_custkey * 16807) % 59000) / 1000.0 AS y0,
+         (5 + c_custkey % 36) / 100.0 AS w,
+         (5 + c_custkey % 46) / 100.0 AS h
+  FROM customer),
+m AS (
+  SELECT o_orderkey AS zone_id,
+         -20 + ((o_orderkey * 69621) % 59000) / 1000.0 AS x0,
+         -10 + ((o_orderkey * 40692) % 59000) / 1000.0 AS y0,
+         (5 + o_orderkey % 26) / 100.0 AS w,
+         (5 + o_orderkey % 31) / 100.0 AS h
+  FROM orders)
+SELECT feat_id, zone_id, ROUND(CAST(raw AS DOUBLE), 6) AS area
+FROM (
+  SELECT s.feat_id, m.zone_id,
+         (LEAST(s.x0 + s.w, m.x0 + m.w) - GREATEST(s.x0, m.x0)) *
+         (LEAST(s.y0 + s.h, m.y0 + m.h) - GREATEST(s.y0, m.y0)) AS raw
+  FROM s JOIN m
+    ON s.x0 < m.x0 + m.w AND s.x0 + s.w > m.x0
+   AND s.y0 < m.y0 + m.h AND s.y0 + s.h > m.y0)
+-- same sliver gate as the engine: touching rects whose fp corner sums
+-- differ by ~1e-13 must not surface as zero-area pairs
+WHERE raw > 1e-9
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -4314,6 +4414,8 @@ QUERIES = {
                                      SQL_Q79),
     "q80_video_frame_sample": (q80_video_frame_sample, SQL_Q80),
     "q81_gcp_georef_recovery": (q81_gcp_georef_recovery, SQL_Q81),
+    "q82_layer_intersection_shuffled": (q82_layer_intersection_shuffled,
+                                        SQL_Q82),
 }
 
 
@@ -4331,7 +4433,8 @@ def query_fns():
              "q75_geojson_csv_pip", "q76_clip_overlap_area",
              "q77_audio_features", "q78_fgb_roundtrip_filter",
              "q79_vector_writers_roundtrip", "q80_video_frame_sample",
-             "q81_gcp_georef_recovery"}
+             "q81_gcp_georef_recovery",
+             "q82_layer_intersection_shuffled"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}
