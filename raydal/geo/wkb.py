@@ -31,6 +31,8 @@ import struct
 
 import numpy as np
 
+from . import curves as _curves
+
 __all__ = [
     "POINT", "LINESTRING", "POLYGON", "MULTIPOINT", "MULTILINESTRING",
     "MULTIPOLYGON", "GEOMETRYCOLLECTION",
@@ -151,11 +153,35 @@ def _byte_order(b):
     return b == 1
 
 
+def _curve_node_to_legacy(node):
+    """Linearized curve-module node → this module's (type, payload)
+    trees: Triangle → Polygon, PolyhedralSurface/TIN → MultiPolygon."""
+    base, payload, _ = node
+    if base in (POINT, LINESTRING):
+        return (base, np.asarray(payload, dtype=np.float64)[:, :2])
+    if base in (POLYGON, _curves.TRIANGLE):
+        return (POLYGON, [np.asarray(r, dtype=np.float64)[:, :2]
+                          for r in payload])
+    if base in (_curves.POLYHEDRALSURFACE, _curves.TIN):
+        return (MULTIPOLYGON, [_curve_node_to_legacy(g) for g in payload])
+    return (base, [_curve_node_to_legacy(g) for g in payload])
+
+
 def _parse(buf, off):
     little = _byte_order(buf[off])
     off += 1
     code, off = _read_u32(buf, off, little)
-    base, ndim = _dims_of(code)
+    try:
+        base, ndim = _dims_of(code)
+    except ValueError:
+        cbase, _ = _curves._dims_from_code(code)
+        if not _curves.is_curve_code(cbase):
+            raise
+        # curve geometry: parse with the curve codec from the original
+        # offset and stroke arcs at the default OGR_ARC_STEPSIZE
+        # (the reference's OGR_STROKE_CURVE read behavior)
+        node, off = _curves._parse_node(buf, off - 5)
+        return _curve_node_to_legacy(_curves.linearize(node)), off
     if base == POINT:
         c, off = _read_coords(buf, off, 1, ndim, little)
         return (POINT, c), off
@@ -191,7 +217,20 @@ def wkb_geom_type(buf):
     buf = bytes(buf)
     little = _byte_order(buf[0])
     code = struct.unpack_from("<I" if little else ">I", buf, 1)[0]
-    return _dims_of(code)[0]
+    try:
+        return _dims_of(code)[0]
+    except ValueError:
+        return _curves._dims_from_code(code)[0]
+
+
+def _curve_root(buf):
+    """Curve-module node when the WKB root is one of the extended types
+    (8-17), else None."""
+    buf = bytes(buf)
+    t = wkb_geom_type(buf)
+    if _curves.is_curve_code(t):
+        return _curves.parse_wkb_curve(buf)
+    return None
 
 
 def _iter_coord_arrays(parsed):
@@ -206,7 +245,12 @@ def _iter_coord_arrays(parsed):
 
 
 def wkb_bbox(buf):
-    """(xmin, ymin, xmax, ymax) straight from the bytes."""
+    """(xmin, ymin, xmax, ymax) straight from the bytes.  Curve types
+    get the exact arc-aware envelope (``ExtendEnvelopeWithCircular``)."""
+    node = _curve_root(buf)
+    if node is not None:
+        xmin, xmax, ymin, ymax = _curves.curve_envelope(node)
+        return xmin, ymin, xmax, ymax
     arrs = list(_iter_coord_arrays(parse_wkb(buf)))
     xs = np.concatenate([a[:, 0] for a in arrs])
     ys = np.concatenate([a[:, 1] for a in arrs])
@@ -255,6 +299,9 @@ def polygon_area(rings):
 
 
 def wkb_area(buf):
+    node = _curve_root(buf)
+    if node is not None:
+        return _curves.curve_area(node)   # exact for full-circle/convex
     return sum(polygon_area(p) for p in polygons_from_wkb(buf))
 
 
@@ -488,7 +535,12 @@ def wkb_length(buf):
     boundary (all rings, implicitly closed), collections sum their
     parts (``ogr/ogrgeometry.cpp`` get_Length family — validated against
     the published values in ``autotest/ogr/ogr_geom.py``:
-    multilinestring 2, mixed collection 8)."""
+    multilinestring 2, mixed collection 8).  Circular arcs measure
+    exactly (``OGRCircularString::get_Length``)."""
+    node = _curve_root(buf)
+    if node is not None:
+        return _curves.curve_length(node)
+
     def _ring_len(arr, close):
         a = np.asarray(arr, dtype=np.float64)
         if len(a) < 2:

@@ -24,6 +24,7 @@ import re
 
 import numpy as np
 
+from ..geo import curves as _curves
 from ..geo import wkb as W
 from .geojson import geojson_to_wkb, wkb_to_geojson
 
@@ -31,6 +32,9 @@ __all__ = ["wkt_to_wkb", "wkb_to_wkt"]
 
 _TYPES = ("GEOMETRYCOLLECTION", "MULTILINESTRING", "MULTIPOLYGON",
           "MULTIPOINT", "LINESTRING", "POLYGON", "POINT")
+_CURVE_TYPES = ("CIRCULARSTRING", "COMPOUNDCURVE", "CURVEPOLYGON",
+                "MULTICURVE", "MULTISURFACE", "POLYHEDRALSURFACE", "TIN",
+                "TRIANGLE")
 _NUM = re.compile(r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?")
 
 
@@ -181,7 +185,13 @@ def _parse_geom(sc):
 
 
 def wkt_to_wkb(text):
-    """WKT string → little-endian 2-D WKB."""
+    """WKT string → little-endian WKB.  The 7 linear types emit 2-D
+    WKB; curve/surface types (CIRCULARSTRING … TIN, incl. Z/M) keep
+    their ISO curve codes — parse_wkb linearizes them on read."""
+    head = text.lstrip().split("(", 1)[0].split()[0].upper() \
+        if text.strip() else ""
+    if head in _CURVE_TYPES:
+        return _curves.write_wkb_curve(_curves.parse_wkt_curve(text))
     sc = _Scanner(text)
     g = _parse_geom(sc)
     if (g["type"] == "Point" and g["coordinates"] == []):
@@ -257,5 +267,9 @@ def _geom_to_wkt(g, precision=15):
 
 def wkb_to_wkt(buf, precision=15):
     """WKB → WKT string (classic variant formatting; ``precision >= 17``
-    is round-trip exact — the OGR_WKT_PRECISION analogue)."""
+    is round-trip exact — the OGR_WKT_PRECISION analogue).  Curve WKB
+    (codes 8-17) formats as ISO curve WKT without linearizing."""
+    if _curves.is_curve_code(W.wkb_geom_type(buf)):
+        return _curves.format_wkt_curve(_curves.parse_wkb_curve(bytes(buf)),
+                                        precision)
     return _geom_to_wkt(wkb_to_geojson(buf), precision)
