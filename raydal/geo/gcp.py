@@ -30,10 +30,11 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..kernels.resample import interpolate_at_point
 from . import affine
 
 __all__ = ["gcps_to_geotransform", "GCPPolynomialTransformer",
-           "TPSTransformer", "RPCTransformer",
+           "TPSTransformer", "RPCTransformer", "RPCDem",
            "GCPHomographyTransformer", "GeolocArrayTransformer"]
 
 
@@ -258,6 +259,56 @@ def _rpc_terms(L, P, H):
         P ** 3, P * H * H, L * L * H, P * P * H, H ** 3], axis=-1)
 
 
+class RPCDem:
+    """Terrain source for :class:`RPCTransformer` — the reference's
+    RPC_DEM / RPC_DEMINTERPOLATION / RPC_DEM_MISSING_VALUE transformer
+    options (``alg/gdal_rpc.cpp`` GDALRPCGetHeightAtLongLat:549 →
+    GDALRPCGetDEMHeight:1378, which delegates to
+    ``GDALInterpolateAtPoint``).
+
+    ``band``: 2-D elevation array.  ``geotransform``: the DEM's affine
+    GT.  ``to_dem_crs``: optional vectorized ``(lon, lat) → (x, y)``
+    callable when the DEM is not in the RPC's WGS84 space (the
+    reference builds an OGRCoordinateTransformation; pass e.g.
+    ``lambda lon, lat: crs.lonlat_to_utm(lon, lat, 32652)``).
+    ``missing_value``: substituted where the DEM has no sample
+    (RPC_DEM_MISSING_VALUE); without it a miss is a hard failure."""
+
+    def __init__(self, band, geotransform, interpolation="bilinear",
+                 missing_value=None, to_dem_crs=None):
+        self.band = np.asarray(band, dtype=np.float64)
+        self.gt = tuple(float(v) for v in geotransform)
+        self.inv_gt = affine.invert_gt(self.gt)
+        if interpolation not in ("near", "nearest", "bilinear", "cubic",
+                                 "cubicspline"):
+            raise ValueError(f"unknown DEM interpolation {interpolation!r}")
+        self.interpolation = interpolation
+        self.missing_value = missing_value
+        self.ct = to_dem_crs
+
+    def pixel_line(self, lon, lat):
+        x, y = (lon, lat) if self.ct is None else self.ct(lon, lat)
+        ig = self.inv_gt
+        return (ig[0] + ig[1] * x + ig[2] * y,
+                ig[3] + ig[4] * x + ig[5] * y)
+
+    def raw_height(self, px, ln):
+        """GDALRPCGetDEMHeight: interpolated value or None."""
+        return interpolate_at_point(self.band, px, ln, self.interpolation)
+
+    def height(self, lon, lat):
+        """GetHeightAtLongLat's DEM leg → (ok, demh, dem_px, dem_ln);
+        the missing-value substitution is applied here, height
+        offset/scale by the caller."""
+        px, ln = self.pixel_line(float(lon), float(lat))
+        v = self.raw_height(px, ln)
+        if v is None:
+            if self.missing_value is not None:
+                return True, float(self.missing_value), px, ln
+            return False, 0.0, px, ln
+        return True, float(v), px, ln
+
+
 class RPCTransformer:
     """RPC00B rational-polynomial transformer (``alg/gdal_rpc.cpp``
     capability): the native model maps (long, lat, height) → (pixel,
@@ -276,7 +327,8 @@ class RPCTransformer:
     src = "pixel"
     dst = "geo"
 
-    def __init__(self, rpc, height=0.0, pixel_error_threshold=0.05):
+    def __init__(self, rpc, height=0.0, height_scale=1.0, dem=None,
+                 pixel_error_threshold=0.05, max_iterations=None):
         def num(k):
             return float(rpc[k])
 
@@ -298,22 +350,35 @@ class RPCTransformer:
         self.samp_scale = num("SAMP_SCALE")
         self.lat_scale = num("LAT_SCALE")
         self.long_scale = num("LONG_SCALE")
-        self.height_scale = num("HEIGHT_SCALE")
+        # HEIGHT_SCALE metadata normalizes the model's H term; distinct
+        # from the RPC_HEIGHT_SCALE *option* (self.height_scale) that
+        # multiplies DEM samples
+        self.hscale_norm = num("HEIGHT_SCALE")
         self.line_num = coefs("LINE_NUM_COEFF")
         self.line_den = coefs("LINE_DEN_COEFF")
         self.samp_num = coefs("SAMP_NUM_COEFF")
         self.samp_den = coefs("SAMP_DEN_COEFF")
-        self.height = float(height)
+        self.height = float(height)          # RPC_HEIGHT user offset
+        self.height_scale = float(height_scale)   # RPC_HEIGHT_SCALE
+        self.dem = dem                       # RPC_DEM terrain source
         self.threshold = float(pixel_error_threshold)
+        # gdal_rpc.cpp:1189: default 10 iterations, 20 with a DEM
+        self.max_iter = int(max_iterations) if max_iterations \
+            else (20 if dem is not None else 10)
         # linear pixel/line → lat/long approximation built exactly like
         # the reference (gdal_rpc.cpp GDALCreateRPCTransformerV2):
         # finite differences of the native model at the offset-center
-        # reference point with a 0.0001-degree delta, then inverted
+        # reference point with a 0.0001-degree delta, then inverted.
+        # The reference evaluates at dfRefZ = GetHeightAtLongLat of the
+        # reference point (gdal_rpc.cpp:1054-1074) — RPC_HEIGHT plus
+        # the scaled DEM sample when a DEM is attached.
         ref_lon, ref_lat = self.long_off, self.lat_off
-        ref_px, ref_ln = self.geo_to_pixel(ref_lon, ref_lat, 0.0)
+        refz = self._height_at(ref_lon, ref_lat)
+        self._ref_z = self.height if refz is None else refz
+        ref_px, ref_ln = self._forward(ref_lon, ref_lat, self._ref_z)
         d = 1e-4
-        px_dl, ln_dl = self.geo_to_pixel(ref_lon + d, ref_lat, 0.0)
-        px_dp, ln_dp = self.geo_to_pixel(ref_lon, ref_lat + d, 0.0)
+        px_dl, ln_dl = self._forward(ref_lon + d, ref_lat, self._ref_z)
+        px_dp, ln_dp = self._forward(ref_lon, ref_lat + d, self._ref_z)
         gt_from_ll = (
             float(ref_px - (px_dl - ref_px) / d * ref_lon
                   - (px_dp - ref_px) / d * ref_lat),
@@ -323,15 +388,27 @@ class RPCTransformer:
             float((ln_dl - ref_ln) / d), float((ln_dp - ref_ln) / d))
         self._pl_to_ll = affine.invert_gt(gt_from_ll)
 
-    def geo_to_pixel(self, lon, lat, h=None):
-        """(long, lat[, height]) → (pixel, line) via the native model."""
+    def _height_at(self, lon, lat):
+        """GetHeightAtLongLat: RPC_HEIGHT + scaled DEM sample → total
+        height, or None on a hard DEM miss."""
+        if self.dem is None:
+            return self.height
+        ok, demh, _, _ = self.dem.height(float(lon), float(lat))
+        if not ok:
+            return None
+        return self.height + demh * self.height_scale
+
+    def _forward(self, lon, lat, h):
+        """Native RPC model at an explicit height: (long, lat, h) →
+        (pixel, line)."""
         lon = np.asarray(lon, dtype=np.float64)
         lat = np.asarray(lat, dtype=np.float64)
-        hh = np.full_like(lon, self.height) if h is None else \
+        hh = np.broadcast_to(np.asarray(h, dtype=np.float64),
+                             lon.shape) if lon.shape else \
             np.asarray(h, dtype=np.float64)
         L = (lon - self.long_off) / self.long_scale
         P = (lat - self.lat_off) / self.lat_scale
-        H = (hh - self.height_off) / self.height_scale
+        H = (hh - self.height_off) / self.hscale_norm
         T = _rpc_terms(L, P, H)
         line = (T @ self.line_num) / (T @ self.line_den)
         samp = (T @ self.samp_num) / (T @ self.samp_den)
@@ -339,6 +416,29 @@ class RPCTransformer:
         # space uses top-left corner = (0,0) → +0.5 (gdal_rpc.cpp:461)
         return (samp * self.samp_scale + self.samp_off + 0.5,
                 line * self.line_scale + self.line_off + 0.5)
+
+    def geo_to_pixel(self, lon, lat, h=None):
+        """(long, lat[, height]) → (pixel, line).  With a DEM attached
+        the per-point height is ``h + RPC_HEIGHT + dem*scale`` (the
+        reference's padfZ + GetHeightAtLongLat); DEM misses yield NaN.
+        Without a DEM, ``h`` (when given) is the absolute height,
+        else RPC_HEIGHT."""
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        if self.dem is None:
+            hh = self.height if h is None else h
+            return self._forward(lon, lat, hh)
+        flat_lon = np.atleast_1d(lon).ravel()
+        flat_lat = np.atleast_1d(lat).ravel()
+        user = np.zeros_like(flat_lon) if h is None else \
+            np.broadcast_to(np.asarray(h, dtype=np.float64),
+                            flat_lon.shape).ravel()
+        heights = np.empty_like(flat_lon)
+        for i in range(len(flat_lon)):
+            ht = self._height_at(flat_lon[i], flat_lat[i])
+            heights[i] = np.nan if ht is None else user[i] + ht
+        px, ln = self._forward(flat_lon, flat_lat, heights)
+        return px.reshape(lon.shape), ln.reshape(lat.shape)
 
     def transform(self, px, ln):
         """(pixel, line) → (long, lat): the reference's fixed-point
@@ -351,9 +451,18 @@ class RPCTransformer:
         px = np.asarray(px, dtype=np.float64)
         ln = np.asarray(ln, dtype=np.float64)
         g = self._pl_to_ll
+        if self.dem is not None:
+            flat_px = np.atleast_1d(px).ravel()
+            flat_ln = np.atleast_1d(ln).ravel()
+            lon = np.empty_like(flat_px)
+            lat = np.empty_like(flat_px)
+            for i in range(len(flat_px)):
+                lon[i], lat[i] = self._inverse_dem_point(
+                    flat_px[i], flat_ln[i])
+            return lon.reshape(px.shape), lat.reshape(ln.shape)
         lon = g[0] + g[1] * px + g[2] * ln
         lat = g[3] + g[4] * px + g[5] * ln
-        for _ in range(10):
+        for _ in range(self.max_iter):
             bpx, bln = self.geo_to_pixel(lon, lat)
             dx = bpx - px
             dy = bln - ln
@@ -363,6 +472,69 @@ class RPCTransformer:
             lon = lon - dx * g[1] - dy * g[2]
             lat = lat - dx * g[4] - dy * g[5]
         return lon, lat
+
+    def _inverse_dem_point(self, px, ln, user_h=0.0):
+        """Reference RPCInverseTransformPoint with a DEM
+        (``alg/gdal_rpc.cpp:1128-1372``): re-sample the terrain at each
+        guess, snap to the DEM boundary (or fall back to the reference
+        Z) on a first-iteration miss, hard-fail on later misses,
+        dampen sign-flip oscillation with an error-weighted mean, and
+        boost the step 10x after 5 consecutive sub-2-pixel errors.
+        Returns (long, lat) or (nan, nan)."""
+        g = self._pl_to_ll
+        rx = g[0] + g[1] * px + g[2] * ln
+        ry = g[3] + g[4] * px + g[5] * ln
+        last_rx = last_ry = last_dx = last_dy = 0.0
+        last_valid = False
+        below2 = 0
+        converged = False
+        for it in range(self.max_iter):
+            ok, demh, dem_px, dem_ln = self.dem.height(rx, ry)
+            if ok:
+                height = self.height + demh * self.height_scale
+            elif it == 0:
+                # first guess may be outside the DEM: snap to its
+                # boundary; the reference's line-<0 branch re-clamps
+                # the pixel (gdal_rpc.cpp:1222-1230, kept verbatim)
+                h_, w_ = self.dem.band.shape
+                if dem_px >= w_:
+                    dem_px = w_ - 0.5
+                elif dem_px < 0:
+                    dem_px = 0.5
+                if dem_ln >= h_:
+                    dem_ln = h_ - 0.5
+                elif dem_px < 0:
+                    dem_px = 0.5
+                raw = self.dem.raw_height(dem_px, dem_ln)
+                height = raw if raw is not None else self._ref_z
+            else:
+                return np.nan, np.nan
+            bpx, bln = self._forward(rx, ry, user_h + height)
+            dx = float(bpx - px)
+            dy = float(bln - ln)
+            err = max(abs(dx), abs(dy))
+            if err < self.threshold:
+                converged = True
+                break
+            if last_valid and dx * last_dx < 0 and dy * last_dy < 0:
+                # oscillation: error-weighted mean of the two guesses
+                rx = (abs(dx) * last_rx + abs(last_dx) * rx) / \
+                    (abs(dx) + abs(last_dx))
+                ry = (abs(dy) * last_ry + abs(last_dy) * ry) / \
+                    (abs(dy) + abs(last_dy))
+                last_valid = False
+                below2 = 0
+                continue
+            boost = 10.0 if (below2 >= 5 and err < 2) else 1.0
+            below2 = below2 + 1 if err < 2 else 0
+            last_rx, last_ry = rx, ry
+            rx = rx - (dx * g[1] + dy * g[2]) * boost
+            ry = ry - (dx * g[4] + dy * g[5]) * boost
+            last_dx, last_dy = dx, dy
+            last_valid = True
+        if not converged:
+            return np.nan, np.nan
+        return rx, ry
 
     def inverse(self, lon, lat):
         return self.geo_to_pixel(lon, lat)

@@ -124,25 +124,49 @@ STEP_REGISTRY["raster-reproject"] = _warp
 
 @register_step("georeference-gcps")
 def _georeference_gcps(ds, gcps=None, order=None, method="polynomial",
-                       approx_ok=True):
+                       approx_ok=True, rpc=None, rpc_height=0.0,
+                       rpc_height_scale=1.0, dem=None, dem_geotransform=None,
+                       dem_interpolation="bilinear", dem_missing_value=None):
     """Attach/replace each row's geotransform from GCPs (the
     `gdal_translate -gcp` + GCPsToGeoTransform shape when
     method='affine'; 'polynomial'/'tps'/'homography' fit the
     respective transformer and store its affine approximation of the
-    image extent for downstream north-up steps).
+    image extent for downstream north-up steps).  ``method='rpc'``
+    takes RPC00B metadata (``rpc=``) plus the RPC_HEIGHT /
+    RPC_HEIGHT_SCALE / RPC_DEM option equivalents (``dem`` = elevation
+    array + ``dem_geotransform``, reference ``alg/gdal_rpc.cpp``).
 
     ``gcps``: list of (pixel, line, geox, geoy) applied to every row.
     """
+    import numpy as np
     import pyarrow as pa
 
     from .geo.gcp import (GCPHomographyTransformer,
-                          GCPPolynomialTransformer, TPSTransformer,
-                          gcps_to_geotransform)
+                          GCPPolynomialTransformer, RPCDem, RPCTransformer,
+                          TPSTransformer, gcps_to_geotransform)
 
-    if gcps is None:
+    if method == "rpc":
+        if rpc is None:
+            raise ValueError("georeference-gcps method='rpc' requires rpc=")
+        dem_obj = None
+        if dem is not None:
+            if dem_geotransform is None:
+                raise ValueError("dem requires dem_geotransform")
+            dem_obj = RPCDem(dem, dem_geotransform,
+                             interpolation=dem_interpolation,
+                             missing_value=dem_missing_value)
+        tf = RPCTransformer(rpc, height=rpc_height,
+                            height_scale=rpc_height_scale, dem=dem_obj)
+        probe = [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0)]
+        fitted = [(cx, cy, *[float(v) for v in
+                             (lambda r: (r[0][0], r[1][0]))(
+                                 tf.transform(np.array([cx]),
+                                              np.array([cy])))])
+                  for cx, cy in probe]
+        gt = gcps_to_geotransform(fitted)
+    elif gcps is None:
         raise ValueError("georeference-gcps requires gcps")
-
-    if method == "affine":
+    elif method == "affine":
         gt = gcps_to_geotransform(gcps, approx_ok=approx_ok)
         if gt is None:
             raise ValueError("GCPs do not admit an affine fit")

@@ -386,3 +386,130 @@ class TestGeolocWarp:
         assert m.mean() > 0.9
         np.testing.assert_allclose(got[1:-1, 1:-1][m],
                                    want[1:-1, 1:-1][m], atol=1e-6)
+
+
+class TestRPCDem:
+    """RPC + DEM intersection path vs the published DEM scenarios in
+    autotest/gcore/transformer.py test_transformer_5:249-414 (100x100
+    EPSG:32652 DEM, GT [213300,200,0,4418700,0,-200], constant 15,
+    RPC_HEIGHT_SCALE=2); tolerances are the autotest's own 1e-6/0.05."""
+
+    @staticmethod
+    def _rpc():
+        import re
+
+        txt = open("/root/reference/autotest/gcore/data/rpc.vrt").read()
+        md = dict(re.findall(r'<MDI key="([A-Z_]+)">([^<]+)</MDI>', txt))
+        return {k: v for k, v in md.items()
+                if "COEFF" in k or k.endswith("_OFF")
+                or k.endswith("_SCALE")}
+
+    @staticmethod
+    def _dem(interpolation="bilinear", gt=(213300, 200, 0, 4418700, 0, -200),
+             missing_value=None, band=None):
+        from raydal.geo import crs
+        from raydal.geo.gcp import RPCDem
+
+        if band is None:
+            band = np.full((100, 100), 15.0)
+        return RPCDem(band, gt, interpolation=interpolation,
+                      missing_value=missing_value,
+                      to_dem_crs=lambda lon, lat:
+                      crs.lonlat_to_utm(lon, lat, 32652))
+
+    def test_published_dem_bilinear(self):
+        """transformer.py:259-281: pixel (20.5, 10.5) over the constant
+        15 m DEM with HEIGHT_SCALE=2 equals the RPC_HEIGHT=30 point."""
+        from raydal.geo.gcp import RPCTransformer
+
+        t = RPCTransformer(self._rpc(), height_scale=2, dem=self._dem(),
+                           pixel_error_threshold=0.05)
+        lon, lat = t.transform(np.array([20.5]), np.array([10.5]))
+        assert abs(lon[0] - 125.64828521533849) < 1e-6
+        assert abs(lat[0] - 39.869345204440144) < 1e-6
+        px, ln = t.inverse(lon, lat)
+        assert abs(px[0] - 20.5) < 0.05 and abs(ln[0] - 10.5) < 0.05
+
+    def test_published_dem_near_and_cubic(self):
+        """transformer.py:295-357 (near golden 125.64828521503811,
+        39.869345204874911; cubic same point as bilinear)."""
+        from raydal.geo.gcp import RPCTransformer
+
+        for interp, elon, elat in [
+                ("near", 125.64828521503811, 39.869345204874911),
+                ("cubic", 125.64828521533849, 39.869345204440144)]:
+            t = RPCTransformer(self._rpc(), height_scale=2,
+                               dem=self._dem(interp),
+                               pixel_error_threshold=0.05)
+            lon, lat = t.transform(np.array([20.5]), np.array([10.5]))
+            assert abs(lon[0] - elon) < 1e-6
+            assert abs(lat[0] - elat) < 1e-6
+            px, ln = t.inverse(lon, lat)
+            assert abs(px[0] - 20.5) < 0.05 and abs(ln[0] - 10.5) < 0.05
+
+    def test_outside_dem_extent_errors(self):
+        """transformer.py:366-375: both directions fail (NaN here)
+        outside the DEM when no missing value is set."""
+        from raydal.geo.gcp import RPCTransformer
+
+        t = RPCTransformer(self._rpc(), height_scale=2, dem=self._dem(),
+                           pixel_error_threshold=0.05)
+        lon, lat = t.transform(np.array([40000.0]), np.array([0.0]))
+        assert np.isnan(lon[0]) and np.isnan(lat[0])
+        px, ln = t.geo_to_pixel(np.array([125.0]), np.array([40.0]))
+        assert np.isnan(px[0]) and np.isnan(ln[0])
+
+    def test_published_dem_missing_value(self):
+        """transformer.py:377-409: 100x100 1-metre DEM +
+        RPC_DEM_MISSING_VALUE=0 → pixel (-99.5, 0.5) transforms via the
+        substituted 0 height."""
+        from raydal.geo.gcp import RPCTransformer
+
+        dem = self._dem(gt=(213300, 1, 0, 4418700, 0, -1),
+                        missing_value=0)
+        t = RPCTransformer(self._rpc(), height_scale=2, dem=dem,
+                           pixel_error_threshold=0.05)
+        lon, lat = t.transform(np.array([-99.5]), np.array([0.5]))
+        assert abs(lon[0] - 125.64746155942839) < 1e-6
+        assert abs(lat[0] - 39.869506789921168) < 1e-6
+        px, ln = t.inverse(lon, lat)
+        assert abs(px[0] - -99.5) < 0.05 and abs(ln[0] - 0.5) < 0.05
+
+    def test_sloped_dem_round_trip(self):
+        """Terrain with real relief: every pixel→geo→pixel round trip
+        stays within the pixel error threshold."""
+        from raydal.geo.gcp import RPCTransformer
+
+        yy, xx = np.mgrid[0:100, 0:100]
+        band = 200.0 + 3.0 * xx + 1.5 * yy   # ramp 200-650 m
+        # 40 km DEM centred on the scene so iteration guesses stay on it
+        t = RPCTransformer(
+            self._rpc(),
+            dem=self._dem(band=band,
+                          gt=(203300, 400, 0, 4428700, 0, -400)),
+            pixel_error_threshold=0.05)
+        px, ln = np.meshgrid(np.linspace(0, 100, 5),
+                             np.linspace(0, 100, 5))
+        lon, lat = t.transform(px, ln)
+        assert not np.isnan(lon).any()
+        bx, by = t.inverse(lon, lat)
+        assert np.abs(bx - px).max() < 0.05
+        assert np.abs(by - ln).max() < 0.05
+
+    def test_dem_heights_actually_used(self):
+        """The same pixel over a 0 m vs 500 m terrain must map to
+        different ground coordinates (parallax)."""
+        from raydal.geo.gcp import RPCTransformer
+
+        big = (203300, 400, 0, 4428700, 0, -400)
+        lo = RPCTransformer(self._rpc(),
+                            dem=self._dem(band=np.zeros((100, 100)),
+                                          gt=big),
+                            pixel_error_threshold=0.05)
+        hi = RPCTransformer(self._rpc(),
+                            dem=self._dem(band=np.full((100, 100), 500.0),
+                                          gt=big),
+                            pixel_error_threshold=0.05)
+        lon0, lat0 = lo.transform(np.array([20.5]), np.array([10.5]))
+        lon5, lat5 = hi.transform(np.array([20.5]), np.array([10.5]))
+        assert abs(lon5[0] - lon0[0]) > 1e-5 or abs(lat5[0] - lat0[0]) > 1e-5

@@ -533,3 +533,34 @@ class TestGeoreferenceGcpsStep:
                 ds, gcps=[(0, 0, 0, 0), (0, 10, 0, 10),
                           (10, 0, 10, 10), (10, 10, 10, 0)],
                 method="affine")
+
+
+def test_georeference_rpc_dem_step(ray_session):
+    """georeference-gcps method='rpc' with a DEM: the stored affine
+    approximation anchors at the RPC+DEM forward transform of pixel
+    (0, 0)."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from raydal.geo.gcp import RPCDem, RPCTransformer
+    from raydal.pipeline import STEP_REGISTRY
+
+    txt = open("/root/reference/autotest/gcore/data/rpc.vrt").read()
+    md = dict(re.findall(r'<MDI key="([A-Z_]+)">([^<]+)</MDI>', txt))
+    rpc = {k: v for k, v in md.items()
+           if "COEFF" in k or k.endswith("_OFF") or k.endswith("_SCALE")}
+    # lat/long DEM centred on the scene, constant 120 m
+    dem = np.full((50, 50), 120.0)
+    dem_gt = (125.63, 0.002, 0.0, 39.95, 0.0, -0.002)
+
+    ds = ray.data.from_items([{"image_id": "a"}])
+    out = STEP_REGISTRY["georeference-gcps"](
+        ds, method="rpc", rpc=rpc, dem=dem, dem_geotransform=dem_gt,
+        rpc_height_scale=1.0).take_all()
+    gt = out[0]["gt"]
+    ref = RPCTransformer(rpc, dem=RPCDem(dem, dem_gt))
+    lon, lat = ref.transform(np.array([0.0]), np.array([0.0]))
+    assert abs(gt[0] - lon[0]) < 1e-9 and abs(gt[3] - lat[0]) < 1e-9
