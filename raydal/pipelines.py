@@ -136,9 +136,14 @@ def synthesize_audio_batch(indices):
                             pa.list_(pa.float64()))})
 
 
-def ensure_audio_parquet(sf_dir=None, n=None):
+def ensure_audio_parquet(sf_dir=None, n=None, use_ray=None):
     """Materialize (once) the deterministic audio-clip table — WAV
-    payload column + ground-truth sample column for SQL oracles."""
+    payload column + ground-truth sample column for SQL oracles.
+
+    Same Ray ``map_batches`` fan-out over the index range as
+    :func:`ensure_images_parquet` (rows are pure functions of the clip
+    index, so the parallel build is bit-identical to the serial one);
+    tiny tables skip the Ray overhead and build in-process."""
     if n is None:
         n = audio_count_for_sf(sf_dir)
     out = os.path.join(_CACHE_ROOT, f"audio_{n}")
@@ -151,9 +156,23 @@ def ensure_audio_parquet(sf_dir=None, n=None):
 
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    pq.write_table(synthesize_audio_batch(range(n)),
-                   os.path.join(tmp, "part-0.parquet"),
-                   row_group_size=128)
+    if use_ray is None:
+        use_ray = n >= 512
+    if use_ray:
+        import ray.data
+
+        def gen(batch: pa.Table) -> pa.Table:
+            return synthesize_audio_batch(np.asarray(batch["id"]))
+
+        n_files = max(1, n // 640)
+        (ray.data.range(n, override_num_blocks=max(n_files * 4, 8))
+         .map_batches(gen, batch_format="pyarrow", batch_size=128)
+         .repartition(n_files)
+         .write_parquet(tmp, row_group_size=128))
+    else:
+        pq.write_table(synthesize_audio_batch(range(n)),
+                       os.path.join(tmp, "part-0.parquet"),
+                       row_group_size=128)
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("ok")
     try:
@@ -202,8 +221,10 @@ def synthesize_video_batch(indices):
         "fps": pa.array(fpss, pa.int64())})
 
 
-def ensure_video_parquet(sf_dir=None, n=None):
-    """Materialize (once) the deterministic AVI video-clip table."""
+def ensure_video_parquet(sf_dir=None, n=None, use_ray=None):
+    """Materialize (once) the deterministic AVI video-clip table —
+    Ray fan-out like :func:`ensure_images_parquet` past the tiny-table
+    threshold, bit-identical rows either way."""
     if n is None:
         n = video_count_for_sf(sf_dir)
     out = os.path.join(_CACHE_ROOT, f"video_{n}")
@@ -216,9 +237,23 @@ def ensure_video_parquet(sf_dir=None, n=None):
 
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    pq.write_table(synthesize_video_batch(range(n)),
-                   os.path.join(tmp, "part-0.parquet"),
-                   row_group_size=64)
+    if use_ray is None:
+        use_ray = n >= 512
+    if use_ray:
+        import ray.data
+
+        def gen(batch: pa.Table) -> pa.Table:
+            return synthesize_video_batch(np.asarray(batch["id"]))
+
+        n_files = max(1, n // 320)
+        (ray.data.range(n, override_num_blocks=max(n_files * 4, 8))
+         .map_batches(gen, batch_format="pyarrow", batch_size=64)
+         .repartition(n_files)
+         .write_parquet(tmp, row_group_size=64))
+    else:
+        pq.write_table(synthesize_video_batch(range(n)),
+                       os.path.join(tmp, "part-0.parquet"),
+                       row_group_size=64)
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("ok")
     try:
