@@ -165,6 +165,42 @@ def warp_array(src_band, src_gt, src_crs, dst_gt, dst_w, dst_h, dst_crs,
                          acc_dtype=acc_dtype)
 
 
+class GroundControlChain:
+    """dst-geo → src-pixel adapter that drives any fitted GCP-family
+    transformer (polynomial / TPS / homography / RPC / geoloc array,
+    all exposing ``inverse(geo_x, geo_y) → (pixel, line)``) through the
+    warp — the reference's ``gdalwarp -order n / -tps / -rpc /
+    -geoloc`` modes, where GDALGenImgProjTransformer swaps the GCP
+    transformer in for the CRS hop (``alg/gdaltransformer.cpp``).
+
+    Use with ``warp_array(..., src_gt=(0, 1, 0, 0, 0, 1),
+    transformer=GroundControlChain(fitted))``: the identity src_gt
+    makes the chain's pixel output the final source coordinate.  The
+    distinct ``src``/``dst`` tags keep ``project_grid``'s
+    GDALApproxTransform scanline fast path engaged."""
+
+    src = "gcp-geo"
+    dst = "gcp-pixel"
+
+    def __init__(self, fitted):
+        self._fitted = fitted
+
+    def transform(self, x, y):
+        return self._fitted.inverse(np.asarray(x, dtype=np.float64),
+                                    np.asarray(y, dtype=np.float64))
+
+
+def warp_with_gcp(src_band, fitted, dst_gt, dst_w, dst_h,
+                  resample="bilinear", nodata=None, approx_error=None):
+    """Warp one band onto a destination geo grid through a fitted
+    GCP-family transformer (pixel→geo fit; its ``inverse`` maps the
+    destination grid back to source pixels)."""
+    return warp_array(src_band, (0.0, 1.0, 0.0, 0.0, 0.0, 1.0), "pixel",
+                      dst_gt, dst_w, dst_h, "geo", resample,
+                      nodata=nodata, transformer=GroundControlChain(fitted),
+                      approx_error=approx_error)
+
+
 class _TransformerCache:
     def __init__(self):
         self._cache = {}

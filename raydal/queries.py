@@ -4330,6 +4330,151 @@ WHERE raw > 1e-9
 """
 
 
+def affine_rpc_from_gt(gt, w, h):
+    """RPC00B metadata whose rational polynomials encode exactly the
+    inverse of an axis-aligned affine geotransform (a degenerate linear
+    RPC: numerators ``c0 + cL·L + cP·P``, unit denominators) — lets the
+    full RPC machinery, including its fixed-point iterative inverse
+    (``alg/gdal_rpc.cpp`` RPCInverseTransformPoint), run on synthetic
+    imagery with a closed-form SQL oracle.  Offsets/scales anchor at
+    the image centre; the −0.5 in ``c0`` cancels the reference's
+    centre-of-pixel → corner shift (gdal_rpc.cpp:461)."""
+    from .geo import affine as _affine
+
+    ig = _affine.invert_gt(tuple(float(v) for v in gt))
+    long_off = gt[0] + gt[1] * w / 2.0
+    lat_off = gt[3] + gt[5] * h / 2.0
+    long_scale = abs(gt[1]) * w / 2.0
+    lat_scale = abs(gt[5]) * h / 2.0
+
+    def lin(g0, gx, gy, off, scale):
+        num = [0.0] * 20
+        num[0] = (g0 + gx * long_off + gy * lat_off - 0.5 - off) / scale
+        num[1] = gx * long_scale / scale
+        num[2] = gy * lat_scale / scale
+        den = [0.0] * 20
+        den[0] = 1.0
+        return num, den
+
+    samp_num, samp_den = lin(ig[0], ig[1], ig[2], w / 2.0, w / 2.0)
+    line_num, line_den = lin(ig[3], ig[4], ig[5], h / 2.0, h / 2.0)
+    return {
+        "LINE_OFF": h / 2.0, "LINE_SCALE": h / 2.0,
+        "SAMP_OFF": w / 2.0, "SAMP_SCALE": w / 2.0,
+        "LAT_OFF": lat_off, "LAT_SCALE": lat_scale,
+        "LONG_OFF": long_off, "LONG_SCALE": long_scale,
+        "HEIGHT_OFF": 0.0, "HEIGHT_SCALE": 1.0,
+        "LINE_NUM_COEFF": line_num, "LINE_DEN_COEFF": line_den,
+        "SAMP_NUM_COEFF": samp_num, "SAMP_DEN_COEFF": samp_den,
+    }
+
+
+def q83_gcp_warp_parity(sf_dir):
+    """GCP-family transformers driven through the ACTUAL warp, oracled
+    in SQL.
+
+    Per image (a sample of 240): (a) a TPS transformer fitted from 5
+    gt-derived GCPs warps the decoded pixels via ``warp_with_gcp`` —
+    project_grid's GDALApproxTransform scanline path included — onto a
+    2×-coarser grid inset 3 source pixels; a direct affine warp of the
+    identical grid must agree (``mismatch_px`` = pixels differing by
+    more than 1e-6, expected 0).  (b) The TPS chain's projected
+    source-coordinate extent is reported; for an exact-affine fit it is
+    closed-form in w/h.  (c) An exactly-affine RPC
+    (:func:`affine_rpc_from_gt`) recovers the image's geo bbox through
+    its ITERATIVE pixel→geo inverse (q81 recovered-bbox pattern).  The
+    oracle recomputes (b) and (c) from the stored gt/w/h columns and
+    pins (a) at zero."""
+    import ray.data
+
+    from .geo.gcp import RPCTransformer, TPSTransformer
+    from .io.codecs import decode
+    from .ops.warp import (GroundControlChain, project_grid, warp_array,
+                           warp_with_gcp)
+    from .pipelines import ensure_images_parquet
+
+    path = ensure_images_parquet(sf_dir)
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = {"image_id": [], "sx0": [], "sx1": [], "sy0": [],
+               "sy1": [], "rx0": [], "ry0": [], "rx1": [], "ry1": [],
+               "mismatch_px": []}
+        for i in range(t.num_rows):
+            w = int(t["w"][i].as_py())
+            h = int(t["h"][i].as_py())
+            gt = tuple(t["gt"][i].as_py())
+            px = decode(t["bytes"][i].as_py())
+            band = (px[:, :, 0] if px.ndim == 3 else px).astype(
+                np.float64)
+            # (a)+(b): TPS through the warp on the inset 2x grid
+            pts = [(0.0, 0.0), (float(w), 0.0), (0.0, float(h)),
+                   (float(w), float(h)), (w / 2.0, h / 2.0)]
+            gcps = [(cx, cy,
+                     gt[0] + gt[1] * cx + gt[2] * cy,
+                     gt[3] + gt[4] * cx + gt[5] * cy)
+                    for cx, cy in pts]
+            tps = TPSTransformer(gcps)
+            dst_w, dst_h = (w - 6) // 2, (h - 6) // 2
+            dst_gt = (gt[0] + 3 * gt[1], 2 * gt[1], 0.0,
+                      gt[3] + 3 * gt[5], 0.0, 2 * gt[5])
+            got, ok_g = warp_with_gcp(band, tps, dst_gt, dst_w, dst_h,
+                                      "bilinear")
+            want, ok_w = warp_array(band, gt, 32631, dst_gt, dst_w,
+                                    dst_h, 32631, "bilinear")
+            m = ok_g & ok_w
+            mism = int((np.abs(got[m] - want[m]) > 1e-6).sum()
+                       + (ok_g != ok_w).sum())
+            sx, sy = project_grid(
+                GroundControlChain(tps),
+                (0.0, 1.0, 0.0, 0.0, 0.0, 1.0), dst_gt, dst_w, dst_h)
+            # (c): exact-affine RPC corners through the iterative
+            # inverse.  The default 0.05-px stop would leave up to
+            # 0.05·|gt1| ≈ metres of residual on projected imagery;
+            # 1e-8 px forces the fixed-point loop to actually refine
+            # (2+ iterations) so mm-rounding parity holds.
+            rpc = RPCTransformer(affine_rpc_from_gt(gt, w, h),
+                                 pixel_error_threshold=1e-8)
+            cx = np.array([0.0, w, 0.0, w])
+            cy = np.array([0.0, 0.0, h, h])
+            lon, lat = rpc.transform(cx, cy)
+            out["image_id"].append(t["image_id"][i].as_py())
+            out["sx0"].append(float(sx.min()))
+            out["sx1"].append(float(sx.max()))
+            out["sy0"].append(float(sy.min()))
+            out["sy1"].append(float(sy.max()))
+            out["rx0"].append(float(lon.min()))
+            out["ry0"].append(float(lat.min()))
+            out["rx1"].append(float(lon.max()))
+            out["ry1"].append(float(lat.max()))
+            out["mismatch_px"].append(mism)
+        return pa.Table.from_pydict({
+            "image_id": pa.array(out["image_id"], pa.string()),
+            **{k: pa.array(round_half_away(np.array(out[k]), 3),
+                           pa.float64())
+               for k in ("sx0", "sx1", "sy0", "sy1",
+                         "rx0", "ry0", "rx1", "ry1")},
+            "mismatch_px": pa.array(out["mismatch_px"], pa.int64())})
+
+    return (ray.data.read_parquet(
+        path, columns=["image_id", "bytes", "w", "h", "gt"])
+        .map_batches(fn, batch_format="pyarrow", batch_size=32))
+
+
+SQL_Q83 = None if _Q37_GLOB is None else f"""
+SELECT image_id,
+  4.0 AS sx0,
+  CAST(2 + 2 * FLOOR((w - 6) / 2) AS DOUBLE) AS sx1,
+  4.0 AS sy0,
+  CAST(2 + 2 * FLOOR((h - 6) / 2) AS DOUBLE) AS sy1,
+  ROUND(LEAST(gt[1], gt[1] + gt[2] * w), 3) AS rx0,
+  ROUND(LEAST(gt[4], gt[4] + gt[6] * h), 3) AS ry0,
+  ROUND(GREATEST(gt[1], gt[1] + gt[2] * w), 3) AS rx1,
+  ROUND(GREATEST(gt[4], gt[4] + gt[6] * h), 3) AS ry1,
+  CAST(0 AS BIGINT) AS mismatch_px
+FROM read_parquet('{_Q37_GLOB}')
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -4416,6 +4561,7 @@ QUERIES = {
     "q81_gcp_georef_recovery": (q81_gcp_georef_recovery, SQL_Q81),
     "q82_layer_intersection_shuffled": (q82_layer_intersection_shuffled,
                                         SQL_Q82),
+    "q83_gcp_warp_parity": (q83_gcp_warp_parity, SQL_Q83),
 }
 
 
@@ -4434,7 +4580,8 @@ def query_fns():
              "q77_audio_features", "q78_fgb_roundtrip_filter",
              "q79_vector_writers_roundtrip", "q80_video_frame_sample",
              "q81_gcp_georef_recovery",
-             "q82_layer_intersection_shuffled"}
+             "q82_layer_intersection_shuffled",
+             "q83_gcp_warp_parity"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}

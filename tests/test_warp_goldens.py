@@ -131,3 +131,108 @@ class TestApproxTransform:
         ve, _ = warp_array(src, gt, 32631, dst_gt, dw, dh, 3857,
                            "bilinear", approx_error=0)
         assert np.nanmax(np.abs(va - ve)) < 0.5
+
+
+class TestGcpFamilyThroughWarp:
+    """GCP-family transformers driven through the ACTUAL warp
+    (warp_with_gcp → project_grid approx scanline path → resample) —
+    the reference's gdalwarp -order/-tps/-rpc modes
+    (alg/gdaltransformer.cpp GDALGenImgProjTransformer swaps the GCP
+    transformer for the CRS hop)."""
+
+    @staticmethod
+    def _src():
+        band = image_pixels(7).astype(np.float64)[:, :, 0]
+        h, w = band.shape
+        gt = (500000.0, 10.0, 0.0, 4500000.0, 0.0, -10.0)
+        return band, gt, w, h
+
+    @staticmethod
+    def _gcps(gt, w, h, warp_fn=None):
+        pts = [(0.0, 0.0), (w, 0.0), (0.0, h), (w, h),
+               (w / 2, h / 3), (w / 4, 3 * h / 4), (3 * w / 4, h / 2)]
+        out = []
+        for cx, cy in pts:
+            gx = gt[0] + gt[1] * cx + gt[2] * cy
+            gy = gt[3] + gt[4] * cx + gt[5] * cy
+            if warp_fn is not None:
+                gx, gy = warp_fn(gx, gy)
+            out.append((cx, cy, gx, gy))
+        return out
+
+    def test_order1_gcp_warp_equals_affine_warp(self):
+        from raydal.geo.gcp import GCPPolynomialTransformer
+        from raydal.ops.warp import warp_with_gcp
+
+        band, gt, w, h = self._src()
+        tf = GCPPolynomialTransformer(self._gcps(gt, w, h), order=1)
+        got, ok1 = warp_with_gcp(band, tf, gt, w, h, "bilinear")
+        want, ok2 = warp_array(band, gt, 32631, gt, w, h, 32631,
+                               "bilinear")
+        m = ok1 & ok2
+        assert m.mean() > 0.99
+        np.testing.assert_allclose(got[m], want[m], atol=1e-6)
+
+    def test_tps_warp_approx_vs_exact(self):
+        """TPS with a mild nonlinear bend: the 0.125-px approx scanline
+        path must stay within 1 grey level / PSNR >= 40 of the exact
+        per-pixel transform."""
+        from raydal.geo.gcp import TPSTransformer
+        from raydal.ops.warp import warp_with_gcp
+
+        band, gt, w, h = self._src()
+
+        def bend(gx, gy):
+            return (gx + 15.0 * np.sin((gy - 4500000.0) / 300.0),
+                    gy + 10.0 * np.cos((gx - 500000.0) / 400.0))
+
+        tf = TPSTransformer(self._gcps(gt, w, h, bend))
+        approx, ok_a = warp_with_gcp(band, tf, gt, w, h, "bilinear")
+        exact, ok_e = warp_with_gcp(band, tf, gt, w, h, "bilinear",
+                                    approx_error=0)
+        m = ok_a & ok_e
+        assert m.mean() > 0.9
+        assert np.abs(approx[m] - exact[m]).max() <= 1.0
+        assert psnr(approx[m], exact[m]) >= 40
+
+    def test_rpc_warp_approx_vs_exact_and_affine(self):
+        """An exactly-affine RPC driven through the warp: approx path
+        == exact path == direct affine warp."""
+        from raydal.geo.gcp import RPCTransformer
+        from raydal.ops.warp import warp_with_gcp
+        from raydal.queries import affine_rpc_from_gt
+
+        band, gt, w, h = self._src()
+        tf = RPCTransformer(affine_rpc_from_gt(gt, w, h))
+        approx, ok_a = warp_with_gcp(band, tf, gt, w, h, "bilinear")
+        exact, ok_e = warp_with_gcp(band, tf, gt, w, h, "bilinear",
+                                    approx_error=0)
+        want, ok_w = warp_array(band, gt, 32631, gt, w, h, 32631,
+                                "bilinear")
+        m = ok_a & ok_e & ok_w
+        assert m.mean() > 0.99
+        np.testing.assert_allclose(approx[m], exact[m], atol=1e-6)
+        np.testing.assert_allclose(approx[m], want[m], atol=1e-6)
+
+    def test_homography_warp_round_trip(self):
+        """Homography with a mild projective component: warping to the
+        fitted grid and comparing against the exact path."""
+        from raydal.geo.gcp import GCPHomographyTransformer
+        from raydal.ops.warp import warp_with_gcp
+
+        band, gt, w, h = self._src()
+
+        def proj(gx, gy):
+            u = (gx - 500000.0) / (w * 10.0)
+            v = (gy - 4500000.0) / (h * 10.0)
+            s = 1.0 + 0.03 * u - 0.02 * v
+            return 500000.0 + u * w * 10.0 / s, \
+                4500000.0 + v * h * 10.0 / s
+
+        tf = GCPHomographyTransformer(self._gcps(gt, w, h, proj)[:6])
+        approx, ok_a = warp_with_gcp(band, tf, gt, w, h, "bilinear")
+        exact, ok_e = warp_with_gcp(band, tf, gt, w, h, "bilinear",
+                                    approx_error=0)
+        m = ok_a & ok_e
+        assert m.mean() > 0.9
+        assert np.abs(approx[m] - exact[m]).max() <= 1.0
