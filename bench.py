@@ -111,10 +111,13 @@ def main_plain():
 
 
 def main_scaling():
-    """Same job, fresh process per level; best-of-2 per level in
-    alternating order (the shared box is noisy — single runs vary ±30%)."""
+    """Median-of-3 ladders (round-4 verdict protocol): each ladder runs
+    the same steady-state job (2 epochs) at 4 then 16 CPUs in fresh
+    processes and yields one 4→16 efficiency; the published headline is
+    the MEDIAN ladder, not pooled-best, and the 1-minute host load
+    average is recorded before every level so off-box noise is
+    attributable.  One extra 8/32 ladder covers the saturated pair."""
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    best = {}
 
     def run(ncpu):
         # like-for-like occupancy across levels: 75% of cpus as actors
@@ -131,6 +134,7 @@ def main_scaling():
                    # BASELINE.md round 4)
                    RAYDAL_SCALING_EPOCHS="2",
                    RAYDAL_BENCH_BEST_OF="1")  # outer loop is best-of-2
+        load1 = round(os.getloadavg()[0], 2)
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              cwd=os.path.dirname(os.path.abspath(__file__)))
@@ -138,41 +142,50 @@ def main_scaling():
             print(out.stdout)
             print(out.stderr, file=sys.stderr)
             raise SystemExit(1)
-        return json.loads(out.stdout.strip().splitlines()[-1])
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        r["load_1min_before"] = load1
+        return r
 
     # headline = 4→16, the literal N→4N pair: both levels unsaturated
     # and, with RAYDAL_SCALING_CONC, at identical 75% pool occupancy
-    # (3 vs 12 actors) — the r2 occupancy artifact is gone.  8→16 and
-    # 8→32 are reported alongside; 8→32 stays depressed by box
-    # saturation (32 logical cpus = the whole machine incl. Ray system
-    # processes), which a real 4× node count does not suffer.
-    for ncpu in (4, 16, 8, 32, 4, 16, 8, 32):
-        r = run(ncpu)
-        if ncpu not in best or r["images_per_sec"] > best[ncpu]["images_per_sec"]:
-            best[ncpu] = r
-    thr4 = best[4]["images_per_sec"]
-    thr16 = best[16]["images_per_sec"]
-    thr8 = best[8]["images_per_sec"]
-    thr32 = best[32]["images_per_sec"]
-    eff_4_16 = (thr16 / thr4) / (16 / 4)
-    eff_8_16 = (thr16 / thr8) / (16 / 8)
-    eff_8_32 = (thr32 / thr8) / (32 / 8)
+    # (3 vs 12 actors).  8→32 is reported alongside from one extra
+    # ladder; it stays depressed by box saturation (32 logical cpus =
+    # the whole machine incl. Ray system processes), which a real 4×
+    # node count does not suffer.
+    n_ladders = int(os.environ.get("RAYDAL_SCALING_LADDERS", "3"))
+    ladders = []
+    for _ in range(n_ladders):
+        r4 = run(4)
+        r16 = run(16)
+        ladders.append({
+            "eff_4_to_16": round(
+                (r16["images_per_sec"] / r4["images_per_sec"]) / 4, 3),
+            "images_per_sec_4": r4["images_per_sec"],
+            "images_per_sec_16": r16["images_per_sec"],
+            "wall_sec_4": r4["value"],
+            "wall_sec_16": r16["value"],
+            "load_before_4": r4["load_1min_before"],
+            "load_before_16": r16["load_1min_before"],
+        })
+    effs = sorted(ld["eff_4_to_16"] for ld in ladders)
+    median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
+    r8, r32 = run(8), run(32)
+    eff_8_32 = round(
+        (r32["images_per_sec"] / r8["images_per_sec"]) / 4, 3)
     print(json.dumps({
         "metric": "scaling_efficiency",
-        "value": round(eff_4_16, 3),   # the literal N→4N pair,
-        "unit": "ratio",               # like-for-like 75% occupancy
-        "eff_8_to_16": round(eff_8_16, 3),
-        "eff_4_to_16": round(eff_4_16, 3),
-        "eff_8_to_32": round(eff_8_32, 3),
-        "images_per_sec_4": thr4,
-        "images_per_sec_8": thr8,
-        "images_per_sec_16": thr16,
-        "images_per_sec_32": thr32,
-        "wall_sec_4": best[4]["value"],
-        "wall_sec_8": best[8]["value"],
-        "wall_sec_16": best[16]["value"],
-        "wall_sec_32": best[32]["value"],
-        "runs_per_level": 2,
+        "value": median_eff,          # MEDIAN 4→16 ladder (headline)
+        "unit": "ratio",
+        "protocol": "median-of-%d ladders, 2 epochs, 75%% occupancy"
+                    % n_ladders,
+        "ladders": ladders,
+        "eff_4_to_16_all": effs,
+        "eff_8_to_32": eff_8_32,
+        "images_per_sec_8": r8["images_per_sec"],
+        "images_per_sec_32": r32["images_per_sec"],
+        "load_before_8": r8["load_1min_before"],
+        "load_before_32": r32["load_1min_before"],
         "sf": sf_dir,
     }))
 

@@ -24,6 +24,7 @@ from .gif import decode_gif
 from .jpeg import decode_jpeg, encode_jpeg
 from .png import decode_png, encode_png
 from .tiff import read_tiff, write_tiff
+from .webp import decode_webp, encode_webp
 
 __all__ = ["encode", "decode", "FAKE_JPEG_MAGIC"]
 
@@ -64,6 +65,8 @@ def encode(arr, fmt, quality=95):
         return encode_png(arr)
     if fmt == "jpeg":
         return encode_jpeg(arr, quality=quality)
+    if fmt == "webp":
+        return encode_webp(arr)      # lossless VP8L
     if fmt == "tiff":
         a = np.asarray(arr)
         bands = ([a] if a.ndim == 2
@@ -93,4 +96,6 @@ def decode(buf, fmt=None):
         return decode_bmp(buf)[0]
     if b.startswith(b"GIF8"):
         return decode_gif(buf)[0]
+    if b.startswith(b"RIFF") and bytes(buf[8:12]) == b"WEBP":
+        return decode_webp(buf)
     raise NotImplementedError(f"undecodable payload (fmt={fmt!r})")

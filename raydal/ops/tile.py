@@ -22,6 +22,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..geo import cells
+from ..io.codecs import encode as _codec_encode
 from ..io.png import decode_png, encode_png
 from ..kernels.resample import copy_words_cast, downsample2_average
 
@@ -206,10 +207,16 @@ def build_pyramid(base_tiles_ds, z_max, z_min):
     return levels
 
 
-def encode_tiles_batch(t: pa.Table) -> pa.Table:
-    """Raw tile_rgb → PNG bytes (sink-side encode stage)."""
-    pngs = [encode_png(np.frombuffer(b, dtype=np.uint8).reshape(TILE, TILE, 3))
-            for b in t["tile_rgb"].to_pylist()]
+def encode_tiles_batch(t: pa.Table, fmt="png") -> pa.Table:
+    """Raw tile_rgb → encoded bytes (sink-side encode stage).
+
+    ``fmt``: "png" (default), "webp" (lossless VP8L,
+    :mod:`raydal.io.webp`) or "jpeg" — the reference tiler's
+    ``gdal raster tile`` output-format choice (``frmts/webp/``
+    precedent for the webp case)."""
+    blobs = [_codec_encode(np.frombuffer(b, dtype=np.uint8)
+                           .reshape(TILE, TILE, 3), fmt)
+             for b in t["tile_rgb"].to_pylist()]
     out = t.drop_columns([c for c in ("tile_rgb", "winner")
                           if c in t.schema.names])
-    return out.append_column("png", pa.array(pngs, pa.binary()))
+    return out.append_column(fmt, pa.array(blobs, pa.binary()))
