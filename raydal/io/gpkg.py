@@ -246,7 +246,11 @@ _GPKG_SQL_TYPE = {
 
 _GEOM_NAME = {1: "POINT", 2: "LINESTRING", 3: "POLYGON",
               4: "MULTIPOINT", 5: "MULTILINESTRING", 6: "MULTIPOLYGON",
-              7: "GEOMCOLLECTION"}
+              7: "GEOMCOLLECTION",
+              # GPKG extension geometry types (OGC 12-128 Annex J)
+              8: "CIRCULARSTRING", 9: "COMPOUNDCURVE", 10: "CURVEPOLYGON",
+              11: "MULTICURVE", 12: "MULTISURFACE", 15: "SURFACE",
+              16: "SURFACE", 17: "POLYGON"}
 
 
 def _encode_gpb(wkb, srs_id):

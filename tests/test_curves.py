@@ -364,3 +364,50 @@ def test_to_engine_wkb():
     t, parts = W.parse_wkb(buf)
     assert t == W.MULTIPOLYGON
     assert len(parts[0][1][0]) == 10   # 45-degree stroke ring
+
+
+# -- curve WKB through the vector writers ----------------------------------
+
+def test_geojson_export_linearizes_curves():
+    """GeoJSON has no curve types: exporting curve WKB strokes arcs
+    (the reference's OGR_STROKE_CURVE-on-GeoJSON-write behavior)."""
+    from raydal.io.geojson import geojson_to_wkb, wkb_to_geojson
+
+    buf = C.write_wkb_curve(
+        C.parse_wkt_curve("CURVEPOLYGON (CIRCULARSTRING (0 0,1 0,0 0))"))
+    gj = wkb_to_geojson(buf)
+    assert gj["type"] == "Polygon"
+    ring = np.asarray(gj["coordinates"][0])
+    assert len(ring) == 92          # 4-degree default stroke
+    # round-trips as plain linear WKB afterwards
+    again = W.parse_wkb(geojson_to_wkb(gj))
+    assert again[0] == W.POLYGON
+
+
+def test_gpkg_roundtrip_curve_feature(tmp_path):
+    """Curve WKB passes through the GPKG writer unchanged (GPKG's
+    extension geometry types) with the arc-exact envelope in the GPB
+    header; the reader hands back the identical curve WKB."""
+    import pyarrow as pa
+
+    from raydal.io.gpkg import read_gpkg_features, write_gpkg_features
+
+    cs = C.write_wkb_curve(
+        C.parse_wkt_curve("CIRCULARSTRING (0 0,1 1,1 -1)"))
+    t = pa.Table.from_pydict({
+        "fid": pa.array([1], pa.int64()),
+        "wkb": pa.array([cs], pa.binary()),
+        "name": pa.array(["arc"], pa.string())})
+    path = str(tmp_path / "curves.gpkg")
+    write_gpkg_features(t, path, layer="arcs")
+    back = read_gpkg_features(path, layer="arcs")
+    got = back["wkb"][0].as_py()
+    assert bytes(got) == cs
+    # envelope written in the GPB header is the exact arc envelope
+    import sqlite3
+    con = sqlite3.connect(path)
+    blob = con.execute("SELECT geom FROM arcs").fetchone()[0]
+    con.close()
+    import struct as _s
+    env = _s.unpack_from("<4d", blob, 8)
+    np.testing.assert_allclose(env, (0.0, 2.0, -1.0, 1.0), atol=1e-9)
