@@ -4475,6 +4475,128 @@ FROM read_parquet('{_Q37_GLOB}')
 """
 
 
+def q84_curve_metrics(sf_dir):
+    """Curve-geometry WKB metrics, oracled in closed form.
+
+    Per customer key a full-circle CIRCULARSTRING ring (3-point form,
+    centre/radius derived from the key) is wrapped in a CURVEPOLYGON
+    with a square hole; the engine computes area / length / envelope
+    straight off the curve WKB through the EXACT arc paths
+    (geo/curves.py full-circle πr², arc length, quadrant-aware
+    envelope — ogr_geom.py semantics).  SQL recomputes πr² − s²,
+    2πr + 4s and the circle bbox from the same key arithmetic."""
+    import ray.data
+
+    from .geo import curves as _c
+    from .geo import wkb as _w
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["c_custkey"], dtype=np.int64)
+        r = 0.5 + (k % 37) / 10.0
+        cx = (k % 100).astype(np.float64)
+        cy = (k // 100 % 100).astype(np.float64)
+        s = 0.1 + (k % 7) / 100.0          # hole half-side
+        area, length, x0, y0, x1, y1 = [], [], [], [], [], []
+        for i in range(len(k)):
+            ring = np.array([[cx[i] - r[i], cy[i]],
+                             [cx[i] + r[i], cy[i]],
+                             [cx[i] - r[i], cy[i]]])
+            hole = np.array([[cx[i] - s[i], cy[i] - s[i]],
+                             [cx[i] - s[i], cy[i] + s[i]],
+                             [cx[i] + s[i], cy[i] + s[i]],
+                             [cx[i] + s[i], cy[i] - s[i]],
+                             [cx[i] - s[i], cy[i] - s[i]]])
+            node = (_c.CURVEPOLYGON,
+                    [(_c.CIRCULARSTRING, ring, ""),
+                     (_c.LINESTRING, hole, "")], "")
+            buf = _c.write_wkb_curve(node)
+            area.append(_w.wkb_area(buf))
+            length.append(_w.wkb_length(buf))
+            bb = _w.wkb_bbox(buf)
+            x0.append(bb[0])
+            y0.append(bb[1])
+            x1.append(bb[2])
+            y1.append(bb[3])
+        return pa.Table.from_pydict({
+            "c_custkey": t["c_custkey"],
+            "area": pa.array(round_half_away(np.array(area), 6),
+                             pa.float64()),
+            "length": pa.array(round_half_away(np.array(length), 6),
+                               pa.float64()),
+            "x0": pa.array(round_half_away(np.array(x0), 6), pa.float64()),
+            "y0": pa.array(round_half_away(np.array(y0), 6), pa.float64()),
+            "x1": pa.array(round_half_away(np.array(x1), 6), pa.float64()),
+            "y1": pa.array(round_half_away(np.array(y1), 6), pa.float64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+SQL_Q84 = """
+SELECT c_custkey,
+  ROUND(PI() * r * r - 4 * s * s, 6) AS area,
+  ROUND(2 * PI() * r + 8 * s, 6) AS length,
+  ROUND(cx - r, 6) AS x0, ROUND(cy - r, 6) AS y0,
+  ROUND(cx + r, 6) AS x1, ROUND(cy + r, 6) AS y1
+FROM (
+  SELECT c_custkey,
+         0.5 + (c_custkey % 37) / 10.0 AS r,
+         CAST(c_custkey % 100 AS DOUBLE) AS cx,
+         CAST((c_custkey // 100) % 100 AS DOUBLE) AS cy,
+         0.1 + (c_custkey % 7) / 100.0 AS s
+  FROM customer)
+"""
+
+
+def q85_webp_roundtrip(sf_dir):
+    """VP8L lossless codec driven per row, oracled in SQL.
+
+    Per part key a deterministic 16×16 RGB tile (pixel value =
+    (3k + 7i + 13j + 31c) mod 256) is ENCODED to a RIFF/WEBP container
+    and DECODED back (io/webp.py — the full prefix-code + subtract-green
+    loop); the query reports the decoded pixel sum and the count of
+    pixels differing from the generation formula (pinned at 0).  The
+    oracle recomputes the pixel sum by expanding the same formula over
+    a generate_series cross join."""
+    import ray.data
+
+    from .io.webp import decode_webp, encode_webp
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["p_partkey"], dtype=np.int64)
+        keep = (keys % 8) == 0          # deterministic, order-free subset
+        keys = keys[keep]
+        ii, jj, cc = np.mgrid[0:16, 0:16, 0:3]
+        base = (7 * ii + 13 * jj + 31 * cc).astype(np.int64)
+        sums, mism = [], []
+        for k in keys:
+            tile = ((3 * int(k) + base) % 256).astype(np.uint8)
+            out = decode_webp(encode_webp(tile))
+            sums.append(int(out[:, :, :3].astype(np.int64).sum()))
+            mism.append(int((out[:, :, :3] != tile).sum()))
+        return pa.Table.from_pydict({
+            "p_partkey": pa.array(keys, pa.int64()),
+            "pixel_sum": pa.array(sums, pa.int64()),
+            "mismatch_px": pa.array(mism, pa.int64())})
+
+    return (_read(sf_dir, "part", ["p_partkey"])
+            .map_batches(fn, batch_format="pyarrow", batch_size=256))
+
+
+SQL_Q85 = """
+SELECT p_partkey,
+       CAST(SUM((3 * p_partkey + 7 * i.g + 13 * j.g + 31 * c.g) % 256)
+            AS BIGINT) AS pixel_sum,
+       CAST(0 AS BIGINT) AS mismatch_px
+FROM (SELECT p_partkey FROM part WHERE p_partkey % 8 = 0),
+     generate_series(0, 15) i(g),
+     generate_series(0, 15) j(g),
+     generate_series(0, 2) c(g)
+GROUP BY p_partkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -4562,6 +4684,8 @@ QUERIES = {
     "q82_layer_intersection_shuffled": (q82_layer_intersection_shuffled,
                                         SQL_Q82),
     "q83_gcp_warp_parity": (q83_gcp_warp_parity, SQL_Q83),
+    "q84_curve_metrics": (q84_curve_metrics, SQL_Q84),
+    "q85_webp_roundtrip": (q85_webp_roundtrip, SQL_Q85),
 }
 
 
@@ -4581,7 +4705,8 @@ def query_fns():
              "q79_vector_writers_roundtrip", "q80_video_frame_sample",
              "q81_gcp_georef_recovery",
              "q82_layer_intersection_shuffled",
-             "q83_gcp_warp_parity"}
+             "q83_gcp_warp_parity", "q84_curve_metrics",
+             "q85_webp_roundtrip"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}
