@@ -8,12 +8,15 @@ metadata.  All three modalities now have REAL from-scratch codecs:
 * audio — RIFF/WAVE PCM + IEEE float via :mod:`raydal.io.wav`
   (8/16/24/32-bit, EXTENSIBLE, multi-channel → mono mean), validated
   against Python's stdlib ``wave`` writer as an independent encoder,
+  plus lossless compressed FLAC via :mod:`raydal.io.flac` (RFC 9639
+  from scratch: fixed+LPC subframes, Rice/Rice2, stereo
+  decorrelation, CRC + MD5 verification),
 * video — MJPEG-in-AVI via :mod:`raydal.io.avi` (``idx1``-indexed
   frame SEEKING + the from-scratch JPEG decode per sampled frame).
 
 The deterministic container magics (``FPCM``, ``FVID``) remain as
 cheap fixtures.  Payloads needing codecs genuinely absent from this
-environment (flac/ogg/mp3 audio, h264/vp9 inter-frame video) raise
+environment (ogg/mp3 lossy audio, h264/vp9 inter-frame video) raise
 ``NotImplementedError`` at the decode boundary — the documented swap
 point (add ``soundfile`` / PyAV branches; nothing else changes).
 
@@ -34,6 +37,7 @@ import pyarrow as pa
 from ..io.avi import decode_avi_frames as _avi_frames
 from ..io.avi import extract_avi_audio as _avi_audio
 from ..io.avi import probe_avi as _avi_probe
+from ..io.flac import decode_flac as _flac_decode
 from ..io.wav import decode_wav as _wav_decode
 
 __all__ = ["encode_fake_pcm", "decode_audio", "AudioFeatures",
@@ -61,11 +65,18 @@ def decode_audio(buf):
     from-scratch reader (:mod:`raydal.io.wav` — 8/16/24/32-bit int,
     32/64-bit float, EXTENSIBLE; multi-channel averages to mono), and
     RIFF/AVI containers yield their PCM audio TRACK
-    (:func:`raydal.io.avi.extract_avi_audio`).  The deterministic
-    ``FPCM`` container remains for fixtures.  SWAP POINT for
-    everything else (flac/ogg/mp3): replace with ``soundfile.read`` —
+    (:func:`raydal.io.avi.extract_avi_audio`), and FLAC streams decode
+    via the from-scratch RFC 9639 codec (:mod:`raydal.io.flac`).  The
+    deterministic ``FPCM`` container remains for fixtures.  SWAP POINT
+    for lossy codecs (ogg/mp3): replace with ``soundfile.read`` —
     stages only see the (samples, rate) contract."""
     buf = bytes(buf)
+    if buf[:4] == b"fLaC":
+        s, rate, bps = _flac_decode(buf)
+        s = s.astype(np.float64) / ((1 << (bps - 1)) - 1)
+        if s.ndim > 1:
+            s = s.mean(axis=1)
+        return s, rate
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         s, rate = _wav_decode(buf)
         if s.ndim > 1:
@@ -76,9 +87,9 @@ def decode_audio(buf):
         return _avi_audio(buf)
     if not buf.startswith(_PCM_MAGIC):
         raise NotImplementedError(
-            "compressed audio codecs (soundfile/libsndfile) are not "
-            "available in this environment; payload is neither WAV nor "
-            "an FPCM container")
+            "lossy audio codecs (soundfile/libsndfile) are not "
+            "available in this environment; payload is not WAV, FLAC, "
+            "AVI-PCM, or an FPCM container")
     rate, n = struct.unpack_from("<II", buf, 4)
     s = np.frombuffer(zlib.decompress(buf[12:]), dtype="<i2", count=n)
     return s.astype(np.float64) / 32767.0, rate

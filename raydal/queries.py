@@ -4597,6 +4597,55 @@ GROUP BY p_partkey
 """
 
 
+def q86_flac_roundtrip(sf_dir):
+    """FLAC lossless codec driven per row, oracled in SQL.
+
+    Per supplier key a deterministic 1024-sample stereo int16 clip
+    (sample = (7919k + 977i + 31i² + 131071c) mod 65536 − 32768) is
+    ENCODED to a spec-conformant FLAC stream and DECODED back
+    (io/flac.py — RFC 9639 fixed predictors, Rice residuals, stereo
+    decorrelation, CRC-8/16 + stream-MD5 verification on the way
+    back); the query reports the decoded sample sum and the count of
+    samples differing from the generation formula (pinned at 0).  The
+    oracle recomputes the sum by expanding the same formula over a
+    generate_series cross join."""
+    from .io.flac import decode_flac, encode_flac
+
+    i = np.arange(1024, dtype=np.int64)
+    base = 977 * i + 31 * i * i
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["s_suppkey"], dtype=np.int64)
+        sums, mism = [], []
+        for k in keys:
+            clip = ((7919 * int(k) + base)[:, None]
+                    + 131071 * np.arange(2)[None, :]) % 65536 - 32768
+            out, rate, bps = decode_flac(
+                encode_flac(clip, rate=16000, bps=16, block_size=256))
+            sums.append(int(out.astype(np.int64).sum()))
+            mism.append(int((out != clip).sum()))
+        return pa.Table.from_pydict({
+            "s_suppkey": pa.array(keys, pa.int64()),
+            "sample_sum": pa.array(sums, pa.int64()),
+            "mismatch": pa.array(mism, pa.int64())})
+
+    return (_read(sf_dir, "supplier", ["s_suppkey"])
+            .map_batches(fn, batch_format="pyarrow", batch_size=64))
+
+
+SQL_Q86 = """
+SELECT s_suppkey,
+       CAST(SUM((7919 * s_suppkey + 977 * i.g + 31 * i.g * i.g
+                 + 131071 * c.g) % 65536 - 32768) AS BIGINT)
+         AS sample_sum,
+       CAST(0 AS BIGINT) AS mismatch
+FROM supplier,
+     generate_series(0, 1023) i(g),
+     generate_series(0, 1) c(g)
+GROUP BY s_suppkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -4686,6 +4735,7 @@ QUERIES = {
     "q83_gcp_warp_parity": (q83_gcp_warp_parity, SQL_Q83),
     "q84_curve_metrics": (q84_curve_metrics, SQL_Q84),
     "q85_webp_roundtrip": (q85_webp_roundtrip, SQL_Q85),
+    "q86_flac_roundtrip": (q86_flac_roundtrip, SQL_Q86),
 }
 
 
@@ -4706,7 +4756,7 @@ def query_fns():
              "q81_gcp_georef_recovery",
              "q82_layer_intersection_shuffled",
              "q83_gcp_warp_parity", "q84_curve_metrics",
-             "q85_webp_roundtrip"}
+             "q85_webp_roundtrip", "q86_flac_roundtrip"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}
