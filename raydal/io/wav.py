@@ -3,9 +3,13 @@
 Fills the real-audio side of the multimodal swap point
 (:mod:`raydal.ops.multimodal`): ``decode_wav`` handles the formats a
 training-data crawl actually contains — integer PCM at 8/16/24/32 bits
-(format tag 1), IEEE float 32/64 (tag 3), and WAVE_FORMAT_EXTENSIBLE
-(tag 0xFFFE, sub-format resolved from the GUID) — mono or multi-channel.
-``encode_wav`` writes canonical 44-byte-header PCM for round-trips.
+(format tag 1), IEEE float 32/64 (tag 3), ITU-T G.711 A-law / mu-law
+(tags 6/7, LUTs bit-exact vs the stdlib ``audioop`` oracle), IMA/DVI
+ADPCM (tag 0x11, block headers + interleaved nibble words; the
+expansion core matches ``audioop.adpcm2lin`` bit-exactly), and
+WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE, sub-format resolved from the
+GUID) — mono or multi-channel.  ``encode_wav`` writes canonical
+44-byte-header PCM for round-trips.
 
 Reference parity: GDAL ingests externally-decoded rasters through its
 driver layer rather than shipping an audio codec; the contract this
@@ -25,9 +29,99 @@ __all__ = ["decode_wav", "encode_wav"]
 
 _TAG_PCM = 0x0001
 _TAG_FLOAT = 0x0003
+_TAG_ALAW = 0x0006
+_TAG_MULAW = 0x0007
+_TAG_IMA_ADPCM = 0x0011
 _TAG_EXTENSIBLE = 0xFFFE
 # first 2 bytes of the KSDATAFORMAT_SUBTYPE_* GUIDs carry the tag
 _SUBFORMAT_GUID_TAIL = bytes.fromhex("000000001000800000aa00389b71")
+
+
+def _g711_tables():
+    """ITU-T G.711 expansion tables (the classic public-domain
+    ulaw2linear / alaw2linear formulas, e.g. Sun Microsystems g711.c),
+    built once as 256-entry int16 LUTs."""
+    u = ~np.arange(256, dtype=np.int32) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    mulaw = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8,
+                 np.where(seg == 1, t + 0x108,
+                          (t + 0x108) << np.maximum(seg - 1, 0)))
+    alaw = np.where(a & 0x80, t, -t).astype(np.int16)
+    return mulaw, alaw
+
+
+_MULAW_LUT, _ALAW_LUT = _g711_tables()
+
+# IMA/DVI ADPCM quantizer tables (public IMA specification)
+_IMA_STEP = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767], np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+
+
+def _ima_core(nibs, pred, idx):
+    """Serial IMA ADPCM nibble expansion (the adaptation loop is
+    bit-serial by construction — same argument as the JPEG entropy
+    decode)."""
+    out = np.empty(len(nibs), np.int32)
+    step_t = _IMA_STEP.tolist()
+    ind_t = _IMA_INDEX.tolist()
+    for i, n in enumerate(nibs.tolist()):
+        step = step_t[idx]
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = -32768 if pred < -32768 else \
+            (32767 if pred > 32767 else pred)
+        idx += ind_t[n & 7]
+        idx = 0 if idx < 0 else (88 if idx > 88 else idx)
+        out[i] = pred
+    return out
+
+
+def _decode_ima_adpcm(data, ch, block_align):
+    """WAV IMA ADPCM (format tag 0x11): per-block 4-byte channel
+    headers (int16 predictor, uint8 step index, reserved), then the
+    nibble body interleaved in 4-byte words per channel, low nibble
+    first."""
+    if block_align < 4 * ch or block_align % 4:
+        raise ValueError("invalid IMA ADPCM block alignment")
+    chans = [[] for _ in range(ch)]
+    for boff in range(0, len(data), block_align):
+        block = data[boff:boff + block_align]
+        if len(block) < 4 * ch:
+            break
+        body = np.frombuffer(block, np.uint8)[4 * ch:]
+        nwords = len(body) // (4 * ch)
+        words = body[:nwords * 4 * ch].reshape(nwords, ch, 4)
+        for c in range(ch):
+            pred, idx = struct.unpack_from("<hB", block, c * 4)[:2]
+            idx = min(max(idx, 0), 88)
+            raw = words[:, c, :].reshape(-1)
+            nibs = np.empty(2 * len(raw), np.uint8)
+            nibs[0::2] = raw & 0x0F
+            nibs[1::2] = raw >> 4
+            chans[c].append(np.int32(pred))
+            chans[c].append(_ima_core(nibs, int(pred), idx))
+    cols = [np.concatenate([np.atleast_1d(p) for p in parts])
+            if parts else np.empty(0, np.int32) for parts in chans]
+    return np.stack(cols, axis=1).astype(np.float64) / 32768.0
 
 
 def _iter_chunks(buf, start, end):
@@ -112,9 +206,18 @@ def decode_wav(buf):
                               "<f8").astype(np.float64)
         else:
             raise ValueError(f"unsupported float bit depth {bits}")
+    elif tag == _TAG_MULAW:
+        s = _MULAW_LUT[np.frombuffer(data, np.uint8)].astype(
+            np.float64) / 32768.0
+    elif tag == _TAG_ALAW:
+        s = _ALAW_LUT[np.frombuffer(data, np.uint8)].astype(
+            np.float64) / 32768.0
+    elif tag == _TAG_IMA_ADPCM:
+        s = _decode_ima_adpcm(data, ch, block)
+        return (s[:, 0] if ch == 1 else s), rate
     else:
         raise ValueError(
-            f"unsupported WAVE format tag 0x{tag:04x} (compressed "
+            f"unsupported WAVE format tag 0x{tag:04x} (perceptual "
             "codecs are out of scope for the from-scratch reader)")
 
     if ch > 1:
