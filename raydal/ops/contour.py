@@ -171,3 +171,206 @@ def contour_length(segments):
         return 0.0
     d = segments[:, 1, :] - segments[:, 0, :]
     return float(np.hypot(d[:, 0], d[:, 1]).sum())
+
+
+# ---------------------------------------------------------------------------
+# Polygonal contouring (the reference's POLYGONIZE mode,
+# alg/contour.cpp:681 + polygon_ring_appender.h): between consecutive
+# levels the band region {lo <= z < hi} becomes polygons with holes.
+# ---------------------------------------------------------------------------
+
+def _inband_interval(z0, z1, lo, hi):
+    """Sub-interval of t in [0, 1] where the linear z(t) from z0 to z1
+    satisfies lo <= z < hi (half-open-ness has measure zero; crossing
+    params use the exact marching-squares formula so ring endpoints
+    chain bit-identically)."""
+    if z1 == z0:
+        return (0.0, 1.0) if lo <= z0 < hi else None
+    inv = 1.0 / (z1 - z0)
+    if np.isfinite(lo):
+        tc = (lo - z0) * inv
+        ge_lo = (max(0.0, tc), 1.0) if z1 > z0 else (0.0, min(1.0, tc))
+    else:
+        ge_lo = (0.0, 1.0)
+    if np.isfinite(hi):
+        th = (hi - z0) * inv
+        lt_hi = (0.0, min(1.0, th)) if z1 > z0 else (max(0.0, th), 1.0)
+    else:
+        lt_hi = (0.0, 1.0)
+    ta = max(ge_lo[0], lt_hi[0])
+    tb = min(ge_lo[1], lt_hi[1])
+    return (ta, tb) if tb - ta > 1e-12 else None
+
+
+def _border_pieces(a, lo, hi):
+    """Boundary-of-domain segments where the border z lies in the band.
+
+    The domain is the pixel-center rectangle [0, w-1] x [0, h-1]; z is
+    linear along each border edge between adjacent centers."""
+    h, w = a.shape
+    sides = [
+        (a[0, :], lambda t: (t, 0.0)),
+        (a[:, -1], lambda t: (float(w - 1), t)),
+        (a[-1, ::-1], lambda t: (float(w - 1) - t, float(h - 1))),
+        (a[::-1, 0], lambda t: (0.0, float(h - 1) - t)),
+    ]
+    out = []
+    for vals, to_xy in sides:
+        v = np.asarray(vals, np.float64)
+        for i in range(len(v) - 1):
+            iv = _inband_interval(v[i], v[i + 1], lo, hi)
+            if iv is None:
+                continue
+            p0 = to_xy(i + iv[0])
+            p1 = to_xy(i + iv[1])
+            out.append([[p0[0], p0[1]], [p1[0], p1[1]]])
+    return np.asarray(out, np.float64) if out else np.empty((0, 2, 2))
+
+
+def _ring_signed_area(r):
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+
+
+def _point_in_ring(px, py, r):
+    """Even-odd crossing test (ring closed: r[0] == r[-1])."""
+    x, y = r[:-1, 0], r[:-1, 1]
+    x2, y2 = r[1:, 0], r[1:, 1]
+    cond = (y <= py) != (y2 <= py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xs = x + (py - y) * (x2 - x) / (y2 - y)
+    return bool(np.count_nonzero(cond & (xs > px)) & 1)
+
+
+def _inband_delta(v, a, lo, hi):
+    """Unit direction ALONG the grid edge holding vertex ``v`` that
+    points toward the in-band side.  z is LINEAR along grid edges, so
+    this side is exact — no bilinear-vs-chord curvature ambiguity.
+    Returns None for vertices at grid samples (degenerate crossings)."""
+    h, w = a.shape
+    eps = 1e-6
+    x, y = float(v[0]), float(v[1])
+    on_ix = abs(x - round(x)) < 1e-9
+    on_iy = abs(y - round(y)) < 1e-9
+    if on_ix == on_iy:                    # at a sample, or off-grid
+        return None
+    if on_iy:                             # horizontal grid edge
+        row = int(round(y))
+        c0 = int(np.floor(x))
+        if not (0 <= row < h and 0 <= c0 < w - 1):
+            return None
+        z0, z1 = a[row, c0], a[row, c0 + 1]
+        t = x - c0
+        for dt in (eps, -eps):
+            tt = t + dt
+            if 0.0 < tt < 1.0 and lo <= z0 + tt * (z1 - z0) < hi:
+                return (1.0, 0.0) if dt > 0 else (-1.0, 0.0)
+    else:                                 # vertical grid edge
+        col = int(round(x))
+        r0 = int(np.floor(y))
+        if not (0 <= col < w and 0 <= r0 < h - 1):
+            return None
+        z0, z1 = a[r0, col], a[r0 + 1, col]
+        t = y - r0
+        for dt in (eps, -eps):
+            tt = t + dt
+            if 0.0 < tt < 1.0 and lo <= z0 + tt * (z1 - z0) < hi:
+                return (0.0, 1.0) if dt > 0 else (0.0, -1.0)
+    return None
+
+
+def _ring_is_outer(ring, a, lo, hi):
+    """Outer iff the in-band side points INTO the ring's interior,
+    decided by an exact local wedge test at a transversal crossing
+    vertex (a PIP ray from a point 1e-6 off a vertex is
+    ill-conditioned; the wedge test is not).  Rings with no usable
+    vertex consist of border runs only — always outers (an all-border
+    hole would put the band outside the domain)."""
+    area = _ring_signed_area(ring)
+    pts = ring[:-1]
+    n = len(pts)
+    for i in range(n):
+        d = _inband_delta(pts[i], a, lo, hi)
+        if d is None:
+            continue
+        u = pts[i] - pts[i - 1]
+        w = pts[(i + 1) % n] - pts[i]
+        cu = u[0] * d[1] - u[1] * d[0]
+        cw = w[0] * d[1] - w[1] * d[0]
+        if abs(cu) < 1e-9 * np.hypot(*u) or \
+                abs(cw) < 1e-9 * np.hypot(*w):
+            continue                      # delta parallel to an edge
+        if u[0] * w[1] - u[1] * w[0] >= 0:
+            inside = cu > 0 and cw > 0    # convex vertex (interior-left)
+        else:
+            inside = cu > 0 or cw > 0     # reflex vertex
+        return inside if area > 0 else not inside
+    return True
+
+
+def contour_polygons(arr, levels, gt=None):
+    """Polygonal contouring: band polygons between consecutive levels.
+
+    Mirrors the reference's POLYGONIZE option (``alg/contour.cpp:681``,
+    ring assembly per ``alg/marching_squares/polygon_ring_appender.h``):
+    for bands (-inf, l0), [l0, l1), ..., [lk, +inf) the region
+    {lo <= z < hi} over the pixel-center domain becomes rings (iso
+    segments at the two bounding levels plus domain-border pieces),
+    classified into outers and holes.
+
+    Returns a list of dicts ``{"lo", "hi", "polys": [(outer, [holes])]}``
+    with rings as (M, 2) float64 arrays (closed; pixel-center coords, or
+    world coords when ``gt`` is given).
+    """
+    a = np.asarray(arr, np.float64)
+    lv = sorted(float(l) for l in levels)
+    bounds = [-np.inf] + lv + [np.inf]
+    out = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        soup = [s for s in (
+            contour_segments(a, lo) if np.isfinite(lo) else None,
+            contour_segments(a, hi) if np.isfinite(hi) else None,
+            _border_pieces(a, lo, hi)) if s is not None and len(s)]
+        polys = []
+        if soup:
+            rings = [r for r in chain_segments(np.concatenate(soup))
+                     if len(r) >= 4
+                     and np.hypot(*(r[0] - r[-1])) < 1e-7]
+            outers, holes = [], []
+            for r in rings:
+                if abs(_ring_signed_area(r)) < 1e-12:
+                    continue
+                if _ring_is_outer(r, a, lo, hi):
+                    outers.append(r)
+                else:
+                    holes.append(r)
+            polys = [(o, []) for o in outers]
+            for hr in holes:
+                # smallest containing outer gets the hole
+                cands = [(abs(_ring_signed_area(o)), k)
+                         for k, (o, _) in enumerate(polys)
+                         if _point_in_ring(hr[0, 0], hr[0, 1], o)]
+                if cands:
+                    polys[min(cands)[1]][1].append(hr)
+        if gt is not None:
+            def _world(r):
+                px = r[:, 0] + 0.5
+                py = r[:, 1] + 0.5
+                return np.stack([gt[0] + px * gt[1] + py * gt[2],
+                                 gt[3] + px * gt[4] + py * gt[5]],
+                                axis=1)
+            polys = [(_world(o), [_world(x) for x in hs])
+                     for o, hs in polys]
+        out.append({"lo": lo, "hi": hi, "polys": polys})
+    return out
+
+
+def band_areas(arr, levels, gt=None):
+    """Absolute band areas (outer minus holes) per level interval —
+    the scalar the polygonal-contour oracle pins down in closed form."""
+    res = contour_polygons(arr, levels, gt=gt)
+    return [(b["lo"], b["hi"],
+             sum(abs(_ring_signed_area(o))
+                 - sum(abs(_ring_signed_area(x)) for x in hs)
+                 for o, hs in b["polys"]))
+            for b in res]

@@ -4646,6 +4646,70 @@ GROUP BY s_suppkey
 """
 
 
+def q87_contour_polygon_bands(sf_dir):
+    """Polygonal contouring (POLYGONIZE mode) with a closed-form
+    oracle.
+
+    Per supplier key a W×W pyramid raster z = min(x, y, W-1-x, W-1-y)
+    with W = 17 + 2(k mod 5) is banded between levels 0.5..5.5
+    (ops/contour.py contour_polygons — iso rings + border closure +
+    outer/hole classification, `alg/contour.cpp:681` POLYGONIZE
+    semantics).  Band areas are exact in closed form because the
+    marching-squares corner chamfers (0.125 each) cancel between the
+    two bounding square rings: interior band [l, l+1) has area
+    s(l)² − s(l+1)² with s(l) = (W−1) − 2l; the below-min band is
+    (W−1)² − (s(0.5)² − ½) and the above-max band s(5.5)² − ½.  Hole
+    counts are pinned too (annulus topology: one hole per interior
+    band, none at the apex)."""
+    from .ops.contour import band_areas, contour_polygons
+
+    levels = [0.5, 1.5, 2.5, 3.5, 4.5, 5.5]
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["s_suppkey"], dtype=np.int64)
+        out_k, out_b, out_a, out_h = [], [], [], []
+        for k in keys:
+            w = 17 + 2 * (int(k) % 5)
+            gx, gy = np.meshgrid(np.arange(w, dtype=np.float64),
+                                 np.arange(w, dtype=np.float64))
+            z = np.minimum(np.minimum(gx, gy),
+                           np.minimum(w - 1 - gx, w - 1 - gy))
+            polys = contour_polygons(z, levels)
+            areas = band_areas(z, levels)
+            for b, ((_, _, area), band) in enumerate(
+                    zip(areas, polys)):
+                out_k.append(int(k))
+                out_b.append(b)
+                out_a.append(round_half_away(np.array([area]), 6)[0])
+                out_h.append(sum(len(hs) for _, hs in band["polys"]))
+        return pa.Table.from_pydict({
+            "s_suppkey": pa.array(out_k, pa.int64()),
+            "band": pa.array(out_b, pa.int64()),
+            "area": pa.array(out_a, pa.float64()),
+            "n_holes": pa.array(out_h, pa.int64())})
+
+    return (_read(sf_dir, "supplier", ["s_suppkey"])
+            .map_batches(fn, batch_format="pyarrow", batch_size=128))
+
+
+SQL_Q87 = """
+WITH g AS (
+  SELECT s_suppkey,
+         CAST(16 + 2 * (s_suppkey % 5) AS DOUBLE) AS d,  -- W - 1
+         b.g AS band
+  FROM supplier, generate_series(0, 6) b(g))
+SELECT s_suppkey, band,
+  ROUND(CASE
+    WHEN band = 0 THEN d * d - ((d - 1) * (d - 1) - 0.5)
+    WHEN band = 6 THEN (d - 11) * (d - 11) - 0.5
+    ELSE (d - 2 * band + 1) * (d - 2 * band + 1)
+         - (d - 2 * band - 1) * (d - 2 * band - 1)
+  END, 6) AS area,
+  CAST(CASE WHEN band = 6 THEN 0 ELSE 1 END AS BIGINT) AS n_holes
+FROM g
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -4736,6 +4800,7 @@ QUERIES = {
     "q84_curve_metrics": (q84_curve_metrics, SQL_Q84),
     "q85_webp_roundtrip": (q85_webp_roundtrip, SQL_Q85),
     "q86_flac_roundtrip": (q86_flac_roundtrip, SQL_Q86),
+    "q87_contour_polygon_bands": (q87_contour_polygon_bands, SQL_Q87),
 }
 
 
@@ -4756,7 +4821,8 @@ def query_fns():
              "q81_gcp_georef_recovery",
              "q82_layer_intersection_shuffled",
              "q83_gcp_warp_parity", "q84_curve_metrics",
-             "q85_webp_roundtrip", "q86_flac_roundtrip"}
+             "q85_webp_roundtrip", "q86_flac_roundtrip",
+             "q87_contour_polygon_bands"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}

@@ -50,3 +50,92 @@ class TestContour:
         z = np.array([[1.0, 0.0], [0.0, 1.0]])
         segs = contour_segments(z, 0.5)
         assert len(segs) == 2  # saddle resolves to two segments
+
+
+# ------------------------------------------------ polygonal contouring
+
+from raydal.ops.contour import band_areas, contour_polygons
+
+
+class TestContourPolygons:
+    def _pyramid(self, n=33):
+        x, y = np.meshgrid(np.arange(n, dtype=float),
+                           np.arange(n, dtype=float))
+        return np.minimum(np.minimum(x, y),
+                          np.minimum(n - 1 - x, n - 1 - y))
+
+    def test_pyramid_band_areas_closed_form(self):
+        n = 33
+        z = self._pyramid(n)
+        levels = [0.5, 1.5, 2.5, 3.5, 4.5, 5.5]
+
+        def side(l):
+            return (n - 1) - 2 * l
+
+        res = band_areas(z, levels)
+        for lo, hi, area in res:
+            if not np.isfinite(lo):
+                want = (n - 1) ** 2 - (side(hi) ** 2 - 0.5)
+            elif not np.isfinite(hi):
+                want = side(lo) ** 2 - 0.5
+            else:
+                # marching-squares corner chamfers cancel between the
+                # two bounding square rings
+                want = side(lo) ** 2 - side(hi) ** 2
+            assert area == pytest.approx(want, abs=1e-9)
+
+    def test_pyramid_topology(self):
+        z = self._pyramid(33)
+        res = contour_polygons(z, [0.5, 1.5, 5.5])
+        # interior bands are annuli: one outer with one hole
+        for band in res[:-1]:
+            assert len(band["polys"]) == 1
+            assert len(band["polys"][0][1]) == 1
+        # apex band is simply connected
+        assert len(res[-1]["polys"]) == 1
+        assert len(res[-1]["polys"][0][1]) == 0
+
+    def test_bands_partition_domain(self):
+        rng = np.random.default_rng(5)
+        z = rng.normal(0, 1, (24, 31))
+        levels = [-1.0, -0.25, 0.25, 1.0]
+        total = sum(a for _, _, a in band_areas(z, levels))
+        assert total == pytest.approx(23 * 30, abs=1e-6)
+
+    def test_linear_plane_exact_strips(self):
+        x = np.meshgrid(np.arange(11, dtype=float),
+                        np.arange(7, dtype=float))[0]
+        res = band_areas(x, [2.5, 7.25])
+        # vertical strips of the 10 x 6 pixel-center domain
+        assert res[0][2] == pytest.approx(2.5 * 6)
+        assert res[1][2] == pytest.approx((7.25 - 2.5) * 6)
+        assert res[2][2] == pytest.approx((10 - 7.25) * 6)
+
+    def test_two_components(self):
+        z = np.zeros((9, 19))
+        z[3:6, 2:7] = 10.0                    # two separate plateaus
+        z[3:6, 12:17] = 10.0
+        res = contour_polygons(z, [5.0])
+        high = res[1]
+        assert len(high["polys"]) == 2
+        assert all(not hs for _, hs in high["polys"])
+        low = res[0]
+        # low band is the full domain with two holes
+        assert len(low["polys"]) == 1
+        assert len(low["polys"][0][1]) == 2
+
+    def test_world_transform_scales_area(self):
+        z = self._pyramid(17)
+        gt = (100.0, 2.0, 0.0, 500.0, 0.0, -2.0)
+        px = band_areas(z, [1.5])
+        wd = band_areas(z, [1.5], gt=gt)
+        for (_, _, a_px), (_, _, a_wd) in zip(px, wd):
+            assert a_wd == pytest.approx(a_px * 4.0)
+
+    def test_constant_array_single_band(self):
+        z = np.full((5, 8), 3.0)
+        res = contour_polygons(z, [1.0, 5.0])
+        areas = [sum(abs_area for _, _, abs_area in band_areas(z, [1.0, 5.0]))]
+        assert len(res[1]["polys"]) == 1      # whole domain in [1, 5)
+        assert not res[0]["polys"] and not res[2]["polys"]
+        assert band_areas(z, [1.0, 5.0])[1][2] == pytest.approx(7 * 4)
