@@ -640,6 +640,59 @@ def _raster_contour(ds, levels=(64.0, 128.0)):
     return ds.map_batches(run, batch_format="pyarrow")
 
 
+@register_step("raster-contour-polygons")
+def _raster_contour_polygons(ds, levels=(64.0, 128.0)):
+    """gdal raster contour POLYGONIZE analogue (`alg/contour.cpp:681`):
+    band regions between consecutive levels of each image's band 1 →
+    one Polygon-WKB row (outer + holes) per connected component, with
+    the reference's ELEV_MIN/ELEV_MAX attributes (±inf for the open
+    end bands)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .geo.affine import apply_gt
+    from .geo.wkb import polygon_wkb
+    from .io.codecs import decode
+    from .ops.contour import contour_polygons
+
+    levels = tuple(float(v) for v in levels)
+
+    def run(t: pa.Table) -> pa.Table:
+        if "image_id" not in t.column_names:
+            raise ValueError(
+                "raster-contour-polygons needs an 'image_id' column")
+        ids, emin, emax, nholes, wkbs = [], [], [], [], []
+        for i in range(t.num_rows):
+            px = decode(t["bytes"][i].as_py())
+            band = (px[:, :, 0] if px.ndim == 3
+                    else px).astype(np.float64)
+            gt = (tuple(t["gt"][i].as_py())
+                  if "gt" in t.column_names else None)
+            img_id = t["image_id"][i].as_py()
+            for b in contour_polygons(band, levels):
+                for outer, holes in b["polys"]:
+                    rings = [outer] + list(holes)
+                    if gt is not None:
+                        # polygon coords are pixel CENTERS; the affine
+                        # expects corner-based pixel coords (+0.5)
+                        rings = [np.stack(apply_gt(
+                            gt, r[:, 0] + 0.5, r[:, 1] + 0.5), axis=1)
+                            for r in rings]
+                    ids.append(img_id)
+                    emin.append(b["lo"])
+                    emax.append(b["hi"])
+                    nholes.append(len(holes))
+                    wkbs.append(polygon_wkb(rings))
+        return pa.Table.from_pydict({
+            "image_id": pa.array(ids, pa.string()),
+            "elev_min": pa.array(emin, pa.float64()),
+            "elev_max": pa.array(emax, pa.float64()),
+            "n_holes": pa.array(nholes, pa.int64()),
+            "wkb": pa.array(wkbs, pa.binary())})
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
 @register_step("raster-polygonize")
 def _raster_polygonize(ds, connectivity=4, background=None):
     """gdal raster polygonize analogue: per-image connected components

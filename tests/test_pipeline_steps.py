@@ -372,6 +372,33 @@ class TestContourStep:
         assert xs.max() <= max(gt[0], gt[0] + gt[1] * w) + 1e-6
 
 
+class TestContourPolygonsStep:
+    def test_bands_partition_and_world_coords(self, ray_session):
+        import ray.data
+
+        from raydal.geo.wkb import POLYGON, wkb_area, wkb_geom_type
+        from raydal.io.images import synthesize_images_batch
+        from raydal.pipeline import run_pipeline
+
+        t = synthesize_images_batch(np.arange(1))
+        out = run_pipeline(ray.data.from_arrow(t),
+                           [("raster-contour-polygons",
+                             {"levels": [96.0, 160.0]})])
+        df = out.to_pandas()
+        assert len(df) > 0
+        assert wkb_geom_type(df.iloc[0]["wkb"]) == POLYGON
+        # three bands, ±inf open ends present
+        assert np.isneginf(df["elev_min"].min())
+        assert np.isposinf(df["elev_max"].max())
+        # band polygons partition the pixel-center domain (world area
+        # = pixel area x |gt scale|^2; wkb_area already nets out holes)
+        gt = t["gt"][0].as_py()
+        w, h = t["w"][0].as_py(), t["h"][0].as_py()
+        total = sum(wkb_area(b) for b in df["wkb"])
+        want = (w - 1) * (h - 1) * abs(gt[1] * gt[5])
+        assert total == pytest.approx(want, rel=1e-9)
+
+
 class TestPolygonizeStep:
     def test_polygonize_rows(self, ray_session):
         import ray.data
