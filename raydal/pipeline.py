@@ -1009,6 +1009,18 @@ def _sink_parquet(ds, path, **kwargs):
     return ds.write_parquet(path, **kwargs)
 
 
+@register_sink("geoparquet")
+def _sink_geoparquet(ds, path, wkb_col="wkb", crs=None, **kwargs):
+    """GeoParquet v1.0.0 sink: every output file carries the spec
+    'geo' footer (stamped per block in parallel — io/geoparquet.py),
+    mirroring the reference's Parquet OGR driver
+    (ogr/ogrsf_frmts/parquet/ogrparquetwriterdataset.cpp)."""
+    from .io.geoparquet import write_geoparquet
+
+    return write_geoparquet(ds, path, wkb_col=wkb_col, crs=crs,
+                            **kwargs)
+
+
 @register_sink("checkpointed-parquet")
 def _sink_ckpt(ds, out_dir, part_col, fingerprint):
     from .lineage import checkpointed_write
