@@ -17,7 +17,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["contour_segments", "chain_segments", "contour_length"]
+__all__ = ["contour_segments", "chain_segments", "contour_length",
+           "contour_polygons", "band_areas", "generate_levels"]
 
 # case → list of (edge_in, edge_out) pairs; edges: 0=top,1=right,2=bottom,3=left
 _CASES = {
@@ -374,3 +375,33 @@ def band_areas(arr, levels, gt=None):
                  - sum(abs(_ring_signed_area(x)) for x in hs)
                  for o, hs in b["polys"]))
             for b in res]
+
+
+def generate_levels(zmin, zmax, interval=None, base=0.0, exp_base=None,
+                    fixed=None):
+    """Contour level generation mirroring the reference's iterators
+    (``alg/marching_squares/level_generator.h``): an explicit
+    ``fixed`` list has precedence; ``exp_base`` generates
+    ``exp_base**k`` levels; else ``base + k*interval`` for every k
+    with the level inside [zmin, zmax] (GDAL's LEVEL_BASE /
+    LEVEL_INTERVAL / LEVEL_EXP_BASE options)."""
+    zmin, zmax = float(zmin), float(zmax)
+    if fixed is not None:
+        return [float(l) for l in fixed]
+    if exp_base is not None:
+        b = float(exp_base)
+        if b <= 1.0:
+            raise ValueError("exp_base must be > 1")
+        out, k = [], 0
+        while b ** k <= zmax:
+            if b ** k >= zmin and b ** k > 0:
+                out.append(b ** k)
+            k += 1
+            if k > 1024:
+                break
+        return out
+    if interval is None or interval <= 0:
+        raise ValueError("need fixed levels, interval > 0, or exp_base")
+    k1 = int(np.ceil((zmin - base) / interval))
+    k2 = int(np.floor((zmax - base) / interval))
+    return [base + k * interval for k in range(k1, k2 + 1)]

@@ -593,20 +593,26 @@ def _raster_clean_collar(ds, threshold=15, color="black",
 
 
 @register_step("raster-contour")
-def _raster_contour(ds, levels=(64.0, 128.0)):
+def _raster_contour(ds, levels=(64.0, 128.0), interval=None, base=0.0,
+                    exp_base=None):
     """gdal raster contour analogue: marching-squares iso-lines of each
     image's band 1 at the given levels, emitted as one LineString-WKB
     row per chained polyline in world coordinates (raster → vector
-    dataset-shape change, like the reference's contour step)."""
+    dataset-shape change, like the reference's contour step).  When
+    ``interval`` or ``exp_base`` is given, levels are generated per
+    image from its own min/max (LEVEL_INTERVAL / LEVEL_BASE /
+    LEVEL_EXP_BASE semantics, alg/marching_squares/level_generator.h)."""
     import numpy as np
     import pyarrow as pa
 
     from .geo.affine import apply_gt
     from .geo.wkb import linestring_wkb
     from .io.codecs import decode
-    from .ops.contour import chain_segments, contour_segments
+    from .ops.contour import (chain_segments, contour_segments,
+                              generate_levels)
 
-    levels = tuple(float(v) for v in levels)
+    auto = interval is not None or exp_base is not None
+    levels = None if auto else tuple(float(v) for v in levels)
 
     def run(t: pa.Table) -> pa.Table:
         if "image_id" not in t.column_names:
@@ -619,7 +625,11 @@ def _raster_contour(ds, levels=(64.0, 128.0)):
             gt = (tuple(t["gt"][i].as_py())
                   if "gt" in t.column_names else None)
             img_id = t["image_id"][i].as_py()
-            for level in levels:
+            lvls = (generate_levels(band.min(), band.max(),
+                                    interval=interval, base=base,
+                                    exp_base=exp_base)
+                    if auto else levels)
+            for level in lvls:
                 segs = contour_segments(band, level)
                 for line in chain_segments(segs):
                     pts = np.asarray(line, dtype=np.float64)
@@ -641,7 +651,8 @@ def _raster_contour(ds, levels=(64.0, 128.0)):
 
 
 @register_step("raster-contour-polygons")
-def _raster_contour_polygons(ds, levels=(64.0, 128.0)):
+def _raster_contour_polygons(ds, levels=(64.0, 128.0), interval=None,
+                             base=0.0, exp_base=None):
     """gdal raster contour POLYGONIZE analogue (`alg/contour.cpp:681`):
     band regions between consecutive levels of each image's band 1 →
     one Polygon-WKB row (outer + holes) per connected component, with
@@ -653,9 +664,10 @@ def _raster_contour_polygons(ds, levels=(64.0, 128.0)):
     from .geo.affine import apply_gt
     from .geo.wkb import polygon_wkb
     from .io.codecs import decode
-    from .ops.contour import contour_polygons
+    from .ops.contour import contour_polygons, generate_levels
 
-    levels = tuple(float(v) for v in levels)
+    auto = interval is not None or exp_base is not None
+    levels = None if auto else tuple(float(v) for v in levels)
 
     def run(t: pa.Table) -> pa.Table:
         if "image_id" not in t.column_names:
@@ -669,7 +681,11 @@ def _raster_contour_polygons(ds, levels=(64.0, 128.0)):
             gt = (tuple(t["gt"][i].as_py())
                   if "gt" in t.column_names else None)
             img_id = t["image_id"][i].as_py()
-            for b in contour_polygons(band, levels):
+            lvls = (generate_levels(band.min(), band.max(),
+                                    interval=interval, base=base,
+                                    exp_base=exp_base)
+                    if auto else levels)
+            for b in contour_polygons(band, lvls):
                 for outer, holes in b["polys"]:
                     rings = [outer] + list(holes)
                     if gt is not None:

@@ -139,3 +139,41 @@ class TestContourPolygons:
         assert len(res[1]["polys"]) == 1      # whole domain in [1, 5)
         assert not res[0]["polys"] and not res[2]["polys"]
         assert band_areas(z, [1.0, 5.0])[1][2] == pytest.approx(7 * 4)
+
+
+class TestGenerateLevels:
+    def test_interval_and_base(self):
+        from raydal.ops.contour import generate_levels
+        assert generate_levels(0, 100, interval=10) == [
+            0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 100]
+        assert generate_levels(3, 47, interval=10, base=5) == [
+            5, 15, 25, 35, 45]
+        assert generate_levels(-25, 25, interval=10) == [
+            -20, -10, 0, 10, 20]
+
+    def test_exp_base(self):
+        from raydal.ops.contour import generate_levels
+        assert generate_levels(1, 100, exp_base=2) == [
+            1, 2, 4, 8, 16, 32, 64]
+        assert generate_levels(5, 100, exp_base=10) == [10, 100]
+
+    def test_fixed_precedence_and_validation(self):
+        from raydal.ops.contour import generate_levels
+        assert generate_levels(0, 1, fixed=[9.0], interval=1) == [9.0]
+        with pytest.raises(ValueError):
+            generate_levels(0, 1)
+        with pytest.raises(ValueError):
+            generate_levels(0, 1, exp_base=1.0)
+
+    def test_interval_step_generates_per_image_levels(self, ray_session):
+        import ray.data
+
+        from raydal.io.images import synthesize_images_batch
+        from raydal.pipeline import run_pipeline
+
+        t = synthesize_images_batch(np.arange(1))
+        df = run_pipeline(ray.data.from_arrow(t),
+                          [("raster-contour", {"interval": 64.0})]
+                          ).to_pandas()
+        assert len(df) > 0
+        assert all(lv % 64.0 == 0 for lv in df["level"])
