@@ -73,7 +73,8 @@ def decode_audio(buf):
     buf = bytes(buf)
     if buf[:4] == b"fLaC":
         s, rate, bps = _flac_decode(buf)
-        s = s.astype(np.float64) / ((1 << (bps - 1)) - 1)
+        # same normalization as the WAV integer-PCM path (÷ 2^(bps-1))
+        s = s.astype(np.float64) / float(1 << (bps - 1))
         if s.ndim > 1:
             s = s.mean(axis=1)
         return s, rate

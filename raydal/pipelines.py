@@ -93,13 +93,16 @@ def synthesize_audio_batch(indices):
     """Deterministic audio-clip rows for the given clip indices.
 
     Each clip is a two-tone sine mixture + seeded noise, quantized and
-    containerized as a REAL RIFF/WAVE file (bit depth cycles
-    16/16/8/24/32, every 4th clip stereo) via
-    :func:`raydal.io.wav.encode_wav`.  The ground-truth decoded mono
-    samples (quantization formula applied directly, independent of the
-    container parse under test) are stored as a ``list<double>`` column
-    so a SQL oracle can recompute feature stats without any codec.
+    containerized as a REAL audio file (bit depth cycles 16/16/8/24/32,
+    every 4th clip stereo): every 5th clip is a lossless FLAC stream
+    (:func:`raydal.io.flac.encode_flac` — same decoded values as PCM),
+    the rest RIFF/WAVE via :func:`raydal.io.wav.encode_wav`.  The
+    ground-truth decoded mono samples (quantization formula applied
+    directly, independent of the container parse under test) are
+    stored as a ``list<double>`` column so a SQL oracle can recompute
+    feature stats without any codec.
     """
+    from .io.flac import encode_flac
     from .io.images import _mix64
     from .io.wav import encode_wav
 
@@ -120,10 +123,15 @@ def synthesize_audio_batch(indices):
                       + 0.1 * rng.standard_normal(n)], axis=1)
             if stereo else base, -0.999, 0.999)
         half = 1 << (bits - 1)
-        q = np.clip(np.round(sig * half), -half, half - 1) / float(half)
+        qi = np.clip(np.round(sig * half), -half, half - 1)
+        q = qi / float(half)
         mono = q.mean(axis=1) if stereo else q
         ids.append(f"clip_{i:07d}")
-        blobs.append(encode_wav(sig, rate, bits=bits))
+        if i % 5 == 0:                       # bits == 16 on this cycle
+            blobs.append(encode_flac(qi.astype(np.int64), rate,
+                                     bps=bits))
+        else:
+            blobs.append(encode_wav(sig, rate, bits=bits))
         rates.append(rate)
         nss.append(n)
         samples.append(mono)
@@ -146,7 +154,7 @@ def ensure_audio_parquet(sf_dir=None, n=None, use_ray=None):
     tiny tables skip the Ray overhead and build in-process."""
     if n is None:
         n = audio_count_for_sf(sf_dir)
-    out = os.path.join(_CACHE_ROOT, f"audio_{n}")
+    out = os.path.join(_CACHE_ROOT, f"audio_v2_{n}")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out

@@ -240,5 +240,6 @@ def test_decode_audio_boundary():
     st = np.stack([x, x // 2], 1)
     s, rate = decode_audio(encode_flac(st, 22050, 16))
     assert rate == 22050 and s.ndim == 1 and len(s) == 4000
-    want = st.mean(axis=1) / 32767.0
-    assert np.allclose(s, want, atol=1 / 32767.0)
+    # normalization matches the WAV integer-PCM path: / 2^(bps-1)
+    want = st.mean(axis=1) / 32768.0
+    assert np.allclose(s, want, atol=1e-12)
