@@ -38,6 +38,7 @@ from ..io.avi import decode_avi_frames as _avi_frames
 from ..io.avi import extract_avi_audio as _avi_audio
 from ..io.avi import probe_avi as _avi_probe
 from ..io.flac import decode_flac as _flac_decode
+from ..io.ogg import decode_ogg_flac as _ogg_decode
 from ..io.wav import decode_wav as _wav_decode
 
 __all__ = ["encode_fake_pcm", "decode_audio", "AudioFeatures",
@@ -66,11 +67,19 @@ def decode_audio(buf):
     32/64-bit float, EXTENSIBLE; multi-channel averages to mono), and
     RIFF/AVI containers yield their PCM audio TRACK
     (:func:`raydal.io.avi.extract_avi_audio`), and FLAC streams decode
-    via the from-scratch RFC 9639 codec (:mod:`raydal.io.flac`).  The
-    deterministic ``FPCM`` container remains for fixtures.  SWAP POINT
-    for lossy codecs (ogg/mp3): replace with ``soundfile.read`` —
-    stages only see the (samples, rate) contract."""
+    via the from-scratch RFC 9639 codec (:mod:`raydal.io.flac`) —
+    native ``fLaC`` or Ogg-encapsulated (``OggS``, RFC 3533 framing,
+    :mod:`raydal.io.ogg`).  The deterministic ``FPCM`` container
+    remains for fixtures.  SWAP POINT for lossy codecs (vorbis/mp3):
+    replace with ``soundfile.read`` — stages only see the
+    (samples, rate) contract."""
     buf = bytes(buf)
+    if buf[:4] == b"OggS":
+        s, rate, bps = _ogg_decode(buf)
+        s = s.astype(np.float64) / float(1 << (bps - 1))
+        if s.ndim > 1:
+            s = s.mean(axis=1)
+        return s, rate
     if buf[:4] == b"fLaC":
         s, rate, bps = _flac_decode(buf)
         # same normalization as the WAV integer-PCM path (÷ 2^(bps-1))
@@ -90,7 +99,7 @@ def decode_audio(buf):
         raise NotImplementedError(
             "lossy audio codecs (soundfile/libsndfile) are not "
             "available in this environment; payload is not WAV, FLAC, "
-            "AVI-PCM, or an FPCM container")
+            "Ogg-FLAC, AVI-PCM, or an FPCM container")
     rate, n = struct.unpack_from("<II", buf, 4)
     s = np.frombuffer(zlib.decompress(buf[12:]), dtype="<i2", count=n)
     return s.astype(np.float64) / 32767.0, rate

@@ -94,9 +94,11 @@ def synthesize_audio_batch(indices):
 
     Each clip is a two-tone sine mixture + seeded noise, quantized and
     containerized as a REAL audio file (bit depth cycles 16/16/8/24/32,
-    every 4th clip stereo): every 5th clip is a lossless FLAC stream
-    (:func:`raydal.io.flac.encode_flac` — same decoded values as PCM),
-    the rest RIFF/WAVE via :func:`raydal.io.wav.encode_wav`.  The
+    every 4th clip stereo): every 10th clip is a FLAC-in-Ogg stream
+    (:func:`raydal.io.ogg.encode_ogg_flac`), every other 5th a native
+    FLAC stream (:func:`raydal.io.flac.encode_flac` — both lossless,
+    same decoded values as PCM), the rest RIFF/WAVE via
+    :func:`raydal.io.wav.encode_wav`.  The
     ground-truth decoded mono samples (quantization formula applied
     directly, independent of the container parse under test) are
     stored as a ``list<double>`` column so a SQL oracle can recompute
@@ -104,6 +106,7 @@ def synthesize_audio_batch(indices):
     """
     from .io.flac import encode_flac
     from .io.images import _mix64
+    from .io.ogg import encode_ogg_flac
     from .io.wav import encode_wav
 
     ids, blobs, rates, nss, samples = [], [], [], [], []
@@ -127,7 +130,10 @@ def synthesize_audio_batch(indices):
         q = qi / float(half)
         mono = q.mean(axis=1) if stereo else q
         ids.append(f"clip_{i:07d}")
-        if i % 5 == 0:                       # bits == 16 on this cycle
+        if i % 10 == 0:                      # bits == 16 on this cycle
+            blobs.append(encode_ogg_flac(qi.astype(np.int64), rate,
+                                         bps=bits))
+        elif i % 5 == 0:                     # bits == 16 here too
             blobs.append(encode_flac(qi.astype(np.int64), rate,
                                      bps=bits))
         else:
@@ -154,7 +160,7 @@ def ensure_audio_parquet(sf_dir=None, n=None, use_ray=None):
     tiny tables skip the Ray overhead and build in-process."""
     if n is None:
         n = audio_count_for_sf(sf_dir)
-    out = os.path.join(_CACHE_ROOT, f"audio_v2_{n}")
+    out = os.path.join(_CACHE_ROOT, f"audio_v3_{n}")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out

@@ -4646,6 +4646,57 @@ GROUP BY s_suppkey
 """
 
 
+def q88_ogg_roundtrip(sf_dir):
+    """FLAC-in-Ogg container driven per row, oracled in SQL.
+
+    Same contract as q86 but through the Ogg encapsulation
+    (io/ogg.py — RFC 3533 pages with the unreflected CRC-32 page
+    checksum and the Xiph FLAC-to-Ogg packet mapping): per supplier
+    key a deterministic 1024-sample stereo int16 clip
+    (sample = (6803k + 641i + 17i² + 99991c) mod 65536 − 32768) is
+    encoded to Ogg pages (block_size 192 → 6 audio packets, one per
+    FLAC frame) and decoded back via page-CRC + frame-CRC + stream-MD5
+    verification; the query reports the decoded sample sum and the
+    mismatch count (pinned 0).  The oracle expands the same formula.
+    """
+    from .io.ogg import decode_ogg_flac, encode_ogg_flac
+
+    i = np.arange(1024, dtype=np.int64)
+    base = 641 * i + 17 * i * i
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["s_suppkey"], dtype=np.int64)
+        sums, mism = [], []
+        for k in keys:
+            clip = ((6803 * int(k) + base)[:, None]
+                    + 99991 * np.arange(2)[None, :]) % 65536 - 32768
+            out, rate, bps = decode_ogg_flac(
+                encode_ogg_flac(clip, rate=16000, bps=16,
+                                block_size=192))
+            sums.append(int(out.astype(np.int64).sum()))
+            mism.append(int((out != clip).sum()))
+        return pa.Table.from_pydict({
+            "s_suppkey": pa.array(keys, pa.int64()),
+            "sample_sum": pa.array(sums, pa.int64()),
+            "mismatch": pa.array(mism, pa.int64())})
+
+    return (_read(sf_dir, "supplier", ["s_suppkey"])
+            .map_batches(fn, batch_format="pyarrow", batch_size=64))
+
+
+SQL_Q88 = """
+SELECT s_suppkey,
+       CAST(SUM((6803 * s_suppkey + 641 * i.g + 17 * i.g * i.g
+                 + 99991 * c.g) % 65536 - 32768) AS BIGINT)
+         AS sample_sum,
+       CAST(0 AS BIGINT) AS mismatch
+FROM supplier,
+     generate_series(0, 1023) i(g),
+     generate_series(0, 1) c(g)
+GROUP BY s_suppkey
+"""
+
+
 def q87_contour_polygon_bands(sf_dir):
     """Polygonal contouring (POLYGONIZE mode) with a closed-form
     oracle.
@@ -4801,6 +4852,7 @@ QUERIES = {
     "q85_webp_roundtrip": (q85_webp_roundtrip, SQL_Q85),
     "q86_flac_roundtrip": (q86_flac_roundtrip, SQL_Q86),
     "q87_contour_polygon_bands": (q87_contour_polygon_bands, SQL_Q87),
+    "q88_ogg_roundtrip": (q88_ogg_roundtrip, SQL_Q88),
 }
 
 
@@ -4822,7 +4874,7 @@ def query_fns():
              "q82_layer_intersection_shuffled",
              "q83_gcp_warp_parity", "q84_curve_metrics",
              "q85_webp_roundtrip", "q86_flac_roundtrip",
-             "q87_contour_polygon_bands"}
+             "q87_contour_polygon_bands", "q88_ogg_roundtrip"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}
