@@ -4697,6 +4697,55 @@ GROUP BY s_suppkey
 """
 
 
+def q89_dted_roundtrip(sf_dir):
+    """DTED elevation codec driven per row, oracled in SQL.
+
+    Per nation key a deterministic 121×121 int16 terrain grid
+    (elev = (1327k + 31r + 57c + r·c) mod 1200 − 100) is written as a
+    MIL-PRF-89020B DTED cell (io/dem.py — UHL/DSI/ACC headers,
+    signed-magnitude south→north records with arithmetic checksums;
+    reader validated against the reference's published n43.dt0
+    expectations: checksums 49187/305/56006, test_dted_2 geotransform)
+    and read back with checksum verification on; the query reports the
+    decoded elevation sum and mismatch count (pinned 0).  The oracle
+    expands the same formula over a generate_series cross join.
+    """
+    from .io.dem import read_dted, write_dted
+
+    r = np.arange(121, dtype=np.int64)[:, None]
+    c = np.arange(121, dtype=np.int64)[None, :]
+    base = 31 * r + 57 * c + r * c
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["n_nationkey"], dtype=np.int64)
+        sums, mism = [], []
+        for k in keys:
+            grid = ((1327 * int(k) + base) % 1200 - 100).astype(np.int16)
+            out, gt, nodata = read_dted(
+                write_dted(grid, lon0=-80, lat0=43))
+            sums.append(int(out.astype(np.int64).sum()))
+            mism.append(int((out != grid).sum()))
+        return pa.Table.from_pydict({
+            "n_nationkey": t["n_nationkey"],
+            "elev_sum": pa.array(sums, pa.int64()),
+            "mismatch": pa.array(mism, pa.int64())})
+
+    return (_read(sf_dir, "nation", ["n_nationkey"])
+            .map_batches(fn, batch_format="pyarrow", batch_size=32))
+
+
+SQL_Q89 = """
+SELECT n_nationkey,
+       CAST(SUM((1327 * n_nationkey + 31 * r.g + 57 * c.g
+                 + r.g * c.g) % 1200 - 100) AS BIGINT) AS elev_sum,
+       CAST(0 AS BIGINT) AS mismatch
+FROM nation,
+     generate_series(0, 120) r(g),
+     generate_series(0, 120) c(g)
+GROUP BY n_nationkey
+"""
+
+
 def q87_contour_polygon_bands(sf_dir):
     """Polygonal contouring (POLYGONIZE mode) with a closed-form
     oracle.
@@ -4853,6 +4902,7 @@ QUERIES = {
     "q86_flac_roundtrip": (q86_flac_roundtrip, SQL_Q86),
     "q87_contour_polygon_bands": (q87_contour_polygon_bands, SQL_Q87),
     "q88_ogg_roundtrip": (q88_ogg_roundtrip, SQL_Q88),
+    "q89_dted_roundtrip": (q89_dted_roundtrip, SQL_Q89),
 }
 
 
@@ -4874,7 +4924,8 @@ def query_fns():
              "q82_layer_intersection_shuffled",
              "q83_gcp_warp_parity", "q84_curve_metrics",
              "q85_webp_roundtrip", "q86_flac_roundtrip",
-             "q87_contour_polygon_bands", "q88_ogg_roundtrip"}
+             "q87_contour_polygon_bands", "q88_ogg_roundtrip",
+             "q89_dted_roundtrip"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}
