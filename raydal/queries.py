@@ -24,6 +24,7 @@ tests.
 from __future__ import annotations
 
 import os
+import struct
 
 import numpy as np
 import pandas as pd
@@ -4746,6 +4747,58 @@ GROUP BY n_nationkey
 """
 
 
+def q90_kml_gpx_roundtrip(sf_dir):
+    """KML + GPX vector drivers driven per batch, oracled in SQL.
+
+    Each customer batch becomes one multi-feature KML document
+    (io/kml.py — old-KML-driver layer semantics validated against the
+    published samples.kml expectations) and one GPX document
+    (io/gpx.py — five-layer model per ogr_gpx.py) holding the
+    deterministic point x = (7k mod 1000)/8 + 0.125,
+    y = (13k mod 1000)/8 − 40 per key; both documents are parsed back
+    and the query emits the KML-decoded coordinates plus a
+    ``fmt_match`` flag (KML WKB == GPX WKB bit-for-bit, pinned 1).
+    The oracle recomputes the closed-form coordinates (exact in
+    binary: eighth steps)."""
+    from .io.gpx import read_gpx, write_gpx
+    from .io.kml import read_kml, write_kml
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["c_custkey"], dtype=np.int64)
+        x = (keys * 7 % 1000) / 8.0 + 0.125
+        y = (keys * 13 % 1000) / 8.0 - 40.0
+        wkbs = [struct.pack("<BIdd", 1, 1, xi, yi)
+                for xi, yi in zip(x, y)]
+        feats = pa.Table.from_pydict({
+            "Name": pa.array([str(k) for k in keys], pa.string()),
+            "wkb": pa.array(wkbs, pa.binary())})
+        back_kml = read_kml(write_kml([("pts", feats)]))[0][1]
+        back_gpx = read_gpx(write_gpx({"waypoints": feats}))["waypoints"]
+        kml_wkb = back_kml["wkb"].to_pylist()
+        gpx_wkb = back_gpx["wkb"].to_pylist()
+        coords = np.frombuffer(b"".join(kml_wkb), np.uint8)
+        coords = coords.reshape(len(kml_wkb), 21)[:, 5:]
+        xy = coords.copy().view("<f8")
+        match = [int(a == b) for a, b in zip(kml_wkb, gpx_wkb)]
+        return pa.Table.from_pydict({
+            "c_custkey": t["c_custkey"],
+            "x": pa.array(xy[:, 0], pa.float64()),
+            "y": pa.array(xy[:, 1], pa.float64()),
+            "fmt_match": pa.array(match, pa.int64())})
+
+    return (_read(sf_dir, "customer", ["c_custkey"])
+            .map_batches(fn, batch_format="pyarrow", batch_size=256))
+
+
+SQL_Q90 = """
+SELECT c_custkey,
+       (c_custkey * 7 % 1000) / 8.0 + 0.125 AS x,
+       (c_custkey * 13 % 1000) / 8.0 - 40.0 AS y,
+       CAST(1 AS BIGINT) AS fmt_match
+FROM customer
+"""
+
+
 def q87_contour_polygon_bands(sf_dir):
     """Polygonal contouring (POLYGONIZE mode) with a closed-form
     oracle.
@@ -4903,6 +4956,7 @@ QUERIES = {
     "q87_contour_polygon_bands": (q87_contour_polygon_bands, SQL_Q87),
     "q88_ogg_roundtrip": (q88_ogg_roundtrip, SQL_Q88),
     "q89_dted_roundtrip": (q89_dted_roundtrip, SQL_Q89),
+    "q90_kml_gpx_roundtrip": (q90_kml_gpx_roundtrip, SQL_Q90),
 }
 
 
@@ -4925,7 +4979,7 @@ def query_fns():
              "q83_gcp_warp_parity", "q84_curve_metrics",
              "q85_webp_roundtrip", "q86_flac_roundtrip",
              "q87_contour_polygon_bands", "q88_ogg_roundtrip",
-             "q89_dted_roundtrip"}
+             "q89_dted_roundtrip", "q90_kml_gpx_roundtrip"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}
