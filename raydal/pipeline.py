@@ -1201,3 +1201,219 @@ def _sink_mbtiles(ds, path, metadata=None, xyz=True, **kwargs):
     from .io.mbtiles import write_mbtiles
 
     return write_mbtiles(path, ds, metadata=metadata, xyz=xyz)
+
+
+@register_source("kml")
+def _src_kml(src, layer=None, **kwargs):
+    """KML → Dataset of features; all layers concatenated with a
+    ``layer`` column (pass ``layer=`` to select one)."""
+    import pyarrow as pa
+    import ray.data
+
+    from .io.kml import read_kml
+
+    parts = []
+    for lname, t in read_kml(src):
+        if layer is not None and lname != layer:
+            continue
+        parts.append(t.append_column(
+            "layer", pa.array([lname] * t.num_rows, pa.string())))
+    if not parts:
+        return ray.data.from_arrow(pa.Table.from_pydict(
+            {"fid": pa.array([], pa.int64()),
+             "Name": pa.array([], pa.string()),
+             "description": pa.array([], pa.string()),
+             "wkb": pa.array([], pa.binary()),
+             "layer": pa.array([], pa.string())}))
+    return ray.data.from_arrow(pa.concat_tables(parts))
+
+
+@register_sink("kml")
+def _sink_kml(ds, path, layer_col=None, **kwargs):
+    import pyarrow as pa
+
+    from .io.kml import write_kml
+
+    tables = [pa.Table.from_pandas(b) for b in
+              ds.iter_batches(batch_format="pandas")]
+    t = pa.concat_tables(tables)
+    if layer_col and layer_col in t.column_names:
+        names = t[layer_col].to_pylist()
+        layers = [(n, t.filter(pa.compute.equal(t[layer_col], n)))
+                  for n in sorted(set(names))]
+        return write_kml(layers, path, **kwargs)
+    return write_kml(t, path, **kwargs)
+
+
+@register_source("gpx")
+def _src_gpx(src, layer="waypoints", **kwargs):
+    import ray.data
+
+    from .io.gpx import read_gpx
+
+    return ray.data.from_arrow(read_gpx(src)[layer])
+
+
+@register_sink("gpx")
+def _sink_gpx(ds, path, layer="waypoints", **kwargs):
+    import pyarrow as pa
+
+    from .io.gpx import write_gpx
+
+    tables = [pa.Table.from_pandas(b) for b in
+              ds.iter_batches(batch_format="pandas")]
+    return write_gpx({layer: pa.concat_tables(tables)}, path)
+
+
+def _raster_rows(paths, reader):
+    """paths → Arrow table with one row per band: image_id, band,
+    data (flat bytes), w, h, dtype, geotransform, nodata."""
+    import os as _os
+
+    import numpy as np
+    import pyarrow as pa
+
+    ids, bands, datas, ws, hs, dts, gts, nds = ([] for _ in range(8))
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    for p in paths:
+        arr, gt, nodata = reader(p)
+        if arr.ndim == 2:
+            arr = arr[None]
+        for b in range(arr.shape[0]):
+            ids.append(_os.path.splitext(_os.path.basename(str(p)))[0])
+            bands.append(b + 1)
+            a = np.ascontiguousarray(arr[b])
+            datas.append(a.tobytes())
+            hs.append(a.shape[0])
+            ws.append(a.shape[1])
+            dts.append(str(a.dtype))
+            gts.append(list(gt) if gt is not None else None)
+            nds.append(float(nodata) if nodata is not None else None)
+    return pa.Table.from_pydict({
+        "image_id": pa.array(ids, pa.string()),
+        "band": pa.array(bands, pa.int32()),
+        "data": pa.array(datas, pa.binary()),
+        "w": pa.array(ws, pa.int32()),
+        "h": pa.array(hs, pa.int32()),
+        "dtype": pa.array(dts, pa.string()),
+        "geotransform": pa.array(gts, pa.list_(pa.float64())),
+        "nodata": pa.array(nds, pa.float64())})
+
+
+@register_source("dted")
+def _src_dted(paths, **kwargs):
+    import ray.data
+
+    from .io.dem import read_dted
+
+    return ray.data.from_arrow(_raster_rows(paths, read_dted))
+
+
+@register_source("hgt")
+def _src_hgt(paths, **kwargs):
+    import ray.data
+
+    from .io.dem import read_hgt
+
+    return ray.data.from_arrow(_raster_rows(paths, read_hgt))
+
+
+@register_source("xyz")
+def _src_xyz(paths, **kwargs):
+    import ray.data
+
+    from .io.xyz import read_xyz
+
+    return ray.data.from_arrow(_raster_rows(paths, read_xyz))
+
+
+@register_source("envi")
+def _src_envi(paths, **kwargs):
+    import ray.data
+
+    from .io.envi import read_envi
+
+    def rd(p):
+        arr, gt, _hdr = read_envi(p)
+        return arr, gt, None
+
+    return ray.data.from_arrow(_raster_rows(paths, rd))
+
+
+@register_source("ehdr")
+def _src_ehdr(paths, **kwargs):
+    import ray.data
+
+    from .io.envi import read_ehdr
+
+    return ray.data.from_arrow(_raster_rows(paths, read_ehdr))
+
+
+def _per_row_raster_sink(writer_ext):
+    """Build a resumable one-file-per-row sink over the _raster_rows
+    schema (skips rows whose output already exists, like the cog
+    sink)."""
+    def sink(ds, out_dir, **kwargs):
+        import os as _os
+
+        import numpy as np
+        import pyarrow as pa
+
+        writer, ext = writer_ext()
+
+        def write_batch(t):
+            _os.makedirs(out_dir, exist_ok=True)
+            out = []
+            for i in range(t.num_rows):
+                name = t["image_id"][i].as_py()
+                path = _os.path.join(out_dir, f"{name}{ext}")
+                if not _os.path.exists(path):
+                    a = np.frombuffer(
+                        t["data"][i].as_py(),
+                        dtype=np.dtype(t["dtype"][i].as_py())).reshape(
+                            t["h"][i].as_py(), t["w"][i].as_py())
+                    gt = t["geotransform"][i].as_py()
+                    writer(a, gt, path, **kwargs)
+                out.append(path)
+            return pa.Table.from_pydict({
+                "image_id": t["image_id"],
+                "path": pa.array(out, pa.string())})
+
+        return ds.map_batches(write_batch, batch_format="pyarrow")
+    return sink
+
+
+def _xyz_writer():
+    from .io.xyz import write_xyz
+
+    def w(a, gt, path):
+        write_xyz(a, gt, path)
+    return w, ".xyz"
+
+
+def _ehdr_writer():
+    from .io.envi import write_ehdr
+
+    def w(a, gt, path):
+        write_ehdr(a[None], gt, hdr_path=path,
+                   data_path=path[:-4] + ".bil")
+    return w, ".hdr"
+
+
+def _dted_writer():
+    from .io.dem import write_dted
+
+    def w(a, gt, path):
+        x0, dx, _, y0, _, dy = gt
+        lon0 = x0 + dx / 2
+        lat0 = y0 + dy / 2 + (a.shape[0] - 1) * dy
+        with open(path, "wb") as f:
+            f.write(write_dted(a, lon0, lat0,
+                               interval_arcsec=abs(dx) * 3600))
+    return w, ".dt0"
+
+
+SINK_REGISTRY["xyz"] = _per_row_raster_sink(_xyz_writer)
+SINK_REGISTRY["ehdr"] = _per_row_raster_sink(_ehdr_writer)
+SINK_REGISTRY["dted"] = _per_row_raster_sink(_dted_writer)
