@@ -1417,3 +1417,44 @@ def _dted_writer():
 SINK_REGISTRY["xyz"] = _per_row_raster_sink(_xyz_writer)
 SINK_REGISTRY["ehdr"] = _per_row_raster_sink(_ehdr_writer)
 SINK_REGISTRY["dted"] = _per_row_raster_sink(_dted_writer)
+
+
+@register_source("gml")
+def _src_gml(src, layer=None, **kwargs):
+    """GML → Dataset of features; all layers concatenated with a
+    ``layer`` column (pass ``layer=`` to select one)."""
+    import pyarrow as pa
+    import ray.data
+
+    from .io.gml import read_gml
+
+    parts = []
+    for lname, t in read_gml(src):
+        if layer is not None and lname != layer:
+            continue
+        parts.append(t.append_column(
+            "layer", pa.array([lname] * t.num_rows, pa.string())))
+    if not parts:
+        return ray.data.from_arrow(pa.Table.from_pydict(
+            {"gml_id": pa.array([], pa.string()),
+             "wkb": pa.array([], pa.binary()),
+             "layer": pa.array([], pa.string())}))
+    return ray.data.from_arrow(pa.concat_tables(parts, promote_options="permissive"))
+
+
+@register_sink("gml")
+def _sink_gml(ds, path, layer_col=None, **kwargs):
+    import pyarrow as pa
+
+    from .io.gml import write_gml
+
+    tables = [pa.Table.from_pandas(b) for b in
+              ds.iter_batches(batch_format="pandas")]
+    t = pa.concat_tables(tables)
+    if layer_col and layer_col in t.column_names:
+        names = t[layer_col].to_pylist()
+        layers = [(n, t.filter(pa.compute.equal(t[layer_col], n))
+                   .drop_columns([layer_col]))
+                  for n in sorted(set(names))]
+        return write_gml(layers, path, **kwargs)
+    return write_gml(t, path, **kwargs)
