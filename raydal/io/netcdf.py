@@ -1,0 +1,492 @@
+"""netCDF classic-format (CDF-1/2/5) raster reader/writer, from scratch.
+
+The reference driver (``frmts/netcdf/netcdfdataset.cpp``) reads every
+netCDF flavour through libnetcdf; this module parses the *classic*
+binary format directly from the published file-format spec (the
+netCDF-4/HDF5 container is out of scope — ``\\x89HDF`` magics are
+rejected with a clear error, the documented swap point being
+``h5py``/``netCDF4`` when available).
+
+Reference semantics reproduced:
+
+* **raster variable choice** — variables with >= 2 dimensions are
+  raster candidates (``netcdfdataset.cpp`` CreateSubDatasetList /
+  the nCount==1 direct-open path); exactly one candidate opens
+  directly, several require the ``NETCDF:file:var`` selector (the
+  ``var=`` argument here) and are listed in ``subdatasets``.
+* **bands** — the last two dimensions are (y, x); every leading
+  dimension unrolls into bands in C order (time-major), matching the
+  reference's nBandXPos/nBandYPos slicing.
+* **bottom-up flip** — ``bBottomUp`` defaults to *true* (constructor
+  ``netcdfdataset.cpp:2822``) and is overridden from the y coordinate
+  variable when one exists: ascending y values mean the file is
+  bottom-up and rows are flipped to north-up on read
+  (``netcdfdataset.cpp:3978``, validated by the published
+  int16-nogeo.nc 4672-vs-4855 WRITE_BOTTOMUP pair).
+* **geotransform** — from the x/y coordinate variables (variables
+  named exactly like their single dimension): cell-center first/last
+  values extended by half a pixel (``netcdfdataset.cpp:4047-4073``),
+  y row negative, north-up.
+* **attributes** — ``scale_factor`` / ``add_offset`` / ``_FillValue``
+  are surfaced as metadata and NOT applied to pixel values (the
+  reference's Checksum/RasterIO path reads raw values; the published
+  two_vars_scale_offset.nc:z checksum 65463 is over raw shorts).
+
+Published-value validation (``autotest/gdrivers/netcdf.py``):
+byte.nc checksum 4672, trmm.nc 14, trmm-nan.nc 62519,
+two_vars_scale_offset.nc z/x 65463/1316, int16-nogeo.nc 4672
+(bottom-up default) — see tests/test_netcdf.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["parse_netcdf", "read_netcdf", "write_netcdf"]
+
+# classic nc_type → (numpy big-endian dtype, external size)
+_NC_DTYPE = {
+    1: (">i1", 1),   # NC_BYTE
+    2: ("S1", 1),    # NC_CHAR
+    3: (">i2", 2),   # NC_SHORT
+    4: (">i4", 4),   # NC_INT
+    5: (">f4", 4),   # NC_FLOAT
+    6: (">f8", 8),   # NC_DOUBLE
+    # CDF-5 additions
+    7: (">u1", 1),   # NC_UBYTE
+    8: (">u2", 2),   # NC_USHORT
+    9: (">u4", 4),   # NC_UINT
+    10: (">i8", 8),  # NC_INT64
+    11: (">u8", 8),  # NC_UINT64
+}
+_NC_CODE = {np.dtype(v[0].replace(">", "<")): k
+            for k, v in _NC_DTYPE.items() if k != 2}
+
+_ABSENT = 0
+_NC_DIMENSION = 0x0A
+_NC_VARIABLE = 0x0B
+_NC_ATTRIBUTE = 0x0C
+
+
+class _Cursor:
+    def __init__(self, buf, wide_sizes, wide_offsets):
+        self.buf = buf
+        self.pos = 0
+        # CDF-5 stores every count as i64; CDF-2/5 store begin as u64
+        self.size_fmt = ">q" if wide_sizes else ">i"
+        self.size_len = 8 if wide_sizes else 4
+        self.off_fmt = ">Q" if wide_offsets else ">I"
+        self.off_len = 8 if wide_offsets else 4
+
+    def u32(self):
+        v = struct.unpack_from(">I", self.buf, self.pos)[0]
+        self.pos += 4
+        return v
+
+    def count(self):
+        v = struct.unpack_from(self.size_fmt, self.buf, self.pos)[0]
+        self.pos += self.size_len
+        return v
+
+    def offset(self):
+        v = struct.unpack_from(self.off_fmt, self.buf, self.pos)[0]
+        self.pos += self.off_len
+        return v
+
+    def name(self):
+        n = self.count()
+        s = self.buf[self.pos:self.pos + n].decode("utf-8")
+        self.pos += n + (-n) % 4
+        return s
+
+    def values(self, nc_type, n):
+        dt, sz = _NC_DTYPE[nc_type]
+        raw = self.buf[self.pos:self.pos + n * sz]
+        self.pos += n * sz + (-(n * sz)) % 4
+        if nc_type == 2:
+            return raw.decode("utf-8", "replace")
+        arr = np.frombuffer(raw, dtype=dt)
+        return arr
+
+
+def _attr_list(cur):
+    tag = cur.u32()
+    n = cur.count()
+    if tag == _ABSENT:
+        return {}
+    if tag != _NC_ATTRIBUTE:
+        raise ValueError("corrupt netCDF header (attr list tag)")
+    out = {}
+    for _ in range(n):
+        name = cur.name()
+        nc_type = cur.u32()
+        nelems = cur.count()
+        vals = cur.values(nc_type, nelems)
+        if not isinstance(vals, str):
+            vals = vals.tolist()
+            if len(vals) == 1:
+                vals = vals[0]
+        out[name] = vals
+    return out
+
+
+class NCVar:
+    """One variable: dim names, attrs, nc_type, and a lazy reader."""
+
+    def __init__(self, name, dims, attrs, nc_type, vsize, begin, ncfile):
+        self.name = name
+        self.dims = dims
+        self.attrs = attrs
+        self.nc_type = nc_type
+        self.vsize = vsize
+        self.begin = begin
+        self._nc = ncfile
+
+    @property
+    def shape(self):
+        return tuple(self._nc.numrecs if ln == 0 else ln
+                     for _, ln in (self._nc.dims[d] for d in self.dims))
+
+    @property
+    def is_record(self):
+        return bool(self.dims) and \
+            self._nc.dims[self.dims[0]][1] == 0
+
+    def data(self):
+        """Materialize the full variable as a native-endian ndarray."""
+        nc = self._nc
+        dt, sz = _NC_DTYPE[self.nc_type]
+        shape = self.shape
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        if not self.is_record:
+            raw = nc.buf[self.begin:self.begin + n * sz]
+            arr = np.frombuffer(raw, dtype=dt, count=n)
+        else:
+            # one slab of this variable per record, strided by the
+            # shared record size
+            per_rec = n // max(shape[0], 1) if shape[0] else 0
+            slabs = []
+            for r in range(shape[0]):
+                off = self.begin + r * nc.recsize
+                slabs.append(np.frombuffer(
+                    nc.buf[off:off + per_rec * sz], dtype=dt,
+                    count=per_rec))
+            arr = (np.concatenate(slabs) if slabs
+                   else np.empty(0, dtype=dt))
+        if self.nc_type == 2:
+            return arr.reshape(shape)
+        return arr.astype(dt.replace(">", "=")).reshape(shape)
+
+
+class NCFile:
+    def __init__(self, buf):
+        self.buf = buf
+        if buf[:3] != b"CDF" or buf[3] not in (1, 2, 5):
+            if buf[:4] == b"\x89HDF":
+                raise ValueError(
+                    "netCDF-4 (HDF5) container — classic-format reader "
+                    "only; install netCDF4/h5py for nc4 files")
+            raise ValueError("not a classic netCDF file")
+        version = buf[3]
+        cur = _Cursor(buf, wide_sizes=(version == 5),
+                      wide_offsets=(version in (2, 5)))
+        cur.pos = 4
+        self.numrecs = cur.count()
+        if self.numrecs < 0 or self.numrecs == 0xFFFFFFFF:
+            self.numrecs = 0          # STREAMING sentinel
+        # dimensions (ordered; length 0 = record dim)
+        tag = cur.u32()
+        ndims = cur.count()
+        self.dims = {}
+        self.dim_order = []
+        if tag == _NC_DIMENSION:
+            for _ in range(ndims):
+                name = cur.name()
+                ln = cur.count()
+                self.dims[len(self.dim_order)] = (name, ln)
+                self.dim_order.append(name)
+        elif tag != _ABSENT:
+            raise ValueError("corrupt netCDF header (dim list tag)")
+        self.gattrs = _attr_list(cur)
+        # variables
+        tag = cur.u32()
+        nvars = cur.count()
+        self.vars = {}
+        rec_vars = []
+        if tag == _NC_VARIABLE:
+            for _ in range(nvars):
+                name = cur.name()
+                rank = cur.count()
+                dimids = [cur.count() for _ in range(rank)]
+                attrs = _attr_list(cur)
+                nc_type = cur.u32()
+                vsize = cur.count()
+                begin = cur.offset()
+                v = NCVar(name, dimids, attrs, nc_type, vsize, begin,
+                          self)
+                self.vars[name] = v
+                if v.is_record:
+                    rec_vars.append(v)
+        elif tag != _ABSENT:
+            raise ValueError("corrupt netCDF header (var list tag)")
+        # record size: sum of padded per-record slabs; the single
+        # record variable special case skips the padding (spec "note
+        # on vsize")
+        if len(rec_vars) == 1:
+            v = rec_vars[0]
+            dt, sz = _NC_DTYPE[v.nc_type]
+            per = sz
+            for d in v.dims[1:]:
+                per *= self.dims[d][1]
+            self.recsize = per
+        else:
+            self.recsize = sum(v.vsize for v in rec_vars)
+
+    def var_dim_names(self, var):
+        return [self.dims[d][0] for d in var.dims]
+
+
+def parse_netcdf(src):
+    """Path or bytes → :class:`NCFile` (dims, gattrs, vars)."""
+    if isinstance(src, (bytes, bytearray, memoryview)):
+        return NCFile(bytes(src))
+    with open(src, "rb") as f:
+        return NCFile(f.read())
+
+
+def _coord_var(nc, dim_name):
+    v = nc.vars.get(dim_name)
+    if v is not None and len(v.dims) == 1 \
+            and nc.dims[v.dims[0]][0] == dim_name and v.nc_type != 2:
+        return v.data().astype(np.float64)
+    return None
+
+
+def read_netcdf(src, var=None):
+    """netCDF classic file → GDAL-shaped raster view.
+
+    Returns a dict with ``bands`` (list of 2-D native arrays,
+    north-up), ``geotransform`` (or None), ``var``, ``subdatasets``,
+    ``nodata``, ``scale``, ``offset``, ``attrs`` and ``gattrs``."""
+    nc = parse_netcdf(src)
+    # variables named by any `coordinates` / `bounds` attribute are
+    # auxiliary, never raster candidates (netcdfdataset.cpp
+    # NCDFGetCoordAndBoundVarFullNames:12632 + the ignore filter
+    # :12231; `coordinates` splits on comma or space)
+    ignore = set()
+    for v0 in nc.vars.values():
+        c = v0.attrs.get("coordinates")
+        if isinstance(c, str):
+            ignore.update(c.replace(",", " ").split())
+        b = v0.attrs.get("bounds")
+        if isinstance(b, str) and b.strip():
+            ignore.add(b.strip().rstrip("\x00"))
+    ignore = {s.rstrip("\x00") for s in ignore}
+    cands = [n for n, v in nc.vars.items()
+             if len(v.dims) >= 2 and v.nc_type != 2
+             and n not in ignore]
+    if var is None:
+        if len(cands) == 1:
+            var = cands[0]
+        elif not cands:
+            raise ValueError("no 2-D+ raster variable in file")
+        else:
+            raise ValueError(
+                f"several raster variables {cands}; pass var= "
+                "(NETCDF:file:var selector semantics)")
+    if var not in nc.vars:
+        raise ValueError(f"no variable {var!r} in file")
+    v = nc.vars[var]
+    if len(v.dims) < 2:
+        raise ValueError(f"variable {var!r} is not 2-D+")
+    data = v.data()
+
+    fill = v.attrs.get("_FillValue")
+    valid_range = v.attrs.get("valid_range")
+    if not (isinstance(valid_range, (list, tuple))
+            and len(valid_range) == 2
+            and valid_range[0] <= valid_range[1]):
+        valid_range = None
+
+    # NC_BYTE signed/unsigned (netcdfdataset.cpp:615-656): signed by
+    # default, unsigned for GDAL-written files, then valid_range
+    # {0,255}/{-128,127} and the _Unsigned attr override
+    if v.nc_type == 1:
+        is_gdal_file = "GDAL" in nc.gattrs
+        signed = not is_gdal_file
+        if valid_range == [0, 255]:
+            signed, valid_range = False, None
+        elif valid_range == [-128, 127]:
+            signed, valid_range = True, None
+        elif isinstance(v.attrs.get("_Unsigned"), str):
+            signed = v.attrs["_Unsigned"].lower().rstrip("\x00") \
+                not in ("true", "1")
+        if not signed:
+            data = data.view(np.uint8)
+            if fill is not None and fill < 0:
+                fill += 256         # stored signed (:664-668)
+    elif v.nc_type == 3 and isinstance(v.attrs.get("_Unsigned"), str) \
+            and v.attrs["_Unsigned"].lower().rstrip("\x00") \
+            in ("true", "1"):
+        data = data.view(np.uint16)
+        if fill is not None and fill < 0:
+            fill += 65536
+
+    # CheckData semantics (netcdfdataset.cpp:2153-2181): NaN → nodata
+    # for float data, valid_range violations → nodata
+    if np.issubdtype(data.dtype, np.floating) and fill is not None:
+        data = np.where(np.isfinite(data), data,
+                        np.asarray(fill, dtype=data.dtype))
+    if valid_range is not None and fill is not None:
+        lo, hi = valid_range
+        bad = np.zeros(data.shape, dtype=bool)
+        if lo != fill:
+            bad |= data < lo
+        if hi != fill:
+            bad |= data > hi
+        if bad.any():
+            data = np.where(bad, np.asarray(fill, dtype=data.dtype),
+                            data)
+    shape = data.shape
+    ny, nx = shape[-2], shape[-1]
+    bands = [b for b in data.reshape(-1, ny, nx)]
+
+    ydim = nc.dims[v.dims[-2]][0]
+    xdim = nc.dims[v.dims[-1]][0]
+    ycoord = _coord_var(nc, ydim)
+    xcoord = _coord_var(nc, xdim)
+
+    # bBottomUp: default TRUE, overridden by the y coordinate order
+    bottom_up = True
+    if ycoord is not None and len(ycoord) >= 2:
+        bottom_up = ycoord[0] <= ycoord[-1]
+    if bottom_up:
+        bands = [b[::-1] for b in bands]
+
+    gt = None
+    if xcoord is not None and ycoord is not None \
+            and len(xcoord) == nx and len(ycoord) == ny \
+            and nx > 1 and ny > 1:
+        xmin, xmax = float(xcoord[0]), float(xcoord[-1])
+        ylo, yhi = float(ycoord[0]), float(ycoord[-1])
+        ymin, ymax = min(ylo, yhi), max(ylo, yhi)
+        dx = (xmax - xmin) / (nx - 1)
+        dy = (ymin - ymax) / (ny - 1)
+        gt = (xmin - dx / 2, dx, 0.0, ymax - dy / 2, 0.0, dy)
+
+    attrs = dict(v.attrs)
+    return {
+        "bands": bands,
+        "geotransform": gt,
+        "var": var,
+        "subdatasets": cands,
+        "nodata": fill,
+        "scale": attrs.get("scale_factor"),
+        "offset": attrs.get("add_offset"),
+        "attrs": attrs,
+        "gattrs": dict(nc.gattrs),
+    }
+
+
+def _pad4(b):
+    return b + b"\x00" * ((-len(b)) % 4)
+
+
+def _w_name(s):
+    b = s.encode("utf-8")
+    return struct.pack(">i", len(b)) + _pad4(b)
+
+
+def _w_attrs(attrs):
+    if not attrs:
+        return struct.pack(">ii", _ABSENT, 0)
+    out = [struct.pack(">ii", _NC_ATTRIBUTE, len(attrs))]
+    for k, v in attrs.items():
+        out.append(_w_name(k))
+        if isinstance(v, str):
+            b = v.encode("utf-8")
+            out.append(struct.pack(">ii", 2, len(b)) + _pad4(b))
+        else:
+            arr = np.atleast_1d(np.asarray(v))
+            code = _NC_CODE[arr.dtype.newbyteorder("=")]
+            be = arr.astype(_NC_DTYPE[code][0])
+            out.append(struct.pack(">ii", code, len(be))
+                       + _pad4(be.tobytes()))
+    return b"".join(out)
+
+
+def write_netcdf(bands, geotransform=None, var_name="Band1",
+                 path=None, attrs=None, gattrs=None, bottom_up=True):
+    """Write 2-D band(s) as a CDF-1 classic file the way the reference
+    CreateCopy does: ``x``/``y`` cell-center coordinate variables when
+    a geotransform is given, rows stored bottom-up by default
+    (WRITE_BOTTOMUP, ``netcdfdataset.cpp:5547``)."""
+    if isinstance(bands, np.ndarray):
+        bands = [bands]
+    arrs = [np.asarray(b) for b in bands]
+    ny, nx = arrs[0].shape
+    code = _NC_CODE[np.dtype(arrs[0].dtype).newbyteorder("=")]
+    dt, sz = _NC_DTYPE[code]
+
+    dims = [("y", ny), ("x", nx)]
+    if len(arrs) > 1:
+        dims.insert(0, ("band", len(arrs)))
+
+    coord_vars = []
+    if geotransform is not None:
+        x0, dx, _, y0, _, dy = geotransform
+        xs = x0 + dx * (np.arange(nx) + 0.5)
+        ys = y0 + dy * (np.arange(ny) + 0.5)
+        if bottom_up:
+            ys = ys[::-1]
+        coord_vars = [("x", ["x"], {}, xs.astype(np.float64)),
+                      ("y", ["y"], {}, ys.astype(np.float64))]
+
+    stack = np.stack(arrs)
+    if bottom_up:
+        stack = stack[:, ::-1, :]
+    data_vars = coord_vars + [(
+        var_name, [d for d, _ in dims], dict(attrs or {}),
+        stack if len(arrs) > 1 else stack[0])]
+
+    dim_index = {name: i for i, (name, _) in enumerate(dims)}
+    header = [b"CDF\x01", struct.pack(">i", 0)]
+    header.append(struct.pack(">ii", _NC_DIMENSION, len(dims)))
+    for name, ln in dims:
+        header.append(_w_name(name) + struct.pack(">i", ln))
+    g = dict(gattrs or {})
+    g.setdefault("Conventions", "CF-1.5")
+    header.append(_w_attrs(g))
+
+    # two passes: sizes first, then begins
+    payloads = []
+    for name, vdims, vattrs, arr in data_vars:
+        vcode = _NC_CODE[np.dtype(arr.dtype).newbyteorder("=")]
+        raw = _pad4(np.ascontiguousarray(arr)
+                    .astype(_NC_DTYPE[vcode][0]).tobytes())
+        payloads.append((name, vdims, vattrs, vcode, raw))
+
+    def var_header(begin_width_probe):
+        out = [struct.pack(">ii", _NC_VARIABLE, len(payloads))]
+        begin = begin_width_probe
+        for name, vdims, vattrs, vcode, raw in payloads:
+            out.append(_w_name(name))
+            out.append(struct.pack(">i", len(vdims)))
+            for d in vdims:
+                out.append(struct.pack(">i", dim_index[d]))
+            out.append(_w_attrs(vattrs))
+            out.append(struct.pack(">iii", vcode, len(raw), begin))
+            begin += len(raw)
+        return b"".join(out)
+
+    base = b"".join(header)
+    hdr_len = len(base) + len(var_header(0))
+    blob = base + var_header(hdr_len) \
+        + b"".join(raw for *_x, raw in payloads)
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(blob)
+        return path
+    return blob

@@ -1458,3 +1458,29 @@ def _sink_gml(ds, path, layer_col=None, **kwargs):
                   for n in sorted(set(names))]
         return write_gml(layers, path, **kwargs)
     return write_gml(t, path, **kwargs)
+
+
+@register_source("netcdf")
+def _src_netcdf(paths, var=None, **kwargs):
+    import ray.data
+
+    from .io.netcdf import read_netcdf
+
+    def rd(p):
+        import numpy as np
+        r = read_netcdf(p, var=var)
+        return (np.stack(r["bands"]), r["geotransform"],
+                r["nodata"])
+
+    return ray.data.from_arrow(_raster_rows(paths, rd))
+
+
+def _netcdf_writer():
+    from .io.netcdf import write_netcdf
+
+    def w(a, gt, path):
+        write_netcdf(a, geotransform=gt, path=path)
+    return w, ".nc"
+
+
+SINK_REGISTRY["netcdf"] = _per_row_raster_sink(_netcdf_writer)
