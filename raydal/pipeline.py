@@ -1484,3 +1484,50 @@ def _netcdf_writer():
 
 
 SINK_REGISTRY["netcdf"] = _per_row_raster_sink(_netcdf_writer)
+
+
+@register_source("grib")
+def _src_grib(paths, **kwargs):
+    """GRIB1/GRIB2 → one row per field (band), per-band nodata and
+    GRIB element/comment columns (the reference surfaces these as
+    band metadata, ``gribdataset.cpp`` GRIB_ELEMENT/GRIB_COMMENT)."""
+    import os as _os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from .io.grib import read_grib
+
+    ids, bands, datas, hs, ws, dts, gts, nds = \
+        [], [], [], [], [], [], [], []
+    names, comments = [], []
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    for p in paths:
+        for i, b in enumerate(read_grib(p)):
+            a = np.ascontiguousarray(b["data"])
+            ids.append(_os.path.splitext(_os.path.basename(str(p)))[0])
+            bands.append(i + 1)
+            datas.append(a.tobytes())
+            hs.append(a.shape[0])
+            ws.append(a.shape[1])
+            dts.append(str(a.dtype))
+            gt = b["geotransform"]
+            gts.append(list(gt) if gt is not None else None)
+            nds.append(float(b["nodata"])
+                       if b["nodata"] is not None else None)
+            names.append(b["name"])
+            comments.append(b["comment"])
+    t = pa.Table.from_pydict({
+        "image_id": pa.array(ids, pa.string()),
+        "band": pa.array(bands, pa.int32()),
+        "data": pa.array(datas, pa.binary()),
+        "w": pa.array(ws, pa.int32()),
+        "h": pa.array(hs, pa.int32()),
+        "dtype": pa.array(dts, pa.string()),
+        "geotransform": pa.array(gts, pa.list_(pa.float64())),
+        "nodata": pa.array(nds, pa.float64()),
+        "element": pa.array(names, pa.string()),
+        "comment": pa.array(comments, pa.string())})
+    return ray.data.from_arrow(t)

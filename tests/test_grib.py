@@ -1,0 +1,118 @@
+"""GRIB1/GRIB2 reader vs the reference's published expectations.
+
+Every checksum below is a value asserted in
+``autotest/gdrivers/grib.py`` on the same fixture file: ds.mint.bin
+band 2 = 46927 (test_grib_1; GRIB2 template 5.3 complex packing +
+spatial differencing, scan flag 0x50 boustrophedon, K→C normalize),
+Sample_QuikSCAT.grb band 4 = 50714 (test_grib_2; GRIB1), bug3246.grb
+band 4 = 4081 (different-sized messages padded to the dataset
+window), subgrids.grib2 4672/4563 (section 4-7 repetition after one
+section 3), subgrids_reuse_bitmap.grib2 (bitmap indicator 254),
+MRMS 41854 (template 5.41 PNG packing), hwrfsat 48230 (PDS template
+4.32, brightness temperature K→C), ieee754 4727 (template 5.4),
+nbits-zero fixtures = 5 (constant fields), spatial_differencing_
+order_1.grb2 = 46650, gfs.t06z 59985/59986/206.
+"""
+
+import numpy as np
+import pytest
+
+from raydal.io.grib import read_grib
+from raydal.kernels.checksum import checksum
+
+DATA = "/root/reference/autotest/gdrivers/data/grib/"
+
+
+@pytest.mark.parametrize("fname,band,cs", [
+    ("ds.mint.bin", 2, 46927),
+    ("Sample_QuikSCAT.grb", 4, 50714),
+    ("bug3246.grb", 4, 4081),
+    ("subgrids.grib2", 1, 4672),
+    ("subgrids.grib2", 2, 4563),
+    ("subgrids_reuse_bitmap.grib2", 2, 4563),
+    ("MRMS_EchoTop_18_00.50_20161015-133230.grib2", 1, 41854),
+    ("twenty-se27w.2017102006.hwrfsat.core.0p02.f000_truncated.grb2",
+     1, 48230),
+    ("ieee754_single.grb2", 1, 4727),
+    ("ieee754_double.grb2", 1, 4727),
+    ("simple_packing_nbits_zero_decimal_scaled.grb2", 1, 5),
+    ("png_nbits_zero_decimal_scaled.grb2", 1, 5),
+    ("spatial_differencing_order_1.grb2", 1, 46650),
+    ("gfs.t06z.pgrb2.10p0.f010.grib2", 1, 59985),
+    ("gfs.t06z.pgrb2.10p0.f010.grib2", 2, 59986),
+    ("gfs.t06z.pgrb2.10p0.f010.grib2", 6, 206),
+    ("CMC_rdwps_lake-erie_ICEC_SFC_0_latlon0.05x0.05_2017111800_"
+     "P000.grib2", 1, 0),
+])
+def test_published_checksums(fname, band, cs):
+    bands = read_grib(DATA + fname)
+    assert checksum(bands[band - 1]["data"]) == cs
+
+
+def test_nodata_and_units():
+    # test_grib_grib2_read_nodata + test_grib_read_units
+    bands = read_grib(DATA + "ds.mint.bin")
+    assert bands[0]["nodata"] == 9999 and bands[1]["nodata"] == 9999
+    assert bands[0]["comment"] == "Minimum temperature [C]"
+    assert bands[0]["unit"] == "[C]"
+    v = bands[0]["data"]
+    assert v[v != 9999.0].min() == pytest.approx(13, abs=1)
+    # test_grib_2: GRIB1 nodata is also degrib's UNDEFINED
+    assert read_grib(DATA + "Sample_QuikSCAT.grb")[0]["nodata"] == 9999.0
+
+
+def test_nodata_bands_with_bitmap():
+    # test_grib_grib2_read_nodata_bands_with_bitmap
+    bands = read_grib(DATA + "two_bands_with_bitmap.grib2")
+    assert bands[0]["nodata"] == 9999 and bands[1]["nodata"] == 9999
+
+
+def test_brightness_temperature_range():
+    # test_grib_grib2_read_template_4_32 ComputeRasterMinMax
+    b = read_grib(DATA + "twenty-se27w.2017102006.hwrfsat.core.0p02."
+                         "f000_truncated.grb2")[0]
+    assert (b["data"].min(), b["data"].max()) == \
+        pytest.approx((-9.765, 2.415), 1e-3)
+    assert b["comment"] == "Brightness Temperature [C]"
+
+
+def test_one_one_geotransform():
+    # test_grib_read_geotransform_one_n_or_n_one (ticket #5532)
+    b = read_grib(DATA + "one_one.grib2")[0]
+    assert b["geotransform"] == (-114.25, 0.5, 0.0, 47.250, 0.0, -0.5)
+
+
+def test_gfs_zip_payload_reads_from_bytes():
+    # test_grib_read_vsizip equivalent: the reader accepts raw bytes
+    import zipfile
+    with zipfile.ZipFile(DATA + "gfs.t00z.mastergrb2f03.zip") as z:
+        buf = z.read("gfs.t00z.mastergrb2f03")
+    bands = read_grib(buf)
+    assert len(bands) == 4
+    assert [b["name"] for b in bands[:3]] == ["TMP", "UGRD", "VGRD"]
+
+
+def test_different_sized_messages_padded_to_window():
+    # bug3246: window = first message; others top-left anchored,
+    # zero-padded (gribdataset.cpp:992-1023)
+    bands = read_grib(DATA + "bug3246.grb")
+    shapes = {b["data"].shape for b in bands}
+    assert shapes == {bands[0]["data"].shape}
+
+
+def test_jpeg2000_is_documented_swap_point():
+    with pytest.raises(NotImplementedError):
+        read_grib(DATA + "template_4_15.grb2")
+
+
+def test_ray_source_registry(ray_session):
+    from raydal.pipeline import SOURCE_REGISTRY
+
+    rows = SOURCE_REGISTRY["grib"](DATA + "ds.mint.bin").take_all()
+    assert len(rows) == 2
+    r = rows[1]
+    arr = np.frombuffer(r["data"], dtype=r["dtype"]).reshape(
+        r["h"], r["w"])
+    assert checksum(arr) == 46927
+    assert r["nodata"] == 9999.0
+    assert r["element"] == "TMIN"
