@@ -1,0 +1,274 @@
+"""Fixed-header raw raster drivers: Erdas LAN, PCI PAux, NRCan BYN,
+Autopano KRO, Terragen — from scratch on each published layout.
+
+Reference semantics (all under ``frmts/raw/`` unless noted):
+
+* **LAN** (``landataset.cpp:25-80``): 128-byte header, magic
+  ``HEADER`` (float32 dims) or ``HEAD74`` (int32 dims); pixel type
+  0=8bit, 1=4bit (two pixels/byte, high nibble first,
+  landataset.cpp:220-229), 2=16bit; BIL interleave; byte order
+  detected from header[8] (landataset.cpp:386-389); geotransform
+  from the UL-center floats at offsets 112-124 with the half-pixel
+  shift (landataset.cpp:517-529).
+* **PAux** (``pauxdataset.cpp``): text ``.aux`` sidecar —
+  ``RawDefinition: cols rows bands`` and per-band
+  ``ChanDefinition-N: type imgoff pixoff lineoff [Swapped]``
+  (pauxdataset.cpp:631-679; types 8U/16U/16S/32R, "Swapped" =
+  little-endian); UpLeftX/Y + LoRightX/Y corners give the
+  geotransform.
+* **BYN** (``byndataset.cpp:465-497`` header, ``:262-320`` open):
+  80-byte little-endian header; dims
+  ``(east-west+1)/dlon + 1`` (arcsec, x0.001 when nScale=1);
+  geotransform in degrees with half-cell extension
+  (byndataset.cpp:314-319); Int16 nodata 32767, Int32 nodata
+  9999*factor (byndataset.cpp:78).
+* **KRO** (``krodataset.cpp:94-215``): ``KRO\\x01`` + big-endian
+  int32 xsize/ysize/depth-bits/ncomp; pixel-interleaved big-endian
+  samples at offset 20; depth 8→uint8, 16→uint16, 32→float32.
+* **Terragen** (``terragen/terragendataset.cpp:691-780``): 16-byte
+  magic then chunked SIZE/XPTS/YPTS/SCAL/ALTW; ALTW carries
+  heightscale+baseheight then raw int16 rows stored bottom-up
+  (IReadBlock flip, terragendataset.cpp:250-257); the read-only
+  band surfaces the RAW int16 values (eDataType GDT_Int16,
+  terragendataset.cpp:228) with scale/offset as metadata.
+
+Published parity (``autotest/gdrivers/{lan,paux,byn,kro,terragen}
+.py``): fakelan.lan / fakelan4bit.lan = 10, small16.raw band 2 =
+12816, cgg2013ai08_reduced.byn = 64764, float32.ter = 1128; KRO has
+creation round-trips (rgbsmall 21053, uint16/float32 4672).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import struct
+
+import numpy as np
+
+__all__ = ["read_lan", "read_paux", "read_byn", "read_kro",
+           "write_kro", "read_terragen"]
+
+
+def _load(src):
+    if isinstance(src, (bytes, bytearray, memoryview)):
+        return bytes(src)
+    with open(src, "rb") as f:
+        return f.read()
+
+
+# ------------------------------------------------------------- LAN
+
+def read_lan(src):
+    """Erdas LAN/GIS → (array[bands, h, w], geotransform, None)."""
+    buf = _load(src)
+    magic = buf[:6]
+    if magic not in (b"HEADER", b"HEAD74"):
+        raise ValueError("not an Erdas LAN file")
+    # byte order from the low byte of the band count (landataset.cpp:386)
+    bo = ">" if buf[8] == 0 else "<"
+    pixtype, nbands = struct.unpack_from(bo + "hh", buf, 6)
+    if magic == b"HEADER":
+        w = int(struct.unpack_from(bo + "f", buf, 16)[0])
+        h = int(struct.unpack_from(bo + "f", buf, 20)[0])
+    else:
+        w, h = struct.unpack_from(bo + "ii", buf, 16)
+    ulx, uly, dx, dy = struct.unpack_from(bo + "4f", buf, 112)
+    gt = None
+    if dx != 0.0 and dy != 0.0:
+        gt = (ulx - dx * 0.5, dx, 0.0, uly + dy * 0.5, 0.0, -dy)
+    if pixtype == 0:
+        line = w
+        raw = np.frombuffer(buf, np.uint8, count=line * nbands * h,
+                            offset=128).reshape(h, nbands, w)
+        arr = raw.transpose(1, 0, 2)
+    elif pixtype == 1:              # 4-bit: high nibble first
+        line = (w + 1) // 2
+        raw = np.frombuffer(buf, np.uint8, count=line * nbands * h,
+                            offset=128).reshape(h, nbands, line)
+        hi, lo = raw >> 4, raw & 0x0F
+        pix = np.empty((h, nbands, line * 2), np.uint8)
+        pix[:, :, 0::2] = hi
+        pix[:, :, 1::2] = lo
+        arr = pix[:, :, :w].transpose(1, 0, 2)
+    elif pixtype == 2:
+        line = w
+        raw = np.frombuffer(buf, np.dtype(bo + "i2"),
+                            count=line * nbands * h,
+                            offset=128).reshape(h, nbands, w)
+        arr = raw.transpose(1, 0, 2)
+    else:
+        raise ValueError(f"unsupported LAN pixel type {pixtype}")
+    return np.ascontiguousarray(arr), gt, None
+
+
+# ------------------------------------------------------------ PAux
+
+_PAUX_TYPES = {"8U": np.uint8, "16U": "u2", "16S": "i2", "32R": "f4"}
+
+
+def read_paux(src):
+    """PCI .aux + raw pair (path to the RAW file) →
+    (array[bands, h, w], geotransform, None)."""
+    aux_path = None
+    for cand in (str(src) + ".aux",
+                 os.path.splitext(str(src))[0] + ".aux"):
+        if os.path.exists(cand):
+            aux_path = cand
+            break
+    if aux_path is None:
+        raise ValueError(f"no .aux sidecar for {src}")
+    with open(aux_path) as f:
+        text = f.read()
+
+    def field(key):
+        m = re.search(rf"^{key}:\s*(.*)$", text, re.M)
+        return m.group(1).strip() if m else None
+
+    cols, rows, nbands = map(int, field("RawDefinition").split())
+    buf = _load(src)
+    bands = []
+    for i in range(1, nbands + 1):
+        toks = field(f"ChanDefinition-{i}").split()
+        base = _PAUX_TYPES[toks[0]]
+        imgoff, pixoff, lineoff = map(int, toks[1:4])
+        if isinstance(base, str):
+            endian = "<" if (len(toks) > 4 and
+                             toks[4].lower() == "swapped") else ">"
+            dt = np.dtype(endian + base)
+        else:
+            dt = np.dtype(base)
+        b = np.empty((rows, cols), dt)
+        for r in range(rows):
+            off = imgoff + r * lineoff
+            row = np.frombuffer(buf, dt,
+                                count=(cols - 1) * pixoff //
+                                dt.itemsize + 1, offset=off)
+            b[r] = row[::pixoff // dt.itemsize][:cols]
+        bands.append(b)
+    gt = None
+    if field("UpLeftX") is not None:
+        ulx, uly = float(field("UpLeftX")), float(field("UpLeftY"))
+        lrx, lry = float(field("LoRightX")), float(field("LoRightY"))
+        gt = (ulx, (lrx - ulx) / cols, 0.0,
+              uly, 0.0, (lry - uly) / rows)
+    return np.stack(bands), gt, None
+
+
+# ------------------------------------------------------------- BYN
+
+def read_byn(src):
+    """NRCan BYN geoid grid → (array[1, h, w], geotransform, nodata)."""
+    buf = _load(src)
+    south, north, west, east = struct.unpack_from("<4i", buf, 0)
+    dlat, dlon = struct.unpack_from("<2h", buf, 16)
+    factor = struct.unpack_from("<d", buf, 24)[0]
+    sizeof = struct.unpack_from("<h", buf, 32)[0]
+    byteorder, scale = struct.unpack_from("<2h", buf, 48)
+    s = 0.001 if scale == 1 else 1.0
+    fs, fn = south * s, north * s
+    fw, fe = west * s, east * s
+    fdlat, fdlon = dlat * s, dlon * s
+    if fdlat == 0 or fdlon == 0:
+        raise ValueError("BYN zero spacing")
+    nx = int((fe - fw + 1.0) / fdlon + 1.0)
+    ny = int((fn - fs + 1.0) / fdlat + 1.0)
+    gt = ((fw - fdlon / 2) / 3600.0, fdlon / 3600.0, 0.0,
+          (fn + fdlat / 2) / 3600.0, 0.0, -fdlat / 3600.0)
+    bo = "<" if byteorder == 1 else ">"
+    if sizeof == 2:
+        dt, nodata = np.dtype(bo + "i2"), 32767.0
+    elif sizeof == 4:
+        dt, nodata = np.dtype(bo + "i4"), 9999.0 * factor
+    else:
+        raise ValueError(f"unsupported BYN sample size {sizeof}")
+    arr = np.frombuffer(buf, dt, count=nx * ny, offset=80) \
+        .reshape(ny, nx)
+    return arr[None], gt, nodata
+
+
+# ------------------------------------------------------------- KRO
+
+_KRO_DT = {8: np.dtype(">u1"), 16: np.dtype(">u2"),
+           32: np.dtype(">f4")}
+
+
+def read_kro(src):
+    """Autopano KRO → (array[bands, h, w], None, None)."""
+    buf = _load(src)
+    if buf[:4] != b"KRO\x01":
+        raise ValueError("not a KRO file")
+    w, h, depth, ncomp = struct.unpack_from(">4i", buf, 4)
+    if depth not in _KRO_DT:
+        raise ValueError(f"unhandled KRO depth {depth}")
+    dt = _KRO_DT[depth]
+    arr = np.frombuffer(buf, dt, count=w * h * ncomp, offset=20) \
+        .reshape(h, w, ncomp).transpose(2, 0, 1)
+    return np.ascontiguousarray(arr), None, None
+
+
+def write_kro(arr, path):
+    """array[bands, h, w] (uint8/uint16/float32) → KRO file."""
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[None]
+    nb, h, w = a.shape
+    if a.dtype == np.uint8:
+        depth, dt = 8, ">u1"
+    elif a.dtype == np.uint16:
+        depth, dt = 16, ">u2"
+    elif a.dtype == np.float32:
+        depth, dt = 32, ">f4"
+    else:
+        raise ValueError(f"KRO cannot store dtype {a.dtype}")
+    with open(path, "wb") as f:
+        f.write(b"KRO\x01" + struct.pack(">4i", w, h, depth, nb))
+        f.write(a.transpose(1, 2, 0).astype(dt).tobytes())
+    return path
+
+
+# -------------------------------------------------------- Terragen
+
+def read_terragen(src):
+    """Terragen .ter heightfield → (array[1, h, w] int16 raw values,
+    None, None) plus per-band (scale, offset) left to the caller via
+    the SCAL/ALTW metadata dict in the third slot."""
+    buf = _load(src)
+    if not buf.startswith(b"TERRAGENTERRAIN "):
+        raise ValueError("not a Terragen terrain file")
+    pos = 16
+    nx = ny = None
+    scal = 30.0
+    while pos + 4 <= len(buf):
+        tag = buf[pos:pos + 4]
+        pos += 4
+        if tag == b"SIZE":
+            n = struct.unpack_from("<H", buf, pos)[0]
+            nx = ny = n + 1
+            pos += 4                # value + pad
+        elif tag == b"XPTS":
+            nx = struct.unpack_from("<H", buf, pos)[0]
+            pos += 4
+        elif tag == b"YPTS":
+            ny = struct.unpack_from("<H", buf, pos)[0]
+            pos += 4
+        elif tag == b"SCAL":
+            scal = struct.unpack_from("<3f", buf, pos)[0]
+            pos += 12
+        elif tag == b"CRAD":
+            pos += 4
+        elif tag == b"CRVM":
+            pos += 4
+        elif tag == b"ALTW":
+            hscale, base = struct.unpack_from("<hh", buf, pos)
+            pos += 4
+            arr = np.frombuffer(buf, "<i2", count=nx * ny,
+                                offset=pos).reshape(ny, nx)[::-1]
+            meta = {"scale": scal / 65536.0 * hscale,
+                    "offset": scal * base}
+            return arr[None], None, meta
+        elif tag == b"EOF ":
+            break
+        else:
+            raise ValueError(f"unknown Terragen chunk {tag!r}")
+    raise ValueError("no ALTW chunk in Terragen file")

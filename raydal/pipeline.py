@@ -1531,3 +1531,135 @@ def _src_grib(paths, **kwargs):
         "element": pa.array(names, pa.string()),
         "comment": pa.array(comments, pa.string())})
     return ray.data.from_arrow(t)
+
+
+@register_source("pnm")
+def _src_pnm(paths, **kwargs):
+    import ray.data
+
+    from .io.pnm import read_pnm
+
+    return ray.data.from_arrow(_raster_rows(paths, read_pnm))
+
+
+@register_source("gsbg")
+def _src_gsbg(paths, **kwargs):
+    import ray.data
+
+    from .io.gsg import read_gsbg
+
+    return ray.data.from_arrow(_raster_rows(paths, read_gsbg))
+
+
+@register_source("gs7bg")
+def _src_gs7bg(paths, **kwargs):
+    import ray.data
+
+    from .io.gsg import read_gs7bg
+
+    return ray.data.from_arrow(_raster_rows(paths, read_gs7bg))
+
+
+@register_source("lan")
+def _src_lan(paths, **kwargs):
+    import ray.data
+
+    from .io.rawgrids import read_lan
+
+    return ray.data.from_arrow(_raster_rows(paths, read_lan))
+
+
+@register_source("paux")
+def _src_paux(paths, **kwargs):
+    import ray.data
+
+    from .io.rawgrids import read_paux
+
+    return ray.data.from_arrow(_raster_rows(paths, read_paux))
+
+
+@register_source("byn")
+def _src_byn(paths, **kwargs):
+    import ray.data
+
+    from .io.rawgrids import read_byn
+
+    return ray.data.from_arrow(_raster_rows(paths, read_byn))
+
+
+@register_source("kro")
+def _src_kro(paths, **kwargs):
+    import ray.data
+
+    from .io.rawgrids import read_kro
+
+    return ray.data.from_arrow(_raster_rows(paths, read_kro))
+
+
+@register_source("terragen")
+def _src_terragen(paths, **kwargs):
+    import ray.data
+
+    from .io.rawgrids import read_terragen
+
+    def rd(p):
+        arr, gt, _meta = read_terragen(p)
+        return arr, gt, None
+
+    return ray.data.from_arrow(_raster_rows(paths, rd))
+
+
+@register_source("zmap")
+def _src_zmap(paths, **kwargs):
+    import ray.data
+
+    from .io.zmap import read_zmap
+
+    return ray.data.from_arrow(_raster_rows(paths, read_zmap))
+
+
+def _pnm_writer():
+    from .io.pnm import write_pnm
+
+    def w(a, gt, path):
+        write_pnm(a, path)
+    return w, ".pgm"
+
+
+def _gsbg_writer():
+    from .io.gsg import write_gsbg
+
+    def w(a, gt, path):
+        write_gsbg(a, gt, path)
+    return w, ".grd"
+
+
+def _gs7bg_writer():
+    from .io.gsg import write_gs7bg
+
+    def w(a, gt, path):
+        write_gs7bg(a, gt, path)
+    return w, ".grd"
+
+
+def _kro_writer():
+    from .io.rawgrids import write_kro
+
+    def w(a, gt, path):
+        write_kro(a, path)
+    return w, ".kro"
+
+
+def _zmap_writer():
+    from .io.zmap import write_zmap
+
+    def w(a, gt, path):
+        write_zmap(a, gt, path)
+    return w, ".zmap"
+
+
+SINK_REGISTRY["pnm"] = _per_row_raster_sink(_pnm_writer)
+SINK_REGISTRY["gsbg"] = _per_row_raster_sink(_gsbg_writer)
+SINK_REGISTRY["gs7bg"] = _per_row_raster_sink(_gs7bg_writer)
+SINK_REGISTRY["kro"] = _per_row_raster_sink(_kro_writer)
+SINK_REGISTRY["zmap"] = _per_row_raster_sink(_zmap_writer)

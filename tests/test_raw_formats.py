@@ -1,0 +1,158 @@
+"""PNM / Golden Software / LAN / PAux / BYN / KRO / Terragen / ZMap
+drivers vs the reference's published expectations.
+
+Checksums are the values asserted in ``autotest/gdrivers/{pnm,gsg,
+lan,paux,byn,kro,terragen,zmap}.py`` on the same fixture files (or,
+for the create-only KRO/ZMap tests, on round-trips through the same
+sources the reference uses).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from raydal.io.gsg import read_gs7bg, read_gsbg, write_gs7bg, write_gsbg
+from raydal.io.pnm import read_pnm, write_pnm
+from raydal.io.rawgrids import (read_byn, read_kro, read_lan, read_paux,
+                                read_terragen, write_kro)
+from raydal.io.tiff import read_tiff
+from raydal.io.zmap import read_zmap, write_zmap
+from raydal.kernels.checksum import checksum
+
+DATA = "/root/reference/autotest/gdrivers/data/"
+GCORE = "/root/reference/autotest/gcore/data/"
+
+
+@pytest.mark.parametrize("fname,band,cs", [
+    ("pnm/byte.pgm", 1, 4672),            # pnm.py test_pnm_1
+    ("pnm/rgbsmall.ppm", 2, 21053),       # pnm.py test_pnm_2
+    ("lan/fakelan.lan", 1, 10),           # lan.py test_lan_1
+    ("lan/fakelan4bit.lan", 1, 10),       # lan.py test_lan_2
+    ("paux/small16.raw", 2, 12816),       # paux.py test_paux_1
+    ("byn/cgg2013ai08_reduced.byn", 1, 64764),        # byn.py
+    ("byn/test_invalid_header_bytes.byn", 1, 64764),  # byn.py
+    ("gsg/gsg_binary.grd", 1, 4672),      # gsg.py test_gsg_1
+    ("gsg/gsg_7binary.grd", 1, 4672),     # gsg.py test_gsg_2
+    ("terragen/float32.ter", 1, 1128),    # terragen.py test_terragen_1
+])
+def test_published_checksums(fname, band, cs):
+    readers = {"pnm": read_pnm, "lan": read_lan, "pau": read_paux,
+               "byn": read_byn, "ter": read_terragen}
+    key = fname.split("/")[0][:3]
+    if key == "gsg":
+        rd = read_gs7bg if "7" in fname else read_gsbg
+    else:
+        rd = readers[key]
+    arr, _gt, _nd = rd(DATA + fname)
+    assert checksum(arr[band - 1]) == cs
+
+
+def test_gsg_geotransform_matches_byte_tif():
+    # both Surfer fixtures were generated from byte.tif: cell-center
+    # header extents must recover the byte.tif corner geotransform
+    for rd, f in ((read_gsbg, "gsg/gsg_binary.grd"),
+                  (read_gs7bg, "gsg/gsg_7binary.grd")):
+        _a, gt, _ = rd(DATA + f)
+        assert gt == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+
+
+def test_gsg_writers_roundtrip(tmp_path):
+    arr, gt, _ = read_gsbg(DATA + "gsg/gsg_binary.grd")
+    p6 = str(tmp_path / "rt6.grd")
+    write_gsbg(arr, gt, p6)
+    a2, gt2, nd = read_gsbg(p6)
+    assert checksum(a2[0]) == 4672 and gt2 == gt
+    p7 = str(tmp_path / "rt7.grd")
+    write_gs7bg(arr, gt, p7)
+    a3, gt3, _ = read_gs7bg(p7)
+    assert checksum(a3[0]) == 4672 and gt3 == gt
+
+
+def test_paux_geotransform():
+    _a, gt, _ = read_paux(DATA + "paux/small16.raw")
+    assert gt == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+
+
+def test_byn_geotransform_degrees():
+    _a, gt, nd = read_byn(DATA + "byn/cgg2013ai08_reduced.byn")
+    # half-cell-extended arcsec extents over Canada, in degrees
+    assert gt[1] > 0 and gt[5] < 0 and -180 < gt[0] < 0 and \
+        40 < gt[3] <= 90
+    assert nd == 9999000.0          # Int32: 9999 * factor(1000)
+
+
+def test_pnm_writer_roundtrip(tmp_path):
+    arr, _, _ = read_pnm(DATA + "pnm/rgbsmall.ppm")
+    p = str(tmp_path / "rt.ppm")
+    write_pnm(arr, p)
+    a2, _, _ = read_pnm(p)
+    assert checksum(a2[1]) == 21053
+    # 16-bit path (maxval > 255 → big-endian shorts)
+    g16 = (arr[0].astype(np.uint16) * 257)
+    p16 = str(tmp_path / "rt16.pgm")
+    write_pnm(g16, p16)
+    a3, _, _ = read_pnm(p16)
+    assert np.array_equal(a3[0], g16)
+
+
+@pytest.mark.parametrize("src,band,cs,dtype", [
+    (DATA + "rgbsmall.tif", 2, 21053, np.uint8),   # kro.py test_kro_2
+    (GCORE + "uint16.tif", 1, 4672, np.uint16),    # kro.py test_kro_3
+    (GCORE + "float32.tif", 1, 4672, np.float32),  # kro.py test_kro_4
+])
+def test_kro_roundtrip_published(tmp_path, src, band, cs, dtype):
+    r = read_tiff(open(src, "rb").read())
+    p = str(tmp_path / "rt.kro")
+    write_kro(np.stack(r.bands).astype(dtype), p)
+    arr, _, _ = read_kro(p)
+    assert checksum(arr[band - 1]) == cs
+
+
+def test_kro_rgba16_published(tmp_path):
+    # kro.py test_kro_5: 16-bit RGBA from png/rgba16.png, band 1 = 1886
+    from raydal.io.png import decode_png
+    px = np.asarray(decode_png(
+        open(DATA + "png/rgba16.png", "rb").read()))
+    p = str(tmp_path / "rgba16.kro")
+    write_kro(np.ascontiguousarray(px.transpose(2, 0, 1))
+              .astype(np.uint16), p)
+    arr, _, _ = read_kro(p)
+    assert arr.shape[0] == 4 and checksum(arr[0]) == 1886
+
+
+def test_zmap_roundtrip_published(tmp_path):
+    # zmap.py test_zmap_1: byte.tif → ZMap → checksum 4672
+    r = read_tiff(open(GCORE + "byte.tif", "rb").read())
+    p = str(tmp_path / "byte.zmap")
+    write_zmap(np.asarray(r.bands[0], np.float64), r.geotransform, p)
+    arr, gt, nodata = read_zmap(p)
+    assert checksum(arr[0]) == 4672
+    assert gt == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+    assert nodata == 1e30
+
+
+def test_terragen_scale_offset():
+    # terragendataset.cpp:778-779: scale = SCAL/65536*heightscale,
+    # offset = SCAL*baseheight
+    _a, _gt, meta = read_terragen(DATA + "terragen/float32.ter")
+    assert meta["scale"] == pytest.approx(60.0 / 65536.0 * 6)
+    assert meta["offset"] == pytest.approx(120.0)
+
+
+def test_ray_source_registry(ray_session, tmp_path):
+    from raydal.pipeline import SINK_REGISTRY, SOURCE_REGISTRY
+
+    rows = SOURCE_REGISTRY["gsbg"](DATA + "gsg/gsg_binary.grd") \
+        .take_all()
+    assert len(rows) == 1 and rows[0]["w"] == 20
+    arr = np.frombuffer(rows[0]["data"],
+                        dtype=rows[0]["dtype"]).reshape(20, 20)
+    assert checksum(arr) == 4672
+
+    out = SINK_REGISTRY["zmap"](
+        SOURCE_REGISTRY["gsbg"](DATA + "gsg/gsg_binary.grd"),
+        str(tmp_path / "zm_out"))
+    paths = [r["path"] for r in out.take_all()]
+    arr, _gt, _ = read_zmap(paths[0])
+    assert checksum(arr[0]) == 4672
