@@ -299,3 +299,41 @@ def read_geojson_dataset(src, **kwargs):
     import ray.data
 
     return ray.data.from_arrow(read_geojson(src, **kwargs))
+
+
+def read_geojson_seq(src, wkb_col="wkb"):
+    """GeoJSON Text Sequence → Arrow table.
+
+    Both published variants (``ogr/ogrsf_frmts/geojson/
+    ogrgeojsonseqdriver.cpp``): RFC 8142 RS-separated (``\\x1e``
+    prefix, features may span lines — .geojsons) and
+    newline-delimited (one feature per line — .geojsonl/ndjson).
+    Published parity: ``autotest/ogr/ogr_geojson_seq.py`` fixtures.
+    """
+    if isinstance(src, (bytes, bytearray)):
+        text = src.decode("utf-8-sig")
+    else:
+        with open(src, encoding="utf-8-sig") as f:
+            text = f.read()
+    if "\x1e" in text:
+        chunks = [c for c in text.split("\x1e") if c.strip()]
+    else:
+        chunks = [ln for ln in text.splitlines() if ln.strip()]
+    feats = [json.loads(c) for c in chunks]
+    return read_geojson(json.dumps(
+        {"type": "FeatureCollection", "features": feats}),
+        wkb_col=wkb_col)
+
+
+def write_geojson_seq(table, path, wkb_col="wkb", fid_col="fid",
+                      rs=False):
+    """Arrow table → GeoJSON Text Sequence file (newline-delimited by
+    default; ``rs=True`` emits RFC 8142 RS separators)."""
+    doc = json.loads(write_geojson(table, wkb_col=wkb_col,
+                                   fid_col=fid_col))
+    with open(path, "w", encoding="utf-8") as f:
+        for feat in doc["features"]:
+            if rs:
+                f.write("\x1e")
+            f.write(json.dumps(feat) + "\n")
+    return path

@@ -1663,3 +1663,43 @@ SINK_REGISTRY["gsbg"] = _per_row_raster_sink(_gsbg_writer)
 SINK_REGISTRY["gs7bg"] = _per_row_raster_sink(_gs7bg_writer)
 SINK_REGISTRY["kro"] = _per_row_raster_sink(_kro_writer)
 SINK_REGISTRY["zmap"] = _per_row_raster_sink(_zmap_writer)
+
+
+@register_source("gmt")
+def _src_gmt(src, **kwargs):
+    import ray.data
+
+    from .io.gmt import read_gmt
+
+    return ray.data.from_arrow(read_gmt(src))
+
+
+@register_sink("gmt")
+def _sink_gmt(ds, path, **kwargs):
+    import pyarrow as pa
+
+    from .io.gmt import write_gmt
+
+    tables = [pa.Table.from_pandas(b) for b in
+              ds.iter_batches(batch_format="pandas")]
+    return write_gmt(pa.concat_tables(tables), path, **kwargs)
+
+
+@register_source("geojsonseq")
+def _src_geojsonseq(src, **kwargs):
+    import ray.data
+
+    from .io.geojson import read_geojson_seq
+
+    return ray.data.from_arrow(read_geojson_seq(src, **kwargs))
+
+
+@register_sink("geojsonseq")
+def _sink_geojsonseq(ds, path, **kwargs):
+    import pyarrow as pa
+
+    from .io.geojson import write_geojson_seq
+
+    tables = [pa.Table.from_pandas(b) for b in
+              ds.iter_batches(batch_format="pandas")]
+    return write_geojson_seq(pa.concat_tables(tables), path, **kwargs)
