@@ -45,7 +45,7 @@ import numpy as np
 
 from .png import decode_png
 
-__all__ = ["read_grib"]
+__all__ = ["read_grib", "write_grib2"]
 
 UNDEFINED = 9999.0          # degrib UNDEFINED_PRIM nodata
 UNDEFINED_RAW = 9.999e20    # degrib UNDEFINED sentinel pre-reset
@@ -625,3 +625,156 @@ def read_grib(src):
             out[:cj, :ci] = a[:cj, :ci]
             b["data"] = out
     return bands
+
+
+# ---------------------------------------------------------------- write
+
+def _sm_bytes(v, nbytes):
+    """Signed-magnitude big-endian encode (WMO negative convention)."""
+    v = int(v)
+    if v < 0:
+        return (-v | (1 << (nbytes * 8 - 1))).to_bytes(nbytes, "big")
+    return v.to_bytes(nbytes, "big")
+
+
+_LN2 = np.float32(0.69314718)       # g2clib alog2 (simpack.c)
+
+
+def _simpack(fld, d=0, nbits=0):
+    """g2clib ``simpack`` port (simpack.c): choose nbits/E, quantize.
+
+    Returns (ref float32, E, D, nbits, packed bytes).  The float32
+    arithmetic mirrors the C exactly — RINT is floor(x+0.5)
+    (grib2.h:206) and the log/ceil run on float intermediates — so
+    the reference's re-encode checksums (41640 for ds.mint band 1
+    under DATA_ENCODING=SIMPLE_PACKING) reproduce bit-for-bit.
+    """
+    fld = np.asarray(fld, np.float32).ravel()
+    dscale = np.float32(10.0 ** d)
+    rmin = np.float32(fld.min())
+    rmax = np.float32(fld.max())
+    rmin_d = np.float32(rmin * dscale)
+    rmax_d = np.float32(rmax * dscale)
+    e = 0
+    if (rmax_d - rmin_d >= 1) or (rmin != rmax and nbits != 0):
+        if dscale != np.float32(1.0):
+            rmin_d = np.float32(np.floor(rmin_d))
+        if nbits == 0:
+            temp = np.float32(
+                np.float32(np.log(np.ceil(np.float32(rmax_d - rmin_d))))
+                / _LN2)
+            nbits = min(31, int(np.ceil(temp)))
+            # RINT = floor(x + 0.5) with the float32 value promoted
+            # to double first (grib2.h:206)
+            ifld = np.floor((fld * dscale - rmin_d)
+                            .astype(np.float64) + 0.5).astype(np.int64)
+        else:
+            maxnum = 2.0 ** nbits - 1
+            temp = np.float32(
+                np.float32(np.log(np.float32(
+                    maxnum / np.float32(rmax_d - rmin_d)))) / _LN2)
+            e = int(np.ceil(-1.0 * float(temp)))
+            bscale = np.float32(2.0 ** -e)
+            ifld = np.floor(((fld * dscale - rmin_d) * bscale)
+                            .astype(np.float64) + 0.5).astype(np.int64)
+        ref = rmin_d
+        bits = ((ifld[:, None] >> np.arange(nbits - 1, -1, -1)) & 1) \
+            .astype(np.uint8).ravel()
+        packed = np.packbits(bits).tobytes()
+    else:
+        e = d = nbits = 0
+        ref = np.float32(np.floor(float(rmin) * float(dscale))
+                         / float(dscale)) \
+            if dscale != np.float32(1.0) else rmin
+        packed = b""
+    return float(ref), e, d, nbits, packed
+
+
+def write_grib2(data, geotransform, path=None, param=(0, 3, 0),
+                decimal_scale=0, nbits=0, encoding="simple",
+                nodata=None):
+    """north-up 2-D array + geotransform → single-message GRIB2 file
+    (bytes returned; also written to ``path`` when given).
+
+    Follows the reference writer (``frmts/grib/gribcreatecopy.cpp``):
+    simple packing through the simpack parameter selection
+    (WriteSimplePacking, gribcreatecopy.cpp:1025-1100) or raw IEEE
+    float (template 5.4, WriteIEEE); temperature params ([K] per
+    table 4.2) get the +273.15 C→K offset the reference applies
+    before packing (ComputeValOffset, gribcreatecopy.cpp:2311) so a
+    read-modify-write round-trip is stable under unit normalization.
+    Grid: template 3.0 lat/lon, microdegree encoding, 0-360
+    longitudes (Lon180to360, gribcreatecopy.cpp:36).
+    """
+    a = np.asarray(data, np.float64)
+    if a.ndim == 3:
+        a = a[0]
+    nj, ni = a.shape
+    gt = geotransform
+    fld = a.astype(np.float32)
+    if param in _G2_KELVIN_PARAMS:
+        # C→K before packing; nodata points are NOT offset — the
+        # reference's GetFloatData skips them before applying
+        # m_fValOffset (gribcreatecopy.cpp:952-968), which the
+        # published ds.mint re-encode checksum 41640 depends on
+        shifted = fld + np.float32(273.15)
+        fld = shifted if nodata is None else np.where(
+            fld == np.float32(nodata), fld, shifted)
+
+    if encoding == "simple":
+        ref, e, d, nb, packed = _simpack(fld, decimal_scale, nbits)
+        sec5 = (struct.pack(">IBIH", 21, 5, ni * nj, 0)
+                + struct.pack(">f", ref)
+                + _sm_bytes(e, 2) + _sm_bytes(d, 2)
+                + bytes([nb, 0]))
+        sec7 = struct.pack(">IB", 5 + len(packed), 7) + packed
+    elif encoding == "ieee":
+        payload = fld.astype(">f4").tobytes()
+        # template 5.4: octet 12 = precision (1 = IEEE 32-bit)
+        sec5 = struct.pack(">IBIH", 12, 5, ni * nj, 4) + bytes([1])
+        sec7 = struct.pack(">IB", 5 + len(payload), 7) + payload
+    else:
+        raise ValueError(f"unsupported encoding {encoding!r}")
+
+    # section 3: lat/lon template 3.0, cell centers in microdegrees
+    lat1 = gt[3] + gt[5] / 2
+    lon1 = (gt[0] + gt[1] / 2) % 360.0
+    lat2 = lat1 + (nj - 1) * gt[5]
+    lon2 = (lon1 + (ni - 1) * gt[1]) % 360.0
+    u = 1e6
+
+    def ang(v):
+        return _sm_bytes(int(round(v * u)), 4)
+
+    sec3 = (struct.pack(">IBBIBBH", 72, 3, 0, ni * nj, 0, 0, 0)
+            + bytes([6]) + b"\xff" * 15        # sphere, missing radii
+            + struct.pack(">II", ni, nj)
+            + struct.pack(">II", 0, 0xFFFFFFFF)  # basic angle/subdiv
+            + ang(lat1) + ang(lon1) + bytes([0x30])
+            + ang(lat2) + ang(lon2)
+            + struct.pack(">II", int(round(gt[1] * u)),
+                          int(round(-gt[5] * u)))
+            + bytes([0]))                      # scan: +i, -j, row-major
+    assert len(sec3) == 72
+
+    sec4 = (struct.pack(">IBHH", 34, 4, 0, 0)
+            + bytes([param[1], param[2], 0, 0, 0]) + b"\x00\x00"
+            + bytes([0, 1]) + struct.pack(">I", 0)
+            + bytes([1, 0]) + struct.pack(">I", 0)
+            + bytes([255, 0xFF]) + b"\xff\xff\xff\xff")
+    assert len(sec4) == 34
+
+    sec1 = (struct.pack(">IBHHBBB", 21, 1, 0, 0, 2, 1, 1)
+            + struct.pack(">HBBBBB", 2000, 1, 1, 0, 0, 0)
+            + bytes([0, 1]))
+    assert len(sec1) == 21
+    sec6 = struct.pack(">IBB", 6, 6, 255)
+
+    body = sec1 + sec3 + sec4 + sec5 + sec6 + sec7
+    total = 16 + len(body) + 4
+    msg = (b"GRIB" + b"\x00\x00" + bytes([param[0], 2])
+           + struct.pack(">Q", total) + body + b"7777")
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(msg)
+    return msg

@@ -1703,3 +1703,15 @@ def _sink_geojsonseq(ds, path, **kwargs):
     tables = [pa.Table.from_pandas(b) for b in
               ds.iter_batches(batch_format="pandas")]
     return write_geojson_seq(pa.concat_tables(tables), path, **kwargs)
+
+
+def _grib_writer():
+    from .io.grib import write_grib2
+
+    def w(a, gt, path):
+        write_grib2(a, gt if gt is not None
+                    else (0.0, 1e-4, 0.0, 0.0, 0.0, -1e-4), path=path)
+    return w, ".grb2"
+
+
+SINK_REGISTRY["grib"] = _per_row_raster_sink(_grib_writer)

@@ -4799,6 +4799,59 @@ FROM customer
 """
 
 
+def q91_grib_roundtrip(sf_dir):
+    """GRIB2 codec driven per row, oracled in SQL.
+
+    Per nation key a deterministic 96×96 integer field
+    (val = (911k + 17r + 43c + 2rc) mod 1500 − 250) is encoded as a
+    single-message GRIB2 file (io/grib.py write_grib2 — template 3.0
+    lat/lon grid, simple packing through the g2clib simpack parameter
+    selection; writer validated against the reference's published
+    re-encode checksum 41640 on ds.mint.bin and the byte.tif 4672
+    matrix, ``autotest/gdrivers/grib.py`` write tests) and decoded
+    with read_grib (validated on 17 published fixture checksums).
+    Integer-valued fields round-trip exactly under simple packing
+    (step 1, float32-exact magnitudes), so the query reports the
+    decoded value sum and a mismatch count pinned at 0; the oracle
+    expands the same formula over a generate_series cross join.
+    """
+    from .io.grib import read_grib, write_grib2
+
+    r = np.arange(96, dtype=np.int64)[:, None]
+    c = np.arange(96, dtype=np.int64)[None, :]
+    base = 17 * r + 43 * c + 2 * r * c
+    gt = (2.0, 0.01, 0.0, 50.0, 0.0, -0.01)
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["n_nationkey"], dtype=np.int64)
+        sums, mism = [], []
+        for k in keys:
+            grid = ((911 * int(k) + base) % 1500 - 250) \
+                .astype(np.float64)
+            out = read_grib(write_grib2(grid, gt))[0]["data"]
+            sums.append(int(out.astype(np.int64).sum()))
+            mism.append(int((out != grid).sum()))
+        return pa.Table.from_pydict({
+            "n_nationkey": t["n_nationkey"],
+            "val_sum": pa.array(sums, pa.int64()),
+            "mismatch": pa.array(mism, pa.int64())})
+
+    return (_read(sf_dir, "nation", ["n_nationkey"])
+            .map_batches(fn, batch_format="pyarrow", batch_size=32))
+
+
+SQL_Q91 = """
+SELECT n_nationkey,
+       CAST(SUM((911 * n_nationkey + 17 * r.g + 43 * c.g
+                 + 2 * r.g * c.g) % 1500 - 250) AS BIGINT) AS val_sum,
+       CAST(0 AS BIGINT) AS mismatch
+FROM nation,
+     generate_series(0, 95) r(g),
+     generate_series(0, 95) c(g)
+GROUP BY n_nationkey
+"""
+
+
 def q87_contour_polygon_bands(sf_dir):
     """Polygonal contouring (POLYGONIZE mode) with a closed-form
     oracle.
@@ -4957,6 +5010,7 @@ QUERIES = {
     "q88_ogg_roundtrip": (q88_ogg_roundtrip, SQL_Q88),
     "q89_dted_roundtrip": (q89_dted_roundtrip, SQL_Q89),
     "q90_kml_gpx_roundtrip": (q90_kml_gpx_roundtrip, SQL_Q90),
+    "q91_grib_roundtrip": (q91_grib_roundtrip, SQL_Q91),
 }
 
 
@@ -4979,7 +5033,8 @@ def query_fns():
              "q83_gcp_warp_parity", "q84_curve_metrics",
              "q85_webp_roundtrip", "q86_flac_roundtrip",
              "q87_contour_polygon_bands", "q88_ogg_roundtrip",
-             "q89_dted_roundtrip", "q90_kml_gpx_roundtrip"}
+             "q89_dted_roundtrip", "q90_kml_gpx_roundtrip",
+             "q91_grib_roundtrip"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}

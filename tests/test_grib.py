@@ -116,3 +116,66 @@ def test_ray_source_registry(ray_session):
     assert checksum(arr) == 46927
     assert r["nodata"] == 9999.0
     assert r["element"] == "TMIN"
+
+
+# ------------------------------------------------------------- writer
+
+GT = (2.0, 0.01, 0.0, 50.0, 0.0, -0.01)
+
+
+def _byte_band():
+    from raydal.io.tiff import read_tiff
+    r = read_tiff(open("/root/reference/autotest/gcore/data/byte.tif",
+                       "rb").read())
+    return np.asarray(r.bands[0], np.float64), r
+
+
+def test_write_simple_packing_lossless():
+    # grib.py test_grib_grib2_write_data_encodings: byte.tif survives
+    # SIMPLE_PACKING (4672) including DECIMAL_SCALE_FACTOR=1
+    from raydal.io.grib import write_grib2
+    a, _ = _byte_band()
+    for kw in ({}, {"decimal_scale": 1}, {"encoding": "ieee"}):
+        b = read_grib(write_grib2(a, GT, **kw))[0]
+        assert checksum(b["data"]) == 4672, kw
+
+
+def test_write_geotransform_roundtrip():
+    from raydal.io.grib import write_grib2
+    a, _ = _byte_band()
+    b = read_grib(write_grib2(a, GT))[0]
+    got = b["geotransform"]
+    assert got == pytest.approx(GT, abs=1e-9)
+
+
+def test_write_mint_reencode_published_41640():
+    # grib.py test_grib_grib2_write_data_encodings_warnings_and_errors:
+    # CreateCopy(ds.mint.bin, DATA_ENCODING=SIMPLE_PACKING) band 1 =
+    # 41640.  The reference reuses the source band's DRS_NBITS (7) and
+    # DRS_DECIMAL_SCALE_FACTOR (1) (gribcreatecopy.cpp:2020-2067),
+    # applies the +273.15 C→K offset to data points only (nodata 9999
+    # is packed raw), and simpack picks E via the fixed-nbits branch.
+    from raydal.io.grib import write_grib2
+    b1 = read_grib(DATA + "ds.mint.bin")[0]
+    msg = write_grib2(b1["data"], GT, param=(0, 0, 5),
+                      decimal_scale=1, nbits=7, nodata=9999.0)
+    rb = read_grib(msg)[0]
+    assert checksum(rb["data"]) == 41640
+    assert rb["comment"] == "Minimum temperature [C]"
+
+
+def test_write_constant_field_zero_bits():
+    from raydal.io.grib import write_grib2
+    a = np.full((8, 8), 3.25)
+    b = read_grib(write_grib2(a, GT))[0]
+    assert np.allclose(b["data"], np.float32(3.25))
+
+
+def test_write_fixed_nbits_quantizes():
+    from raydal.io.grib import write_grib2
+    a, _ = _byte_band()
+    b = read_grib(write_grib2(a, GT, nbits=5))[0]
+    # 5-bit quantization of range 181: simpack picks binary scale
+    # E = ceil(log2(181/31)) = 3 → step 8, max error 4
+    assert checksum(b["data"]) == 4653
+    assert np.abs(b["data"] - a).max() <= 4.0
