@@ -1715,3 +1715,23 @@ def _grib_writer():
 
 
 SINK_REGISTRY["grib"] = _per_row_raster_sink(_grib_writer)
+
+
+@register_source("mif")
+def _src_mif(src, **kwargs):
+    import ray.data
+
+    from .io.mif import read_mif
+
+    return ray.data.from_arrow(read_mif(src))
+
+
+@register_sink("mif")
+def _sink_mif(ds, path, **kwargs):
+    import pyarrow as pa
+
+    from .io.mif import write_mif
+
+    tables = [pa.Table.from_pandas(b) for b in
+              ds.iter_batches(batch_format="pandas")]
+    return write_mif(pa.concat_tables(tables), path, **kwargs)
