@@ -1735,3 +1735,14 @@ def _sink_mif(ds, path, **kwargs):
     tables = [pa.Table.from_pandas(b) for b in
               ds.iter_batches(batch_format="pandas")]
     return write_mif(pa.concat_tables(tables), path, **kwargs)
+
+
+@register_sink("pgdump")
+def _sink_pgdump(ds, path, **kwargs):
+    import pyarrow as pa
+
+    from .io.pgdump import write_pgdump
+
+    tables = [pa.Table.from_pandas(b) for b in
+              ds.iter_batches(batch_format="pandas")]
+    return write_pgdump(pa.concat_tables(tables), path, **kwargs)
