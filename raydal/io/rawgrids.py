@@ -272,3 +272,93 @@ def read_terragen(src):
         else:
             raise ValueError(f"unknown Terragen chunk {tag!r}")
     raise ValueError("no ALTW chunk in Terragen file")
+
+
+# -------------------------------------------------------- Leveller
+
+def read_leveller(src):
+    """Leveller .ter heightfield → (array[1, h, w] float32, None,
+    {scale, base}).
+
+    Reference semantics (``frmts/leveller/levellerdataset.cpp``):
+    ``trrn`` magic + version byte, then tags of the form
+    [len-u8][name][datalen-u32-LE][data] (locate_data,
+    levellerdataset.cpp:977-1022); the band surfaces the RAW
+    ``hf_data`` float32 rows top-down (IReadBlock :520-560; versions
+    < 6 store 16.16 fixed point /65536), with coordsys_em_scale/base
+    exposed as band scale/offset, not applied.  Published parity:
+    ter6test.ter checksum 33441 (``autotest/gdrivers/leveller.py``).
+    """
+    buf = _load(src)
+    if buf[:4] != b"trrn":
+        raise ValueError("not a Leveller terrain file")
+    version = buf[4]
+    tags = {}
+    pos = 5
+    while pos < len(buf):
+        n = buf[pos]
+        if n == 0 or n > 64:
+            break
+        name = buf[pos + 1:pos + 1 + n].decode("ascii", "replace")
+        datalen = struct.unpack_from("<I", buf, pos + 1 + n)[0]
+        off = pos + 1 + n + 4
+        tags[name] = (off, datalen)
+        pos = off + datalen
+
+    def tag_int(name):
+        off, ln = tags[name]
+        return int.from_bytes(buf[off:off + ln], "little")
+
+    w = tag_int("hf_w")
+    h = tag_int("hf_b")
+    off, ln = tags["hf_data"]
+    if version >= 6:
+        arr = np.frombuffer(buf, "<f4", count=w * h,
+                            offset=off).reshape(h, w)
+    else:
+        arr = (np.frombuffer(buf, "<i4", count=w * h, offset=off)
+               .astype(np.float32) / 65536.0).reshape(h, w)
+    meta = {}
+    for key, name in (("scale", "coordsys_em_scale"),
+                      ("base", "coordsys_em_base")):
+        if name in tags:
+            o, ln2 = tags[name]
+            meta[key] = struct.unpack_from("<d", buf, o)[0]
+    return arr[None].astype(np.float32), None, meta or None
+
+
+# ------------------------------------------------------------ ACE2
+
+def read_ace2(path):
+    """ACE2 tile → (array[1, n, n], geotransform, None).
+
+    Reference semantics (``frmts/raw/ace2dataset.cpp``): the grid is
+    headerless raw data whose geometry comes from the FILENAME —
+    ``{lat}{N|S}{lon}{E|W}_{res}.ACE2`` is a 15°×15° tile anchored at
+    that south-west corner; dims = sqrt(filesize/4) (float32 data;
+    quality/confidence files are int16).  Published parity: the
+    constructed 45N015E_5M fixture expects gt (15, 0.0833…, 0, 60,
+    0, -0.0833…) and checksum 0 (``autotest/gdrivers/ace2.py``).
+    """
+    import os
+    import re as _re
+
+    name = os.path.basename(str(path))
+    m = _re.match(r"(\d+)([NS])(\d+)([EW])_", name, _re.I)
+    if not m:
+        raise ValueError("ACE2 geometry is filename-encoded")
+    lat = int(m.group(1)) * (1 if m.group(2).upper() == "N" else -1)
+    lon = int(m.group(3)) * (1 if m.group(4).upper() == "E" else -1)
+    buf = _load(path)
+    n4 = int(round((len(buf) / 4) ** 0.5))
+    if n4 * n4 * 4 == len(buf):
+        n, dt = n4, np.dtype("<f4")
+    else:
+        n2 = int(round((len(buf) / 2) ** 0.5))
+        if n2 * n2 * 2 != len(buf):
+            raise ValueError("unexpected ACE2 file size")
+        n, dt = n2, np.dtype("<i2")
+    step = 15.0 / n
+    gt = (float(lon), step, 0.0, float(lat) + 15.0, 0.0, -step)
+    arr = np.frombuffer(buf, dt, count=n * n).reshape(n, n)
+    return arr[None], gt, None

@@ -1746,3 +1746,45 @@ def _sink_pgdump(ds, path, **kwargs):
     tables = [pa.Table.from_pandas(b) for b in
               ds.iter_batches(batch_format="pandas")]
     return write_pgdump(pa.concat_tables(tables), path, **kwargs)
+
+
+@register_source("hf2")
+def _src_hf2(paths, **kwargs):
+    import ray.data
+
+    from .io.hf2 import read_hf2
+
+    return ray.data.from_arrow(_raster_rows(paths, read_hf2))
+
+
+@register_source("leveller")
+def _src_leveller(paths, **kwargs):
+    import ray.data
+
+    from .io.rawgrids import read_leveller
+
+    def rd(p):
+        arr, gt, _meta = read_leveller(p)
+        return arr, gt, None
+
+    return ray.data.from_arrow(_raster_rows(paths, rd))
+
+
+@register_source("ace2")
+def _src_ace2(paths, **kwargs):
+    import ray.data
+
+    from .io.rawgrids import read_ace2
+
+    return ray.data.from_arrow(_raster_rows(paths, read_ace2))
+
+
+def _hf2_writer():
+    from .io.hf2 import write_hf2
+
+    def w(a, gt, path):
+        write_hf2(a, gt, path)
+    return w, ".hf2"
+
+
+SINK_REGISTRY["hf2"] = _per_row_raster_sink(_hf2_writer)

@@ -156,3 +156,63 @@ def test_ray_source_registry(ray_session, tmp_path):
     paths = [r["path"] for r in out.take_all()]
     arr, _gt, _ = read_zmap(paths[0])
     assert checksum(arr[0]) == 4672
+
+
+# ------------------------------------------------- HF2 / Leveller / ACE2
+
+def test_hf2_byte_roundtrip_published(tmp_path):
+    # hf2.py test_hf2_1/2: byte.tif CreateCopy keeps checksum 4672,
+    # including COMPRESS=YES BLOCKSIZE=10 (.hfz)
+    from raydal.io.hf2 import read_hf2, write_hf2
+    r = read_tiff(open(GCORE + "byte.tif", "rb").read())
+    p = str(tmp_path / "byte.hf2")
+    write_hf2(np.asarray(r.bands[0]), r.geotransform, p)
+    a, gt, _ = read_hf2(p)
+    assert checksum(a[0]) == 4672
+    assert gt == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+    pz = str(tmp_path / "byte.hfz")
+    write_hf2(np.asarray(r.bands[0]), r.geotransform, pz,
+              tile_size=10, compress=True)
+    a, _, _ = read_hf2(pz)
+    assert checksum(a[0]) == 4672
+
+
+def test_hf2_n43_roundtrip_published(tmp_path):
+    # hf2.py test_hf2_4: n43.dt0 CreateCopy keeps checksum 49187
+    from raydal.io.dem import read_dted
+    from raydal.io.hf2 import read_hf2, write_hf2
+    arr, gt0, _ = read_dted(DATA + "n43.dt0")
+    p = str(tmp_path / "n43.hf2")
+    write_hf2(arr, gt0, p)
+    a, _, _ = read_hf2(p)
+    assert checksum(a[0]) == 49187
+
+
+def test_hf2_float_path_within_precision(tmp_path):
+    from raydal.io.hf2 import read_hf2, write_hf2
+    r = read_tiff(open(GCORE + "float32.tif", "rb").read())
+    src = np.asarray(r.bands[0], np.float32)
+    p = str(tmp_path / "f32.hf2")
+    write_hf2(src, r.geotransform, p, vert_pres=0.01)
+    a, _, _ = read_hf2(p)
+    assert checksum(a[0]) == 4672
+    assert np.abs(a[0] - src).max() <= 0.01
+
+
+def test_leveller_published():
+    # leveller.py test_leveller_1: ter6test.ter band 1 = 33441
+    from raydal.io.rawgrids import read_leveller
+    a, _gt, _meta = read_leveller(DATA + "leveller/ter6test.ter")
+    assert a.shape == (1, 96, 64)
+    assert checksum(a[0]) == 33441
+
+
+def test_ace2_filename_geometry(tmp_path):
+    # ace2.py test_ace2_1: constructed 45N015E_5M tile → gt + cs 0
+    from raydal.io.rawgrids import read_ace2
+    p = str(tmp_path / "45N015E_5M.ACE2")
+    open(p, "wb").write(b"\x00" * (180 * 180 * 4))
+    a, gt, _ = read_ace2(p)
+    assert checksum(a[0]) == 0
+    assert gt == (15.0, 0.08333333333333333, 0.0,
+                  60.0, 0.0, -0.08333333333333333)
