@@ -362,3 +362,29 @@ def read_ace2(path):
     gt = (float(lon), step, 0.0, float(lat) + 15.0, 0.0, -step)
     arr = np.frombuffer(buf, dt, count=n * n).reshape(n, n)
     return arr[None], gt, None
+
+
+# ------------------------------------------------------------- GTX
+
+def read_gtx(src):
+    """NOAA .gtx vertical-datum shift grid → (array[1, h, w],
+    geotransform, nodata).
+
+    Reference semantics (``frmts/raw/gtxdataset.cpp:216-310``):
+    40-byte big-endian header — lat_ll, lon_ll, dlat, dlon doubles +
+    nrows/ncols int32 — data float32 BE (float64 when the size
+    matches), rows stored south→north (the band maps row 0 to the
+    LAST stored row, :303-308); cell-center origin extended by half a
+    cell; nodata −88.8888 (:151).  Published parity: hydroc1.gtx
+    checksum 64183 (``autotest/gdrivers/gtx.py``).
+    """
+    buf = _load(src)
+    lat_ll, lon_ll, dlat, dlon = struct.unpack_from(">4d", buf, 0)
+    ny, nx = struct.unpack_from(">2i", buf, 32)
+    dt = np.dtype(">f8") if len(buf) - 40 == nx * ny * 8 \
+        else np.dtype(">f4")
+    arr = np.frombuffer(buf, dt, count=nx * ny, offset=40) \
+        .reshape(ny, nx)[::-1]          # south-up storage → north-up
+    gt = (lon_ll - dlon / 2, dlon, 0.0,
+          lat_ll + dlat * (ny - 1) + dlat / 2, 0.0, -dlat)
+    return arr[None], gt, -88.8888

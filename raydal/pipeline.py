@@ -1788,3 +1788,30 @@ def _hf2_writer():
 
 
 SINK_REGISTRY["hf2"] = _per_row_raster_sink(_hf2_writer)
+
+
+@register_source("usgsdem")
+def _src_usgsdem(paths, **kwargs):
+    import ray.data
+
+    from .io.usgsdem import read_usgsdem
+
+    return ray.data.from_arrow(_raster_rows(paths, read_usgsdem))
+
+
+@register_source("gxf")
+def _src_gxf(paths, **kwargs):
+    import ray.data
+
+    from .io.gxf import read_gxf
+
+    return ray.data.from_arrow(_raster_rows(paths, read_gxf))
+
+
+@register_source("gtx")
+def _src_gtx(paths, **kwargs):
+    import ray.data
+
+    from .io.rawgrids import read_gtx
+
+    return ray.data.from_arrow(_raster_rows(paths, read_gtx))

@@ -216,3 +216,46 @@ def test_ace2_filename_geometry(tmp_path):
     assert checksum(a[0]) == 0
     assert gt == (15.0, 0.08333333333333333, 0.0,
                   60.0, 0.0, -0.08333333333333333)
+
+
+# ------------------------------------------- USGSDEM / GXF / GTX
+
+@pytest.mark.parametrize("fname,cs", [
+    ("usgsdem/022gdeme_truncated", 1583),        # usgsdem.py test 1
+    ("usgsdem/39079G6_truncated.dem", 61424),    # test 3 (UTM)
+    ("usgsdem/39109h1_truncated.dem", 39443),    # test 4 (893 offset)
+])
+def test_usgsdem_published(fname, cs):
+    from raydal.io.usgsdem import read_usgsdem
+    a, _gt, nd = read_usgsdem(DATA + fname)
+    assert checksum(a[0]) == cs and nd == -32767.0
+
+
+def test_usgsdem_geotransforms_published():
+    # usgsdem.py test 2/3 geotransform assertions
+    from raydal.io.usgsdem import read_usgsdem
+    _a, gt, _ = read_usgsdem(DATA + "usgsdem/022gdeme_truncated")
+    assert gt == pytest.approx((-67.00041667, 0.00083333, 0.0,
+                                50.000416667, 0.0, -0.00083333),
+                               abs=1e-8)
+    _a, gt, _ = read_usgsdem(DATA + "usgsdem/39079G6_truncated.dem")
+    assert gt == (606855.0, 30.0, 0.0, 4414605.0, 0.0, -30.0)
+
+
+@pytest.mark.parametrize("fname,cs", [
+    ("gxf/small.gxf", 90),           # gxf.py test 1 (GTYPE 0)
+    ("gxf/small2.gxf", 65042),       # gxf.py test 2 (base-90)
+])
+def test_gxf_published(fname, cs):
+    from raydal.io.gxf import read_gxf
+    a, _gt, _nd = read_gxf(DATA + fname)
+    assert checksum(a[0]) == cs
+
+
+def test_gtx_published():
+    # gtx.py test 1: hydroc1.gtx = 64183
+    from raydal.io.rawgrids import read_gtx
+    a, gt, nd = read_gtx(DATA + "gtx/hydroc1.gtx")
+    assert checksum(a[0]) == 64183
+    assert nd == -88.8888
+    assert gt[1] > 0 and gt[5] < 0
