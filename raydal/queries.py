@@ -4852,6 +4852,104 @@ GROUP BY n_nationkey
 """
 
 
+_Q92_FORMATS = ("gsbg", "zmap", "kro", "hf2", "pnm", "grib")
+
+
+def q92_format_matrix(sf_dir):
+    """Round-5 format-driver matrix driven per row, oracled in SQL.
+
+    Per nation key a deterministic 64×64 integer grid
+    (val = (577k + 13r + 29c + rc) mod 1000) is round-tripped
+    through SIX of the from-scratch drivers — Surfer GSBG
+    (io/gsg.py), ZMap Plus ASCII (io/zmap.py), Autopano KRO
+    (io/rawgrids.py), HF2 (io/hf2.py), PNM (io/pnm.py) and GRIB2
+    simple packing (io/grib.py) — every codec in the set validated
+    elsewhere against its own ``autotest`` published checksums.
+    Integer values are exact in all six encodings, so each
+    (nation, format) row reports the decoded sum and a mismatch
+    count pinned at 0; the oracle expands the same formula over a
+    generate_series cross join times the format list.
+    """
+    import os
+    import tempfile
+
+    from .io.grib import read_grib, write_grib2
+    from .io.gsg import read_gsbg, write_gsbg
+    from .io.hf2 import read_hf2, write_hf2
+    from .io.pnm import read_pnm, write_pnm
+    from .io.rawgrids import read_kro, write_kro
+    from .io.zmap import read_zmap, write_zmap
+
+    r = np.arange(64, dtype=np.int64)[:, None]
+    c = np.arange(64, dtype=np.int64)[None, :]
+    base = 13 * r + 29 * c + r * c
+    gt = (10.0, 0.02, 0.0, 55.0, 0.0, -0.02)
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["n_nationkey"], dtype=np.int64)
+        out_k, out_f, sums, mism = [], [], [], []
+        tmp = tempfile.mkdtemp(prefix="raydal_q92_")
+        try:
+            for k in keys:
+                grid = ((577 * int(k) + base) % 1000).astype(np.int64)
+                rts = {
+                    "gsbg": lambda: read_gsbg(_w(
+                        write_gsbg, grid.astype(np.float32), gt,
+                        os.path.join(tmp, "g.grd")))[0][0],
+                    "zmap": lambda: read_zmap(_w(
+                        write_zmap, grid.astype(np.float64), gt,
+                        os.path.join(tmp, "g.zmap")))[0][0],
+                    "kro": lambda: read_kro(write_kro(
+                        grid.astype(np.uint16),
+                        os.path.join(tmp, "g.kro")))[0][0],
+                    "hf2": lambda: read_hf2(_w(
+                        write_hf2, grid.astype(np.int16), gt,
+                        os.path.join(tmp, "g.hf2")))[0][0],
+                    "pnm": lambda: read_pnm(write_pnm(
+                        grid.astype(np.uint16),
+                        os.path.join(tmp, "g.pgm")))[0][0],
+                    "grib": lambda: read_grib(write_grib2(
+                        grid.astype(np.float64), gt))[0]["data"],
+                }
+                for fmt in _Q92_FORMATS:
+                    dec = np.asarray(rts[fmt]()).astype(np.int64)
+                    out_k.append(int(k))
+                    out_f.append(fmt)
+                    sums.append(int(dec.sum()))
+                    mism.append(int((dec != grid).sum()))
+        finally:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+        return pa.Table.from_pydict({
+            "n_nationkey": pa.array(
+                out_k, t.schema.field("n_nationkey").type),
+            "fmt": pa.array(out_f, pa.string()),
+            "val_sum": pa.array(sums, pa.int64()),
+            "mismatch": pa.array(mism, pa.int64())})
+
+    return (_read(sf_dir, "nation", ["n_nationkey"])
+            .map_batches(fn, batch_format="pyarrow", batch_size=32))
+
+
+def _w(writer, arr, gt, path):
+    writer(arr, gt, path)
+    return path
+
+
+SQL_Q92 = """
+SELECT n_nationkey, fmt,
+       CAST(SUM((577 * n_nationkey + 13 * r.g + 29 * c.g
+                 + r.g * c.g) % 1000) AS BIGINT) AS val_sum,
+       CAST(0 AS BIGINT) AS mismatch
+FROM nation,
+     (VALUES ('gsbg'), ('zmap'), ('kro'), ('hf2'), ('pnm'),
+             ('grib')) fmts(fmt),
+     generate_series(0, 63) r(g),
+     generate_series(0, 63) c(g)
+GROUP BY n_nationkey, fmt
+"""
+
+
 def q87_contour_polygon_bands(sf_dir):
     """Polygonal contouring (POLYGONIZE mode) with a closed-form
     oracle.
@@ -5011,6 +5109,7 @@ QUERIES = {
     "q89_dted_roundtrip": (q89_dted_roundtrip, SQL_Q89),
     "q90_kml_gpx_roundtrip": (q90_kml_gpx_roundtrip, SQL_Q90),
     "q91_grib_roundtrip": (q91_grib_roundtrip, SQL_Q91),
+    "q92_format_matrix": (q92_format_matrix, SQL_Q92),
 }
 
 
@@ -5034,7 +5133,7 @@ def query_fns():
              "q85_webp_roundtrip", "q86_flac_roundtrip",
              "q87_contour_polygon_bands", "q88_ogg_roundtrip",
              "q89_dted_roundtrip", "q90_kml_gpx_roundtrip",
-             "q91_grib_roundtrip"}
+             "q91_grib_roundtrip", "q92_format_matrix"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}
