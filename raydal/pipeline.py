@@ -1815,3 +1815,40 @@ def _src_gtx(paths, **kwargs):
     from .io.rawgrids import read_gtx
 
     return ray.data.from_arrow(_raster_rows(paths, read_gtx))
+
+
+@register_source("ers")
+def _src_ers(paths, **kwargs):
+    import ray.data
+
+    from .io.ers import read_ers
+
+    def rd(p):
+        arr, gt, nodata, _stats = read_ers(p)
+        return arr, gt, nodata
+
+    return ray.data.from_arrow(_raster_rows(paths, rd))
+
+
+@register_source("pds")
+def _src_pds(paths, **kwargs):
+    import ray.data
+
+    from .io.pds import read_pds
+
+    def rd(p):
+        arr, gt, nodata, _meta = read_pds(p, **kwargs)
+        return arr, gt, nodata
+
+    return ray.data.from_arrow(_raster_rows(paths, rd))
+
+
+def _ers_writer():
+    from .io.ers import write_ers
+
+    def w(a, gt, path):
+        write_ers(a[None] if a.ndim == 2 else a, gt, path)
+    return w, ".ers"
+
+
+SINK_REGISTRY["ers"] = _per_row_raster_sink(_ers_writer)
