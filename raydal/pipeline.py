@@ -1852,3 +1852,16 @@ def _ers_writer():
 
 
 SINK_REGISTRY["ers"] = _per_row_raster_sink(_ers_writer)
+
+
+@register_source("bsb")
+def _src_bsb(paths, **kwargs):
+    import ray.data
+
+    from .io.bsb import read_bsb
+
+    def rd(p):
+        arr, gt, nodata, _pal = read_bsb(p)
+        return arr, gt, nodata
+
+    return ray.data.from_arrow(_raster_rows(paths, rd))

@@ -96,3 +96,36 @@ def test_ray_registry(ray_session, tmp_path):
     assert checksum(b[0]) == 64074
     assert SOURCE_REGISTRY["pds"](
         DATA + "pds/EN0001426030M_truncated.IMG").count() == 1
+
+
+# ------------------------------------------------------------- BSB
+
+@pytest.mark.parametrize("fname", [
+    "bsb/rgbsmall.kap",                  # bsb.py test_bsb_1/2
+    "bsb/rgbsmall_index.kap",            # test_bsb_4 (offset table)
+    "bsb/transverse_mercator.kap",
+    "bsb/rgbsmall_with_line_break.kap",  # test_bsb_5 (mid-row break)
+])
+def test_bsb_published_checksums(fname):
+    from raydal.io.bsb import read_bsb
+    a, _gt, _nd, pal = read_bsb(DATA + fname)
+    assert checksum(a[0]) == 30321
+    assert len(pal) == 127
+
+
+def test_bsb_truncated_opens():
+    # test_bsb_3/3_2: truncated variants must still decode
+    from raydal.io.bsb import read_bsb
+    for f in ("bsb/rgbsmall_truncated.kap",
+              "bsb/rgbsmall_truncated2.kap"):
+        a, _, _, _ = read_bsb(DATA + f)
+        assert a.shape == (1, 50, 50)
+
+
+def test_bsb_ray_source(ray_session):
+    from raydal.pipeline import SOURCE_REGISTRY
+    rows = SOURCE_REGISTRY["bsb"](DATA + "bsb/rgbsmall.kap").take_all()
+    assert len(rows) == 1 and rows[0]["w"] == 50
+    arr = np.frombuffer(rows[0]["data"],
+                        dtype=rows[0]["dtype"]).reshape(50, 50)
+    assert checksum(arr) == 30321
