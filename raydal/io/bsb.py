@@ -19,6 +19,8 @@ Published parity (``autotest/gdrivers/bsb.py``): rgbsmall.kap =
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 __all__ = ["read_bsb"]
@@ -43,7 +45,6 @@ def read_bsb(src):
     for ln in header.splitlines():
         s = ln.strip()
         if "RA=" in s:
-            import re
             m = re.search(r"RA=(\d+)\s*,\s*(\d+)", s)
             if m:
                 nx, ny = int(m.group(1)), int(m.group(2))

@@ -206,7 +206,9 @@ def _infer_arrow_type(values):
 def read_geojson(src, wkb_col="wkb"):
     """GeoJSON document (path or str) → Arrow table
     (fid, <properties in GDAL DAG order>, wkb)."""
-    if isinstance(src, (bytes, bytearray)):
+    if isinstance(src, (dict, list)):
+        doc = src                        # already parsed
+    elif isinstance(src, (bytes, bytearray)):
         doc = json.loads(src.decode("utf-8-sig"))
     elif isinstance(src, str) and src.lstrip().startswith(("{", "[")):
         doc = json.loads(src)
@@ -320,9 +322,8 @@ def read_geojson_seq(src, wkb_col="wkb"):
     else:
         chunks = [ln for ln in text.splitlines() if ln.strip()]
     feats = [json.loads(c) for c in chunks]
-    return read_geojson(json.dumps(
-        {"type": "FeatureCollection", "features": feats}),
-        wkb_col=wkb_col)
+    return read_geojson({"type": "FeatureCollection",
+                         "features": feats}, wkb_col=wkb_col)
 
 
 def write_geojson_seq(table, path, wkb_col="wkb", fid_col="fid",

@@ -34,13 +34,14 @@ _TYPE_TO_ARROW = {"integer": pa.int64(), "double": pa.float64(),
                   "string": pa.string(), "datetime": pa.string()}
 
 
-def _split_bar(s):
-    """Split on '|' honouring double-quoted fields."""
+def _split_bar(s, delim="|"):
+    """Split on a single-char delimiter honouring double-quoted
+    fields (shared with the MIF/MID driver's MID-row splitter)."""
     out, cur, q = [], [], False
     for c in s:
         if c == '"':
             q = not q
-        elif c == "|" and not q:
+        elif c == delim and not q:
             out.append("".join(cur))
             cur = []
         else:
@@ -102,7 +103,6 @@ def read_gmt(src):
             feats.append((attrs, parts))
         parts, attrs = [], None
 
-    seen_d = False
     for ln in body:
         s = ln.strip()
         if not s:
@@ -116,19 +116,20 @@ def read_gmt(src):
             if m:
                 close_feat()
                 attrs = _split_bar(m.group(1))
-                seen_d = True
             elif re.search(r"@H\b", s):
                 pend_hole = True
             continue
         xy = s.split()
         if len(xy) >= 2:
+            # a POINT layer emits one feature per coordinate line
+            # (the attribute line, when present, binds to the next
+            # point only) — OGR's GMT reader does the same
+            if gtype == "POINT" and cur:
+                close_feat()
             if not cur:
                 hole = pend_hole
                 pend_hole = False
             cur.append((float(xy[0]), float(xy[1])))
-            if gtype in ("POINT", "MULTIPOINT") and gtype == "POINT" \
-                    and not seen_d:
-                pass
     close_feat()
 
     def fmt_pts(c):

@@ -668,6 +668,15 @@ def _simpack(fld, d=0, nbits=0):
             # to double first (grib2.h:206)
             ifld = np.floor((fld * dscale - rmin_d)
                             .astype(np.float64) + 0.5).astype(np.int64)
+            # g2clib's log(ceil(range)) (simpack.c:148, no +1) packs
+            # a power-of-two range one bit short and a range of
+            # exactly 1 into ZERO bits, silently flattening e.g. a
+            # 0/1 mask.  Deviate minimally: widen nbits until the
+            # quantized values actually fit.
+            if len(ifld):
+                imax = int(ifld.max())
+                while nbits < 31 and imax >= (1 << nbits):
+                    nbits += 1
         else:
             maxnum = 2.0 ** nbits - 1
             temp = np.float32(

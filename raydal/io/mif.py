@@ -42,18 +42,11 @@ __all__ = ["read_mif", "write_mif"]
 _INT_TYPES = ("integer", "smallint", "largeint")
 
 
+from .gmt import _split_bar as _split_delim_base
+
+
 def _split_delim(line, delim):
-    out, cur, q = [], [], False
-    for ch in line:
-        if ch == '"':
-            q = not q
-        elif ch == delim and not q:
-            out.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    out.append("".join(cur))
-    return out
+    return _split_delim_base(line, delim)
 
 
 def _fmt(v):

@@ -125,16 +125,19 @@ def write_pgdump(table, path, layer="tpoly", schema="public",
     eol = "\r\n" if crlf else "\n"
     q_schema, q_table = _esc_ident(schema), _esc_ident(layer)
     qual = f"{q_schema}.{q_table}"
+    def lit(s):                          # single-quote escape for
+        return s.replace("'", "''")      # string-literal contexts
+
     lines = [
         f"DROP TABLE IF EXISTS {qual} CASCADE;",
         f"DELETE FROM geometry_columns WHERE f_table_name = "
-        f"'{layer}' AND f_table_schema = '{schema}';",
+        f"'{lit(layer)}' AND f_table_schema = '{lit(schema)}';",
         "BEGIN;",
         f"CREATE TABLE {qual}();",
         f"ALTER TABLE {qual} ADD COLUMN \"ogc_fid\" SERIAL "
         f"CONSTRAINT {_esc_ident(layer + '_pk')} PRIMARY KEY;",
-        f"SELECT AddGeometryColumn('{schema}','{layer}',"
-        f"'{geometry_name}',{srid},'GEOMETRY',{dim});",
+        f"SELECT AddGeometryColumn('{lit(schema)}','{lit(layer)}',"
+        f"'{lit(geometry_name)}',{srid},'GEOMETRY',{dim});",
     ]
 
     lowered = {n: n.lower() for n in attr}
@@ -187,8 +190,11 @@ def write_pgdump(table, path, layer="tpoly", schema="public",
                     continue             # NULL fields omitted
                 cols.append(_esc_ident(lowered[n]))
                 vals.append(_sql_literal(v, table.schema.field(n).type))
-            lines.append(f"INSERT INTO {qual} ({', '.join(cols)}) "
-                         f"VALUES ({', '.join(vals)});")
+            if cols:
+                lines.append(f"INSERT INTO {qual} ({', '.join(cols)})"
+                             f" VALUES ({', '.join(vals)});")
+            else:                        # all-NULL row
+                lines.append(f"INSERT INTO {qual} DEFAULT VALUES;")
 
     lines.append(
         f"CREATE INDEX {_esc_ident(layer + '_' + geometry_name + '_geom_idx')}"

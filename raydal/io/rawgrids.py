@@ -47,7 +47,8 @@ import struct
 import numpy as np
 
 __all__ = ["read_lan", "read_paux", "read_byn", "read_kro",
-           "write_kro", "read_terragen"]
+           "write_kro", "read_terragen", "read_leveller",
+           "read_ace2", "read_gtx"]
 
 
 def _load(src):

@@ -103,3 +103,12 @@ def test_ray_registry_roundtrip(ray_session, tmp_path):
     rt = read_geojson_seq(p)
     assert rt.num_rows == 2 and rt["name"].to_pylist() == \
         ["feature 1", "feature 2"]
+
+
+def test_point_layer_without_attribute_lines():
+    # a bare POINT layer emits one feature per coordinate line
+    t = read_gmt(b"# @VGMT1.0 @GPOINT\n# FEATURE_DATA\n"
+                 b"1 2\n3 4\n5 6\n")
+    assert t.num_rows == 3
+    assert [wkb_to_wkt(b.as_py()) for b in t["wkb"]] == \
+        ["POINT (1 2)", "POINT (3 4)", "POINT (5 6)"]

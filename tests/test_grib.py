@@ -179,3 +179,17 @@ def test_write_fixed_nbits_quantizes():
     # E = ceil(log2(181/31)) = 3 → step 8, max error 4
     assert checksum(b["data"]) == 4653
     assert np.abs(b["data"] - a).max() <= 4.0
+
+
+def test_write_small_range_not_flattened():
+    # g2clib's log(ceil(range)) picks 0 bits for a range of exactly 1
+    # (and one bit short for power-of-two ranges); the writer widens
+    # nbits so the quantized values actually fit
+    from raydal.io.grib import write_grib2
+    mask = (np.arange(32 * 32).reshape(32, 32) % 3 == 0) \
+        .astype(np.float64)
+    rb = read_grib(write_grib2(mask, GT))[0]["data"]
+    assert np.array_equal(rb, mask)
+    r = np.arange(257, dtype=np.float64).reshape(1, 257).repeat(4, 0)
+    rb = read_grib(write_grib2(r, GT))[0]["data"]
+    assert np.array_equal(rb, r)

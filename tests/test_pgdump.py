@@ -102,3 +102,25 @@ def test_quoted_identifiers(tmp_path):
     sql = open(p).read()
     assert '"ano""ther_schema"."xx""yyy"' in sql
     assert '"the_""geom"' in sql
+
+
+def test_all_null_row_emits_default_values(tmp_path):
+    t = pa.table({"fid": pa.array([0], pa.int64()),
+                  "wkb": pa.array([None], pa.binary()),
+                  "name": pa.array([None], pa.string())})
+    p = str(tmp_path / "null.sql")
+    write_pgdump(t, p, layer="nulls")
+    sql = open(p).read()
+    assert 'INSERT INTO "public"."nulls" DEFAULT VALUES;' in sql
+    assert "() VALUES ();" not in sql
+
+
+def test_apostrophe_in_layer_name_escaped(tmp_path):
+    t = pa.table({"fid": pa.array([0], pa.int64()),
+                  "wkb": pa.array([wkt_to_wkb("POINT (0 0)")],
+                                  pa.binary())})
+    p = str(tmp_path / "apos.sql")
+    write_pgdump(t, p, layer="o'brien")
+    sql = open(p).read()
+    assert "f_table_name = 'o''brien'" in sql
+    assert "AddGeometryColumn('public','o''brien'" in sql
