@@ -1865,3 +1865,29 @@ def _src_bsb(paths, **kwargs):
         return arr, gt, nodata
 
     return ray.data.from_arrow(_raster_rows(paths, rd))
+
+
+@register_source("isis3")
+def _src_isis3(paths, **kwargs):
+    import ray.data
+
+    from .io.isis import read_isis3
+
+    def rd(p):
+        arr, gt, nodata, _meta = read_isis3(p)
+        return arr, gt, nodata
+
+    return ray.data.from_arrow(_raster_rows(paths, rd))
+
+
+@register_source("isis2")
+def _src_isis2(paths, **kwargs):
+    import ray.data
+
+    from .io.isis import read_isis2
+
+    def rd(p):
+        arr, gt, nodata, _meta = read_isis2(p)
+        return arr, gt, nodata
+
+    return ray.data.from_arrow(_raster_rows(paths, rd))

@@ -129,3 +129,32 @@ def test_bsb_ray_source(ray_session):
     arr = np.frombuffer(rows[0]["data"],
                         dtype=rows[0]["dtype"]).reshape(50, 50)
     assert checksum(arr) == 30321
+
+
+# ------------------------------------------------------------ ISIS
+
+def test_isis3_published_checksums():
+    # isis.py test 1/2: tiled SignedWord cube + detached label
+    from raydal.io.isis import read_isis3
+    a, _, _, m = read_isis3(DATA + "isis3/isis3_unit_test.cub")
+    assert checksum(a[0]) == 42403
+    assert m["scale"] == pytest.approx(0.25006486667989)
+    assert m["offset"] == pytest.approx(8190.1245134999)
+    a, _, _, _ = read_isis3(DATA + "isis3/isis3_detached.lbl")
+    assert checksum(a[0]) == 9978
+
+
+def test_isis2_published_checksum():
+    # isis2.py test 1: SUN_REAL qube
+    from raydal.io.isis import read_isis2
+    a, _, _, _ = read_isis2(
+        DATA + "isis2/arvidson_original_truncated.cub")
+    assert checksum(a[0]) == 382
+
+
+def test_isis_ray_sources(ray_session):
+    from raydal.pipeline import SOURCE_REGISTRY
+    assert SOURCE_REGISTRY["isis3"](
+        DATA + "isis3/isis3_unit_test.cub").count() == 1
+    assert SOURCE_REGISTRY["isis2"](
+        DATA + "isis2/arvidson_original_truncated.cub").count() == 1
