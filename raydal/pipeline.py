@@ -1891,3 +1891,27 @@ def _src_isis2(paths, **kwargs):
         return arr, gt, nodata
 
     return ray.data.from_arrow(_raster_rows(paths, rd))
+
+
+@register_source("fits")
+def _src_fits(paths, **kwargs):
+    import ray.data
+
+    from .io.fits import read_fits
+
+    def rd(p):
+        arr, gt, nodata, _meta = read_fits(p, **kwargs)
+        return arr, gt, nodata
+
+    return ray.data.from_arrow(_raster_rows(paths, rd))
+
+
+def _fits_writer():
+    from .io.fits import write_fits
+
+    def w(a, gt, path):
+        write_fits(a, path)
+    return w, ".fits"
+
+
+SINK_REGISTRY["fits"] = _per_row_raster_sink(_fits_writer)
