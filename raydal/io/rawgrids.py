@@ -48,7 +48,7 @@ import numpy as np
 
 __all__ = ["read_lan", "read_paux", "read_byn", "read_kro",
            "write_kro", "read_terragen", "read_leveller",
-           "read_ace2", "read_gtx"]
+           "read_ace2", "read_gtx", "read_snodas"]
 
 
 def _load(src):
@@ -389,3 +389,47 @@ def read_gtx(src):
     gt = (lon_ll - dlon / 2, dlon, 0.0,
           lat_ll + dlat * (ny - 1) + dlat / 2, 0.0, -dlat)
     return arr[None], gt, -88.8888
+
+
+# ---------------------------------------------------------- SNODAS
+
+def read_snodas(hdr_path):
+    """NOHRSC SNODAS .hdr + raw pair → (array[1, h, w],
+    geotransform, nodata).
+
+    Reference semantics (``frmts/raw/snodasdataset.cpp``):
+    ``Key: value`` text header; big-endian int16 (or int8/int32 by
+    "Data bytes per pixel") in the "Data file pathname" sibling;
+    geotransform from the min/max axis coordinates with the declared
+    resolutions; "Data slope"/"Data intercept" surface as band
+    scale/offset (values stay raw).  Published parity:
+    fake_snodas.hdr opens 6935×3351 with checksum 0
+    (``autotest/gdrivers/snodas.py``).
+    """
+    with open(hdr_path) as f:
+        kv = {}
+        for ln in f:
+            if ":" in ln:
+                k, v = ln.split(":", 1)
+                kv[k.strip().lower()] = v.strip()
+    nx = int(kv["number of columns"])
+    ny = int(kv["number of rows"])
+    nbytes = int(kv.get("data bytes per pixel", "2"))
+    dt = np.dtype({1: ">i1", 2: ">i2", 4: ">i4"}[nbytes])
+    nodata = float(kv.get("no data value", "nan"))
+    minx = float(kv["minimum x-axis coordinate"])
+    maxx = float(kv["maximum x-axis coordinate"])
+    miny = float(kv["minimum y-axis coordinate"])
+    maxy = float(kv["maximum y-axis coordinate"])
+    gt = (minx, (maxx - minx) / nx, 0.0,
+          maxy, 0.0, -(maxy - miny) / ny)
+    data_path = os.path.join(os.path.dirname(str(hdr_path)),
+                             os.path.basename(
+                                 kv["data file pathname"]))
+    with open(data_path, "rb") as f:
+        buf = f.read()
+    need = nx * ny * dt.itemsize
+    if len(buf) < need:                 # sparse/truncated: zero-fill
+        buf = buf + b"\x00" * (need - len(buf))
+    arr = np.frombuffer(buf, dt, count=nx * ny).reshape(ny, nx)
+    return arr[None], gt, nodata

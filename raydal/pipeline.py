@@ -1915,3 +1915,12 @@ def _fits_writer():
 
 
 SINK_REGISTRY["fits"] = _per_row_raster_sink(_fits_writer)
+
+
+@register_source("snodas")
+def _src_snodas(paths, **kwargs):
+    import ray.data
+
+    from .io.rawgrids import read_snodas
+
+    return ray.data.from_arrow(_raster_rows(paths, read_snodas))

@@ -259,3 +259,13 @@ def test_gtx_published():
     assert checksum(a[0]) == 64183
     assert nd == -88.8888
     assert gt[1] > 0 and gt[5] < 0
+
+
+def test_snodas_published():
+    # snodas.py test 1: fake_snodas.hdr opens 6935x3351, checksum 0
+    from raydal.io.rawgrids import read_snodas
+    a, gt, nd = read_snodas(DATA + "snodas/fake_snodas.hdr")
+    assert a.shape == (1, 3351, 6935)
+    assert checksum(a[0]) == 0
+    assert nd == -9999.0
+    assert gt[0] == pytest.approx(-124.733749999995)
