@@ -1924,3 +1924,21 @@ def _src_snodas(paths, **kwargs):
     from .io.rawgrids import read_snodas
 
     return ray.data.from_arrow(_raster_rows(paths, read_snodas))
+
+
+@register_source("til")
+def _src_til(paths, **kwargs):
+    import ray.data
+
+    from .io.til import read_til
+
+    return ray.data.from_arrow(_raster_rows(paths, read_til))
+
+
+@register_source("rmf")
+def _src_rmf(paths, **kwargs):
+    import ray.data
+
+    from .io.rmf import read_rmf
+
+    return ray.data.from_arrow(_raster_rows(paths, read_rmf))
