@@ -48,7 +48,7 @@ import numpy as np
 
 __all__ = ["read_lan", "read_paux", "read_byn", "read_kro",
            "write_kro", "read_terragen", "read_leveller",
-           "read_ace2", "read_gtx", "read_snodas"]
+           "read_ace2", "read_gtx", "read_snodas", "read_lcp"]
 
 
 def _load(src):
@@ -433,3 +433,31 @@ def read_snodas(hdr_path):
         buf = buf + b"\x00" * (need - len(buf))
     arr = np.frombuffer(buf, dt, count=nx * ny).reshape(ny, nx)
     return arr[None], gt, nodata
+
+
+# ------------------------------------------------------------- LCP
+
+def read_lcp(src):
+    """FARSITE LCP landscape file → (array[bands, h, w] int16,
+    geotransform, None).
+
+    Reference semantics (``frmts/raw/lcpdataset.cpp``): 7316-byte
+    little-endian header — crown/ground fuel flags at 0/4 (value 21 =
+    present → 5/7/8/10 bands), dims at 4164/4168, E/W/N/S extents at
+    4172-4203, cell sizes at 4208/4216 — then pixel-interleaved
+    int16 bands.  Published parity: test_FARSITE_UTM12.LCP 8-band
+    checksums 18645/16431/… (``autotest/gdrivers/lcp.py``).
+    """
+    buf = _load(src)
+    crown = struct.unpack_from("<i", buf, 0)[0] - 20
+    ground = struct.unpack_from("<i", buf, 4)[0] - 20
+    nb = (10 if ground else 8) if crown else (7 if ground else 5)
+    nx = struct.unpack_from("<i", buf, 4164)[0]
+    ny = struct.unpack_from("<i", buf, 4168)[0]
+    east, west, north, south = struct.unpack_from("<4d", buf, 4172)
+    cx, cy = struct.unpack_from("<2d", buf, 4208)
+    gt = (west, cx, 0.0, north, 0.0, -cy)
+    arr = np.frombuffer(buf, "<i2", count=nx * ny * nb,
+                        offset=7316).reshape(ny, nx, nb) \
+        .transpose(2, 0, 1)
+    return np.ascontiguousarray(arr), gt, None

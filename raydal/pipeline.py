@@ -1942,3 +1942,12 @@ def _src_rmf(paths, **kwargs):
     from .io.rmf import read_rmf
 
     return ray.data.from_arrow(_raster_rows(paths, read_rmf))
+
+
+@register_source("lcp")
+def _src_lcp(paths, **kwargs):
+    import ray.data
+
+    from .io.rawgrids import read_lcp
+
+    return ray.data.from_arrow(_raster_rows(paths, read_lcp))

@@ -269,3 +269,18 @@ def test_snodas_published():
     assert checksum(a[0]) == 0
     assert nd == -9999.0
     assert gt[0] == pytest.approx(-124.733749999995)
+
+
+@pytest.mark.parametrize("fname,want", [
+    ("lcp/test_FARSITE_UTM12.LCP",
+     [18645, 16431, 18851, 26182, 30038, 22077, 30388, 23249]),
+    ("lcp/test_USGS_LFNM_Alb83.lcp",
+     [28381, 25824, 28413, 19052, 30164, 22316, 30575, 23304]),
+])
+def test_lcp_published_checksums(fname, want):
+    # lcp.py test 1/2: all eight crown-fuel band checksums
+    from raydal.io.rawgrids import read_lcp
+    a, gt, _ = read_lcp(DATA + fname)
+    assert a.shape[0] == 8
+    assert [checksum(a[i]) for i in range(8)] == want
+    assert gt[1] > 0 and gt[5] < 0
