@@ -1951,3 +1951,31 @@ def _src_lcp(paths, **kwargs):
     from .io.rawgrids import read_lcp
 
     return ray.data.from_arrow(_raster_rows(paths, read_lcp))
+
+
+@register_source("rst")
+def _src_rst(paths, **kwargs):
+    import ray.data
+
+    from .io.rawgrids import read_rst
+
+    return ray.data.from_arrow(_raster_rows(paths, read_rst))
+
+
+@register_source("doq2")
+def _src_doq2(paths, **kwargs):
+    import ray.data
+
+    from .io.rawgrids import read_doq2
+
+    return ray.data.from_arrow(_raster_rows(
+        paths, lambda p: read_doq2(p)[:2] + (None,)))
+
+
+@register_source("ilwis")
+def _src_ilwis(paths, **kwargs):
+    import ray.data
+
+    from .io.ilwis import read_ilwis
+
+    return ray.data.from_arrow(_raster_rows(paths, read_ilwis))

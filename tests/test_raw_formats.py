@@ -284,3 +284,36 @@ def test_lcp_published_checksums(fname, want):
     assert a.shape[0] == 8
     assert [checksum(a[i]) for i in range(8)] == want
     assert gt[1] > 0 and gt[5] < 0
+
+
+def test_rst_published_checksums():
+    # idrisi.py tests 1-2: byte.rst 5044, real.rst 5275
+    from raydal.io.rawgrids import read_rst
+    a, gt, nd = read_rst(DATA + "rst/byte.rst")
+    assert checksum(a[0]) == 5044
+    assert a.dtype == np.uint8 and nd is None
+    assert gt[0] == 50.0 and gt[3] == 70.0
+    assert gt[1] == pytest.approx(20.0 / 21)
+    a, _, _ = read_rst(DATA + "rst/real.rst")
+    assert a.dtype == np.float32
+    assert checksum(a[0]) == 5275
+
+
+def test_doq2_published():
+    # doq2.py test 1: first-row band checksums 4201/4010/5820,
+    # gt (377054, 1, 0, 4082205, 0, -1), QUADRANGLE_NAME metadata
+    from raydal.io.rawgrids import read_doq2
+    a, gt, md = read_doq2(DATA + "doq2/C3607614_truncated.NWS")
+    assert a.shape == (3, 7631, 500)
+    assert [checksum(a[i, :1, :500]) for i in range(3)] == \
+        [4201, 4010, 5820]
+    assert gt == (377054.0, 1.0, 0.0, 4082205.0, 0.0, -1.0)
+    assert md["QUADRANGLE_NAME"] == "NORFOLK SOUTH 3.45 or 7.5-min. name*"
+
+
+def test_ilwis_published():
+    # ilwis.py test 1: LanduseSmall.mpr checksum 2351
+    from raydal.io.ilwis import read_ilwis
+    a, gt, _ = read_ilwis(DATA + "ilwis/LanduseSmall.mpr")
+    assert checksum(a[0]) == 2351
+    assert gt == (795480.0, 20.0, 0.0, 8090520.0, 0.0, -20.0)
