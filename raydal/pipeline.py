@@ -1979,3 +1979,12 @@ def _src_ilwis(paths, **kwargs):
     from .io.ilwis import read_ilwis
 
     return ray.data.from_arrow(_raster_rows(paths, read_ilwis))
+
+
+@register_source("hfa")
+def _src_hfa(paths, **kwargs):
+    import ray.data
+
+    from .io.hfa import read_hfa
+
+    return ray.data.from_arrow(_raster_rows(paths, read_hfa))
