@@ -1988,3 +1988,16 @@ def _src_hfa(paths, **kwargs):
     from .io.hfa import read_hfa
 
     return ray.data.from_arrow(_raster_rows(paths, read_hfa))
+
+
+@register_source("dxf")
+def _src_dxf(paths, **kwargs):
+    import pyarrow as pa
+    import ray.data
+
+    from .io.dxf import read_dxf
+
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    return ray.data.from_arrow(pa.concat_tables(
+        [read_dxf(p) for p in paths]))
