@@ -4936,6 +4936,174 @@ def _w(writer, arr, gt, path):
     return path
 
 
+_Q93_FORMATS = ("rst", "ilwis", "doq2", "lcp")
+
+
+def q93_readonly_driver_matrix(sf_dir):
+    """Round-5 read-only-driver matrix: the RST / ILWIS / DOQ2 / LCP
+    readers decode hand-synthesized files, oracled in SQL.
+
+    These four drivers have no writer (matching the reference), so
+    the fixture bytes are laid out directly from each format's
+    published spec — Idrisi ``.rdc`` text + int16 payload
+    (``frmts/idrisi/IdrisiDataset.cpp``), ILWIS ``.mpr``/``.grf``
+    ini + ``.mp#`` int16 (``frmts/ilwis/ilwisdataset.cpp``), USGS
+    DOQ2 keyword header + byte BIP (``frmts/raw/doq2dataset.cpp``),
+    FARSITE LCP 7316-byte header + pixel-interleaved int16 bands
+    (``frmts/raw/lcpdataset.cpp``) — and decoded through the same
+    io/ readers that carry published-checksum parity in pytest.
+    Values are integer-exact in every encoding; the oracle expands
+    the identical value formula per format (64×64 int16 grids mod
+    1000 for rst/ilwis; a 500×500 byte grid mod 251 for doq2; five
+    64×64 bands offset 7·b for lcp).
+    """
+    import os
+    import struct
+    import tempfile
+
+    from .io.ilwis import read_ilwis
+    from .io.rawgrids import read_doq2, read_lcp, read_rst
+
+    r64 = np.arange(64, dtype=np.int64)[:, None]
+    c64 = np.arange(64, dtype=np.int64)[None, :]
+    base64g = 13 * r64 + 29 * c64 + r64 * c64
+    r500 = np.arange(500, dtype=np.int64)[:, None]
+    c500 = np.arange(500, dtype=np.int64)[None, :]
+    base500 = 13 * r500 + 29 * c500 + r500 * c500
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["n_nationkey"], dtype=np.int64)
+        out_k, out_f, sums, mism = [], [], [], []
+        tmp = tempfile.mkdtemp(prefix="raydal_q93_")
+        try:
+            for k in keys:
+                g16 = ((577 * int(k) + base64g) % 1000).astype("<i2")
+                g8 = ((577 * int(k) + base500) % 251).astype(np.uint8)
+
+                # --- Idrisi RST: .rdc text companion + raw int16
+                rst = os.path.join(tmp, "g.rst")
+                with open(rst, "wb") as f:
+                    f.write(g16.tobytes())
+                with open(os.path.join(tmp, "g.rdc"), "w") as f:
+                    f.write("file format : IDRISI Raster A.1\n"
+                            "data type   : integer\n"
+                            "file type   : binary\n"
+                            "columns     : 64\nrows        : 64\n"
+                            "unit dist.  : 1.0\n"
+                            "min. X      : 0.0\nmax. X      : 64.0\n"
+                            "min. Y      : 0.0\nmax. Y      : 64.0\n"
+                            "flag value  : none\n")
+
+                # --- ILWIS: .mpr ini + .grf georef + .mp# int16
+                mpr = os.path.join(tmp, "g.mpr")
+                with open(os.path.join(tmp, "g.mp#"), "wb") as f:
+                    f.write(g16.tobytes())
+                with open(os.path.join(tmp, "g.grf"), "w") as f:
+                    f.write("[GeoRef]\nColumns=64\nLines=64\n"
+                            "Type=GeoRefCorners\n[GeoRefCorners]\n"
+                            "CornersOfCorners=Yes\nMinX=0\nMinY=0\n"
+                            "MaxX=64\nMaxY=64\n")
+                with open(mpr, "w") as f:
+                    f.write("[Ilwis]\nType=BaseMap\n[Map]\n"
+                            "GeoRef=g.grf\nSize=64 64\n[MapStore]\n"
+                            "Data=g.mp#\nType=Int\nSwapBytes=No\n")
+
+                # --- USGS DOQ2: keyword header + byte BIP
+                doq = os.path.join(tmp, "g.doq")
+                hdr = (b"BEGIN_USGS_DOQ_HEADER\n"
+                       b"SAMPLES_AND_LINES 500 500\n"
+                       b"BYTE_COUNT 400\n"
+                       b"XY_ORIGIN 1000.0 2000.0\n"
+                       b"HORIZONTAL_RESOLUTION 1.0\n"
+                       b"BAND_CONTENT BLACK&WHITE\n"
+                       b"BITS_PER_PIXEL 8\n"
+                       b"END_USGS_DOQ_HEADER\n")
+                with open(doq, "wb") as f:
+                    f.write(hdr + b"\x00" * (400 - len(hdr)))
+                    f.write(g8.tobytes())
+
+                # --- FARSITE LCP: 7316-byte header, 5 bands BIP
+                lcp = os.path.join(tmp, "g.lcp")
+                head = bytearray(7316)
+                struct.pack_into("<i", head, 0, 20)      # no crown
+                struct.pack_into("<i", head, 4, 20)      # no ground
+                struct.pack_into("<2i", head, 4164, 64, 64)
+                struct.pack_into("<4d", head, 4172,
+                                 64.0, 0.0, 64.0, 0.0)   # E W N S
+                struct.pack_into("<2d", head, 4208, 1.0, 1.0)
+                bands = np.stack([(g16.astype(np.int64) + 7 * b)
+                                  % 1000 for b in range(5)]) \
+                    .astype("<i2")
+                with open(lcp, "wb") as f:
+                    f.write(bytes(head))
+                    f.write(np.ascontiguousarray(
+                        bands.transpose(1, 2, 0)).tobytes())
+
+                decoded = {
+                    "rst": lambda: read_rst(rst)[0],
+                    "ilwis": lambda: read_ilwis(mpr)[0],
+                    "doq2": lambda: read_doq2(doq)[0],
+                    "lcp": lambda: read_lcp(lcp)[0],
+                }
+                expect = {
+                    "rst": g16.astype(np.int64)[None],
+                    "ilwis": g16.astype(np.int64)[None],
+                    "doq2": g8.astype(np.int64)[None],
+                    "lcp": bands.astype(np.int64),
+                }
+                for fmt in _Q93_FORMATS:
+                    dec = np.asarray(decoded[fmt]()).astype(np.int64)
+                    out_k.append(int(k))
+                    out_f.append(fmt)
+                    sums.append(int(dec.sum()))
+                    mism.append(int((dec != expect[fmt]).sum()))
+        finally:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+        return pa.Table.from_pydict({
+            "n_nationkey": pa.array(
+                out_k, t.schema.field("n_nationkey").type),
+            "fmt": pa.array(out_f, pa.string()),
+            "val_sum": pa.array(sums, pa.int64()),
+            "mismatch": pa.array(mism, pa.int64())})
+
+    return (_read(sf_dir, "nation", ["n_nationkey"])
+            .map_batches(fn, batch_format="pyarrow", batch_size=32))
+
+
+SQL_Q93 = """
+WITH g64 AS (
+  SELECT n_nationkey, fmt,
+         CAST(SUM((577 * n_nationkey + 13 * r.g + 29 * c.g
+                   + r.g * c.g) % 1000) AS BIGINT) AS val_sum
+  FROM nation,
+       (VALUES ('rst'), ('ilwis')) fmts(fmt),
+       generate_series(0, 63) r(g), generate_series(0, 63) c(g)
+  GROUP BY n_nationkey, fmt
+), gdoq AS (
+  SELECT n_nationkey, 'doq2' AS fmt,
+         CAST(SUM((577 * n_nationkey + 13 * r.g + 29 * c.g
+                   + r.g * c.g) % 251) AS BIGINT) AS val_sum
+  FROM nation,
+       generate_series(0, 499) r(g), generate_series(0, 499) c(g)
+  GROUP BY n_nationkey
+), glcp AS (
+  SELECT n_nationkey, 'lcp' AS fmt,
+         CAST(SUM(((577 * n_nationkey + 13 * r.g + 29 * c.g
+                    + r.g * c.g) % 1000 + 7 * b.g) % 1000)
+              AS BIGINT) AS val_sum
+  FROM nation,
+       generate_series(0, 63) r(g), generate_series(0, 63) c(g),
+       generate_series(0, 4) b(g)
+  GROUP BY n_nationkey
+)
+SELECT n_nationkey, fmt, val_sum, CAST(0 AS BIGINT) AS mismatch
+FROM (SELECT * FROM g64 UNION ALL SELECT * FROM gdoq
+      UNION ALL SELECT * FROM glcp)
+"""
+
+
+
 SQL_Q92 = """
 SELECT n_nationkey, fmt,
        CAST(SUM((577 * n_nationkey + 13 * r.g + 29 * c.g
@@ -5110,6 +5278,8 @@ QUERIES = {
     "q90_kml_gpx_roundtrip": (q90_kml_gpx_roundtrip, SQL_Q90),
     "q91_grib_roundtrip": (q91_grib_roundtrip, SQL_Q91),
     "q92_format_matrix": (q92_format_matrix, SQL_Q92),
+    "q93_readonly_driver_matrix": (q93_readonly_driver_matrix,
+                                   SQL_Q93),
 }
 
 
@@ -5133,7 +5303,8 @@ def query_fns():
              "q85_webp_roundtrip", "q86_flac_roundtrip",
              "q87_contour_polygon_bands", "q88_ogg_roundtrip",
              "q89_dted_roundtrip", "q90_kml_gpx_roundtrip",
-             "q91_grib_roundtrip", "q92_format_matrix"}
+             "q91_grib_roundtrip", "q92_format_matrix",
+             "q93_readonly_driver_matrix"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}
