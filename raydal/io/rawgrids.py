@@ -49,7 +49,8 @@ import numpy as np
 __all__ = ["read_lan", "read_paux", "read_byn", "read_kro",
            "write_kro", "read_terragen", "read_leveller",
            "read_ace2", "read_gtx", "read_snodas", "read_lcp",
-           "read_rst", "read_doq2"]
+           "read_rst", "read_doq2", "read_saga", "read_ngsgeoid",
+           "read_loslas", "read_ndf", "read_eir"]
 
 
 def _load(src):
@@ -624,3 +625,216 @@ def _doq_tokens(line):
     if cur:
         toks.append("".join(cur))
     return toks
+
+
+# ------------------------------------------------------------ SAGA
+
+_SAGA_TYPES = {"BIT": "u1", "BYTE_UNSIGNED": "u1", "BYTE": "i1",
+               "SHORTINT_UNSIGNED": "u2", "SHORTINT": "i2",
+               "INTEGER_UNSIGNED": "u4", "INTEGER": "i4",
+               "FLOAT": "f4", "DOUBLE": "f8"}
+
+
+def read_saga(sgrd_path):
+    """SAGA GIS binary grid (``.sgrd`` header + ``.sdat`` data) →
+    (array[1, h, w], geotransform, nodata).
+
+    Reference semantics (``frmts/saga/sagadataset.cpp:474-560,
+    :718-726``): tab-separated KEY=VALUE header; POSITION_XMIN/YMIN
+    are CELL CENTERS so the geotransform extends half a cell;
+    TOPTOBOTTOM=FALSE (the normal case) stores rows bottom-up.
+    Published parity: 4byteFloat.sdat checksum 108
+    (``autotest/gdrivers/saga.py`` test 1).
+    """
+    hdr = {}
+    with open(sgrd_path, "r", errors="replace") as f:
+        for line in f:
+            if "=" in line:
+                k, v = line.split("=", 1)
+                hdr[k.strip().upper()] = v.strip()
+    w = int(hdr["CELLCOUNT_X"])
+    h = int(hdr["CELLCOUNT_Y"])
+    cell = float(hdr["CELLSIZE"])
+    xmin = float(hdr["POSITION_XMIN"])
+    ymin = float(hdr["POSITION_YMIN"])
+    nodata = float(hdr.get("NODATA_VALUE", "nan") or "nan")
+    bo = ">" if hdr.get("BYTEORDER_BIG", "FALSE").upper() == "TRUE" \
+        else "<"
+    fmt = hdr.get("DATAFORMAT", "FLOAT").upper()
+    dt = np.dtype(bo + _SAGA_TYPES[fmt])
+    off = int(hdr.get("DATAFILE_OFFSET", "0") or 0)
+    data_name = hdr.get("DATAFILE_NAME")
+    if data_name:
+        sdat = os.path.join(os.path.dirname(os.path.abspath(
+            sgrd_path)), data_name)
+    else:
+        sdat = os.path.splitext(sgrd_path)[0] + ".sdat"
+    buf = _load(sdat)
+    arr = np.frombuffer(buf, dt, count=w * h, offset=off) \
+        .reshape(h, w)
+    if hdr.get("TOPTOBOTTOM", "FALSE").upper() != "TRUE":
+        arr = arr[::-1]
+    gt = (xmin - cell / 2, cell, 0.0,
+          ymin + cell * (h - 0.5), 0.0, -cell)
+    return np.ascontiguousarray(arr)[None], gt, nodata
+
+
+# -------------------------------------------------------- NGSGEOID
+
+def read_ngsgeoid(src):
+    """NOAA NGS geoid height grid (.bin) → (array[1, h, w] float32,
+    geotransform, None).
+
+    Reference semantics (``frmts/ngsgeoid/ngsgeoiddataset.cpp``):
+    44-byte header SLAT/WLON/DLAT/DLON (f8) + NLAT/NLON/IKIND (i4),
+    endianness detected from IKIND == 1; float32 rows SOUTH-first
+    (bottom-up); geotransform widened half a cell.  A truncated
+    payload zero-pads (RawRasterBand partial-read semantics).
+    Published parity: g2009u01_{le,be}_truncated.bin checksum 65534
+    + gt (``autotest/gdrivers/ngsgeoid.py``).
+    """
+    buf = _load(src)
+    for bo in ("<", ">"):
+        ikind = struct.unpack_from(bo + "i", buf, 40)[0]
+        if ikind == 1:
+            break
+    else:
+        raise ValueError("not an NGS geoid bin file")
+    slat, wlon, dlat, dlon = struct.unpack_from(bo + "4d", buf, 0)
+    nlat, nlon = struct.unpack_from(bo + "2i", buf, 32)
+    need = 44 + nlat * nlon * 4
+    if len(buf) < need:
+        buf = buf + b"\x00" * (need - len(buf))
+    arr = np.frombuffer(buf, bo + "f4", count=nlat * nlon,
+                        offset=44).reshape(nlat, nlon)[::-1]
+    gt = (wlon - dlon / 2, dlon, 0.0,
+          slat + nlat * dlat - dlat / 2, 0.0, -dlat)
+    return np.ascontiguousarray(arr)[None], gt, None
+
+
+# ---------------------------------------------------------- LOSLAS
+
+def read_loslas(src):
+    """NADCON .los/.las grid → (array[1, h, w] float32,
+    geotransform, None).
+
+    Reference semantics (``frmts/raw/loslasdataset.cpp:194-266``):
+    little-endian dims at offset 64, min_lon/delta_lon/min_lat/
+    delta_lat float32 at 76; records of ``w*4+4`` bytes, data from
+    record 1 with a 4-byte prefix per row, southernmost row first.
+    Published parity: wyhpgn.los gt + stats
+    (``autotest/gdrivers/loslas.py``).
+    """
+    buf = _load(src)
+    w, h = struct.unpack_from("<2i", buf, 64)
+    min_lon, dlon, min_lat, dlat = struct.unpack_from("<4f", buf, 76)
+    rec = w * 4 + 4
+    rows = []
+    for y in range(h):          # y = 0 is the northernmost row
+        off = (h - y) * rec + 4
+        rows.append(np.frombuffer(buf, "<f4", count=w, offset=off))
+    arr = np.vstack(rows)
+    gt = (min_lon - dlon * 0.5, float(dlon), 0.0,
+          min_lat + (h - 0.5) * dlat, 0.0, -float(dlat))
+    return np.ascontiguousarray(arr)[None], gt, None
+
+
+# ------------------------------------------------------------- NDF
+
+def read_ndf(hdr_path):
+    """NLAPS NDF v2 → (array[bands, h, w] uint8, geotransform,
+    None).
+
+    Reference semantics (``frmts/raw/ndfdataset.cpp``): ``KEY=VALUE;``
+    text header; BYTE/8-bit only; band files from
+    ``BAND<n>_FILENAME``; the geotransform interpolates the
+    UPPER_LEFT/UPPER_RIGHT/LOWER_LEFT corner pixel centers and
+    shifts half a pixel (:375-398).  Short band files zero-pad.
+    Published parity: LE7134052000500350.H3 first-row checksum 6510
+    + gt (320325.75, 14.25, 0, 1383062.25, 0, -14.25)
+    (``autotest/gdrivers/ndf.py``).
+    """
+    hdr = {}
+    with open(hdr_path, "r", errors="replace") as f:
+        for line in f:
+            if "=" not in line:
+                break
+            k, v = line.split("=", 1)
+            hdr[k.strip()] = v.strip().rstrip(";")
+    if hdr.get("PIXEL_FORMAT") != "BYTE":
+        raise ValueError("only BYTE NDF supported")
+    w = int(hdr["PIXELS_PER_LINE"])
+    h = int(hdr["LINES_PER_DATA_FILE"])
+    nb = int(hdr.get("NUMBER_OF_BANDS_IN_VOLUME", "1"))
+    base = os.path.dirname(os.path.abspath(hdr_path))
+    bands = []
+    for i in range(1, nb + 1):
+        name = hdr.get(f"BAND{i}_FILENAME")
+        path = os.path.join(base, name) if name else \
+            os.path.splitext(hdr_path)[0] + f".I{i}"
+        buf = _load(path)
+        if len(buf) < w * h:
+            buf = buf + b"\x00" * (w * h - len(buf))
+        bands.append(np.frombuffer(buf, np.uint8,
+                                   count=w * h).reshape(h, w))
+    gt = None
+    corners = {}
+    for key in ("UPPER_LEFT_CORNER", "UPPER_RIGHT_CORNER",
+                "LOWER_LEFT_CORNER"):
+        toks = hdr.get(key, "").split(",")
+        if len(toks) == 4:
+            corners[key] = (float(toks[2]), float(toks[3]))
+    if len(corners) == 3:
+        ulx, uly = corners["UPPER_LEFT_CORNER"]
+        urx, ury = corners["UPPER_RIGHT_CORNER"]
+        llx, lly = corners["LOWER_LEFT_CORNER"]
+        g1 = (urx - ulx) / (w - 1)
+        g2 = (ury - uly) / (w - 1)
+        g4 = (llx - ulx) / (h - 1)
+        g5 = (lly - uly) / (h - 1)
+        gt = (ulx - g1 * 0.5 - g4 * 0.5, g1, g2,
+              uly - g2 * 0.5 - g5 * 0.5, g4, g5)
+    return np.stack(bands), gt, None
+
+
+# ------------------------------------------------------------- EIR
+
+_EIR_TYPES = {"U1": "u1", "U2": "u1", "U4": "u1", "U8": "u1",
+              "S8": "i1", "U16": "<u2", "S16": "<i2",
+              "U32": "<u4", "S32": "<i4", "F32": "<f4",
+              "F64": "<f8"}
+
+
+def read_eir(hdr_path):
+    """Erdas Imagine Raw (.hdr ``IMAGINE_RAW_FILE``) →
+    (array[bands, h, w], geotransform, None).
+
+    Reference semantics (``frmts/raw/eirdataset.cpp``): whitespace
+    keyword header — WIDTH/HEIGHT/NUM_LAYERS/PIXEL_FILES/FORMAT
+    (BIL/BIP/BSQ)/DATATYPE/DATA_OFFSET.  Published parity:
+    fakeeir.hdr checksum 1 (``autotest/gdrivers/eir.py``).
+    """
+    hdr = {}
+    with open(hdr_path, "r", errors="replace") as f:
+        for line in f:
+            toks = line.split()
+            if len(toks) >= 2:
+                hdr[toks[0].upper()] = toks[1]
+    w = int(hdr["WIDTH"])
+    h = int(hdr["HEIGHT"])
+    nb = int(hdr.get("NUM_LAYERS", "1"))
+    dt = np.dtype(_EIR_TYPES[hdr.get("DATATYPE", "U8").upper()])
+    off = int(hdr.get("DATA_OFFSET", "0"))
+    fmt = hdr.get("FORMAT", "BIL").upper()
+    path = os.path.join(os.path.dirname(os.path.abspath(hdr_path)),
+                        hdr["PIXEL_FILES"])
+    buf = _load(path)
+    n = w * h * nb
+    raw = np.frombuffer(buf, dt, count=n, offset=off)
+    if fmt == "BIP":
+        arr = raw.reshape(h, w, nb).transpose(2, 0, 1)
+    elif fmt == "BSQ":
+        arr = raw.reshape(nb, h, w)
+    else:                                   # BIL
+        arr = raw.reshape(h, nb, w).transpose(1, 0, 2)
+    return np.ascontiguousarray(arr), None, None

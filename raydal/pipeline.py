@@ -2001,3 +2001,57 @@ def _src_dxf(paths, **kwargs):
         paths = [paths]
     return ray.data.from_arrow(pa.concat_tables(
         [read_dxf(p) for p in paths]))
+
+
+@register_source("saga")
+def _src_saga(paths, **kwargs):
+    import ray.data
+
+    from .io.rawgrids import read_saga
+
+    return ray.data.from_arrow(_raster_rows(paths, read_saga))
+
+
+@register_source("ngsgeoid")
+def _src_ngsgeoid(paths, **kwargs):
+    import ray.data
+
+    from .io.rawgrids import read_ngsgeoid
+
+    return ray.data.from_arrow(_raster_rows(paths, read_ngsgeoid))
+
+
+@register_source("loslas")
+def _src_loslas(paths, **kwargs):
+    import ray.data
+
+    from .io.rawgrids import read_loslas
+
+    return ray.data.from_arrow(_raster_rows(paths, read_loslas))
+
+
+@register_source("ndf")
+def _src_ndf(paths, **kwargs):
+    import ray.data
+
+    from .io.rawgrids import read_ndf
+
+    return ray.data.from_arrow(_raster_rows(paths, read_ndf))
+
+
+@register_source("eir")
+def _src_eir(paths, **kwargs):
+    import ray.data
+
+    from .io.rawgrids import read_eir
+
+    return ray.data.from_arrow(_raster_rows(paths, read_eir))
+
+
+@register_source("sigdem")
+def _src_sigdem(paths, **kwargs):
+    import ray.data
+
+    from .io.sigdem import read_sigdem
+
+    return ray.data.from_arrow(_raster_rows(paths, read_sigdem))

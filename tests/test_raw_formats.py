@@ -317,3 +317,69 @@ def test_ilwis_published():
     a, gt, _ = read_ilwis(DATA + "ilwis/LanduseSmall.mpr")
     assert checksum(a[0]) == 2351
     assert gt == (795480.0, 20.0, 0.0, 8090520.0, 0.0, -20.0)
+
+
+def test_saga_published():
+    # saga.py test 1: 4byteFloat.sdat checksum 108; pixel-center
+    # extent widened half a cell, bottom-up rows
+    from raydal.io.rawgrids import read_saga
+    a, gt, nd = read_saga(DATA + "saga/4byteFloat.sgrd")
+    assert checksum(a[0]) == 108
+    assert gt == (328.3, 10.0, 0.0, 650.5, 0.0, -10.0)
+    assert nd == -99999.0
+
+
+@pytest.mark.parametrize("fname", [
+    "ngsgeoid/g2009u01_le_truncated.bin",
+    "ngsgeoid/g2009u01_be_truncated.bin",
+])
+def test_ngsgeoid_published(fname):
+    # ngsgeoid.py tests 1-2: checksum 65534 + published gt for both
+    # endiannesses
+    from raydal.io.rawgrids import read_ngsgeoid
+    a, gt, _ = read_ngsgeoid(DATA + fname)
+    assert checksum(a[0]) == 65534
+    want = (229.99166666666667, 0.016666666666670001, 0.0,
+            40.00833333333334, 0.0, -0.016666666666670001)
+    assert gt == pytest.approx(want, abs=1e-12)
+
+
+def test_loslas_published():
+    # loslas.py test 1: gt + band statistics
+    from raydal.io.rawgrids import read_loslas
+    a, gt, _ = read_loslas(DATA + "loslas/wyhpgn.los")
+    assert gt == (-111.625, 0.25, 0.0, 45.625, 0.0, -0.25)
+    assert a.min() == pytest.approx(-0.027868999168276787)
+    assert a.max() == pytest.approx(0.033906999975442886)
+    assert a.mean() == pytest.approx(0.009716129862575248)
+    assert a.std() == pytest.approx(0.008260044951413324)
+
+
+def test_ndf_published():
+    # ndf.py test 1: first-row checksum 6510 + corner-derived gt
+    from raydal.io.rawgrids import read_ndf
+    a, gt, _ = read_ndf(DATA + "ndf/LE7134052000500350.H3")
+    assert a.shape == (1, 14680, 15620)
+    assert checksum(a[0, :1, :]) == 6510
+    assert gt == (320325.75, 14.25, 0.0, 1383062.25, 0.0, -14.25)
+
+
+def test_eir_published():
+    # eir.py test 1: fakeeir.hdr checksum 1
+    from raydal.io.rawgrids import read_eir
+    a, _, _ = read_eir(DATA + "eir/fakeeir.hdr")
+    assert a.shape == (1, 1, 1) and checksum(a[0]) == 1
+
+
+def test_sigdem_roundtrip_published():
+    # sigdem.py: byte.tif through CreateCopy keeps checksum 4672;
+    # mirrored as write_sigdem -> read_sigdem
+    from raydal.io.sigdem import read_sigdem, write_sigdem
+    from raydal.io.tiff import read_tiff
+    img = read_tiff(open(GCORE + "byte.tif", "rb").read())
+    gt = (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+    out = "/tmp/raydal_sigdem_rt.sdem"
+    write_sigdem(np.asarray(img.bands[0], float), gt, out)
+    a, rgt, nd = read_sigdem(out)
+    assert checksum(a[0]) == 4672
+    assert rgt == gt
