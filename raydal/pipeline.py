@@ -2055,3 +2055,16 @@ def _src_sigdem(paths, **kwargs):
     from .io.sigdem import read_sigdem
 
     return ray.data.from_arrow(_raster_rows(paths, read_sigdem))
+
+
+@register_source("spatialite")
+def _src_spatialite(paths, **kwargs):
+    import pyarrow as pa
+    import ray.data
+
+    from .io.spatialite import read_spatialite
+
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    return ray.data.from_arrow(pa.concat_tables(
+        [read_spatialite(p, **kwargs) for p in paths]))
