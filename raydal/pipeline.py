@@ -2068,3 +2068,16 @@ def _src_spatialite(paths, **kwargs):
         paths = [paths]
     return ray.data.from_arrow(pa.concat_tables(
         [read_spatialite(p, **kwargs) for p in paths]))
+
+
+@register_source("dgn")
+def _src_dgn(paths, **kwargs):
+    import pyarrow as pa
+    import ray.data
+
+    from .io.dgn import read_dgn
+
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    return ray.data.from_arrow(pa.concat_tables(
+        [read_dgn(p) for p in paths]))
