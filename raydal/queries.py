@@ -3888,7 +3888,7 @@ def _audio_cache_glob_sf001():
         n = audio_count_for_sf("/root/testdata/sf0.01")
     except Exception:
         return None
-    return os.path.join(_CACHE_ROOT, f"audio_{n}", "*.parquet")
+    return os.path.join(_CACHE_ROOT, f"audio_v3_{n}", "*.parquet")
 
 
 _Q77_GLOB = _audio_cache_glob_sf001()
