@@ -5182,6 +5182,121 @@ FROM g
 """
 
 
+def q94_ogr_sql_recordset(sf_dir):
+    """OGR SQL dialect executor (raydal/sql) — recordset statement
+    exercising WHERE + BETWEEN + LIKE + arithmetic + SUBSTR + ORDER BY
+    + LIMIT, parsed by the from-scratch swq-grammar parser
+    (ogr/swq_parser.cpp semantics) and executed as a streaming Ray
+    pipeline.  The statement is simultaneously valid ANSI SQL, so the
+    oracle runs the identical text in DuckDB."""
+    from .sql import execute_sql
+
+    return execute_sql(SQL_Q94, {"orders": _read(sf_dir, "orders")})
+
+
+SQL_Q94 = """
+SELECT o_orderkey, o_totalprice * 2 AS dbl,
+       SUBSTR(o_orderpriority, 1, 1) AS pri
+FROM orders
+WHERE o_totalprice BETWEEN 1000 AND 100000
+  AND o_orderpriority LIKE '%URGENT'
+ORDER BY o_orderkey LIMIT 2000
+"""
+
+
+def q95_ogr_sql_summary(sf_dir):
+    """OGR SQL summary mode (PrepareSummary, ogr_gensql.cpp:845): one
+    output feature carrying MIN/MAX/SUM (Kahan-Babuska-Neumaier,
+    swq.cpp:475) / AVG / COUNT / STDDEV (Welford, swq.cpp:543) partials
+    merged across streamed batches.  Floats rounded to 7 decimals for
+    the hash compare, as the relational queries do."""
+    from .sql import execute_sql
+
+    ds = execute_sql(
+        "SELECT MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,"
+        " SUM(l_quantity) AS sum_qty, COUNT(l_partkey) AS cnt_pk,"
+        " COUNT(*) AS cnt_all, AVG(l_extendedprice) AS avg_price,"
+        " STDDEV_POP(l_tax) AS sd_tax, STDDEV_SAMP(l_tax) AS sd_tax_s"
+        " FROM lineitem"
+        " WHERE l_returnflag = 'R' AND l_discount > 0.05",
+        {"lineitem": _read(sf_dir, "lineitem")})
+
+    def rnd(t: pa.Table) -> pa.Table:
+        out = {}
+        for n in t.schema.names:
+            col = t[n]
+            if pa.types.is_floating(col.type) and n != "min_qty" and \
+                    n != "max_qty" and n != "sum_qty":
+                out[n] = pa.array(round_half_away(
+                    col.to_numpy(zero_copy_only=False), 7))
+            else:
+                out[n] = col
+        return pa.Table.from_pydict(out)
+
+    return ds.map_batches(rnd, batch_format="pyarrow")
+
+
+SQL_Q95 = """
+SELECT MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+       SUM(l_quantity) AS sum_qty, COUNT(l_partkey) AS cnt_pk,
+       COUNT(*) AS cnt_all,
+       ROUND(AVG(l_extendedprice), 7) AS avg_price,
+       ROUND(STDDEV_POP(l_tax), 7) AS sd_tax,
+       ROUND(STDDEV_SAMP(l_tax), 7) AS sd_tax_s
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_discount > 0.05
+"""
+
+
+def q96_ogr_sql_join_distinct(sf_dir):
+    """OGR SQL first-match JOIN (ogr_gensql.cpp:1493 — one secondary
+    feature per primary row, here exact because nation keys are unique)
+    UNION ALL a DISTINCT-list statement run separately (swq.cpp
+    SWQM_DISTINCT_LIST): both shapes through the Ray executor."""
+    from .sql import execute_sql
+
+    join = execute_sql(
+        "SELECT c_custkey, c_name, n_name FROM customer "
+        "JOIN nation ON customer.c_nationkey = nation.n_nationkey "
+        "WHERE c_acctbal > 7500 ORDER BY c_custkey LIMIT 500",
+        {"customer": _read(sf_dir, "customer"),
+         "nation": _read(sf_dir, "nation")})
+    dist = execute_sql(
+        "SELECT DISTINCT o_orderpriority FROM orders "
+        "ORDER BY o_orderpriority",
+        {"orders": _read(sf_dir, "orders")})
+
+    def as_rows(t: pa.Table, part: str) -> pa.Table:
+        if part == "join":
+            return pa.table({
+                "part": pa.array(["join"] * t.num_rows),
+                "k": pc.cast(t["c_custkey"], pa.int64()),
+                "a": t["c_name"], "b": t["n_name"]})
+        return pa.table({
+            "part": pa.array(["dist"] * t.num_rows),
+            "k": pa.nulls(t.num_rows, pa.int64()),
+            "a": t["o_orderpriority"],
+            "b": pa.nulls(t.num_rows, pa.string())})
+
+    j = join.map_batches(lambda t: as_rows(t, "join"),
+                         batch_format="pyarrow")
+    d = dist.map_batches(lambda t: as_rows(t, "dist"),
+                         batch_format="pyarrow")
+    return j.union(d)
+
+
+SQL_Q96 = """
+SELECT 'join' AS part, c_custkey AS k, c_name AS a, n_name AS b
+FROM (SELECT c_custkey, c_name, n_name FROM customer
+      JOIN nation ON customer.c_nationkey = nation.n_nationkey
+      WHERE c_acctbal > 7500 ORDER BY c_custkey LIMIT 500)
+UNION ALL
+SELECT 'dist' AS part, CAST(NULL AS BIGINT) AS k,
+       o_orderpriority AS a, CAST(NULL AS VARCHAR) AS b
+FROM (SELECT DISTINCT o_orderpriority FROM orders)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -5280,6 +5395,9 @@ QUERIES = {
     "q92_format_matrix": (q92_format_matrix, SQL_Q92),
     "q93_readonly_driver_matrix": (q93_readonly_driver_matrix,
                                    SQL_Q93),
+    "q94_ogr_sql_recordset": (q94_ogr_sql_recordset, SQL_Q94),
+    "q95_ogr_sql_summary": (q95_ogr_sql_summary, SQL_Q95),
+    "q96_ogr_sql_join_distinct": (q96_ogr_sql_join_distinct, SQL_Q96),
 }
 
 
@@ -5304,7 +5422,8 @@ def query_fns():
              "q87_contour_polygon_bands", "q88_ogg_roundtrip",
              "q89_dted_roundtrip", "q90_kml_gpx_roundtrip",
              "q91_grib_roundtrip", "q92_format_matrix",
-             "q93_readonly_driver_matrix"}
+             "q93_readonly_driver_matrix", "q94_ogr_sql_recordset",
+             "q95_ogr_sql_summary", "q96_ogr_sql_join_distinct"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}
