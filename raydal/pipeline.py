@@ -2081,3 +2081,13 @@ def _src_dgn(paths, **kwargs):
         paths = [paths]
     return ray.data.from_arrow(pa.concat_tables(
         [read_dgn(p) for p in paths]))
+
+
+@register_source("nitf")
+def _src_nitf(paths, image=0, **kwargs):
+    import ray.data
+
+    from .io.nitf import read_nitf
+
+    return ray.data.from_arrow(_raster_rows(
+        paths, lambda p: read_nitf(p, image=image)))
