@@ -25,9 +25,13 @@ in ``frmts/nitf/nitffile.c`` + ``nitfimage.c``:
   segment (8/16-bit), ICORDS=D corner coordinates from a
   north-up geotransform.
 
-Out of scope (documented NotImplementedError boundaries): C1 bilevel
-fax, C4 VQ/CADRG, C8 JPEG2000, 2/4/12-bit packing, graphic/text
-segment payloads (counted, not decoded).
+* C1/M1 bilevel fax blocks decode through the from-scratch ITU-T
+  T.4 codec (:mod:`raydal.io.ccitt`; 2D when COMRAT starts with '2',
+  per nitfbilevel.cpp's GROUP3OPT_2DENCODING mapping).
+
+Out of scope (documented NotImplementedError boundaries): C4
+VQ/CADRG, C8 JPEG2000, 2/4/12-bit packing, graphic/text segment
+payloads (counted, not decoded).
 
 Goldens: autotest/gdrivers/nitf.py — rgb.ntf band 3 checksum 21349 +
 WGS84 geotransform, i_3034c.ntf / i_3034f.ntf / ns3034d.nsf checksum
@@ -41,6 +45,10 @@ import os
 import struct
 
 import numpy as np
+
+from ..geo.gcp import gcps_to_geotransform
+from .ccitt import decode_g3
+from .jpeg import decode_jpeg
 
 __all__ = ["nitf_info", "read_nitf", "write_nitf"]
 
@@ -422,7 +430,15 @@ def read_nitf(path, image=0):
     dt, word = _dtype_of(im)
 
     if ic in ("C1", "M1"):
-        raise NotImplementedError("NITF bilevel (C1) fax compression")
+        # bilevel fax (nitfbilevel.cpp: G3, 2D when COMRAT starts '2')
+        two_d = im.get("COMRAT", "").startswith("2")
+        out = np.zeros((nbands, rows, cols), np.uint8)
+        with open(path, "rb") as f:
+            f.seek(im["_data_start"])
+            data = f.read(im["_data_size"])
+        blk = decode_g3(data, im["NPPBH"], im["NPPBV"], two_d=two_d)
+        out[0] = blk[:rows, :cols]
+        return out, _geotransform(im), None
     if ic in ("C4", "M4"):
         raise NotImplementedError("NITF VQ (C4/CADRG) compression")
     if ic in ("C8", "M8"):
@@ -462,7 +478,6 @@ def read_nitf(path, image=0):
                              s != _UINT_MAX]
                     end = min(later) if later else (
                         im["_data_start"] + im["_data_size"])
-                    from .jpeg import decode_jpeg
                     px = decode_jpeg(f.read(end - int(starts[i])))
                     if px.ndim == 2:
                         px = px[:, :, None]
@@ -506,7 +521,6 @@ def _geotransform(im):
         return None
     if all(x == 0 for x, _ in corners):
         return None
-    from ..geo.gcp import gcps_to_geotransform
     w, h = im["NCOLS"], im["NROWS"]
     # IGEOLO corners are pixel centers (nitfdataset.cpp:1190)
     px = [(0.5, 0.5), (w - 0.5, 0.5), (w - 0.5, h - 0.5),

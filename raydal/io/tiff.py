@@ -7,7 +7,9 @@ checksum table this reader is validated against):
 
 * byte orders ``II`` / ``MM``;
 * compression: none (1), LZW (5, with TIFF "early change"), Deflate
-  (8 / 32946, via :mod:`zlib`), PackBits (32773);
+  (8 / 32946, via :mod:`zlib`), PackBits (32773), CCITT RLE/G3/G4
+  (2/3/4 via :mod:`raydal.io.ccitt`; slim_g4.tif checksum 3322,
+  ``tiff_read.py`` test_tiff_g4_split);
 * predictors: none (1), horizontal differencing (2), floating-point (3);
 * sample formats: unsigned / signed int {8,16,32}, IEEE float {16,32,64};
 * PlanarConfiguration contig (1) and separate (2), strip and tile layout,
@@ -27,6 +29,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+from .ccitt import decode_g3 as _ccitt_g3, decode_g4 as _ccitt_g4
+
 import numpy as np
 
 from .jpeg import decode_jpeg, encode_jpeg
@@ -39,6 +43,7 @@ _TAG_NAMES = {
     347: "jpeg_tables",
     262: "photometric", 273: "strip_offsets", 277: "samples_per_pixel",
     278: "rows_per_strip", 279: "strip_byte_counts", 284: "planar_config",
+    292: "t4_options", 293: "t6_options",
     317: "predictor", 322: "tile_width", 323: "tile_length",
     324: "tile_offsets", 325: "tile_byte_counts", 339: "sample_format",
     33550: "model_pixel_scale", 33922: "model_tiepoint",
@@ -354,6 +359,7 @@ def _read_tiff_impl(buf, ifd_index=0):
     bits_list = tags.get("bits_per_sample", [1])
     bits = int(bits_list[0])
     compression = int(scalar("compression", 1))
+    t4_options = int(scalar("t4_options", 0))
     predictor = int(scalar("predictor", 1))
     planar = int(scalar("planar_config", 1))
     sfmt_list = tags.get("sample_format", [1])
@@ -411,9 +417,21 @@ def _read_tiff_impl(buf, ifd_index=0):
         if off == 0 or cnt == 0:
             return None  # sparse/empty chunk: pixels stay zero-filled
         raw = buf[off:off + cnt] if cnt else buf[off:]
-        if compression == 7:
-            return raw                 # decoded by _jpeg_chunk_array
+        if compression in (2, 3, 4, 7):
+            return raw            # decoded by the fax/jpeg chunk paths
         return _decompress(raw, compression, max_out=max_chunk)
+
+    def fax_chunk(raw, nrows, ncols):
+        """CCITT strips/tiles (compressions 2/3/4) → (nrows, ncols, 1)
+        uint8 0/1 via the from-scratch T.4/T.6 codec."""
+        if compression == 4:
+            bitsarr = _ccitt_g4(raw, ncols, nrows)
+        else:
+            two_d = compression == 3 and bool(t4_options & 1)
+            bitsarr = _ccitt_g3(raw, ncols, nrows, two_d=two_d)
+        # libtiff hands the decoded plane through unchanged (1 = black
+        # run) regardless of photometric; GDAL checksums those raw bits
+        return bitsarr[..., None]
 
     if tiled:
         per_plane = tiles_across * tiles_down
@@ -428,6 +446,8 @@ def _read_tiff_impl(buf, ifd_index=0):
                         continue
                     if compression == 7:
                         arr = _jpeg_chunk_array(raw, jpeg_tables)
+                    elif compression in (2, 3, 4):
+                        arr = fax_chunk(raw, th, tw)
                     elif bits == 1:
                         arr = _unpack_bits1(raw, th, tw)[..., None]
                     else:
@@ -455,6 +475,8 @@ def _read_tiff_impl(buf, ifd_index=0):
                 if compression == 7:
                     arr = _jpeg_chunk_array(raw, jpeg_tables)
                     arr = arr[:nrows, :width]
+                elif compression in (2, 3, 4):
+                    arr = fax_chunk(raw, nrows, width)
                 elif bits == 1:
                     arr = _unpack_bits1(raw, nrows, width)[..., None]
                 else:

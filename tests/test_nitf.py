@@ -65,10 +65,11 @@ def test_header_only_rejected():
 
 
 @needs_ref
-def test_c1_boundary():
-    # C1 bilevel fax is a documented NotImplementedError boundary
-    with pytest.raises(NotImplementedError):
-        read_nitf(DATA + "U_1050A.NTF")
+def test_c1_bilevel_decode():
+    # test_nitf_19: C1 (G3 2D, COMRAT=2DH) decodes via the from-scratch
+    # T.4 codec — checksum 65024
+    arr, _gt, _nd = read_nitf(DATA + "U_1050A.NTF")
+    assert checksum(arr[0]) == 65024
 
 
 @needs_ref
