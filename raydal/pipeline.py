@@ -2091,3 +2091,111 @@ def _src_nitf(paths, image=0, **kwargs):
 
     return ray.data.from_arrow(_raster_rows(
         paths, lambda p: read_nitf(p, image=image)))
+
+
+@register_source("vicar")
+def _src_vicar(paths, **kwargs):
+    import ray.data
+
+    from .io.vicar import read_vicar
+
+    return ray.data.from_arrow(_raster_rows(paths, read_vicar))
+
+
+@register_source("rraster")
+def _src_rraster(paths, **kwargs):
+    import ray.data
+
+    from .io.rawmisc import read_rraster
+
+    return ray.data.from_arrow(_raster_rows(paths, read_rraster))
+
+
+@register_source("isg")
+def _src_isg(paths, **kwargs):
+    import ray.data
+
+    from .io.rawmisc import read_isg
+
+    return ray.data.from_arrow(_raster_rows(paths, read_isg))
+
+
+@register_source("jdem")
+def _src_jdem(paths, **kwargs):
+    import ray.data
+
+    from .io.rawmisc import read_jdem
+
+    return ray.data.from_arrow(_raster_rows(paths, read_jdem))
+
+
+@register_source("gsc")
+def _src_gsc(paths, **kwargs):
+    import ray.data
+
+    from .io.rawmisc import read_gsc
+
+    return ray.data.from_arrow(_raster_rows(paths, read_gsc))
+
+
+@register_source("noaa_b")
+def _src_noaa_b(paths, **kwargs):
+    import ray.data
+
+    from .io.rawmisc import read_noaa_b
+
+    return ray.data.from_arrow(_raster_rows(paths, read_noaa_b))
+
+
+@register_source("ctg")
+def _src_ctg(paths, **kwargs):
+    import ray.data
+
+    from .io.rawmisc import read_ctg
+
+    return ray.data.from_arrow(_raster_rows(paths, read_ctg))
+
+
+@register_source("mff")
+def _src_mff(paths, **kwargs):
+    import ray.data
+
+    from .io.rawmisc import read_mff
+
+    return ray.data.from_arrow(_raster_rows(paths, read_mff))
+
+
+@register_source("roipac")
+def _src_roipac(paths, **kwargs):
+    import ray.data
+
+    from .io.rawmisc import read_roipac
+
+    return ray.data.from_arrow(_raster_rows(paths, read_roipac))
+
+
+@register_source("isce")
+def _src_isce(paths, **kwargs):
+    import ray.data
+
+    from .io.rawmisc import read_isce
+
+    return ray.data.from_arrow(_raster_rows(paths, read_isce))
+
+
+@register_source("ntv2")
+def _src_ntv2(paths, **kwargs):
+    import ray.data
+
+    from .io.rawmisc import read_ntv2
+
+    return ray.data.from_arrow(_raster_rows(paths, read_ntv2))
+
+
+@register_source("genbin")
+def _src_genbin(paths, **kwargs):
+    import ray.data
+
+    from .io.rawmisc import read_genbin
+
+    return ray.data.from_arrow(_raster_rows(paths, read_genbin))

@@ -4852,7 +4852,8 @@ GROUP BY n_nationkey
 """
 
 
-_Q92_FORMATS = ("gsbg", "zmap", "kro", "hf2", "pnm", "grib")
+_Q92_FORMATS = ("gsbg", "zmap", "kro", "hf2", "pnm", "grib",
+                "nitf")
 
 
 def q92_format_matrix(sf_dir):
@@ -4860,10 +4861,11 @@ def q92_format_matrix(sf_dir):
 
     Per nation key a deterministic 64×64 integer grid
     (val = (577k + 13r + 29c + rc) mod 1000) is round-tripped
-    through SIX of the from-scratch drivers — Surfer GSBG
+    through SEVEN of the from-scratch drivers — Surfer GSBG
     (io/gsg.py), ZMap Plus ASCII (io/zmap.py), Autopano KRO
-    (io/rawgrids.py), HF2 (io/hf2.py), PNM (io/pnm.py) and GRIB2
-    simple packing (io/grib.py) — every codec in the set validated
+    (io/rawgrids.py), HF2 (io/hf2.py), PNM (io/pnm.py), GRIB2
+    simple packing (io/grib.py) and NITF 2.1 uncompressed IMODE=B
+    (io/nitf.py) — every codec in the set validated
     elsewhere against its own ``autotest`` published checksums.
     Integer values are exact in all six encodings, so each
     (nation, format) row reports the decoded sum and a mismatch
@@ -4875,6 +4877,7 @@ def q92_format_matrix(sf_dir):
 
     from .io.grib import read_grib, write_grib2
     from .io.gsg import read_gsbg, write_gsbg
+    from .io.nitf import read_nitf, write_nitf
     from .io.hf2 import read_hf2, write_hf2
     from .io.pnm import read_pnm, write_pnm
     from .io.rawgrids import read_kro, write_kro
@@ -4910,6 +4913,9 @@ def q92_format_matrix(sf_dir):
                         os.path.join(tmp, "g.pgm")))[0][0],
                     "grib": lambda: read_grib(write_grib2(
                         grid.astype(np.float64), gt))[0]["data"],
+                    "nitf": lambda: read_nitf(_w2(
+                        write_nitf, grid.astype(np.uint16), gt,
+                        os.path.join(tmp, "g.ntf")))[0][0],
                 }
                 for fmt in _Q92_FORMATS:
                     dec = np.asarray(rts[fmt]()).astype(np.int64)
@@ -4933,6 +4939,11 @@ def q92_format_matrix(sf_dir):
 
 def _w(writer, arr, gt, path):
     writer(arr, gt, path)
+    return path
+
+
+def _w2(writer, arr, gt, path):
+    writer(path, arr, gt)
     return path
 
 
@@ -5111,7 +5122,7 @@ SELECT n_nationkey, fmt,
        CAST(0 AS BIGINT) AS mismatch
 FROM nation,
      (VALUES ('gsbg'), ('zmap'), ('kro'), ('hf2'), ('pnm'),
-             ('grib')) fmts(fmt),
+             ('grib'), ('nitf')) fmts(fmt),
      generate_series(0, 63) r(g),
      generate_series(0, 63) c(g)
 GROUP BY n_nationkey, fmt
