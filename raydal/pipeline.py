@@ -2199,3 +2199,21 @@ def _src_genbin(paths, **kwargs):
     from .io.rawmisc import read_genbin
 
     return ray.data.from_arrow(_raster_rows(paths, read_genbin))
+
+
+@register_source("tga")
+def _src_tga(paths, **kwargs):
+    import ray.data
+
+    from .io.tga import read_tga
+
+    return ray.data.from_arrow(_raster_rows(paths, read_tga))
+
+
+@register_source("fast")
+def _src_fast(paths, **kwargs):
+    import ray.data
+
+    from .io.fast import read_fast
+
+    return ray.data.from_arrow(_raster_rows(paths, read_fast))
