@@ -5308,6 +5308,87 @@ FROM (SELECT DISTINCT o_orderpriority FROM orders)
 """
 
 
+def q97_topojson_roundtrip(sf_dir):
+    """TopoJSON reader driven per batch, oracled in SQL.
+
+    Each customer batch becomes one quantized TopoJSON Topology
+    (io/topojson.py — ogrtopojsonreader.cpp semantics: delta-decoded
+    arcs under a transform, ``~i`` arc reversal, per-feature id/name
+    extraction).  Per key the arc starts at quantized
+    (3k mod 640, 5k mod 640) with deltas (8,16) then (24,-8) under
+    scale 1/8 and translate (0, -40) — every coordinate an exact
+    binary eighth.  A ``lines`` GeometryCollection holds the forward
+    LineStrings (arcs=[i]) and a ``rev`` collection the reversed ones
+    (arcs=[~i]); the query emits the decoded endpoints plus
+    ``rev_match`` (reversed stitch is the exact point-reversal,
+    pinned 1) and ``name_ok`` (id/properties.name passthrough,
+    pinned 1).  The oracle recomputes the closed-form endpoints."""
+    from .io.topojson import read_topojson
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["c_custkey"], dtype=np.int64)
+        q0x = keys * 3 % 640
+        q0y = keys * 5 % 640
+        arcs = [[[int(x), int(y)], [8, 16], [24, -8]]
+                for x, y in zip(q0x, q0y)]
+        fwd = [{"type": "LineString", "arcs": [i], "id": str(k),
+                "properties": {"name": "n%d" % k}}
+               for i, k in enumerate(keys)]
+        rev = [{"type": "LineString", "arcs": [~i]}
+               for i in range(len(keys))]
+        doc = {
+            "type": "Topology",
+            "transform": {"scale": [0.125, 0.125],
+                          "translate": [0.0, -40.0]},
+            "objects": {
+                "lines": {"type": "GeometryCollection",
+                          "geometries": fwd},
+                "rev": {"type": "GeometryCollection",
+                        "geometries": rev},
+            },
+            "arcs": arcs,
+        }
+        layers = read_topojson(doc)
+        lf, lr = layers["lines"], layers["rev"]
+        # LineString of 3 points: 9-byte header + 3×16 coord bytes
+        fb = np.frombuffer(b"".join(lf["wkb"].to_pylist()), np.uint8)
+        fb = fb.reshape(len(keys), 57)[:, 9:]
+        fxy = fb.copy().view("<f8").reshape(len(keys), 6)
+        rb = np.frombuffer(b"".join(lr["wkb"].to_pylist()), np.uint8)
+        rb = rb.reshape(len(keys), 57)[:, 9:]
+        rxy = rb.copy().view("<f8").reshape(len(keys), 6)
+        rev_match = (rxy == fxy[:, [4, 5, 2, 3, 0, 1]]) \
+            .all(axis=1).astype(np.int64)
+        ids = lf["id"].to_pylist()
+        names = lf["name"].to_pylist()
+        name_ok = np.array(
+            [int(i == str(k) and n == "n%d" % k)
+             for i, n, k in zip(ids, names, keys)], np.int64)
+        return pa.Table.from_pydict({
+            "c_custkey": t["c_custkey"],
+            "x0": pa.array(fxy[:, 0], pa.float64()),
+            "y0": pa.array(fxy[:, 1], pa.float64()),
+            "x2": pa.array(fxy[:, 4], pa.float64()),
+            "y2": pa.array(fxy[:, 5], pa.float64()),
+            "rev_match": pa.array(rev_match),
+            "name_ok": pa.array(name_ok)})
+
+    return (_read(sf_dir, "customer", ["c_custkey"])
+            .map_batches(fn, batch_format="pyarrow", batch_size=256))
+
+
+SQL_Q97 = """
+SELECT c_custkey,
+       (c_custkey * 3 % 640) / 8.0 AS x0,
+       (c_custkey * 5 % 640) / 8.0 - 40 AS y0,
+       (c_custkey * 3 % 640) / 8.0 + 4.0 AS x2,
+       (c_custkey * 5 % 640) / 8.0 - 39.0 AS y2,
+       CAST(1 AS BIGINT) AS rev_match,
+       CAST(1 AS BIGINT) AS name_ok
+FROM customer
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -5409,6 +5490,7 @@ QUERIES = {
     "q94_ogr_sql_recordset": (q94_ogr_sql_recordset, SQL_Q94),
     "q95_ogr_sql_summary": (q95_ogr_sql_summary, SQL_Q95),
     "q96_ogr_sql_join_distinct": (q96_ogr_sql_join_distinct, SQL_Q96),
+    "q97_topojson_roundtrip": (q97_topojson_roundtrip, SQL_Q97),
 }
 
 
@@ -5434,7 +5516,8 @@ def query_fns():
              "q89_dted_roundtrip", "q90_kml_gpx_roundtrip",
              "q91_grib_roundtrip", "q92_format_matrix",
              "q93_readonly_driver_matrix", "q94_ogr_sql_recordset",
-             "q95_ogr_sql_summary", "q96_ogr_sql_join_distinct"}
+             "q95_ogr_sql_summary", "q96_ogr_sql_join_distinct",
+             "q97_topojson_roundtrip"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}
