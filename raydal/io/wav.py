@@ -6,7 +6,10 @@ training-data crawl actually contains — integer PCM at 8/16/24/32 bits
 (format tag 1), IEEE float 32/64 (tag 3), ITU-T G.711 A-law / mu-law
 (tags 6/7, LUTs bit-exact vs the stdlib ``audioop`` oracle), IMA/DVI
 ADPCM (tag 0x11, block headers + interleaved nibble words; the
-expansion core matches ``audioop.adpcm2lin`` bit-exactly), and
+expansion core matches ``audioop.adpcm2lin`` bit-exactly), Microsoft
+ADPCM (tag 0x02, per-block predictor/delta headers with the 7-pair
+coefficient extension honoured from the fmt chunk; hand-computed
+spec vectors in tests/test_wav_compressed.py), and
 WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE, sub-format resolved from the
 GUID) — mono or multi-channel.  ``encode_wav`` writes canonical
 44-byte-header PCM for round-trips.
@@ -25,9 +28,10 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_wav", "encode_wav"]
+__all__ = ["decode_wav", "encode_wav", "encode_ms_adpcm"]
 
 _TAG_PCM = 0x0001
+_TAG_MS_ADPCM = 0x0002
 _TAG_FLOAT = 0x0003
 _TAG_ALAW = 0x0006
 _TAG_MULAW = 0x0007
@@ -124,6 +128,155 @@ def _decode_ima_adpcm(data, ch, block_align):
     return np.stack(cols, axis=1).astype(np.float64) / 32768.0
 
 
+# Microsoft ADPCM (format tag 0x0002) — the 7 standard predictor
+# coefficient pairs and the delta adaptation table from the public
+# WAVE_FORMAT_ADPCM specification (Microsoft multimedia standards
+# update; same constants ship in every fmt-chunk extension header)
+_MS_COEF = np.array([[256, 0], [512, -256], [0, 0], [192, 64],
+                     [240, 0], [460, -208], [392, -232]], np.int32)
+_MS_ADAPT = np.array([230, 230, 230, 230, 307, 409, 512, 614,
+                      768, 614, 512, 409, 307, 230, 230, 230],
+                     np.int64)
+
+
+def _trunc_div256(a):
+    """C-style `/ 256` (truncation toward zero, not floor) on exact
+    float64 intermediates — |a| ≤ 32767·512·2 keeps it integral."""
+    return np.trunc(a / 256.0)
+
+
+def _decode_ms_adpcm(data, ch, block_align, coefs):
+    """WAV Microsoft ADPCM (tag 0x0002): per-block header of
+    per-channel predictor byte + int16 idelta + int16 sample1 (newer)
+    + int16 sample2 (older), then signed 4-bit error nibbles
+    interleaved across channels in time order, high nibble first.
+
+    Blocks are independent, so the serial adaptation loop runs across
+    all blocks×channels at once; only the per-nibble step is serial
+    (same argument as the IMA core)."""
+    hdr = 7 * ch
+    if block_align <= hdr:
+        raise ValueError("invalid MS ADPCM block alignment")
+    nb = len(data) // block_align
+    if nb == 0:
+        return np.empty((0, ch), np.float64)
+    blocks = np.frombuffer(
+        data[:nb * block_align], np.uint8).reshape(nb, block_align)
+    bpred = np.minimum(blocks[:, :ch].astype(np.int64),
+                       len(coefs) - 1)                       # (nb, ch)
+    ints = blocks[:, ch:hdr].copy().view("<i2").astype(np.int64)
+    ints = ints.reshape(nb, 3, ch)
+    delta = ints[:, 0, :].astype(np.float64)                 # (nb, ch)
+    samp1 = ints[:, 1, :].astype(np.float64)
+    samp2 = ints[:, 2, :].astype(np.float64)
+    c1 = coefs[bpred, 0].astype(np.float64)
+    c2 = coefs[bpred, 1].astype(np.float64)
+
+    body = blocks[:, hdr:]
+    nibs = np.empty((nb, body.shape[1] * 2), np.uint8)
+    nibs[:, 0::2] = body >> 4
+    nibs[:, 1::2] = body & 0x0F
+    steps = nibs.shape[1] // ch
+    nibs = nibs[:, :steps * ch].reshape(nb, steps, ch)
+
+    out = np.empty((nb, steps + 2, ch), np.float64)
+    out[:, 0, :] = samp2
+    out[:, 1, :] = samp1
+    adapt = _MS_ADAPT.astype(np.float64)
+    for t in range(steps):
+        n = nibs[:, t, :].astype(np.int64)
+        signed = np.where(n >= 8, n - 16, n).astype(np.float64)
+        pred = _trunc_div256(samp1 * c1 + samp2 * c2) + signed * delta
+        pred = np.clip(pred, -32768.0, 32767.0)
+        samp2 = samp1
+        samp1 = pred
+        delta = np.maximum(_trunc_div256(delta * adapt[n]), 16.0)
+        out[:, t + 2, :] = pred
+    return out.reshape(nb * (steps + 2), ch) / 32768.0
+
+
+def encode_ms_adpcm(samples, rate=16000, samples_per_block=500):
+    """samples (float in [-1, 1] or int16, (n,) or (n, ch)) →
+    Microsoft ADPCM WAV bytes (tag 0x0002) with the standard 7-pair
+    coefficient extension.  Per block and channel the best of the 7
+    predictors is chosen by first-pass residual magnitude; the stored
+    sample1/sample2 header words keep the first two samples of every
+    block lossless (the property the q98 oracle pins)."""
+    s = np.asarray(samples)
+    if s.dtype.kind == "f":
+        s = np.clip(np.round(s * 32768.0), -32768, 32767)
+    s = s.astype(np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    spb = max(int(samples_per_block), 4)
+    pad = (-n) % spb
+    if pad:
+        s = np.vstack([s, np.repeat(s[-1:], pad, axis=0)])
+        n = len(s)
+    block_align = 7 * ch + ((spb - 2) * ch + 1) // 2
+
+    blocks = []
+    for b0 in range(0, n, spb):
+        blk = s[b0:b0 + spb]
+        heads = bytearray()
+        deltas = []
+        s1s = []
+        s2s = []
+        preds = []
+        for c in range(ch):
+            x = blk[:, c].astype(np.float64)
+            # predictor choice: least |residual| sum over the block
+            errs = [np.abs(x[2:] - _trunc_div256(
+                x[1:-1] * _MS_COEF[p, 0] + x[:-2] * _MS_COEF[p, 1])
+            ).sum() for p in range(7)]
+            p = int(np.argmin(errs))
+            d = max(16, int(np.abs(np.diff(x)).mean() / 4) or 16)
+            preds.append(p)
+            deltas.append(float(d))
+            s2s.append(float(blk[0, c]))
+            s1s.append(float(blk[1, c]))
+            heads.append(p)
+        head = bytes(heads) + struct.pack(
+            "<%dh" % (3 * ch),
+            *[int(v) for v in deltas],
+            *[int(v) for v in s1s], *[int(v) for v in s2s])
+        samp1 = np.array(s1s)
+        samp2 = np.array(s2s)
+        delta = np.array(deltas)
+        c1 = _MS_COEF[preds, 0].astype(np.float64)
+        c2 = _MS_COEF[preds, 1].astype(np.float64)
+        nibs = []
+        for t in range(2, spb):
+            pred = _trunc_div256(samp1 * c1 + samp2 * c2)
+            err = blk[t].astype(np.float64) - pred
+            nib = np.clip(np.trunc(err / delta), -8, 7)
+            new = np.clip(pred + nib * delta, -32768.0, 32767.0)
+            samp2 = samp1
+            samp1 = new
+            un = (nib.astype(np.int64) & 0x0F)
+            delta = np.maximum(_trunc_div256(delta * _MS_ADAPT[un]),
+                               16.0)
+            nibs.extend(int(v) for v in un)
+        if len(nibs) & 1:
+            nibs.append(0)
+        body = bytes((nibs[i] << 4) | nibs[i + 1]
+                     for i in range(0, len(nibs), 2))
+        blocks.append((head + body).ljust(block_align, b"\x00"))
+
+    payload = b"".join(blocks)
+    ext = struct.pack("<HHH", 32, spb, 7) + b"".join(
+        struct.pack("<hh", int(a), int(b)) for a, b in _MS_COEF)
+    avg = rate * block_align // spb
+    hdr = (b"WAVEfmt " + struct.pack(
+        "<IHHIIHH", 16 + len(ext), _TAG_MS_ADPCM, ch, rate, avg,
+        block_align, 4) + ext
+        + b"data" + struct.pack("<I", len(payload)))
+    padb = len(payload) & 1
+    return (b"RIFF" + struct.pack("<I", len(hdr) + len(payload) + padb)
+            + hdr + payload + b"\x00" * padb)
+
+
 def _iter_chunks(buf, start, end):
     """Yield (fourcc, payload_offset, size) walking even-aligned RIFF
     chunks in buf[start:end]."""
@@ -150,12 +303,21 @@ def decode_wav(buf):
 
     fmt = None
     data = None
+    ms_coefs = _MS_COEF
     for cc, off, size in _iter_chunks(buf, 12, end):
         if cc == b"fmt " and fmt is None:
             if size < 16 or off + 16 > len(buf):
                 raise ValueError("truncated fmt chunk")
             tag, ch, rate, _bps, block, bits = struct.unpack_from(
                 "<HHIIHH", buf, off)
+            if tag == _TAG_MS_ADPCM and size >= 22 and \
+                    off + 22 <= len(buf):
+                # cbSize ext: wSamplesPerBlock, wNumCoef, coef pairs
+                ncoef = struct.unpack_from("<H", buf, off + 20)[0]
+                if ncoef and off + 22 + 4 * ncoef <= len(buf):
+                    pairs = struct.unpack_from("<%dh" % (2 * ncoef),
+                                               buf, off + 22)
+                    ms_coefs = np.array(pairs, np.int32).reshape(-1, 2)
             if tag == _TAG_EXTENSIBLE:
                 # cbSize >= 22: wValidBits, dwChannelMask, SubFormat GUID
                 if size < 40 or off + 40 > len(buf):
@@ -214,6 +376,9 @@ def decode_wav(buf):
             np.float64) / 32768.0
     elif tag == _TAG_IMA_ADPCM:
         s = _decode_ima_adpcm(data, ch, block)
+        return (s[:, 0] if ch == 1 else s), rate
+    elif tag == _TAG_MS_ADPCM:
+        s = _decode_ms_adpcm(data, ch, block, ms_coefs)
         return (s[:, 0] if ch == 1 else s), rate
     else:
         raise ValueError(

@@ -5389,6 +5389,69 @@ FROM customer
 """
 
 
+def q98_ms_adpcm_roundtrip(sf_dir):
+    """Microsoft ADPCM codec (WAV tag 0x0002) driven per row, oracled
+    in SQL.
+
+    Per customer key a deterministic int16 triangle wave
+    x_i = (|((37k + i·q) mod 510) − 255| − 128)·64 with
+    q = (k mod 7) + 3 is encoded to MS ADPCM (io/wav.py encode_ms_adpcm — per-block
+    predictor choice over the 7 standard coefficient pairs) and
+    decoded back.  The format stores each block's first two samples
+    losslessly in the header, so ``s0``/``s1`` are exact closed forms
+    the oracle recomputes; ``head_ok`` pins that property across
+    every block and ``snr_ok`` pins reconstruction quality (> 15 dB)
+    for the 4-bit quantized remainder."""
+    from .io.wav import decode_wav, encode_ms_adpcm
+
+    N, SPB = 600, 300
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["c_custkey"], dtype=np.int64)
+        i = np.arange(N, dtype=np.int64)
+        s0 = np.empty(len(keys), np.int64)
+        s1 = np.empty(len(keys), np.int64)
+        head_ok = np.empty(len(keys), np.int64)
+        snr_ok = np.empty(len(keys), np.int64)
+        for j, k in enumerate(keys):
+            q = int(k) % 7 + 3
+            x = (np.abs((37 * int(k) + i * q) % 510 - 255) - 128) * 64
+            buf = encode_ms_adpcm(x.astype(np.int16), 8000,
+                                  samples_per_block=SPB)
+            dec, _ = decode_wav(buf)
+            d = np.round(dec * 32768.0).astype(np.int64)[:N]
+            s0[j], s1[j] = d[0], d[1]
+            head_ok[j] = int(all(
+                d[b] == x[b] and d[b + 1] == x[b + 1]
+                for b in range(0, N, SPB)))
+            err = (d - x).astype(np.float64)
+            snr = 10 * np.log10(
+                (x.astype(np.float64) ** 2).mean()
+                / max((err ** 2).mean(), 1e-30))
+            snr_ok[j] = int(snr > 15.0)
+        return pa.Table.from_pydict({
+            "c_custkey": t["c_custkey"],
+            "s0": pa.array(s0), "s1": pa.array(s1),
+            "n_samples": pa.array(np.full(len(keys), N, np.int64)),
+            "head_ok": pa.array(head_ok),
+            "snr_ok": pa.array(snr_ok)})
+
+    return (_read(sf_dir, "customer", ["c_custkey"])
+            .map_batches(fn, batch_format="pyarrow", batch_size=128))
+
+
+SQL_Q98 = """
+SELECT c_custkey,
+       (ABS((c_custkey * 37 % 510) - 255) - 128) * 64 AS s0,
+       (ABS(((c_custkey * 37 + (c_custkey % 7) + 3) % 510) - 255)
+        - 128) * 64 AS s1,
+       CAST(600 AS BIGINT) AS n_samples,
+       CAST(1 AS BIGINT) AS head_ok,
+       CAST(1 AS BIGINT) AS snr_ok
+FROM customer
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -5491,6 +5554,7 @@ QUERIES = {
     "q95_ogr_sql_summary": (q95_ogr_sql_summary, SQL_Q95),
     "q96_ogr_sql_join_distinct": (q96_ogr_sql_join_distinct, SQL_Q96),
     "q97_topojson_roundtrip": (q97_topojson_roundtrip, SQL_Q97),
+    "q98_ms_adpcm_roundtrip": (q98_ms_adpcm_roundtrip, SQL_Q98),
 }
 
 
@@ -5517,7 +5581,7 @@ def query_fns():
              "q91_grib_roundtrip", "q92_format_matrix",
              "q93_readonly_driver_matrix", "q94_ogr_sql_recordset",
              "q95_ogr_sql_summary", "q96_ogr_sql_join_distinct",
-             "q97_topojson_roundtrip"}
+             "q97_topojson_roundtrip", "q98_ms_adpcm_roundtrip"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}
