@@ -262,12 +262,14 @@ class TestRealWav:
         np.testing.assert_allclose(s, v16 / 32768.0)
 
     def test_compressed_tag_rejected(self):
+        # perceptual codecs (here MPEG-in-WAV, tag 0x0055) stay out of
+        # scope; the formerly-rejected tag 0x0002 is now a real decoder
         import struct
 
         from raydal.io.wav import decode_wav
 
         hdr = (b"WAVEfmt "
-               + struct.pack("<IHHIIHH", 16, 2, 1, 8000, 8000, 1, 4)
+               + struct.pack("<IHHIIHH", 16, 0x55, 1, 8000, 8000, 1, 4)
                + b"data" + struct.pack("<I", 4))
         buf = b"RIFF" + struct.pack("<I", len(hdr) + 4) + hdr + b"\0" * 4
         with pytest.raises(ValueError, match="format tag"):
