@@ -5452,6 +5452,168 @@ FROM customer
 """
 
 
+def _ensure_osm_fixture(sf_dir):
+    """Deterministic OSM PBF derived from the customer keys: one node
+    per key k at nano-degree (((131k mod 1.7e6)·100 − 8.5e7),
+    ((977k mod 3.5e6)·100 − 1.75e8)); one 3-node way per k ≡ 0 (mod 5)
+    with refs [k, k+1, k+2] tagged highway=residential.  Written
+    multi-block (block_size=512) so the query's blob decode fans out;
+    atomically published under the fixture cache."""
+    import pyarrow.parquet as pq
+
+    from .io.osmpbf import write_osm_pbf
+    from .pipelines import _CACHE_ROOT
+
+    keys = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey"])["c_custkey"].to_numpy()
+    keys = np.sort(keys.astype(np.int64))
+    n = len(keys)
+    out = os.path.join(_CACHE_ROOT, f"osm_{n}")
+    marker = os.path.join(out, "_SUCCESS")
+    path = os.path.join(out, "data.osm.pbf")
+    if not os.path.exists(marker):
+        os.makedirs(_CACHE_ROOT, exist_ok=True)
+        import shutil
+
+        tmp = f"{out}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        lat = (keys * 131 % 1_700_000) * 100 - 85_000_000
+        lon = (keys * 977 % 3_500_000) * 100 - 175_000_000
+        nodes = pa.table({
+            "id": pa.array(keys),
+            "lat_nano": pa.array(lat),
+            "lon_nano": pa.array(lon),
+            "keys": pa.array([[]] * n, pa.list_(pa.string())),
+            "vals": pa.array([[]] * n, pa.list_(pa.string()))})
+        wk = keys[(keys % 5 == 0) & (keys + 2 <= keys.max())]
+        ways = pa.table({
+            "id": pa.array(wk),
+            "refs": pa.array([[int(k), int(k) + 1, int(k) + 2]
+                              for k in wk], pa.list_(pa.int64())),
+            "keys": pa.array([["highway"]] * len(wk),
+                             pa.list_(pa.string())),
+            "vals": pa.array([["residential"]] * len(wk),
+                             pa.list_(pa.string()))})
+        with open(os.path.join(tmp, "data.osm.pbf"), "wb") as f:
+            f.write(write_osm_pbf(nodes, ways, block_size=512))
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write("ok")
+        try:
+            os.replace(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def q99_osm_way_assembly(sf_dir):
+    """OSM PBF way-geometry assembly as a DISTRIBUTED join, oracled
+    in SQL.
+
+    The reference's OSM driver resolves way node refs through a
+    custom on-disk point store filled while streaming the file
+    (ogr/ogrsf_frmts/osm/ogrosmdatasource.cpp IndexPoint /
+    LookupNodes); the Ray-native shape is: blob index → parallel
+    blob decode (map_batches over the OSMData frames, payloads never
+    on the driver) → explode way refs to (way_id, seq, ref) → hash
+    join against the node table → groupby(way_id) assembly of
+    LineString WKB.  Emitted endpoints are recovered FROM the
+    assembled WKB, so ref order, the join, and the geometry encode
+    all sit on the oracle path."""
+    import ray
+    import ray.data
+
+    from .io.osmpbf import osm_blob_index, read_osm_blob
+
+    path = _ensure_osm_fixture(sf_dir)
+    blobs = [r for r in osm_blob_index(path) if r["btype"] == "OSMData"]
+
+    class DecodeNodes:
+        def __init__(self, p):
+            self.p = p
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            parts = [read_osm_blob(self.p, o, s)["nodes"]
+                     for o, s in zip(t["offset"].to_pylist(),
+                                     t["size"].to_pylist())]
+            merged = pa.concat_tables(parts)
+            return merged.select(["id", "lat_nano", "lon_nano"])
+
+    class DecodeWays:
+        def __init__(self, p):
+            self.p = p
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            parts = [read_osm_blob(self.p, o, s)["ways"]
+                     for o, s in zip(t["offset"].to_pylist(),
+                                     t["size"].to_pylist())]
+            w = pa.concat_tables(parts)
+            wid = np.asarray(w["id"], np.int64)
+            refs = w["refs"].combine_chunks()
+            offs = refs.offsets.to_numpy()
+            flat = refs.values.to_numpy().astype(np.int64)
+            lens = np.diff(offs)
+            way_rep = np.repeat(wid, lens)
+            seq = np.arange(len(flat), dtype=np.int64) \
+                - np.repeat(offs[:-1], lens)
+            kl = w["keys"].to_pylist()
+            vl = w["vals"].to_pylist()
+            hw = [vl[i][kl[i].index("highway")]
+                  if "highway" in kl[i] else "" for i in range(len(wid))]
+            return pa.table({
+                "way_id": pa.array(way_rep),
+                "seq": pa.array(seq),
+                "ref": pa.array(flat),
+                "highway": pa.array(np.repeat(np.asarray(hw, object),
+                                              lens).tolist(),
+                                    pa.string())})
+
+    src = ray.data.from_items(blobs)
+    nodes = src.map_batches(DecodeNodes, batch_format="pyarrow",
+                            fn_constructor_args=(path,), concurrency=2)
+    ways = src.map_batches(DecodeWays, batch_format="pyarrow",
+                           fn_constructor_args=(path,), concurrency=2)
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(8, cpus // 2))
+    j = ways.join(nodes, "inner", nparts,
+                  on=("ref",), right_on=("id",),
+                  aggregator_ray_remote_args={"num_cpus": 0.25})
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("seq")
+        lon = g["lon_nano"].to_numpy() * 1e-9
+        lat = g["lat_nano"].to_numpy() * 1e-9
+        wkb = struct.pack("<BII", 1, 2, len(g)) + np.column_stack(
+            [lon, lat]).astype("<f8").tobytes()
+        # recover endpoints FROM the WKB just built
+        xy = np.frombuffer(wkb[9:], "<f8").reshape(-1, 2)
+        return pd.DataFrame({
+            "way_id": [int(g["way_id"].iloc[0])],
+            "npts": [len(g)],
+            "lat0_nano": [int(round(xy[0, 1] * 1e9))],
+            "lon0_nano": [int(round(xy[0, 0] * 1e9))],
+            "lat2_nano": [int(round(xy[-1, 1] * 1e9))],
+            "lon2_nano": [int(round(xy[-1, 0] * 1e9))],
+            "highway": [g["highway"].iloc[0]]})
+
+    return j.groupby("way_id").map_groups(assemble,
+                                          batch_format="pandas")
+
+
+SQL_Q99 = """
+SELECT c_custkey AS way_id,
+       CAST(3 AS BIGINT) AS npts,
+       (c_custkey * 131 % 1700000) * 100 - 85000000 AS lat0_nano,
+       (c_custkey * 977 % 3500000) * 100 - 175000000 AS lon0_nano,
+       ((c_custkey + 2) * 131 % 1700000) * 100 - 85000000 AS lat2_nano,
+       ((c_custkey + 2) * 977 % 3500000) * 100 - 175000000 AS lon2_nano,
+       'residential' AS highway
+FROM customer
+WHERE c_custkey % 5 = 0
+  AND c_custkey + 2 <= (SELECT MAX(c_custkey) FROM customer)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -5555,6 +5717,7 @@ QUERIES = {
     "q96_ogr_sql_join_distinct": (q96_ogr_sql_join_distinct, SQL_Q96),
     "q97_topojson_roundtrip": (q97_topojson_roundtrip, SQL_Q97),
     "q98_ms_adpcm_roundtrip": (q98_ms_adpcm_roundtrip, SQL_Q98),
+    "q99_osm_way_assembly": (q99_osm_way_assembly, SQL_Q99),
 }
 
 
@@ -5581,7 +5744,8 @@ def query_fns():
              "q91_grib_roundtrip", "q92_format_matrix",
              "q93_readonly_driver_matrix", "q94_ogr_sql_recordset",
              "q95_ogr_sql_summary", "q96_ogr_sql_join_distinct",
-             "q97_topojson_roundtrip", "q98_ms_adpcm_roundtrip"}
+             "q97_topojson_roundtrip", "q98_ms_adpcm_roundtrip",
+             "q99_osm_way_assembly"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}
