@@ -44,6 +44,8 @@ import struct
 
 import numpy as np
 
+from raydal.io.hdf5 import HDF5File
+
 __all__ = ["parse_netcdf", "read_netcdf", "write_netcdf"]
 
 # classic nc_type → (numpy big-endian dtype, external size)
@@ -248,12 +250,125 @@ class NCFile:
         return [self.dims[d][0] for d in var.dims]
 
 
+class _H5Var:
+    """netCDF-4 variable backed by an HDF5 dataset."""
+
+    __slots__ = ("name", "dims", "attrs", "nc_type", "_h5", "_path",
+                 "shape")
+
+    def __init__(self, h5, path, dims, attrs, nc_type, shape):
+        self.name = path.lstrip("/")
+        self._h5 = h5
+        self._path = path
+        self.dims = dims
+        self.attrs = attrs
+        self.nc_type = nc_type
+        self.shape = shape
+
+    @property
+    def is_record(self):
+        return False
+
+    def data(self):
+        return self._h5.read(self._path)
+
+
+# netCDF-4 pure dimensions (no coordinate variable) carry this marker
+# in their NAME attribute (libnetcdf convention).
+_NC4_DIM_ONLY = "This is a netCDF dimension but not a netCDF variable"
+
+
+class _H5NC:
+    """netCDF-4 (HDF5 container) presented through the NCFile interface.
+
+    Parity: the reference opens nc4 through the same code path as
+    classic (``frmts/netcdf/netcdfdataset.cpp`` delegates the container
+    to libnetcdf); here the container is the from-scratch
+    :class:`raydal.io.hdf5.HDF5File` and this adapter reconstructs the
+    netCDF data model from the ``_Netcdf4Dimid`` / ``_Netcdf4Coordinates``
+    / ``DIMENSION_SCALE`` conventions libnetcdf writes.
+    """
+
+    def __init__(self, buf):
+        h5 = HDF5File(buf)
+        self.gattrs = h5.attrs()
+        self.numrecs = 0
+        self.dims = {}
+        self.dim_order = []
+        self.vars = {}
+        dsets = h5.datasets()
+        attrs = {p: h5.attrs(p) for p in dsets}
+        # pass 1: dimension scales → dim table
+        name_to_id = {}
+        for p, (shape, _dt) in dsets.items():
+            a = attrs[p]
+            if a.get("CLASS") != "DIMENSION_SCALE":
+                continue
+            nm = a.get("NAME", "")
+            if isinstance(nm, list):
+                nm = nm[0] if nm else ""
+            if not nm or nm.startswith(_NC4_DIM_ONLY):
+                nm = p.rsplit("/", 1)[1]
+            did = a.get("_Netcdf4Dimid")
+            did = int(np.atleast_1d(did)[0]) if did is not None \
+                else len(self.dims)
+            ln = int(shape[0]) if shape else 1
+            self.dims[did] = (nm, ln)
+            name_to_id[p] = did
+        # pass 2: variables
+        phony = 0
+        for p, (shape, dt) in dsets.items():
+            a = attrs[p]
+            nm = a.get("NAME", "")
+            if isinstance(nm, list):
+                nm = nm[0] if nm else ""
+            if isinstance(nm, str) and nm.startswith(_NC4_DIM_ONLY):
+                continue              # dim without a coordinate var
+            dtype = np.dtype(dt)
+            if dtype.kind == "S" and dtype.itemsize == 1:
+                code = 2
+            else:
+                code = _NC_CODE.get(dtype.newbyteorder("="), 6)
+            if "_Netcdf4Coordinates" in a:
+                vdims = [int(x) for x in
+                         np.atleast_1d(a["_Netcdf4Coordinates"])]
+            elif p in name_to_id:
+                vdims = [name_to_id[p]]
+            else:
+                # match axis lengths against known dims; invent phony
+                # dims for unmatched axes (libnetcdf phony_dim_N)
+                vdims = []
+                used = set()
+                for ln in shape:
+                    hit = next((i for i, (_n, dl) in self.dims.items()
+                                if dl == ln and i not in used), None)
+                    if hit is None:
+                        hit = 1 << 20 | phony
+                        self.dims[hit] = (f"phony_dim_{phony}", int(ln))
+                        phony += 1
+                    used.add(hit)
+                    vdims.append(hit)
+            self.vars[p.lstrip("/")] = _H5Var(h5, p, vdims, a, code,
+                                              tuple(shape))
+
+    def var_dim_names(self, var):
+        return [self.dims[d][0] for d in var.dims]
+
+
 def parse_netcdf(src):
-    """Path or bytes → :class:`NCFile` (dims, gattrs, vars)."""
+    """Path or bytes → :class:`NCFile` / :class:`_H5NC` adapter.
+
+    Classic CDF-1/2/5 parses natively; a ``\\x89HDF`` magic (possibly
+    at a 512·2^n userblock offset) routes through the from-scratch
+    HDF5 reader."""
     if isinstance(src, (bytes, bytearray, memoryview)):
-        return NCFile(bytes(src))
-    with open(src, "rb") as f:
-        return NCFile(f.read())
+        buf = bytes(src)
+    else:
+        with open(src, "rb") as f:
+            buf = f.read()
+    if buf[:3] == b"CDF":
+        return NCFile(buf)
+    return _H5NC(buf)
 
 
 def _coord_var(nc, dim_name):

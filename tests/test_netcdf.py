@@ -68,9 +68,17 @@ def test_multiple_vars_requires_selector():
         read_netcdf(DATA + "two_vars_scale_offset.nc")
 
 
-def test_nc4_rejected_with_clear_error():
-    with pytest.raises(ValueError, match="netCDF-4"):
-        read_netcdf(DATA + "bug5291.nc")
+def test_nc4_reads_through_hdf5():
+    # netCDF-4 containers route through the from-scratch HDF5 reader
+    # (autotest/gdrivers/netcdf.py test_netcdf_chunked_multiple → 4672)
+    from raydal.kernels.checksum import checksum
+
+    r = read_netcdf(DATA + "byte_chunked_multiple.nc")
+    assert r["var"] == "Band1"
+    assert checksum(r["bands"][0]) == 4672
+    assert r["geotransform"] == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+    r = read_netcdf(DATA + "bug5291.nc")
+    assert r["var"] == "z" and r["bands"][0].shape == (53, 104)
 
 
 def test_record_variable_slabs():
