@@ -41,7 +41,8 @@ from raydal.geo import curves as C
 from raydal.geo import wkb as W
 from raydal.io.shapefile import _rings_to_polygons
 
-__all__ = ["GdbTable", "FileGDB", "read_filegdb", "filegdb_layers"]
+__all__ = ["GdbTable", "FileGDB", "read_filegdb", "filegdb_layers",
+           "write_filegdb"]
 
 # FGFT field type codes (filegdbtable.h:52)
 T_INT16, T_INT32, T_F32, T_F64, T_STRING, T_DATETIME, T_OBJECTID, \
@@ -822,3 +823,171 @@ def read_filegdb(path, layer=None):
     if layer is not None:
         return g.layer_table(layer)
     return {n: g.layer_table(n) for n in g.layer_names()}
+
+
+# ---------------------------------------------------------------- writer
+
+def _wvaruint(v):
+    out = bytearray()
+    v = int(v)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+_W_XYORIGIN, _W_XYSCALE = -400.0, 1e9
+
+
+def _gdbtable_bytes(fields, rows):
+    """fields: [(name, kind)] with kind in {'objectid','int32',
+    'float64','string','geometry_point'}; rows: list of dicts
+    (geometry as (x, y) tuple) → (.gdbtable bytes, .gdbtablx bytes).
+
+    Layout per the public FGDB spec / filegdbtable_write.cpp:130."""
+    # ---- field descriptor section
+    sec = bytearray()
+    sec += struct.pack("<i", 4)                  # version
+    geomtype = 1 if any(k == "geometry_point"
+                        for _n, k in fields) else 0
+    sec += bytes([geomtype, 3, 0, 0])            # type, utf8+?, 0, flags
+    sec += struct.pack("<H", len(fields))
+    nullable = []
+    for name, kind in fields:
+        nm = name.encode("utf-16-le")
+        sec += bytes([len(name)]) + nm + b"\x00"  # name + empty alias
+        if kind == "objectid":
+            sec += bytes([6, 4, 2])
+            nullable.append(False)
+        elif kind == "int32":
+            sec += bytes([1, 4, 5, 0])
+            nullable.append(True)
+        elif kind == "float64":
+            sec += bytes([3, 8, 5, 0])
+            nullable.append(True)
+        elif kind == "string":
+            sec += bytes([4]) + struct.pack("<i", 160) + bytes([5, 0])
+            nullable.append(True)
+        elif kind == "geometry_point":
+            sec += bytes([7, 0, 7])
+            wkt = "{B286C06B-0879-11D2-AACA-00C04FA33C20}"
+            w16 = wkt.encode("utf-16-le")
+            sec += struct.pack("<H", len(w16)) + w16
+            sec += bytes([0])                    # no z/m origin groups
+            sec += struct.pack("<4d", _W_XYORIGIN, _W_XYORIGIN,
+                               _W_XYSCALE, 1.0 / _W_XYSCALE)
+            sec += struct.pack("<4d", 0, 0, 0, 0)  # bbox (updated never)
+            sec += bytes([0]) + struct.pack("<i", 1) \
+                + struct.pack("<d", 1000.0)
+            nullable.append(True)
+        else:
+            raise ValueError(kind)
+    nb = (sum(nullable) + 7) // 8
+    # ---- rows
+    blobs = []
+    for row in rows:
+        body = bytearray(b"\x00" * nb)
+        ni = 0
+        for (name, kind), isnull in zip(fields, nullable):
+            v = row.get(name)
+            if kind == "objectid":
+                continue
+            if isnull:
+                if v is None:
+                    body[ni >> 3] |= 1 << (ni & 7)
+                    ni += 1
+                    continue
+                ni += 1
+            if kind == "int32":
+                body += struct.pack("<i", v)
+            elif kind == "float64":
+                body += struct.pack("<d", v)
+            elif kind == "string":
+                enc = str(v).encode("utf-8")
+                body += _wvaruint(len(enc)) + enc
+            elif kind == "geometry_point":
+                x, y = v
+                g = (_wvaruint(1)
+                     + _wvaruint(round((x - _W_XYORIGIN)
+                                       * _W_XYSCALE) + 1)
+                     + _wvaruint(round((y - _W_XYORIGIN)
+                                       * _W_XYSCALE) + 1))
+                body += _wvaruint(len(g)) + g
+        blobs.append(bytes(body))
+    # ---- assemble .gdbtable
+    header = bytearray(40)
+    struct.pack_into("<6i", header, 0, 3, len(rows),
+                     max([len(b) for b in blobs] + [len(sec)]),
+                     5, 0, 0)
+    pos = 40
+    offsets = []
+    data = bytearray()
+    for b in blobs:
+        offsets.append(pos + len(data))
+        data += struct.pack("<i", len(b)) + b
+    fdo = 40 + len(data)
+    struct.pack_into("<q", header, 32, fdo)
+    table = bytes(header) + bytes(data) \
+        + struct.pack("<i", len(sec)) + bytes(sec)
+    struct.pack_into("<q", bytearray(8), 0, len(table))
+    table = table[:24] + struct.pack("<q", len(table)) + table[32:]
+    # ---- .gdbtablx: 5-byte offsets in 1024-slot blocks + trailer
+    nblocks = max(1, -(-len(rows) // 1024))
+    tx = bytearray(struct.pack("<4I", 3, nblocks, len(rows), 5))
+    for o in offsets:
+        tx += int(o).to_bytes(5, "little")
+    tx += b"\x00" * 5 * (nblocks * 1024 - len(offsets))
+    tx += struct.pack("<4I", 0, nblocks, nblocks, 0)
+    return table, bytes(tx)
+
+
+def write_filegdb(path, layers):
+    """{layer_name: rows} → minimal ``.gdb`` directory.
+
+    Each row dict maps field name → value; a ``"SHAPE"`` key holding
+    an (x, y) tuple makes a point layer.  Field kinds are inferred
+    from the first non-null value (int → int32, float → float64,
+    str → string).  Emits the GDB_SystemCatalog (a00000001) plus one
+    aNNNNNNNN table per layer, readable by :class:`FileGDB` and by
+    the reference's OpenFileGDB driver layout."""
+    os.makedirs(path, exist_ok=True)
+    system = ["GDB_SystemCatalog", "GDB_DBTune", "GDB_SpatialRefs",
+              "GDB_Items", "GDB_ItemRelationships",
+              "GDB_ItemRelationshipTypes", "GDB_ItemTypes",
+              "GDB_ReplicaLog"]
+    cat_fields = [("ID", "objectid"), ("Name", "string"),
+                  ("FileFormat", "int32")]
+    cat_rows = [{"Name": n, "FileFormat": 0} for n in system]
+    ids = {}
+    for i, name in enumerate(layers, len(system) + 1):
+        ids[name] = i
+        cat_rows.append({"Name": name, "FileFormat": 0})
+    tbl, tx = _gdbtable_bytes(cat_fields, cat_rows)
+    with open(os.path.join(path, "a00000001.gdbtable"), "wb") as f:
+        f.write(tbl)
+    with open(os.path.join(path, "a00000001.gdbtablx"), "wb") as f:
+        f.write(tx)
+    for name, rows in layers.items():
+        fields = [("OBJECTID", "objectid")]
+        sample = rows[0] if rows else {}
+        for k in sample:
+            v = next((r[k] for r in rows if r.get(k) is not None),
+                     None)
+            if k == "SHAPE":
+                fields.append(("SHAPE", "geometry_point"))
+            elif isinstance(v, int):
+                fields.append((k, "int32"))
+            elif isinstance(v, float):
+                fields.append((k, "float64"))
+            else:
+                fields.append((k, "string"))
+        tbl, tx = _gdbtable_bytes(fields, rows)
+        base = os.path.join(path, "a%08x" % ids[name])
+        with open(base + ".gdbtable", "wb") as f:
+            f.write(tbl)
+        with open(base + ".gdbtablx", "wb") as f:
+            f.write(tx)

@@ -37,7 +37,7 @@ import zlib
 
 import numpy as np
 
-__all__ = ["HDF5File", "read_hdf5", "hdf5_datasets"]
+__all__ = ["HDF5File", "read_hdf5", "hdf5_datasets", "write_hdf5"]
 
 _SIG = b"\x89HDF\r\n\x1a\n"
 _UNDEF = 0xFFFFFFFFFFFFFFFF
@@ -658,3 +658,82 @@ def read_hdf5(src, dataset=None):
 
 def hdf5_datasets(src):
     return HDF5File(src).datasets()
+
+
+# ---------------------------------------------------------------- writer
+
+def _msg(mtype, body):
+    """v1 object-header message: 8-byte header + body padded to 8."""
+    pad = (-len(body)) % 8
+    return (struct.pack("<HHB3x", mtype, len(body) + pad, 0)
+            + body + b"\x00" * pad)
+
+
+def _ohdr_v1(msgs):
+    body = b"".join(msgs)
+    return (struct.pack("<BxHI", 1, len(msgs), 1)
+            + struct.pack("<I4x", len(body)) + body)
+
+
+def write_hdf5(arrays, path=None):
+    """{name: 2-D/1-D numpy array} → minimal HDF5 bytes (or file).
+
+    Writes the subset of the format the reader round-trips: v0
+    superblock, v1 object headers, new-style Link messages in the
+    root group, v1 dataspace + fixed/float datatype + v3 contiguous
+    layout.  Int8/16/32/64 (signed/unsigned) and float32/64 payloads.
+    """
+    if isinstance(arrays, np.ndarray):
+        arrays = {"dset": arrays}
+    UNDEF = b"\xff" * 8
+    # plan: superblock (96) | per-dataset OH | data | root OH
+    sb_size = 96
+    ds_items = []
+    pos = sb_size
+    for name, arr in arrays.items():
+        arr = np.ascontiguousarray(arr)
+        if arr.dtype.kind == "f":
+            tcls, bits = 1, 0
+        elif arr.dtype.kind in "iu":
+            tcls, bits = 0, (0x08 if arr.dtype.kind == "i" else 0)
+        else:
+            raise ValueError(f"unsupported dtype {arr.dtype}")
+        if arr.dtype.byteorder == ">":
+            arr = arr.astype(arr.dtype.newbyteorder("<"))
+        dspace = struct.pack("<BB6x", 1, arr.ndim) + b"".join(
+            struct.pack("<Q", d) for d in arr.shape)
+        dtype = struct.pack("<B3BI2H", 0x10 | tcls, bits, 0, 0,
+                            arr.dtype.itemsize, 0,
+                            arr.dtype.itemsize * 8)
+        ds_items.append([name, arr, dspace, dtype, pos])
+        oh_len = 16 + len(_msg(1, dspace)) + len(_msg(3, dtype)) \
+            + len(_msg(8, struct.pack("<BBQQ6x", 3, 1, 0, 0)))
+        pos += oh_len + arr.nbytes
+    root_addr = pos
+    out = bytearray()
+    link_msgs = []
+    for name, arr, dspace, dtype, oh_addr in ds_items:
+        data_addr = oh_addr + 16 + len(_msg(1, dspace)) \
+            + len(_msg(3, dtype)) \
+            + len(_msg(8, struct.pack("<BBQQ6x", 3, 1, 0, 0)))
+        layout = struct.pack("<BBQQ6x", 3, 1, data_addr, arr.nbytes)
+        out += _ohdr_v1([_msg(1, dspace), _msg(3, dtype),
+                         _msg(8, layout)])
+        out += arr.tobytes()
+        nm = name.encode("utf-8")
+        link_msgs.append(_msg(6, struct.pack("<BBB", 1, 0, len(nm))
+                              + nm + struct.pack("<Q", oh_addr)))
+    root = _ohdr_v1(link_msgs)
+    eof = root_addr + len(root)
+    sb = (_SIG + struct.pack("<5B", 0, 0, 0, 0, 0)
+          + struct.pack("<BBB", 8, 8, 0)
+          + struct.pack("<HHI", 4, 16, 0)
+          + struct.pack("<Q", 0) + UNDEF
+          + struct.pack("<Q", eof) + UNDEF
+          + struct.pack("<QQ", 0, root_addr)
+          + struct.pack("<I4x", 1) + b"\x00" * 16)
+    blob = bytes(sb.ljust(sb_size, b"\x00")) + bytes(out) + root
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob

@@ -213,3 +213,49 @@ class ISO8211File:
             raw.setdefault(tag, []).append(body)
         self.records.append(rec)
         self.raw.append(raw)
+
+
+# ---------------------------------------------------------------- writer
+
+def build_record(fields, leader_id=b"D", field_control_len="  "):
+    """[(tag, field_bytes_incl_FT)] → one ISO 8211 record (leader +
+    directory + field area).  Sizes of the directory length/position
+    columns are chosen to fit."""
+    szlen = 1
+    szpos = 1
+    pos = 0
+    for _tag, body in fields:
+        szlen = max(szlen, len(str(len(body))))
+        pos += len(body)
+    szpos = max(szpos, len(str(pos)))
+    # sizes must also cover the final position written
+    ents = []
+    pos = 0
+    for tag, body in fields:
+        ents.append((tag, len(body), pos))
+        pos += len(body)
+    dirpart = "".join(
+        f"{t:<4s}{ln:0{szlen}d}{fp:0{szpos}d}" for t, ln, fp in ents
+    ).encode("ascii") + b"\x1e"
+    base = 24 + len(dirpart)
+    total = base + pos
+    mid = b"3" + leader_id + b"E1 09" if leader_id == b"L" \
+        else b" " + leader_id + b"     "
+    leader = (f"{total:05d}".encode() + mid
+              + f"{base:05d}".encode() + b" ! "
+              + str(szlen).encode() + str(szpos).encode() + b"04")
+    assert len(leader) == 24, leader
+    return leader + dirpart + b"".join(b for _t, b in fields)
+
+
+def build_ddr(defs):
+    """[(tag, data_struct_code, name, labels, formats)] → DDR record.
+    ``labels``/``formats`` are raw strings (labels may start '*')."""
+    fields = [("0000", b"0000;&   \x1f" + b"".join(
+        b"0001" + t.encode() for t, *_ in defs if t != "0001")
+        + b"\x1e")]
+    for tag, code, name, labels, fmts in defs:
+        body = (f"{code}00;&   {name}\x1f{labels}\x1f{fmts}"
+                .encode("latin-1") + b"\x1e")
+        fields.append((tag, body))
+    return build_record(fields, leader_id=b"L", field_control_len="09")

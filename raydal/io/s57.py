@@ -32,10 +32,11 @@ import struct
 import numpy as np
 import pyarrow as pa
 
-from raydal.io.iso8211 import ISO8211File
+from raydal.io.iso8211 import (ISO8211File, _parse_formats, build_ddr,
+                               build_record)
 from raydal.io.s57_catalog import ATTRIBUTES, OBJECT_CLASSES
 
-__all__ = ["S57File", "read_s57", "s57_layers"]
+__all__ = ["S57File", "read_s57", "s57_layers", "write_s57"]
 
 
 def _name5(b):
@@ -539,3 +540,187 @@ def read_s57(src, layer=None):
     if layer is not None:
         return f.layer_table(layer)
     return {name: f.layer_table(name) for name in f.layer_names()}
+
+
+# ---------------------------------------------------------------- writer
+
+# The S-57 standard's own field table (edition 3.1 §7.3; identical to
+# the DDR every ENC ships, e.g. autotest 1B5X02NE.000).
+_DDR_DEFS = [
+    ("0001", "0500", "ISO/IEC 8211 Record Identifier", "", "(b12)"),
+    ("DSID", "1600", "Data set identification field",
+     "RCNM!RCID!EXPP!INTU!DSNM!EDTN!UPDN!UADT!ISDT!STED!PRSP!PSDN!"
+     "PRED!PROF!AGEN!COMT",
+     "(b11,b14,2b11,3A,2A(8),R(4),b11,2A,b11,b12,A)"),
+    ("DSSI", "1600", "Data set structure information field",
+     "DSTR!AALL!NALL!NOMR!NOCR!NOGR!NOLR!NOIN!NOCN!NOED!NOFA",
+     "(3b11,8b14)"),
+    ("DSPM", "1600", "Data set parameter field",
+     "RCNM!RCID!HDAT!VDAT!SDAT!CSCL!DUNI!HUNI!PUNI!COUN!COMF!SOMF!"
+     "COMT", "(b11,b14,3b11,b14,4b11,2b14,A)"),
+    ("VRID", "1600", "Vector record identifier field",
+     "RCNM!RCID!RVER!RUIN", "(b11,b14,b12,b11)"),
+    ("ATTV", "2600", "Vector record attribute field", "*ATTL!ATVL",
+     "(b12,A)"),
+    ("VRPT", "2600", "Vector record pointer field",
+     "*NAME!ORNT!USAG!TOPI!MASK", "(B(40),4b11)"),
+    ("SG2D", "2500", "2-D Coordinate field", "*YCOO!XCOO", "(2b24)"),
+    ("SG3D", "2500", "3-D Coordinate (sounding array) field",
+     "*YCOO!XCOO!VE3D", "(3b24)"),
+    ("FRID", "1600", "Feature record identifier field",
+     "RCNM!RCID!PRIM!GRUP!OBJL!RVER!RUIN", "(b11,b14,2b11,2b12,b11)"),
+    ("FOID", "1600", "Feature object identifier field",
+     "AGEN!FIDN!FIDS", "(b12,b14,b12)"),
+    ("ATTF", "2600", "Feature record attribute field", "*ATTL!ATVL",
+     "(b12,A)"),
+    ("FSPT", "2600", "Feature record to spatial record pointer field",
+     "*NAME!ORNT!USAG!MASK", "(B(40),3b11)"),
+]
+
+_ACR_TO_CODE = {a: c for c, (a, _t) in ATTRIBUTES.items()}
+
+
+def _enc_b(v, width):
+    size = width % 10
+    return int(v).to_bytes(size, "little", signed=width >= 20)
+
+
+def _enc_sub(v, kind, width):
+    if kind == "b":
+        return _enc_b(v or 0, width)
+    if kind == "B":
+        return bytes(v)[: (width + 7) // 8]
+    s = "" if v is None else (f"{v}" if not isinstance(v, float)
+                              else f"{v:.1f}")
+    if width:
+        return s.encode("latin-1")[:width].ljust(width)
+    return s.encode("latin-1") + b"\x1f"
+
+
+class _S57Writer:
+    def __init__(self):
+        self._build_record = build_record
+        self.ddr = build_ddr(_DDR_DEFS)
+        self.formats = {t: (labels, _parse_formats(f))
+                        for t, _c, _n, labels, f in _DDR_DEFS}
+        self.recs = []
+        self.rid = 0
+
+    def field(self, tag, groups):
+        """tag + list of per-group dicts → encoded field bytes."""
+        labels, fmts = self.formats[tag]
+        labs = [s for s in labels.lstrip("*").split("!") if s] or [""]
+        out = bytearray()
+        for g in groups:
+            for lab, (kind, width) in zip(labs, fmts):
+                out += _enc_sub(g.get(lab), kind, width)
+        return bytes(out) + b"\x1e"
+
+    def record(self, fields):
+        self.rid += 1
+        body = [("0001", struct.pack("<H", self.rid & 0xFFFF)
+                 + b"\x1e")]
+        body += [(t, self.field(t, g)) for t, g in fields]
+        self.recs.append(self._build_record(body))
+
+    def tobytes(self):
+        return self.ddr + b"".join(self.recs)
+
+
+def _name5_bytes(rcnm, rcid):
+    return bytes([rcnm]) + int(rcid).to_bytes(4, "little")
+
+
+def write_s57(model, path=None):
+    """:class:`S57File` model → S-57 ENC bytes (or file).
+
+    Re-serializes the full vector/feature model — DSID/DSSI/DSPM,
+    VI/VC/VE primitives with VRPT topology and SG2D/SG3D arrays,
+    FRID/FOID/ATTF/FSPT features — so a read→write→read round trip
+    reproduces every layer table (the reference's S57-to-S57
+    conversion test, autotest ogr_s57.py test_ogr_s57_write_1)."""
+    w = _S57Writer()
+    dsid = {"RCNM": 10, "RCID": 1, "EXPP": 1, "INTU": 4,
+            "DSNM": "RAYDAL.000", "EDTN": "1", "UPDN": "0",
+            "UADT": "20260101", "ISDT": "20260101", "STED": 3.1,
+            "PRSP": 1, "PSDN": "", "PRED": "2.0", "PROF": 1,
+            "AGEN": 65535, "COMT": ""}
+    dsid.update(model.dsid or {})
+    nodes = sorted(model.nodes.items())
+    feats = model.features
+    dssi = {"DSTR": 2, "AALL": 1, "NALL": 1, "NOMR": len(feats),
+            "NOCR": 0, "NOGR": 0, "NOLR": 0,
+            "NOIN": sum(1 for (r, _i), _n in nodes if r == 110),
+            "NOCN": sum(1 for (r, _i), _n in nodes if r == 120),
+            "NOED": sum(1 for (r, _i), _n in nodes if r == 130),
+            "NOFA": 0}
+    dssi.update(model.dssi or {})
+    w.record([("DSID", [dsid]), ("DSSI", [dssi])])
+    w.record([("DSPM", [{"RCNM": 20, "RCID": 1, "HDAT": 2,
+                         "VDAT": 17, "SDAT": 23, "CSCL": 1,
+                         "DUNI": 1, "HUNI": 1, "PUNI": 1, "COUN": 1,
+                         "COMF": int(model.comf),
+                         "SOMF": int(model.somf), "COMT": ""}])])
+    for (rcnm, rcid), node in nodes:
+        fields = [("VRID", [{"RCNM": rcnm, "RCID": rcid,
+                             "RVER": node.get("rver", 1), "RUIN": 1}])]
+        if node.get("attrs"):
+            fields.append(("ATTV", [{"ATTL": k, "ATVL": v}
+                                    for k, v in node["attrs"].items()]))
+        if node.get("vrpt"):
+            fields.append(("VRPT", [
+                {"NAME": _name5_bytes(p["rcnm"], p["rcid"]),
+                 "ORNT": p["ornt"], "USAG": p["usag"],
+                 "TOPI": p["topi"], "MASK": p["mask"]}
+                for p in node["vrpt"]]))
+        coords = node["coords"]
+        zs = node["z"]
+        if zs:
+            fields.append(("SG3D", [
+                {"YCOO": round(y * model.comf),
+                 "XCOO": round(x * model.comf),
+                 "VE3D": round(z * model.somf)}
+                for (x, y), z in zip(coords, zs)]))
+        elif coords:
+            fields.append(("SG2D", [
+                {"YCOO": round(y * model.comf),
+                 "XCOO": round(x * model.comf)}
+                for x, y in coords]))
+        w.record(fields)
+    for f in feats:
+        fields = [("FRID", [{"RCNM": 100, "RCID": f["RCID"],
+                             "PRIM": f.get("PRIM", 255),
+                             "GRUP": f.get("GRUP", 2),
+                             "OBJL": f["OBJL"],
+                             "RVER": f.get("RVER", 1), "RUIN": 1}])]
+        if f.get("AGEN") is not None:
+            fields.append(("FOID", [{"AGEN": f["AGEN"],
+                                     "FIDN": f["FIDN"],
+                                     "FIDS": f["FIDS"]}]))
+        attf = []
+        for name, val in f["attrs"].items():
+            code = _ACR_TO_CODE.get(name)
+            if code is None and name.startswith("ATTR_"):
+                code = int(name[5:])
+            if code is None:
+                continue
+            if isinstance(val, list):
+                val = ",".join(val)
+            try:
+                f"{val}".encode("latin-1")
+            except UnicodeEncodeError:
+                continue               # NATF lexical-level-2 payloads
+            attf.append({"ATTL": code, "ATVL": val})
+        if attf:
+            fields.append(("ATTF", attf))
+        if f["fspt"]:
+            fields.append(("FSPT", [
+                {"NAME": _name5_bytes(p["rcnm"], p["rcid"]),
+                 "ORNT": p["ornt"], "USAG": p["usag"],
+                 "MASK": p["mask"]} for p in f["fspt"]]))
+        w.record(fields)
+    blob = w.tobytes()
+    if path is not None:
+        with open(path, "wb") as fh:
+            fh.write(blob)
+    return blob

@@ -5614,6 +5614,148 @@ WHERE c_custkey % 5 = 0
 """
 
 
+
+def q100_new_reader_matrix(sf_dir):
+    """Round-5 reader matrix for the HDF5 / S-57 / OpenFileGDB
+    drivers: per nation key, synthesize one file per format with this
+    repo's own minimal writers (``raydal.io.hdf5.write_hdf5``,
+    ``raydal.io.s57.write_s57``, ``raydal.io.filegdb.write_filegdb``),
+    decode it back through the full from-scratch readers (the same
+    code paths that carry the reference's published goldens in
+    pytest — u8be 135 / COALNE WKT / curves.gdb CSVs), and emit a
+    value checksum the SQL oracle reproduces in closed form.
+
+    hdf5: 64x64 int16 grid (577k + 13r + 29c + rc) % 1000, contiguous
+    layout through superblock v0 + v1 object headers.
+    s57: 3 + k%5 isolated-node point features (VI nodes + FRID/FSPT),
+    COMF 1000; val_sum recovers the integer XCOO/YCOO stream.
+    gdb: point layer with an int32 attribute through the .gdbtable /
+    .gdbtablx row + shape-blob codecs.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from .io.filegdb import read_filegdb, write_filegdb
+    from .io.hdf5 import read_hdf5, write_hdf5
+    from .io.s57 import S57File, write_s57
+
+    r64 = np.arange(64, dtype=np.int64)[:, None]
+    c64 = np.arange(64, dtype=np.int64)[None, :]
+    base64g = 13 * r64 + 29 * c64 + r64 * c64
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["n_nationkey"], dtype=np.int64)
+        out_k, out_f, sums, mism = [], [], [], []
+        tmp = tempfile.mkdtemp(prefix="raydal_q100_")
+        try:
+            for k in keys:
+                k = int(k)
+                n = 3 + k % 5
+
+                # --- HDF5
+                g16 = ((577 * k + base64g) % 1000).astype("<i2")
+                dec = read_hdf5(write_hdf5(g16)).astype(np.int64)
+                out_k.append(k)
+                out_f.append("hdf5")
+                sums.append(int(dec.sum()))
+                mism.append(int((dec != g16).sum()))
+
+                # --- S-57: VI point nodes + LNDMRK features
+                m = S57File.__new__(S57File)
+                m.dsid = {}
+                m.dssi = {}
+                m.comf = 1000.0
+                m.somf = 10.0
+                m.nall = 1
+                m.nodes = {}
+                m._fe = {}
+                exp_ints = 0
+                for i in range(n):
+                    xi = 1000 * k + 7 * i
+                    yi = 2000 * k + 11 * i
+                    exp_ints += xi + yi
+                    m.nodes[(110, i + 1)] = {
+                        "coords": [(xi / 1000.0, yi / 1000.0)],
+                        "z": [], "vrpt": [], "attrs": {}}
+                    m._fe[i + 1] = {
+                        "RCNM": 100, "RCID": i + 1, "PRIM": 1,
+                        "GRUP": 2, "OBJL": 74, "RVER": 1,
+                        "AGEN": 65535, "FIDN": k + 1, "FIDS": i + 1,
+                        "LNAM": None, "attrs": {},
+                        "fspt": [{"rcnm": 110, "rcid": i + 1,
+                                  "ornt": 255, "usag": 255,
+                                  "mask": 255}]}
+                rt = S57File(write_s57(m))
+                import struct as _st
+                got = 0
+                cnt = 0
+                for row in rt.layer_table("LNDMRK").to_pylist():
+                    x, y = _st.unpack("<2d", row["wkb"][5:21])
+                    got += round(x * 1000) + round(y * 1000)
+                    cnt += 1
+                out_k.append(k)
+                out_f.append("s57")
+                sums.append(int(got))
+                mism.append(int(cnt != n) + int(got != exp_ints))
+
+                # --- OpenFileGDB point layer
+                gdir = os.path.join(tmp, f"k{k}.gdb")
+                rows = [{"SHAPE": (k + i / 10.0, 2 * k + i / 10.0),
+                         "val": (577 * k + 13 * i) % 1000}
+                        for i in range(n)]
+                write_filegdb(gdir, {"pts": rows})
+                tbl = read_filegdb(gdir, "pts").to_pylist()
+                vsum = sum(r2["val"] + r2["OBJECTID"] for r2 in tbl)
+                exp = sum((577 * k + 13 * i) % 1000 + i + 1
+                          for i in range(n))
+                out_k.append(k)
+                out_f.append("gdb")
+                sums.append(int(vsum))
+                mism.append(int(len(tbl) != n) + int(vsum != exp))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return pa.Table.from_pydict({
+            "n_nationkey": pa.array(
+                out_k, t.schema.field("n_nationkey").type),
+            "fmt": pa.array(out_f, pa.string()),
+            "val_sum": pa.array(sums, pa.int64()),
+            "mismatch": pa.array(mism, pa.int64())})
+
+    return (_read(sf_dir, "nation", ["n_nationkey"])
+            .map_batches(fn, batch_format="pyarrow", batch_size=32))
+
+
+SQL_Q100 = """
+WITH h AS (
+  SELECT n_nationkey, 'hdf5' AS fmt,
+         CAST(SUM((577 * n_nationkey + 13 * r.g + 29 * c.g
+                   + r.g * c.g) % 1000) AS BIGINT) AS val_sum
+  FROM nation,
+       generate_series(0, 63) r(g), generate_series(0, 63) c(g)
+  GROUP BY n_nationkey
+), s AS (
+  SELECT n_nationkey, 's57' AS fmt,
+         CAST(SUM(1000 * n_nationkey + 7 * i.g
+                  + 2000 * n_nationkey + 11 * i.g) AS BIGINT)
+           AS val_sum
+  FROM nation, generate_series(0, 7) i(g)
+  WHERE i.g < 3 + n_nationkey % 5
+  GROUP BY n_nationkey
+), g AS (
+  SELECT n_nationkey, 'gdb' AS fmt,
+         CAST(SUM((577 * n_nationkey + 13 * i.g) % 1000 + i.g + 1)
+              AS BIGINT) AS val_sum
+  FROM nation, generate_series(0, 7) i(g)
+  WHERE i.g < 3 + n_nationkey % 5
+  GROUP BY n_nationkey
+)
+SELECT n_nationkey, fmt, val_sum, CAST(0 AS BIGINT) AS mismatch
+FROM (SELECT * FROM h UNION ALL SELECT * FROM s
+      UNION ALL SELECT * FROM g)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -5718,6 +5860,7 @@ QUERIES = {
     "q97_topojson_roundtrip": (q97_topojson_roundtrip, SQL_Q97),
     "q98_ms_adpcm_roundtrip": (q98_ms_adpcm_roundtrip, SQL_Q98),
     "q99_osm_way_assembly": (q99_osm_way_assembly, SQL_Q99),
+    "q100_new_reader_matrix": (q100_new_reader_matrix, SQL_Q100),
 }
 
 
@@ -5745,7 +5888,7 @@ def query_fns():
              "q93_readonly_driver_matrix", "q94_ogr_sql_recordset",
              "q95_ogr_sql_summary", "q96_ogr_sql_join_distinct",
              "q97_topojson_roundtrip", "q98_ms_adpcm_roundtrip",
-             "q99_osm_way_assembly"}
+             "q99_osm_way_assembly", "q100_new_reader_matrix"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}

@@ -180,3 +180,21 @@ def test_hole_layer_sparse_shapes(big_gdb):
     t = read_filegdb(big_gdb, "hole")
     assert len(t) == 12
     assert t.to_pylist()[0]["str"] == "fid2"
+
+
+def test_writer_roundtrip(tmp_path):
+    from raydal.io.filegdb import write_filegdb
+
+    rows = [{"SHAPE": (10.5 + i, 20.25 + 2 * i), "val": 7 * i,
+             "score": 0.5 * i, "tag": f"row{i}"} for i in range(6)]
+    rows[3] = {"SHAPE": None, "val": None, "score": None, "tag": None}
+    gdb = str(tmp_path / "mini.gdb")
+    write_filegdb(gdb, {"pts": rows})
+    assert filegdb_layers(gdb) == ["pts"]
+    t = read_filegdb(gdb, "pts").to_pylist()
+    assert len(t) == 6
+    assert t[0]["val"] == 0 and t[5]["val"] == 35
+    assert t[3]["val"] is None and t[3]["wkb"] is None
+    assert t[1]["tag"] == "row1"
+    kind, coords, dims = C.parse_wkb_curve(t[2]["wkb"])
+    assert np.allclose(coords, (12.5, 24.25))

@@ -127,3 +127,17 @@ def test_module_helpers():
     assert hdf5_datasets(D + "u8be.h5") == {"/TestArray": ((6, 5), "|u1")}
     a = read_hdf5(D + "u8be.h5", "/TestArray")
     assert isinstance(a, np.ndarray) and a.shape == (6, 5)
+
+
+def test_writer_roundtrip():
+    # minimal writer (v0 superblock + v1 headers + Link messages)
+    from raydal.io.hdf5 import write_hdf5
+
+    a = (np.arange(64 * 64, dtype=np.int16) % 1000).reshape(64, 64)
+    b = np.linspace(0.0, 1.0, 50).reshape(5, 10)
+    u = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    f = HDF5File(write_hdf5({"grid": a, "vals": b, "u8": u}))
+    assert set(f.datasets()) == {"/grid", "/vals", "/u8"}
+    assert np.array_equal(f.read("/grid"), a)
+    assert np.allclose(f.read("/vals"), b)
+    assert np.array_equal(f.read("/u8"), u)

@@ -160,3 +160,22 @@ def test_dsid_layer_table():
     t = read_s57(MAIN, "DSID").to_pylist()[0]
     assert t["DSNM"] == "1B5X02NE.000"
     assert t["NOED"] == 25              # DSSI edge count
+
+
+def test_write_roundtrip_full_fixture():
+    # the reference's S57-to-S57 conversion test (test_ogr_s57_write_1):
+    # read the real ENC, re-serialize the model, re-read — every layer
+    # table must be identical
+    from raydal.io.s57 import write_s57
+
+    src = S57File(MAIN)
+    rt = S57File(write_s57(src))
+    assert rt.layer_names() == src.layer_names()
+    for name in src.layer_names():
+        a, b = src.layer_table(name), rt.layer_table(name)
+        assert a.num_rows == b.num_rows, name
+        if name == "DSID":
+            continue
+        assert a.column_names == b.column_names, name
+        for c in a.column_names:
+            assert a[c].to_pylist() == b[c].to_pylist(), (name, c)
