@@ -24,11 +24,13 @@ from __future__ import annotations
 import struct
 
 from raydal.io import _native
+from raydal.io import jpeg_arith as JA
 
 import numpy as np
 
 __all__ = ["decode_jpeg", "encode_jpeg", "encode_jpeg12",
-           "encode_jpeg_lossless", "encode_jpeg_progressive"]
+           "encode_jpeg_lossless", "encode_jpeg_progressive",
+           "encode_jpeg_arith"]
 
 ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -252,6 +254,8 @@ def _decode_jpeg_impl(buf):
     huff = {}
     frame = None
     restart_interval = 0
+    dac_dc = {}                 # table id → (L, U)
+    dac_ac = {}                 # table id → Kx
     i = 2
     n = len(data)
     scan = None
@@ -303,11 +307,33 @@ def _decode_jpeg_impl(buf):
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps, "prec": prec,
                      "progressive": m == 0xC2, "lossless": m == 0xC3}
-        elif m in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif m == 0xC9:  # SOF9: extended sequential, arithmetic
+            prec, h, w, nc = struct.unpack_from(">BHHB", data, seg)
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = struct.unpack_from(
+                    ">BBB", data, seg + 6 + 3 * c)
+                comps.append({"id": cid, "h": samp >> 4,
+                              "v": samp & 15, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec,
+                     "progressive": False, "lossless": False,
+                     "arith": True}
+        elif m == 0xCC:  # DAC: arithmetic conditioning
+            o = seg
+            while o + 1 < end:
+                tc_tb = data[o]
+                val = data[o + 1]
+                o += 2
+                if tc_tb >> 4 == 0:
+                    dac_dc[tc_tb & 15] = (val & 15, val >> 4)  # (L, U)
+                else:
+                    dac_ac[tc_tb & 15] = val                   # Kx
+        elif m in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline (SOF0/1), progressive (SOF2) and "
-                "lossless (SOF3) JPEG supported")
+                "only baseline (SOF0/1), progressive (SOF2), "
+                "lossless (SOF3) and sequential arithmetic (SOF9) "
+                "JPEG supported")
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", data, seg)
         elif m == 0xDA:  # SOS
@@ -318,6 +344,10 @@ def _decode_jpeg_impl(buf):
             for c in range(ns):
                 cs, td_ta = data[seg + 1 + 2 * c], data[seg + 2 + 2 * c]
                 scomps.append({"cs": cs, "td": td_ta >> 4, "ta": td_ta & 15})
+            if frame.get("arith"):
+                return _decode_arith_baseline(
+                    frame, scomps, data[end:], qt, dac_dc, dac_ac,
+                    restart_interval)
             if frame.get("lossless"):
                 # SOF3: Ss = predictor selector, Al = point transform
                 px = data[seg + 1 + 2 * ns]
@@ -546,6 +576,81 @@ def _decode_jpeg_impl(buf):
 
     for c in comps:
         c["coef"] = np.array(c["coefs"], dtype=np.int32).reshape(-1, 64)
+    return _reconstruct(frame, comps, qt)
+
+
+def _decode_arith_baseline(frame, scomps, tail, qt, dac_dc, dac_ac,
+                           restart_interval):
+    """Sequential arithmetic-coded scan (SOF9) — T.81 Annex F models
+    over the Annex D QM-decoder (raydal/io/jpeg_arith.py).  Statistics
+    areas are per conditioning TABLE (shared by components using the
+    same table, libjpeg jdarith.c semantics); restart markers re-init
+    the coder and zero every statistics area."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        sc = next((s for s in scomps if s["cs"] == c["id"]), None)
+        if sc is None:
+            raise NotImplementedError(
+                "non-interleaved arithmetic scan not supported")
+        c["td"], c["ta"] = sc["td"], sc["ta"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
+
+    # split restart segments: RSTn markers are real markers here (no
+    # byte stuffing in arithmetic streams)
+    segs = []
+    start = 0
+    i = 0
+    while i + 1 < len(tail):
+        if tail[i] == 0xFF and 0xD0 <= tail[i + 1] <= 0xD7:
+            segs.append(tail[start:i])
+            start = i + 2
+            i += 2
+            continue
+        if tail[i] == 0xFF and tail[i + 1] == 0xD9:
+            break
+        i += 1
+    segs.append(tail[start:])
+
+    ri = int(restart_interval)
+    mcus = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+    pos = 0
+    for seg in segs:
+        if pos >= len(mcus):
+            break
+        dec = JA.ArithDecoder(seg)
+        dc_stats = {}
+        ac_stats = {}
+        states = {}
+        for c in comps:
+            st = JA._CompState()
+            st.dc_st = dc_stats.setdefault(
+                c["td"], bytearray(JA.DC_STAT_BINS))
+            st.ac_st = ac_stats.setdefault(
+                c["ta"], bytearray(JA.AC_STAT_BINS))
+            states[c["id"]] = st
+        fixed = bytearray([JA.FIXED_BIN])
+        count = ri if ri else len(mcus) - pos
+        for my, mx in mcus[pos:pos + count]:
+            for c in comps:
+                st = states[c["id"]]
+                L, U = dac_dc.get(c["td"], (0, 1))
+                kx = dac_ac.get(c["ta"], 5)
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        bi = (my * c["v"] + by) * c["bw"] \
+                            + mx * c["h"] + bx
+                        block = c["coef"][bi]
+                        diff = JA.dc_decode(dec, st, L, U)
+                        st.last_dc += diff
+                        block[0] = st.last_dc
+                        JA.ac_decode(dec, st, block, kx, fixed)
+        pos += count
     return _reconstruct(frame, comps, qt)
 
 
@@ -1356,6 +1461,114 @@ def encode_jpeg(arr, quality=85, subsample="420", restart_interval=0):
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += bwr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_arith(arr, quality=85, subsample="420"):
+    """Encode uint8 gray/RGB → sequential arithmetic-coded JPEG
+    (SOF9 + DAC), T.81 Annexes D/F via raydal/io/jpeg_arith.py.
+
+    Same DCT/quantization pipeline as :func:`encode_jpeg`, so the
+    Huffman and arithmetic encodings of an image decode to identical
+    pixels; entropy streams are byte-exact against libjpeg-turbo over
+    identical coefficients (tests/test_jpeg_arith.py)."""
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg_arith expects uint8")
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    scale = _quality_scale(quality)
+    ql = np.clip((_QL * scale + 50) // 100, 1, 255)
+    qc = np.clip((_QC * scale + 50) // 100, 1, 255)
+    sub2 = (not gray) and subsample == "420"
+
+    if gray:
+        planes = [arr.astype(np.float64) - 128.0]
+    else:
+        rf = arr[..., 0].astype(np.float64)
+        gf = arr[..., 1].astype(np.float64)
+        bf = arr[..., 2].astype(np.float64)
+        y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+        cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
+        cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
+        if sub2:
+            he, we = h + (h & 1), w + (w & 1)
+            cb = np.pad(cb, ((0, he - h), (0, we - w)), mode="edge")
+            cr = np.pad(cr, ((0, he - h), (0, we - w)), mode="edge")
+            cb = cb.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+
+    enc = JA.ArithEncoder()
+    fixed = bytearray([JA.FIXED_BIN])
+    # statistics per conditioning table (0 = luma, 1 = chroma)
+    dc_stats = {}
+    ac_stats = {}
+    states = []
+    for ci in range(len(planes)):
+        tbl = 0 if ci == 0 else 1
+        cs = JA._CompState()
+        cs.dc_st = dc_stats.setdefault(tbl, bytearray(JA.DC_STAT_BINS))
+        cs.ac_st = ac_stats.setdefault(tbl, bytearray(JA.AC_STAT_BINS))
+        states.append(cs)
+
+    def put(ci, blk):
+        cs = states[ci]
+        JA.dc_encode(enc, cs, int(blk[0]) - cs.last_dc, 0, 1)
+        cs.last_dc = int(blk[0])
+        JA.ac_encode(enc, cs, blk, 5, fixed)
+
+    if sub2:
+        mcux, mcuy = -(-w // 16), -(-h // 16)
+        yb = _plane_blocks(planes[0], ql, mcux * 2, mcuy * 2)
+        cbb = _plane_blocks(planes[1], qc, mcux, mcuy)
+        crb = _plane_blocks(planes[2], qc, mcux, mcuy)
+        ybw = mcux * 2
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(2):
+                    for bx in range(2):
+                        put(0, yb[(my * 2 + by) * ybw + mx * 2 + bx])
+                put(1, cbb[my * mcux + mx])
+                put(2, crb[my * mcux + mx])
+        samps = [0x22, 0x11, 0x11]
+    else:
+        bw_, bh_ = -(-w // 8), -(-h // 8)
+        qts = [ql] if gray else [ql, qc, qc]
+        comp_coefs = [_plane_blocks(p, q, bw_, bh_)
+                      for p, q in zip(planes, qts)]
+        for bi in range(bh_ * bw_):
+            for ci in range(len(planes)):
+                put(ci, comp_coefs[ci][bi])
+        samps = [0x11] * len(planes)
+    body = enc.flush()
+
+    ncomp = len(planes)
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker,
+                           len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(ql[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([1]) + bytes(qc[ZIGZAG].astype(np.uint8)))
+    compspec = b""
+    for ci in range(ncomp):
+        compspec += bytes([ci + 1, samps[ci], 0 if ci == 0 else 1])
+    out += seg(0xC9, struct.pack(">BHHB", 8, h, w, ncomp) + compspec)
+    # DAC: DC table(s) L=0/U=1 (0x10), AC table(s) Kx=5
+    dac = bytes([0x00, 0x10, 0x10, 0x05])
+    if not gray:
+        dac += bytes([0x01, 0x10, 0x11, 0x05])
+    out += seg(0xCC, dac)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += body
     out += b"\xff\xd9"
     return bytes(out)
 
