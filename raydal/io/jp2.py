@@ -21,6 +21,10 @@ Scope (the fixture surface):
 * inverse quantization (expounded/derived), 5/3 reversible and 9/7
   irreversible inverse DWT (lifting), RCT/ICT inverse multi-component
   transforms, DC level shift.
+
+A lossless encoder (:func:`encode_jp2`: 5/3, single tile, one layer,
+LRCP, MQ + tag-tree + packet-header writers mirroring the decoder)
+round-trips bit-exactly and covers the write side.
 """
 
 from __future__ import annotations
@@ -30,7 +34,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_jp2", "jp2_info"]
+__all__ = ["decode_jp2", "encode_jp2", "jp2_info"]
 
 # T.800 Table C.2 — MQ-coder probability state machine
 # (Qe, NMPS, NLPS, SWITCH)
@@ -1131,3 +1135,520 @@ def jp2_info(buf):
             "nlevels": d.cod.nlevels, "layers": d.cod.nlayers,
             "transform": "5/3" if d.cod.transform else "9/7",
             "prog": d.cod.prog, "tiles": d._tile_grid()}
+
+
+# ------------------------------------------------------------- encoder
+
+class MQEncoder:
+    """T.800 Annex C MQ encoder (C.2: bit stuffing after 0xFF)."""
+
+    __slots__ = ("c", "a", "ct", "out", "I", "MPS")
+
+    def __init__(self, nctx=N_CTX):
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self.out = bytearray()
+        self.I = bytearray(nctx)
+        self.MPS = bytearray(nctx)
+        self.I[0] = 4
+        self.I[CTX_RL] = 3
+        self.I[CTX_UNI] = 46
+
+    def _byteout(self):
+        if not (self.out and self.out[-1] == 0xFF) and \
+                self.c > 0x7FFFFFF:     # carry into the last byte
+            self.out[-1] += 1
+            self.c &= 0x7FFFFFF
+        if self.out and self.out[-1] == 0xFF:
+            # stuffed 7-bit byte; the MSB is the carry receptacle
+            self.out.append(self.c >> 20)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        else:
+            self.out.append((self.c >> 19) & 0xFF)
+            self.c &= 0x7FFFF
+            self.ct = 8
+
+    def encode(self, cx, d):
+        qe, nmps, nlps, sw = MQ_TAB[self.I[cx]]
+        self.a -= qe
+        if d == self.MPS[cx]:
+            if self.a & 0x8000:
+                self.c += qe           # MPS in the top region
+                return
+            if self.a < qe:
+                self.a = qe            # exchange: MPS in the bottom
+            else:
+                self.c += qe
+            self.I[cx] = nmps
+        else:
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if sw:
+                self.MPS[cx] ^= 1
+            self.I[cx] = nlps
+        while True:                     # RENORME
+            self.a = (self.a << 1) & 0xFFFF
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def flush(self):
+        # SETBITS (C.2.9): pick the all-ones-tailed value inside the
+        # final interval so the decoder's 1-bit end fill reproduces it
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= self.ct
+        self._byteout()
+        while self.out and self.out[-1] == 0xFF:
+            self.out.pop()
+        return bytes(self.out)
+
+
+class _BitWriter2:
+    """Packet-header bit writer with 0xFF stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.bits = 0
+        self.nbits = 0
+
+    def put(self, bit):
+        self.bits = (self.bits << 1) | (bit & 1)
+        self.nbits += 1
+        lim = 7 if (self.out and self.out[-1] == 0xFF) else 8
+        if self.nbits == lim:
+            self.out.append(self.bits)
+            self.bits = 0
+            self.nbits = 0
+
+    def write(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.put((v >> i) & 1)
+
+    def flush(self):
+        if self.nbits:
+            lim = 7 if (self.out and self.out[-1] == 0xFF) else 8
+            self.out.append(self.bits << (lim - self.nbits))
+            self.bits = 0
+            self.nbits = 0
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0)          # stuffed byte
+        return bytes(self.out)
+
+
+class _TagTreeEnc:
+    """Mirror of :class:`TagTree`: emits the bits its decoder reads."""
+
+    def __init__(self, w, h, values):
+        self.levels = [np.asarray(values, np.int32).reshape(h, w)]
+        while self.levels[-1].shape != (1, 1):
+            lev = self.levels[-1]
+            hh, ww = lev.shape
+            nh, nw = (hh + 1) // 2, (ww + 1) // 2
+            nxt = np.full((nh, nw), 1 << 30, np.int32)
+            for y in range(hh):
+                for x in range(ww):
+                    nxt[y // 2, x // 2] = min(nxt[y // 2, x // 2],
+                                              lev[y, x])
+            self.levels.append(nxt)
+        self.bound = [np.zeros_like(lev) for lev in self.levels]
+        self.resolved = [np.zeros_like(lev) for lev in self.levels]
+
+    def encode(self, bw, x, y, threshold):
+        stack = []
+        xx, yy = x, y
+        for li in range(len(self.levels)):
+            stack.append((li, xx, yy))
+            xx //= 2
+            yy //= 2
+        low = 0
+        for li, xx, yy in reversed(stack):
+            v = int(self.levels[li][yy, xx])
+            cur = max(int(self.bound[li][yy, xx]), low)
+            while (not self.resolved[li][yy, xx]) and cur < threshold:
+                if cur < v:
+                    bw.put(0)
+                    cur += 1
+                else:
+                    bw.put(1)
+                    self.resolved[li][yy, xx] = 1
+            self.bound[li][yy, xx] = cur
+            low = v if self.resolved[li][yy, xx] else cur
+        return bool(self.resolved[0][y, x]) and \
+            int(self.levels[0][y, x]) < threshold
+
+
+def _fwd1d_53(x, i0):
+    """Forward 5/3 along the last axis (mirror of _sr1d_53)."""
+    n = x.shape[-1]
+    if n == 1:
+        return np.array(x, np.float64)
+    out = np.array(x, np.float64, copy=True)
+
+    def at(arr, j):
+        m = 2 * (n - 1)
+        j = abs(j) % m
+        if j >= n:
+            j = m - j
+        return arr[..., j]
+    for k in range(n):
+        if (i0 + k) % 2 == 1:
+            out[..., k] = x[..., k] - np.floor(
+                (at(x, k - 1) + at(x, k + 1)) / 2)
+    tmp = out.copy()
+    for k in range(n):
+        if (i0 + k) % 2 == 0:
+            out[..., k] = x[..., k] + np.floor(
+                (at(tmp, k - 1) + at(tmp, k + 1) + 2) / 4)
+    return out
+
+
+class _T1Encoder:
+    """EBCOT Tier-1 encoder mirroring JP2Decoder._decode_block."""
+
+    def __init__(self, vals, orient):
+        self.h, self.w = vals.shape
+        self.orient = orient
+        self.mag = np.abs(vals).astype(np.int64)
+        self.neg = vals < 0
+        mx = int(self.mag.max())
+        self.nbp = mx.bit_length()
+
+    def encode(self):
+        h, w = self.h, self.w
+        orient = self.orient
+        mag = self.mag
+        sig = np.zeros((h + 2, w + 2), np.uint8)
+        sgn = np.zeros((h + 2, w + 2), np.int8)
+        visited = np.zeros((h, w), np.uint8)
+        refined = np.zeros((h, w), np.uint8)
+        mq = MQEncoder()
+        nbp = self.nbp
+        if nbp == 0:
+            return b"", 0
+
+        def zc_ctx(y, x):
+            hh = sig[y + 1, x] + sig[y + 1, x + 2]
+            vv = sig[y, x + 1] + sig[y + 2, x + 1]
+            dd = (sig[y, x] + sig[y, x + 2] + sig[y + 2, x]
+                  + sig[y + 2, x + 2])
+            if orient == 1:
+                hh, vv = vv, hh
+            if orient == 3:
+                if dd >= 3:
+                    return 8
+                if dd == 2:
+                    return 7 if hh + vv >= 1 else 6
+                if dd == 1:
+                    return 5 if hh + vv >= 2 else (4 if hh + vv == 1
+                                                   else 3)
+                return 2 if hh + vv >= 2 else (1 if hh + vv == 1
+                                               else 0)
+            if hh == 2:
+                return 8
+            if hh == 1:
+                if vv >= 1:
+                    return 7
+                return 6 if dd >= 1 else 5
+            if vv == 2:
+                return 4
+            if vv == 1:
+                return 3
+            return 2 if dd >= 2 else (1 if dd == 1 else 0)
+
+        def sc_encode(y, x):
+            hc = sig[y + 1, x] * sgn[y + 1, x] \
+                + sig[y + 1, x + 2] * sgn[y + 1, x + 2]
+            vc = sig[y, x + 1] * sgn[y, x + 1] \
+                + sig[y + 2, x + 1] * sgn[y + 2, x + 1]
+            hc = max(-1, min(1, hc))
+            vc = max(-1, min(1, vc))
+            if hc == 1:
+                ctx, xb = (13, 0) if vc == 1 else \
+                    ((12, 0) if vc == 0 else (11, 0))
+            elif hc == 0:
+                ctx, xb = (10, 0) if vc == 1 else \
+                    ((9, 0) if vc == 0 else (10, 1))
+            else:
+                ctx, xb = (11, 1) if vc == 1 else \
+                    ((12, 1) if vc == 0 else (13, 1))
+            s = 1 if self.neg[y, x] else 0
+            mq.encode(ctx, s ^ xb)
+
+        def mr_ctx(y, x):
+            if refined[y, x]:
+                return 16
+            n = (sig[y + 1, x] + sig[y + 1, x + 2] + sig[y, x + 1]
+                 + sig[y + 2, x + 1] + sig[y, x] + sig[y, x + 2]
+                 + sig[y + 2, x] + sig[y + 2, x + 2])
+            return 15 if n else 14
+
+        def setsig(y, x):
+            sig[y + 1, x + 1] = 1
+            sgn[y + 1, x + 1] = -1 if self.neg[y, x] else 1
+
+        npasses = 0
+        first = True
+        for bp in range(nbp - 1, -1, -1):
+            kinds = ("cp",) if first else ("spp", "mrp", "cp")
+            for kind in kinds:
+                if kind == "spp":
+                    for y0 in range(0, h, 4):
+                        for x in range(w):
+                            for y in range(y0, min(y0 + 4, h)):
+                                visited[y, x] = 0
+                                if sig[y + 1, x + 1]:
+                                    continue
+                                ctx = zc_ctx(y, x)
+                                if ctx == 0:
+                                    continue
+                                visited[y, x] = 1
+                                bit = (mag[y, x] >> bp) & 1
+                                mq.encode(ctx, bit)
+                                if bit:
+                                    sc_encode(y, x)
+                                    setsig(y, x)
+                elif kind == "mrp":
+                    for y0 in range(0, h, 4):
+                        for x in range(w):
+                            for y in range(y0, min(y0 + 4, h)):
+                                if not sig[y + 1, x + 1] or \
+                                        visited[y, x]:
+                                    continue
+                                if not (mag[y, x] >> (bp + 1)):
+                                    continue
+                                mq.encode(mr_ctx(y, x),
+                                          (mag[y, x] >> bp) & 1)
+                                refined[y, x] = 1
+                else:
+                    for y0 in range(0, h, 4):
+                        for x in range(w):
+                            y = y0
+                            ylim = min(y0 + 4, h)
+                            if ylim - y0 == 4:
+                                allclear = True
+                                for yy in range(y0, ylim):
+                                    if sig[yy + 1, x + 1] or \
+                                            visited[yy, x] or \
+                                            zc_ctx(yy, x) != 0:
+                                        allclear = False
+                                        break
+                                if allclear:
+                                    run = [((mag[yy, x] >> bp) & 1)
+                                           for yy in range(y0, ylim)]
+                                    if not any(run):
+                                        mq.encode(CTX_RL, 0)
+                                        continue
+                                    mq.encode(CTX_RL, 1)
+                                    rp = run.index(1)
+                                    mq.encode(CTX_UNI, (rp >> 1) & 1)
+                                    mq.encode(CTX_UNI, rp & 1)
+                                    y = y0 + rp
+                                    sc_encode(y, x)
+                                    setsig(y, x)
+                                    y += 1
+                            for yy in range(y, ylim):
+                                if sig[yy + 1, x + 1] or \
+                                        visited[yy, x]:
+                                    continue
+                                bit = (mag[yy, x] >> bp) & 1
+                                mq.encode(zc_ctx(yy, x), bit)
+                                if bit:
+                                    sc_encode(yy, x)
+                                    setsig(yy, x)
+                npasses += 1
+            first = False
+        return mq.flush(), npasses
+
+
+def _encode_npasses(bw, n):
+    if n == 1:
+        bw.put(0)
+    elif n == 2:
+        bw.put(1)
+        bw.put(0)
+    elif n <= 5:
+        bw.put(1)
+        bw.put(1)
+        bw.write(n - 3, 2)
+    elif n <= 36:
+        bw.put(1)
+        bw.put(1)
+        bw.write(3, 2)
+        bw.write(n - 6, 5)
+    else:
+        bw.put(1)
+        bw.put(1)
+        bw.write(3, 2)
+        bw.write(31, 5)
+        bw.write(n - 37, 7)
+
+
+def encode_jp2(arr, nlevels=5, cb=6, jp2_wrap=True):
+    """uint8/int16-style 2-D array (or list of same-shape arrays) →
+    lossless JPEG 2000 (5/3 reversible, single tile, one layer, LRCP).
+
+    Round-trips bit-exactly through :func:`decode_jp2`."""
+    if isinstance(arr, np.ndarray):
+        arrs = [arr]
+    else:
+        arrs = list(arr)
+    h, w = arrs[0].shape
+    nlevels = max(0, min(nlevels,
+                         (min(h, w) - 1).bit_length() - 1))
+    comps = []
+    for a in arrs:
+        a = np.asarray(a)
+        signed = a.dtype.kind == "i"
+        prec = {1: 8, 2: 16, 4: 32}[a.dtype.itemsize]
+        comps.append({"signed": signed, "prec": prec,
+                      "data": a.astype(np.int64)})
+
+    guard = 2
+    out_tiles = []
+    all_band_eps = None
+    for cm in comps:
+        x = cm["data"].astype(np.float64)
+        if not cm["signed"]:
+            x = x - (1 << (cm["prec"] - 1))
+        # forward DWT
+        bands = []                      # list per level: (HL, LH, HH)
+        ll = x
+        for lev in range(nlevels):
+            # mirror of the decoder's horizontal-then-vertical
+            # synthesis: analyse vertically first, then horizontally
+            t = _fwd1d_53(ll.T.copy(), 0).T
+            t = _fwd1d_53(t, 0)
+            hh2, ww2 = t.shape
+            LLb = t[0::2, 0::2]
+            HLb = t[0::2, 1::2]
+            LHb = t[1::2, 0::2]
+            HHb = t[1::2, 1::2]
+            bands.append((HLb, LHb, HHb))
+            ll = LLb
+        cm["bands"] = bands
+        cm["ll"] = ll
+
+    # assemble per-component codestream pieces
+    body = bytearray()
+    bw_all = []
+    eps_list = []
+
+    def gain(orient):
+        return {0: 0, 1: 1, 2: 1, 3: 2}[orient]
+
+    # QCD (shared across comps: use comp 0 precision)
+    prec0 = comps[0]["prec"]
+    qcd_exps = [prec0 + 0]              # LL
+    for r in range(1, nlevels + 1):
+        qcd_exps += [prec0 + 1, prec0 + 1, prec0 + 2]
+
+    # encode packets LRCP: layer 0, res, comp
+    pkt = bytearray()
+    for r in range(nlevels + 1):
+        for ci, cm in enumerate(comps):
+            if r == 0:
+                bandlist = [(0, cm["ll"])]
+            else:
+                hl, lh, hh = cm["bands"][nlevels - r]
+                bandlist = [(1, hl), (2, lh), (3, hh)]
+            bw = _BitWriter2()
+            bw.put(1)                   # non-empty
+            chunks = []
+            for orient, band in bandlist:
+                bh_, bw_ = band.shape
+                if bh_ == 0 or bw_ == 0:
+                    continue
+                cbsz = 1 << cb
+                ncbx = _ceil_div(bw_, cbsz)
+                ncby = _ceil_div(bh_, cbsz)
+                eps = prec0 + gain(orient)
+                mb = guard + eps - 1
+                zbps = np.zeros((ncby, ncbx), np.int32)
+                encs = {}
+                for cy in range(ncby):
+                    for cx in range(ncbx):
+                        blk = band[cy * cbsz:(cy + 1) * cbsz,
+                                   cx * cbsz:(cx + 1) * cbsz]
+                        t1 = _T1Encoder(blk.astype(np.int64), orient)
+                        data, npasses = t1.encode()
+                        zbps[cy, cx] = mb - t1.nbp
+                        encs[(cx, cy)] = (data, npasses)
+                incl = _TagTreeEnc(ncbx, ncby,
+                                   np.zeros((ncby, ncbx), np.int32))
+                zbp = _TagTreeEnc(ncbx, ncby, zbps)
+                for cy in range(ncby):
+                    for cx in range(ncbx):
+                        data, npasses = encs[(cx, cy)]
+                        incl.encode(bw, cx, cy, 1)
+                        # zero-bitplane tree: thresholds until resolved
+                        t = 1
+                        while not zbp.encode(bw, cx, cy, t):
+                            t += 1
+                        _encode_npasses(bw, max(npasses, 1))
+                        lblock = 3
+                        lg = int(math.floor(math.log2(
+                            max(npasses, 1))))
+                        need = max(len(data).bit_length(), 1)
+                        while lblock + lg < need:
+                            bw.put(1)
+                            lblock += 1
+                        bw.put(0)
+                        bw.write(len(data), lblock + lg)
+                        chunks.append(data)
+            pkt += bw.flush()
+            for chk in chunks:
+                pkt += chk
+    body = bytes(pkt)
+
+    # ---- codestream
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0,
+                      len(comps))
+    for cm in comps:
+        ssiz = (cm["prec"] - 1) | (0x80 if cm["signed"] else 0)
+        siz += struct.pack(">BBB", ssiz, 1, 1)
+    cod = struct.pack(">BBHBBBBBB", 0, 0, 1, 0, nlevels,
+                      cb - 2, cb - 2, 0, 1)
+    qcd = bytes([0 | (guard << 5)]) + bytes(
+        [e << 3 for e in qcd_exps])
+    cs = bytearray(b"\xffO".replace(b"O", b"\x4f"))
+    cs = bytearray(struct.pack(">H", 0xFF4F))
+    cs += seg(0xFF51, siz)
+    cs += seg(0xFF52, cod)
+    cs += seg(0xFF5C, qcd)
+    sot = struct.pack(">HIBB", 0, 12 + len(body) + 2, 0, 1)
+    cs += seg(0xFF90, sot)
+    cs += struct.pack(">H", 0xFF93)
+    cs += body
+    cs += struct.pack(">H", 0xFFD9)
+    cs = bytes(cs)
+    if not jp2_wrap:
+        return cs
+
+    def box(typ, payload):
+        return struct.pack(">I4s", len(payload) + 8, typ) + payload
+
+    sig = box(b"jP  ", b"\x0d\x0a\x87\x0a")
+    ftyp = box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
+    ihdr = box(b"ihdr", struct.pack(
+        ">IIHBBBB", h, w, len(comps),
+        (comps[0]["prec"] - 1) | (0x80 if comps[0]["signed"] else 0),
+        7, 0, 0))
+    colr = box(b"colr", struct.pack(
+        ">BBBI", 1, 0, 0, 17 if len(comps) == 1 else 16))
+    jp2h = box(b"jp2h", ihdr + colr)
+    return sig + ftyp + jp2h + box(b"jp2c", cs)

@@ -5627,6 +5627,9 @@ def q100_new_reader_matrix(sf_dir):
 
     hdf5: 64x64 int16 grid (577k + 13r + 29c + rc) % 1000, contiguous
     layout through superblock v0 + v1 object headers.
+    jp2: the same grid through the lossless JPEG 2000 codec (5/3
+    reversible DWT + MQ/EBCOT encode, decoded by the fixture-validated
+    decoder).
     s57: 3 + k%5 isolated-node point features (VI nodes + FRID/FSPT),
     COMF 1000; val_sum recovers the integer XCOO/YCOO stream.
     gdb: point layer with an int32 attribute through the .gdbtable /
@@ -5638,6 +5641,7 @@ def q100_new_reader_matrix(sf_dir):
 
     from .io.filegdb import read_filegdb, write_filegdb
     from .io.hdf5 import read_hdf5, write_hdf5
+    from .io.jp2 import decode_jp2, encode_jp2
     from .io.s57 import S57File, write_s57
 
     r64 = np.arange(64, dtype=np.int64)[:, None]
@@ -5713,6 +5717,16 @@ def q100_new_reader_matrix(sf_dir):
                 out_f.append("gdb")
                 sums.append(int(vsum))
                 mism.append(int(len(tbl) != n) + int(vsum != exp))
+
+                # --- JPEG 2000: lossless 5/3 round trip
+                j16 = ((577 * k + base64g) % 1000).astype(np.int16)
+                dec2 = np.asarray(
+                    decode_jp2(encode_jp2(j16, nlevels=3))[0],
+                    np.int64)
+                out_k.append(k)
+                out_f.append("jp2")
+                sums.append(int(dec2.sum()))
+                mism.append(int((dec2 != j16).sum()))
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         return pa.Table.from_pydict({
@@ -5728,12 +5742,13 @@ def q100_new_reader_matrix(sf_dir):
 
 SQL_Q100 = """
 WITH h AS (
-  SELECT n_nationkey, 'hdf5' AS fmt,
+  SELECT n_nationkey, fmt,
          CAST(SUM((577 * n_nationkey + 13 * r.g + 29 * c.g
                    + r.g * c.g) % 1000) AS BIGINT) AS val_sum
   FROM nation,
+       (VALUES ('hdf5'), ('jp2')) fmts(fmt),
        generate_series(0, 63) r(g), generate_series(0, 63) c(g)
-  GROUP BY n_nationkey
+  GROUP BY n_nationkey, fmt
 ), s AS (
   SELECT n_nationkey, 's57' AS fmt,
          CAST(SUM(1000 * n_nationkey + 7 * i.g

@@ -90,3 +90,45 @@ def test_info():
     assert info["layers"] == 12 and info["transform"] == "5/3"
     info = jp2_info(open(D + "3_13bit_and_1bit.jp2", "rb").read())
     assert info["prec"] == [13, 13, 13, 1]
+
+
+def test_encoder_lossless_roundtrip():
+    # 5/3 single-tile encoder: bit-exact through the fixture-validated
+    # decoder, incl. multi-codeblock bands and odd dimensions
+    rng = np.random.default_rng(0)
+    from raydal.io.jp2 import encode_jp2
+
+    byte = np.asarray(read_tiff(
+        open(G + "byte.tif", "rb").read()).bands[0], np.uint8)
+    cases = [
+        (byte, 2),
+        (rng.integers(0, 256, (37, 50), dtype=np.uint8), 3),
+        ((np.outer(np.arange(40), np.arange(60)) % 30000
+          - 15000).astype(np.int16), 3),
+        (rng.integers(0, 256, (130, 97), dtype=np.uint8), 5),
+    ]
+    for a, lev in cases:
+        back = np.asarray(decode_jp2(encode_jp2(a, nlevels=lev))[0])
+        assert np.array_equal(back, a.astype(back.dtype))
+    rgb = [rng.integers(0, 256, (65, 70), dtype=np.uint8)
+           for _ in range(3)]
+    back = decode_jp2(encode_jp2(rgb, nlevels=3))
+    assert all(np.array_equal(np.asarray(b), c)
+               for b, c in zip(back, rgb))
+
+
+def test_mq_coder_roundtrip_fuzz():
+    import raydal.io.jp2 as J2
+
+    rng = np.random.default_rng(2)
+    for _ in range(60):
+        n = int(rng.integers(1, 800))
+        ctxs = rng.integers(0, 19, n)
+        ds = rng.integers(0, 2, n)
+        enc = J2.MQEncoder()
+        for c, d in zip(ctxs, ds):
+            enc.encode(int(c), int(d))
+        blob = enc.flush()
+        dec = J2.MQDecoder(blob)
+        assert all(dec.decode(int(c)) == d
+                   for c, d in zip(ctxs, ds))
