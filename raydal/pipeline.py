@@ -2217,3 +2217,175 @@ def _src_fast(paths, **kwargs):
     from .io.fast import read_fast
 
     return ray.data.from_arrow(_raster_rows(paths, read_fast))
+
+
+@register_source("jp2")
+def _src_jp2(paths, **kwargs):
+    """JPEG 2000 → one row per component band (from-scratch T.800
+    decoder, raydal/io/jp2.py)."""
+    import numpy as np
+    import ray.data
+
+    from .io.jp2 import decode_jp2
+
+    def rd(p):
+        with open(p, "rb") as f:
+            comps = decode_jp2(f.read())
+        return np.stack([np.asarray(c) for c in comps]), None, None
+
+    return ray.data.from_arrow(_raster_rows(paths, rd))
+
+
+@register_sink("jp2")
+def _sink_jp2(ds, path, nlevels=3, **kwargs):
+    """Raster rows → one lossless 5/3 .jp2 per image_id (bands of an
+    image become components)."""
+    import os as _os
+    from collections import defaultdict
+
+    import numpy as np
+
+    from .io.jp2 import encode_jp2
+
+    _os.makedirs(path, exist_ok=True)
+    groups = defaultdict(list)
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            arr = np.frombuffer(row["data"],
+                                np.dtype(row["dtype"])).reshape(
+                row["h"], row["w"])
+            groups[row["image_id"]].append((row["band"], arr))
+    for image_id, bands in groups.items():
+        bands.sort()
+        blob = encode_jp2([a for _b, a in bands], nlevels=nlevels)
+        with open(_os.path.join(path, f"{image_id}.jp2"), "wb") as f:
+            f.write(blob)
+    return path
+
+
+@register_source("hdf5")
+def _src_hdf5(paths, dataset=None, **kwargs):
+    """HDF5 → one row per (dataset, band); 2-D datasets one band,
+    3-D datasets one band per leading index (the reference's
+    HDF5Image semantics)."""
+    import os as _os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from .io.hdf5 import HDF5File
+
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    tables = []
+    for p in paths:
+        f = HDF5File(p)
+        names = [dataset] if dataset else [
+            n for n, (shape, dt) in f.datasets().items()
+            if len(shape) >= 2 and not np.dtype(dt).kind == "S"]
+        for name in names:
+            arr = np.asarray(f.read(name))
+            if arr.ndim == 2:
+                arr = arr[None]
+            base = _os.path.splitext(_os.path.basename(str(p)))[0]
+            for b in range(arr.shape[0]):
+                a = np.ascontiguousarray(arr[b])
+                tables.append({
+                    "image_id": f"{base}:{name}",
+                    "band": b + 1, "data": a.tobytes(),
+                    "w": a.shape[1], "h": a.shape[0],
+                    "dtype": str(a.dtype),
+                    "geotransform": None, "nodata": None})
+    return ray.data.from_items(tables)
+
+
+@register_source("hdf4")
+def _src_hdf4(paths, dataset=None, **kwargs):
+    import os as _os
+
+    import numpy as np
+    import ray.data
+
+    from .io.hdf4 import HDF4File
+
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    rows = []
+    for p in paths:
+        f = HDF4File(p)
+        names = [dataset] if dataset else list(f.datasets())
+        base = _os.path.splitext(_os.path.basename(str(p)))[0]
+        for name in names:
+            a = np.ascontiguousarray(f.read(name))
+            rows.append({
+                "image_id": f"{base}:{name}", "band": 1,
+                "data": a.tobytes(), "w": a.shape[-1],
+                "h": a.shape[-2], "dtype": str(a.dtype),
+                "geotransform": None, "nodata": None})
+    return ray.data.from_items(rows)
+
+
+@register_source("s57")
+def _src_s57(path, layer=None, **kwargs):
+    """S-57 ENC → feature rows of one layer (or all object-class
+    layers concatenated with a ``layer`` column)."""
+    import pyarrow as pa
+    import ray.data
+
+    from .io.s57 import S57File
+
+    f = S57File(path)
+    if layer is not None:
+        return ray.data.from_arrow(f.layer_table(layer))
+    tables = []
+    for name in f.layer_names():
+        if name == "DSID":
+            continue
+        t = f.layer_table(name)
+        t = t.append_column("layer", pa.array([name] * t.num_rows,
+                                              pa.string()))
+        # keep the shared base schema; attributes differ per class
+        tables.append(t.select([c for c in
+                                ("RCID", "PRIM", "OBJL", "LNAM",
+                                 "wkb", "layer")
+                                if c in t.column_names]))
+    return ray.data.from_arrow(pa.concat_tables(tables,
+                                                promote_options="default"))
+
+
+@register_source("filegdb")
+def _src_filegdb(path, layer=None, **kwargs):
+    import ray.data
+
+    from .io.filegdb import FileGDB
+
+    g = FileGDB(path)
+    if layer is None:
+        layer = g.layer_names()[0]
+    return ray.data.from_arrow(g.layer_table(layer))
+
+
+@register_sink("filegdb")
+def _sink_filegdb(ds, path, layer="layer0", **kwargs):
+    """Point-feature rows (wkb POINT + scalar attrs) → minimal .gdb."""
+    import struct as _st
+
+    from .io.filegdb import write_filegdb
+
+    rows = []
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            wkb = row.pop("wkb", None)
+            out = {}
+            if wkb is not None:
+                x, y = _st.unpack("<2d", wkb[5:21])
+                out["SHAPE"] = (x, y)
+            else:
+                out["SHAPE"] = None
+            for k, v in row.items():
+                if isinstance(v, (int, float, str)) or v is None:
+                    out[k] = v
+            rows.append(out)
+    write_filegdb(path, {layer: rows})
+    return path
