@@ -5779,6 +5779,69 @@ FROM (SELECT * FROM h UNION ALL SELECT * FROM j
 """
 
 
+def q101_gnm_sssp(sf_dir):
+    """Distributed single-source shortest paths (GNM,
+    ``gnm/gnmgraph.cpp`` DijkstraShortestPathTree semantics) over a
+    deterministic 10x10 grid DAG derived from the customer table:
+    node v = c_custkey < 100, out-edges right (v+1) and down (v+10),
+    both costing 1 + (|acctbal| cents % 100)/100.  The engine side is
+    :func:`raydal.ops.gnm.sssp_dataset` — Bellman-Ford as iterative
+    vectorized edge relaxations with a broadcast frontier; the oracle
+    is a recursive-CTE walk (exact same per-path float accumulation
+    order, so values hash-match)."""
+    import numpy as np
+
+    from .ops.gnm import sssp_dataset
+
+    def edges(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["c_custkey"], dtype=np.int64)
+        bal = np.asarray(t["c_acctbal"], dtype=np.float64)
+        keep = v < 100
+        v, bal = v[keep], bal[keep]
+        w = 1.0 + (np.floor(np.abs(bal) * 100 + 0.5).astype(np.int64)
+                   % 100) / 100.0
+        right = v % 10 < 9
+        down = v < 90
+        return pa.Table.from_pydict({
+            "src": pa.array(np.concatenate([v[right], v[down]]),
+                            pa.int64()),
+            "tgt": pa.array(np.concatenate([v[right] + 1, v[down] + 10]),
+                            pa.int64()),
+            "cost": pa.array(np.concatenate([w[right], w[down]]),
+                             pa.float64())})
+
+    eds = _read(sf_dir, "customer",
+                columns=["c_custkey", "c_acctbal"]).map_batches(
+        edges, batch_format="pyarrow")
+    out = sssp_dataset(eds, 0, directed=True, max_rounds=24)
+    # costs are whole cents, so the exact-integer cents view sidesteps
+    # ULP differences between the two engines' float formatting
+    cents = np.floor(np.asarray(out["dist"]) * 100 + 0.5).astype(
+        np.int64)
+    return out.set_column(1, "dist_cents", pa.array(cents, pa.int64()))
+
+
+SQL_Q101 = """
+WITH RECURSIVE nodes AS (
+  SELECT c_custkey AS v,
+         1.0 + CAST(CAST(FLOOR(ABS(c_acctbal) * 100 + 0.5) AS BIGINT)
+                    % 100 AS DOUBLE) / 100.0 AS w
+  FROM customer WHERE c_custkey < 100
+), edges AS (
+  SELECT v AS src, v + 1 AS tgt, w AS cost FROM nodes WHERE v % 10 < 9
+  UNION ALL
+  SELECT v AS src, v + 10 AS tgt, w AS cost FROM nodes WHERE v < 90
+), walk(v, d) AS (
+  SELECT 0, CAST(0.0 AS DOUBLE)
+  UNION ALL
+  SELECT e.tgt, walk.d + e.cost FROM walk JOIN edges e ON e.src = walk.v
+)
+SELECT CAST(v AS BIGINT) AS vertex,
+       CAST(FLOOR(MIN(d) * 100 + 0.5) AS BIGINT) AS dist_cents
+FROM walk GROUP BY v ORDER BY vertex
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -5884,6 +5947,7 @@ QUERIES = {
     "q98_ms_adpcm_roundtrip": (q98_ms_adpcm_roundtrip, SQL_Q98),
     "q99_osm_way_assembly": (q99_osm_way_assembly, SQL_Q99),
     "q100_new_reader_matrix": (q100_new_reader_matrix, SQL_Q100),
+    "q101_gnm_sssp": (q101_gnm_sssp, SQL_Q101),
 }
 
 
@@ -5911,7 +5975,8 @@ def query_fns():
              "q93_readonly_driver_matrix", "q94_ogr_sql_recordset",
              "q95_ogr_sql_summary", "q96_ogr_sql_join_distinct",
              "q97_topojson_roundtrip", "q98_ms_adpcm_roundtrip",
-             "q99_osm_way_assembly", "q100_new_reader_matrix"}
+             "q99_osm_way_assembly", "q100_new_reader_matrix",
+             "q101_gnm_sssp"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}
