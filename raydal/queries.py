@@ -5842,6 +5842,58 @@ FROM walk GROUP BY v ORDER BY vertex
 """
 
 
+def q102_style_explode(sf_dir):
+    """OGR feature-style strings (``ogr/ogrfeaturestyle.cpp`` parity):
+    build a deterministic multi-part style per nation, parse+explode it
+    with :func:`raydal.ops.featurestyle.explode_style_column`, and
+    return the long-format parameter rows.  The oracle reconstructs the
+    same rows closed-form, so the parse path (quote handling, unit
+    stripping, table-order params) is what's actually under test."""
+    from .ops.featurestyle import explode_style_column
+
+    def styles(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = np.asarray(t["n_nationkey"], dtype=np.int64)
+        names = t["n_name"].to_pylist()
+        ss = [
+            f'BRUSH(fc:#00ff{(k * 9) % 256:02x});'
+            f'PEN(c:#ff00{(k * 17) % 256:02x},w:{k + 1}px);'
+            f'LABEL(f:Arial,s:{k + 2}pt,t:"{nm}, state")'
+            for k, nm in zip(keys, names)]
+        return pa.Table.from_pydict({
+            "fid": pa.array(keys, pa.int64()),
+            "style": pa.array(ss, pa.string())})
+
+    ds = _read(sf_dir, "nation",
+               columns=["n_nationkey", "n_name"]).map_batches(
+        styles, batch_format="pyarrow")
+    return explode_style_column(ds, "style", id_col="fid")
+
+
+SQL_Q102 = """
+WITH n AS (SELECT n_nationkey AS k, n_name AS nm FROM nation)
+SELECT * FROM (
+  SELECT CAST(k AS BIGINT) AS id, CAST(0 AS INTEGER) AS part,
+         'BRUSH' AS tool, 'fc' AS param,
+         '#00ff' || printf('%02x', (k * 9) % 256) AS value,
+         CAST(NULL AS VARCHAR) AS unit FROM n
+  UNION ALL
+  SELECT k, 1, 'PEN', 'c', '#ff00' || printf('%02x', (k * 17) % 256),
+         NULL FROM n
+  UNION ALL
+  SELECT k, 1, 'PEN', 'w', CAST(k + 1 AS VARCHAR) || '.0', 'px' FROM n
+  UNION ALL
+  SELECT k, 2, 'LABEL', 'f', 'Arial', NULL FROM n
+  UNION ALL
+  SELECT k, 2, 'LABEL', 's', CAST(k + 2 AS VARCHAR) || '.0', 'pt'
+  FROM n
+  UNION ALL
+  SELECT k, 2, 'LABEL', 't', nm || ', state', NULL FROM n
+) ORDER BY id, part, param
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -5948,6 +6000,7 @@ QUERIES = {
     "q99_osm_way_assembly": (q99_osm_way_assembly, SQL_Q99),
     "q100_new_reader_matrix": (q100_new_reader_matrix, SQL_Q100),
     "q101_gnm_sssp": (q101_gnm_sssp, SQL_Q101),
+    "q102_style_explode": (q102_style_explode, SQL_Q102),
 }
 
 
@@ -5976,7 +6029,7 @@ def query_fns():
              "q95_ogr_sql_summary", "q96_ogr_sql_join_distinct",
              "q97_topojson_roundtrip", "q98_ms_adpcm_roundtrip",
              "q99_osm_way_assembly", "q100_new_reader_matrix",
-             "q101_gnm_sssp"}
+             "q101_gnm_sssp", "q102_style_explode"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}
