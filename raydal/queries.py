@@ -5894,6 +5894,80 @@ SELECT * FROM (
 """
 
 
+def q103_mdim_translate(sf_dir):
+    """GDAL multidim translate semantics (``gcore/gdalmultidim.cpp``
+    GetView/Transpose; ``apps/gdalmdimtranslate_lib.cpp`` scaleaxes)
+    driven end-to-end: per nation key, write a (t=4, y=16, x=16) int32
+    HDF5 cube with this repo's writer, open it as an MDArray through
+    the from-scratch HDF5 reader, apply scaleaxes(y=2) →
+    view "[1:4,...]" → transpose [0,2,1], and emit each remaining
+    time-slab's shape and sum.  The oracle reproduces the kept index
+    set closed-form, so the view/subsample/transpose arithmetic is
+    what's verified."""
+    import os
+    import tempfile
+
+    from .io.hdf5 import write_hdf5
+    from .ops.mdim import open_mdarray
+
+    rr = np.arange(16, dtype=np.int64)[:, None]
+    cc = np.arange(16, dtype=np.int64)[None, :]
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["n_nationkey"], dtype=np.int64)
+        out = {"n_nationkey": [], "t": [], "h": [], "w": [],
+               "slab_sum": []}
+        tmp = tempfile.mkdtemp(prefix="raydal_q103_")
+        try:
+            for k in keys:
+                k = int(k)
+                cube = np.stack([
+                    (31 * k + 5 * ti + 3 * rr + 7 * cc
+                     + ti * rr * cc) % 100
+                    for ti in range(4)]).astype("<i4")
+                p = os.path.join(tmp, f"cube_{k}.h5")
+                write_hdf5({"cube": cube}, p)
+                md = open_mdarray(p, "cube",
+                                  dim_names=["t", "y", "x"])
+                view = (md.scaleaxes({"y": 2})
+                        .get_view("[1:4,...]")
+                        .transpose([0, 2, 1]))
+                arr = view.read()
+                for i in range(arr.shape[0]):
+                    out["n_nationkey"].append(k)
+                    out["t"].append(i + 1)
+                    out["h"].append(arr.shape[1])
+                    out["w"].append(arr.shape[2])
+                    out["slab_sum"].append(int(arr[i].sum()))
+        finally:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+        return pa.Table.from_pydict({
+            "n_nationkey": pa.array(out["n_nationkey"], pa.int64()),
+            "t": pa.array(out["t"], pa.int64()),
+            "h": pa.array(out["h"], pa.int64()),
+            "w": pa.array(out["w"], pa.int64()),
+            "slab_sum": pa.array(out["slab_sum"], pa.int64())})
+
+    return _read(sf_dir, "nation",
+                 columns=["n_nationkey"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+SQL_Q103 = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       CAST(t.g AS BIGINT) AS t,
+       CAST(16 AS BIGINT) AS h, CAST(8 AS BIGINT) AS w,
+       CAST(SUM((31 * n_nationkey + 5 * t.g + 3 * r.g + 7 * c.g
+                 + t.g * r.g * c.g) % 100) AS BIGINT) AS slab_sum
+FROM nation,
+     generate_series(1, 3) t(g),
+     generate_series(0, 14, 2) r(g),
+     generate_series(0, 15) c(g)
+GROUP BY n_nationkey, t.g
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -6001,6 +6075,7 @@ QUERIES = {
     "q100_new_reader_matrix": (q100_new_reader_matrix, SQL_Q100),
     "q101_gnm_sssp": (q101_gnm_sssp, SQL_Q101),
     "q102_style_explode": (q102_style_explode, SQL_Q102),
+    "q103_mdim_translate": (q103_mdim_translate, SQL_Q103),
 }
 
 
@@ -6029,7 +6104,8 @@ def query_fns():
              "q95_ogr_sql_summary", "q96_ogr_sql_join_distinct",
              "q97_topojson_roundtrip", "q98_ms_adpcm_roundtrip",
              "q99_osm_way_assembly", "q100_new_reader_matrix",
-             "q101_gnm_sssp", "q102_style_explode"}
+             "q101_gnm_sssp", "q102_style_explode",
+             "q103_mdim_translate"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}
