@@ -1,0 +1,343 @@
+"""``python -m raydal`` — the unified CLI (the reference's ``gdal``
+command, ``apps/gdalalg_*``: ``gdal raster pipeline``, ``gdal raster
+convert``, ``gdal vector convert``, ``gdal mdim translate``, info).
+
+Pipeline grammar mirrors ``gdalalg_raster_pipeline.cpp``::
+
+    read SRC [opt=val...] ( ! STEP [opt=val...] )* ! write DST [opt=val...]
+
+Formats resolve from the engine's source/sink registries
+(``raydal.pipeline.SOURCE_REGISTRY`` / ``SINK_REGISTRY``) by explicit
+``format=`` option or file extension.  ``write X.gdalg.json`` saves the
+step list as a rerunnable pipeline document instead of executing a
+sink — the reference's GDALG contract.
+
+This module OWNS the Ray session (the library never calls
+``ray.init``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+_EXT_SOURCE = {
+    ".parquet": "parquet", ".tif": "gtiff", ".tiff": "gtiff",
+    ".shp": "shapefile", ".fgb": "flatgeobuf", ".gpkg": "gpkg",
+    ".geojson": "geojson", ".json": "geojson", ".csv": "csv",
+    ".gml": "gml", ".kml": "kml", ".gpx": "gpx", ".mif": "mif",
+    ".nc": "netcdf", ".grb": "grib", ".grib2": "grib", ".jp2": "jp2",
+    ".h5": "hdf5", ".hdf": "hdf4", ".000": "s57", ".gdb": "filegdb",
+    ".dgn": "dgn", ".dxf": "dxf", ".mbtiles": "mbtiles",
+    ".dt0": "dted", ".dt1": "dted", ".dt2": "dted", ".hgt": "hgt",
+    ".xyz": "xyz", ".gmt": "gmt",
+}
+_EXT_SINK = {
+    ".parquet": "parquet", ".tif": "gtiff", ".tiff": "gtiff",
+    ".shp": "shapefile", ".fgb": "flatgeobuf", ".gpkg": "gpkg",
+    ".geojson": "geojson", ".json": "geojson", ".csv": "csv",
+    ".gml": "gml", ".kml": "kml", ".gpx": "gpx", ".mif": "mif",
+    ".nc": "netcdf", ".grb": "grib", ".jp2": "jp2", ".gdb": "filegdb",
+    ".mbtiles": "mbtiles", ".dt0": "dted", ".dt1": "dted",
+    ".dt2": "dted", ".xyz": "xyz", ".gmt": "gmt",
+}
+
+
+def _coerce(v):
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        pass
+    if v in ("true", "True"):
+        return True
+    if v in ("false", "False"):
+        return False
+    if v.startswith("[") or v.startswith("{"):
+        try:
+            return json.loads(v)
+        except json.JSONDecodeError:
+            pass
+    return v
+
+
+def _parse_opts(tokens):
+    """['a=1', 'b=x'] → {'a': 1, 'b': 'x'}; bare tokens are
+    positional."""
+    opts, pos = {}, []
+    for t in tokens:
+        if "=" in t:
+            k, _, v = t.partition("=")
+            opts[k.replace("-", "_")] = _coerce(v)
+        else:
+            pos.append(t)
+    return opts, pos
+
+
+def _split_pipeline(tokens):
+    """Token stream → list of [verb, tok...] stages split on '!'."""
+    stages, cur = [], []
+    for t in tokens:
+        if t == "!":
+            if cur:
+                stages.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if cur:
+        stages.append(cur)
+    return stages
+
+
+def _source_name(path, opts):
+    if "format" in opts:
+        return str(opts.pop("format"))
+    ext = os.path.splitext(path)[1].lower()
+    if path.endswith(".gdbtable") or (path.endswith(".gdb")
+                                      and os.path.isdir(path)):
+        return "filegdb"
+    if ext in _EXT_SOURCE:
+        return _EXT_SOURCE[ext]
+    raise SystemExit(f"cannot infer source format for {path!r}; "
+                     f"pass format=NAME")
+
+
+def _sink_name(path, opts):
+    if "format" in opts:
+        return str(opts.pop("format"))
+    ext = os.path.splitext(path)[1].lower()
+    if ext in _EXT_SINK:
+        return _EXT_SINK[ext]
+    raise SystemExit(f"cannot infer sink format for {path!r}; "
+                     f"pass format=NAME")
+
+
+def _open(path, opts):
+    from .pipeline import open_source
+    name = _source_name(path, opts)
+    return open_source(name, [path] if name in
+                       ("gtiff", "jp2", "hdf5", "hdf4", "dted", "hgt",
+                        "xyz") else path, **opts)
+
+
+def run_pipeline_tokens(tokens):
+    """Execute (or save) one pipeline token stream; returns the sink's
+    return value or the tail Dataset."""
+    import ray
+
+    from .pipeline import (STEP_REGISTRY, pipeline_to_json,
+                           run_pipeline, write_sink)
+
+    stages = _split_pipeline(tokens)
+    if not stages or stages[0][0] != "read":
+        raise SystemExit("pipeline must start with: read SRC")
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+
+    read = stages[0]
+    opts, pos = _parse_opts(read[1:])
+    if not pos:
+        raise SystemExit("read needs a source path")
+    ds = _open(pos[0], opts)
+
+    steps = []
+    write_stage = None
+    for st in stages[1:]:
+        if st[0] == "write":
+            write_stage = st
+            break
+        opts, pos = _parse_opts(st[1:])
+        if st[0] not in STEP_REGISTRY:
+            raise SystemExit(
+                f"unknown step {st[0]!r}; available: "
+                f"{', '.join(sorted(STEP_REGISTRY))}")
+        steps.append((st[0], opts))
+
+    if write_stage is None:
+        ds = run_pipeline(ds, steps)
+        n = ds.count()
+        print(f"{n} rows (no write stage)")
+        return ds
+    w_opts, w_pos = _parse_opts(write_stage[1:])
+    if not w_pos:
+        raise SystemExit("write needs a destination path")
+    dst = w_pos[0]
+    if dst.endswith(".gdalg.json"):
+        # save as a rerunnable pipeline document (GDALG contract)
+        doc = json.loads(pipeline_to_json(steps))
+        doc["read"] = read[1:]
+        with open(dst, "w") as f:
+            json.dump(doc, f)
+        print(f"saved pipeline -> {dst}")
+        return dst
+    ds = run_pipeline(ds, steps)
+    out = write_sink(_sink_name(dst, w_opts), ds, dst, **w_opts)
+    print(f"wrote {out if out is not None else dst}")
+    return out if out is not None else dst
+
+
+def run_saved_pipeline(path, extra_tokens=()):
+    """Execute a ``.gdalg.json`` document saved by ``write``; extra
+    tokens (e.g. ``! write DST``) append to the saved pipeline."""
+    from .pipeline import pipeline_from_json
+
+    with open(path) as f:
+        doc = json.load(f)
+    steps_tokens = []
+    for entry in pipeline_from_json(json.dumps(doc)):
+        steps_tokens.append("!")
+        steps_tokens.append(entry[0])
+        steps_tokens.extend(f"{k}={v}" for k, v in entry[1].items())
+    return run_pipeline_tokens(["read"] + list(doc.get("read", []))
+                               + steps_tokens + list(extra_tokens))
+
+
+def cmd_info(args):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    opts, pos = _parse_opts(args)
+    if not pos:
+        raise SystemExit("info needs a path")
+    ds = _open(pos[0], opts)
+    schema = ds.schema()
+    n = ds.count()
+    print(json.dumps({
+        "path": pos[0],
+        "rows": n,
+        "columns": [{"name": c, "type": str(t)} for c, t in
+                    zip(schema.names, schema.types)]}, indent=2))
+
+
+def cmd_convert(args):
+    opts, pos = _parse_opts(args)
+    if len(pos) != 2:
+        raise SystemExit("convert needs SRC and DST")
+    tokens = ["read", pos[0]]
+    if "input_format" in opts:
+        tokens.append(f"format={opts.pop('input_format')}")
+    tokens.append("!")
+    tokens.append("write")
+    tokens.append(pos[1])
+    tokens.extend(f"{k}={v}" for k, v in opts.items())
+    return run_pipeline_tokens(tokens)
+
+
+def cmd_mdim_translate(args):
+    import numpy as np
+
+    from .ops.mdim import open_mdarray
+
+    opts, pos = _parse_opts(args)
+    if len(pos) != 2:
+        raise SystemExit("mdim translate needs SRC and DST")
+    array = opts.pop("array", None)
+    if array is None:
+        raise SystemExit("mdim translate needs array=NAME")
+    md = open_mdarray(pos[0], str(array),
+                      dim_names=opts.pop("dim_names", None))
+    if "scaleaxes" in opts:
+        sa = opts.pop("scaleaxes")
+        if not isinstance(sa, dict):
+            sa = json.loads(str(sa))
+        md = md.scaleaxes({k: int(v) for k, v in sa.items()})
+    if "view" in opts:
+        md = md.get_view(str(opts.pop("view")))
+    if "transpose" in opts:
+        tr = opts.pop("transpose")
+        md = md.transpose(tr if isinstance(tr, list)
+                          else json.loads(str(tr)))
+    arr = md.read()
+    from .io.hdf5 import write_hdf5
+    write_hdf5({md.name.lstrip("/") or "array": np.ascontiguousarray(
+        arr)}, pos[1])
+    print(f"wrote {pos[1]} shape={arr.shape} dtype={arr.dtype}")
+
+
+def cmd_mdim_info(args):
+    from .ops.mdim import open_mdarray
+
+    opts, pos = _parse_opts(args)
+    array = opts.pop("array", None)
+    if not pos or array is None:
+        raise SystemExit("mdim info needs SRC array=NAME")
+    md = open_mdarray(pos[0], str(array))
+    print(json.dumps({
+        "array": md.name,
+        "dtype": str(md.dtype),
+        "dims": [{"name": d.name, "size": d.size} for d in md.dims]},
+        indent=2))
+
+
+def _list_registries():
+    from .pipeline import (SINK_REGISTRY, SOURCE_REGISTRY,
+                           STEP_REGISTRY)
+    print(json.dumps({
+        "sources": sorted(SOURCE_REGISTRY),
+        "sinks": sorted(SINK_REGISTRY),
+        "steps": sorted(STEP_REGISTRY)}, indent=2))
+
+
+USAGE = """usage: python -m raydal COMMAND ...
+
+commands:
+  raster pipeline read SRC [opt=val] ( ! STEP [opt=val] )* ! write DST
+  vector pipeline ... (same grammar)
+  raster convert SRC DST [opt=val...]
+  vector convert SRC DST [opt=val...]
+  raster info SRC | vector info SRC
+  mdim info SRC array=NAME
+  mdim translate SRC DST array=NAME [view=...] [transpose=[..]]
+                 [scaleaxes={"dim": n}]
+  pipeline run FILE.gdalg.json
+  formats                      list sources/sinks/steps
+"""
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help", "help"):
+        print(USAGE)
+        return 0
+    import ray
+    try:
+        if argv[0] == "formats":
+            _list_registries()
+        elif argv[0] in ("raster", "vector") and len(argv) > 1:
+            sub, rest = argv[1], argv[2:]
+            if sub == "pipeline":
+                run_pipeline_tokens(rest)
+            elif sub == "convert":
+                cmd_convert(rest)
+            elif sub == "info":
+                cmd_info(rest)
+            else:
+                raise SystemExit(f"unknown {argv[0]} command {sub!r}")
+        elif argv[0] == "mdim" and len(argv) > 1:
+            if argv[1] == "translate":
+                cmd_mdim_translate(argv[2:])
+            elif argv[1] == "info":
+                cmd_mdim_info(argv[2:])
+            else:
+                raise SystemExit(f"unknown mdim command {argv[1]!r}")
+        elif argv[0] == "pipeline":
+            if len(argv) > 2 and argv[1] == "run":
+                run_saved_pipeline(argv[2], argv[3:])
+            else:
+                run_pipeline_tokens(argv[1:])
+        else:
+            print(USAGE)
+            return 2
+        return 0
+    finally:
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

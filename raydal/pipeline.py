@@ -2389,3 +2389,134 @@ def _sink_filegdb(ds, path, layer="layer0", **kwargs):
             rows.append(out)
     write_filegdb(path, {layer: rows})
     return path
+
+
+@register_source("gtiff")
+def _src_gtiff(paths, ifd_index=0, **kwargs):
+    """GeoTIFF/COG → raster rows through the from-scratch reader
+    (raydal/io/tiff.py; frmts/gtiff parity — strips/tiles, LZW/Deflate/
+    PackBits/JPEG, BigTIFF, overview IFDs via ``ifd_index``)."""
+    import numpy as np
+    import ray.data
+
+    from .io.tiff import read_tiff
+
+    def rd(p):
+        with open(p, "rb") as f:
+            img = read_tiff(f.read(), ifd_index=ifd_index)
+        return (np.stack(img.bands), img.geotransform, img.nodata)
+
+    return ray.data.from_arrow(_raster_rows(paths, rd))
+
+
+@register_sink("gtiff")
+def _sink_gtiff(ds, path, compression="none", **kwargs):
+    """Raster rows → one classic GeoTIFF per image_id (bands written
+    contig; north-up geotransform carried through)."""
+    import os as _os
+    from collections import defaultdict
+
+    import numpy as np
+
+    from .io.tiff import write_tiff
+
+    _os.makedirs(path, exist_ok=True)
+    groups = defaultdict(list)
+    gts = {}
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            arr = np.frombuffer(row["data"],
+                                np.dtype(row["dtype"])).reshape(
+                row["h"], row["w"])
+            groups[row["image_id"]].append((row["band"], arr))
+            gts[row["image_id"]] = row.get("geotransform")
+    for image_id, bands in groups.items():
+        bands.sort(key=lambda t: t[0])
+        blob = write_tiff([a for _b, a in bands],
+                          geotransform=gts[image_id],
+                          compression=compression)
+        with open(_os.path.join(path, f"{image_id}.tif"), "wb") as f:
+            f.write(blob)
+    return path
+
+
+@register_step("encode-image")
+def _encode_image(ds, fmt="png"):
+    """Band rows (the format drivers' schema: image_id/band/data/w/h/
+    dtype/geotransform) → the encoded image table the raster steps
+    operate on (image_id/bytes/fmt/gt...).  Bands of one image_id are
+    co-located by a groupby — the only shuffle in the adapter."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .io.codecs import encode
+
+    def assemble(g: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(g["band"])
+        g = g.take(order)
+        bands = []
+        for i in range(g.num_rows):
+            a = np.frombuffer(g["data"][i].as_py(),
+                              np.dtype(g["dtype"][i].as_py()))
+            bands.append(a.reshape(g["h"][i].as_py(),
+                                   g["w"][i].as_py()))
+        px = bands[0] if len(bands) == 1 else np.stack(bands, axis=2)
+        if px.dtype != np.uint8:
+            px = np.clip(np.floor(px.astype(np.float64) + 0.5), 0,
+                         255).astype(np.uint8)
+        gt = g["geotransform"][0].as_py() if "geotransform" in \
+            g.column_names else None
+        return pa.Table.from_pydict({
+            "image_id": pa.array([g["image_id"][0].as_py()],
+                                 pa.string()),
+            "bytes": pa.array([encode(px, fmt)], pa.binary()),
+            "w": pa.array([px.shape[1]], pa.int32()),
+            "h": pa.array([px.shape[0]], pa.int32()),
+            "fmt": pa.array([fmt], pa.string()),
+            "gt": pa.array([gt], pa.list_(pa.float64()))})
+
+    return ds.groupby("image_id").map_groups(assemble,
+                                             batch_format="pyarrow")
+
+
+@register_step("decode-image")
+def _decode_image(ds):
+    """Encoded image table → band rows (inverse of encode-image); a
+    stateless per-batch decode, no shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .io.codecs import decode
+
+    def explode(t: pa.Table) -> pa.Table:
+        rows = {"image_id": [], "band": [], "data": [], "w": [],
+                "h": [], "dtype": [], "geotransform": [],
+                "nodata": []}
+        for i in range(t.num_rows):
+            px = decode(t["bytes"][i].as_py())
+            if px.ndim == 2:
+                px = px[:, :, None]
+            gt = (t["gt"][i].as_py()
+                  if "gt" in t.column_names else None)
+            for b in range(px.shape[2]):
+                a = np.ascontiguousarray(px[:, :, b])
+                rows["image_id"].append(t["image_id"][i].as_py())
+                rows["band"].append(b + 1)
+                rows["data"].append(a.tobytes())
+                rows["w"].append(a.shape[1])
+                rows["h"].append(a.shape[0])
+                rows["dtype"].append(str(a.dtype))
+                rows["geotransform"].append(gt)
+                rows["nodata"].append(None)
+        return pa.Table.from_pydict({
+            "image_id": pa.array(rows["image_id"], pa.string()),
+            "band": pa.array(rows["band"], pa.int32()),
+            "data": pa.array(rows["data"], pa.binary()),
+            "w": pa.array(rows["w"], pa.int32()),
+            "h": pa.array(rows["h"], pa.int32()),
+            "dtype": pa.array(rows["dtype"], pa.string()),
+            "geotransform": pa.array(rows["geotransform"],
+                                     pa.list_(pa.float64())),
+            "nodata": pa.array(rows["nodata"], pa.float64())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")

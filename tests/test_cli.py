@@ -1,0 +1,118 @@
+"""The unified CLI (``python -m raydal`` — the reference's ``gdal``
+command, apps/gdalalg_* pipeline grammar)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    return subprocess.run([sys.executable, "-m", "raydal"] + args,
+                          cwd=cwd, env=env, capture_output=True,
+                          text=True, timeout=240)
+
+
+@pytest.fixture(scope="module")
+def tif_fixture(tmp_path_factory):
+    from raydal.io.tiff import write_tiff
+
+    d = tmp_path_factory.mktemp("cli")
+    src = (np.arange(400, dtype=np.uint8) % 251).reshape(20, 20)
+    with open(d / "in.tif", "wb") as f:
+        f.write(write_tiff(src, geotransform=[0, 1, 0, 20, 0, -1]))
+    return d, src
+
+
+def test_cli_usage():
+    r = _run(["--help"], cwd="/tmp")
+    assert r.returncode == 0
+    assert "raster pipeline" in r.stdout
+
+
+def test_cli_formats():
+    r = _run(["formats"], cwd="/tmp")
+    assert r.returncode == 0
+    doc = json.loads(r.stdout)
+    assert "gtiff" in doc["sources"] and "gtiff" in doc["sinks"]
+    assert "raster-hillshade" in doc["steps"]
+
+
+def test_cli_raster_info(tif_fixture):
+    d, _src = tif_fixture
+    r = _run(["raster", "info", "in.tif"], cwd=d)
+    assert r.returncode == 0, r.stderr[-800:]
+    doc = json.loads(r.stdout[r.stdout.index("{"):])
+    assert doc["rows"] == 1
+    assert any(c["name"] == "data" for c in doc["columns"])
+
+
+def test_cli_pipeline_scale_roundtrip(tif_fixture):
+    d, src = tif_fixture
+    r = _run(["raster", "pipeline", "read", "in.tif", "!",
+              "encode-image", "!", "raster-scale", "scale=0.5",
+              "offset=2", "!", "decode-image", "!", "write", "out_dir",
+              "format=gtiff"], cwd=d)
+    assert r.returncode == 0, r.stderr[-800:]
+    from raydal.io.tiff import read_tiff
+    with open(d / "out_dir" / "in.tif", "rb") as f:
+        img = read_tiff(f.read())
+    want = np.clip(np.floor(src * 0.5 + 2 + 0.5), 0,
+                   255).astype(np.uint8)
+    np.testing.assert_array_equal(img.bands[0], want)
+    assert img.geotransform == (0.0, 1.0, 0.0, 20.0, 0.0, -1.0)
+
+
+def test_cli_gdalg_save_and_run(tif_fixture):
+    d, src = tif_fixture
+    r = _run(["raster", "pipeline", "read", "in.tif", "!",
+              "encode-image", "!", "decode-image", "!", "write",
+              "p.gdalg.json"], cwd=d)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert (d / "p.gdalg.json").exists()
+    r = _run(["pipeline", "run", "p.gdalg.json", "!", "write",
+              "rerun_dir", "format=gtiff"], cwd=d)
+    assert r.returncode == 0, r.stderr[-800:]
+    from raydal.io.tiff import read_tiff
+    with open(d / "rerun_dir" / "in.tif", "rb") as f:
+        img = read_tiff(f.read())
+    np.testing.assert_array_equal(img.bands[0], src)
+
+
+def test_cli_convert_and_vector_info(tif_fixture):
+    d, _src = tif_fixture
+    r = _run(["raster", "convert", "in.tif", "bands.parquet"], cwd=d)
+    assert r.returncode == 0, r.stderr[-800:]
+    import pyarrow.parquet as pq
+    t = pq.read_table(str(d / "bands.parquet"))
+    assert t.num_rows == 1 and "data" in t.column_names
+
+    wells = "/root/reference/autotest/gnm/data/wells.shp"
+    r = _run(["vector", "info", wells], cwd=d)
+    assert r.returncode == 0, r.stderr[-800:]
+    doc = json.loads(r.stdout[r.stdout.index("{"):])
+    assert doc["rows"] == 31
+
+
+def test_cli_mdim(tmp_path):
+    from raydal.io.hdf5 import write_hdf5
+
+    cube = np.arange(2 * 6 * 8, dtype=np.int32).reshape(2, 6, 8)
+    write_hdf5({"cube": cube}, str(tmp_path / "c.h5"))
+    r = _run(["mdim", "info", "c.h5", "array=cube"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-800:]
+    doc = json.loads(r.stdout)
+    assert [d["size"] for d in doc["dims"]] == [2, 6, 8]
+
+    r = _run(["mdim", "translate", "c.h5", "out.h5", "array=cube",
+              "view=[1,::2,:]"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-800:]
+    from raydal.io.hdf5 import HDF5File
+    got = HDF5File(str(tmp_path / "out.h5")).read("/cube")
+    np.testing.assert_array_equal(got, cube[1, ::2, :])
