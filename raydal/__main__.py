@@ -228,6 +228,29 @@ def cmd_convert(args):
     return run_pipeline_tokens(tokens)
 
 
+def cmd_tile(args):
+    """``raster tile`` (apps/gdalalg_raster_tile.cpp analogue): warp
+    the image table into a z/x/y pyramid with the salted two-stage
+    mosaic and resumable parquet output."""
+    import ray
+
+    from .pipelines import tile_pyramid
+
+    opts, pos = _parse_opts(args)
+    if len(pos) != 2:
+        raise SystemExit("raster tile needs SF_DIR (or images dir) "
+                         "and OUT_DIR")
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    res = tile_pyramid(
+        pos[0], z_max=int(opts.pop("z_max", 8)),
+        z_min=int(opts.pop("z_min", 6)),
+        salt=int(opts.pop("salt", 4)), out_dir=pos[1],
+        limit_images=opts.pop("limit_images", None))
+    counts = {z: ds.count() for z, ds in res["levels"].items()}
+    print(json.dumps({"tiles_per_level": counts, "out": pos[1]}))
+
+
 def cmd_mdim_translate(args):
     import numpy as np
 
@@ -291,6 +314,7 @@ commands:
   raster convert SRC DST [opt=val...]
   vector convert SRC DST [opt=val...]
   raster info SRC | vector info SRC
+  raster tile SF_DIR OUT_DIR [z_max=8] [z_min=6] [limit_images=N]
   mdim info SRC array=NAME
   mdim translate SRC DST array=NAME [view=...] [transpose=[..]]
                  [scaleaxes={"dim": n}]
@@ -316,6 +340,8 @@ def main(argv=None):
                 cmd_convert(rest)
             elif sub == "info":
                 cmd_info(rest)
+            elif sub == "tile" and argv[0] == "raster":
+                cmd_tile(rest)
             else:
                 raise SystemExit(f"unknown {argv[0]} command {sub!r}")
         elif argv[0] == "mdim" and len(argv) > 1:

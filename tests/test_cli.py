@@ -116,3 +116,15 @@ def test_cli_mdim(tmp_path):
     from raydal.io.hdf5 import HDF5File
     got = HDF5File(str(tmp_path / "out.h5")).read("/cube")
     np.testing.assert_array_equal(got, cube[1, ::2, :])
+
+
+def test_cli_raster_tile(tmp_path):
+    r = _run(["raster", "tile", "/root/testdata/sf0.001", "tiles",
+              "z_max=7", "z_min=7", "limit_images=10"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-800:]
+    line = [ln for ln in r.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    doc = json.loads(line)
+    assert doc["tiles_per_level"]["7"] > 0
+    import glob
+    assert glob.glob(str(tmp_path / "tiles" / "z7" / "*.parquet"))
