@@ -316,6 +316,11 @@ def sssp_dataset(edges_ds, source, src_col="src", tgt_col="tgt",
     import pyarrow as pa
     import ray
 
+    # pin the (src, tgt, cost) blocks in the object store once — every
+    # relaxation round re-iterates them, and without this the upstream
+    # read/transform would re-execute per round
+    edges_ds = edges_ds.materialize()
+
     dist = {source: 0.0}
     frontier = {source: 0.0}
     for _round in range(max_rounds):
