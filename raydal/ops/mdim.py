@@ -19,6 +19,9 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..io.hdf5 import HDF5File
+from ..io.netcdf import _NC_DTYPE, parse_netcdf
+
 __all__ = ["Dimension", "MDArray", "parse_view", "open_mdarray",
            "mdarray_to_dataset"]
 
@@ -178,7 +181,6 @@ def open_mdarray(path, array, dim_names=None):
     names; HDF5 uses dim0..n unless overridden."""
     p = str(path)
     if p.endswith((".nc", ".nc4", ".cdf")):
-        from ..io.netcdf import parse_netcdf
         nc = parse_netcdf(p)
         v = nc.vars[array]
         names = nc.var_dim_names(v)
@@ -191,16 +193,13 @@ def open_mdarray(path, array, dim_names=None):
                 for n, s in zip(names, v.shape)]
 
         def src():
-            from ..io.netcdf import parse_netcdf as _pn
-            return np.asarray(_pn(p).vars[array].data())
+            return np.asarray(parse_netcdf(p).vars[array].data())
 
-        from ..io.netcdf import _NC_DTYPE
         try:
             dt = np.dtype(_NC_DTYPE[v.nc_type][0])
         except Exception:
             dt = np.asarray(v.data()).dtype
         return MDArray(array, dims, src, dt)
-    from ..io.hdf5 import HDF5File
     f = HDF5File(p)
     cat = f.datasets()
     key = array if array in cat else "/" + array
@@ -209,7 +208,6 @@ def open_mdarray(path, array, dim_names=None):
     dims = [Dimension(n, s) for n, s in zip(names, shape)]
 
     def src():
-        from ..io.hdf5 import HDF5File
         return HDF5File(p).read(key)
 
     return MDArray(array, dims, src, dt)
