@@ -176,7 +176,11 @@ def run_pipeline_tokens(tokens):
         return dst
     ds = run_pipeline(ds, steps)
     out = write_sink(_sink_name(dst, w_opts), ds, dst, **w_opts)
-    print(f"wrote {out if out is not None else dst}")
+    # some sinks return the serialized document rather than a path —
+    # report the destination, not a content dump
+    shown = out if isinstance(out, str) and len(out) <= 256 \
+        and not out.lstrip().startswith(("{", "<")) else dst
+    print(f"wrote {shown}")
     return out if out is not None else dst
 
 
