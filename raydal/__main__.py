@@ -124,57 +124,62 @@ def _open(path, opts):
                         "xyz") else path, **opts)
 
 
-def run_pipeline_tokens(tokens):
-    """Execute (or save) one pipeline token stream; returns the sink's
-    return value or the tail Dataset."""
-    import ray
-
-    from .pipeline import (STEP_REGISTRY, pipeline_to_json,
-                           run_pipeline, write_sink)
+def _parse_stages(tokens):
+    """Token stream → (read_tokens, [(step, opts)], write_tokens|None);
+    validates grammar without touching Ray or the source."""
+    from .pipeline import STEP_REGISTRY
 
     stages = _split_pipeline(tokens)
     if not stages or stages[0][0] != "read":
         raise SystemExit("pipeline must start with: read SRC")
-    if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False)
-
-    read = stages[0]
-    opts, pos = _parse_opts(read[1:])
-    if not pos:
-        raise SystemExit("read needs a source path")
-    ds = _open(pos[0], opts)
-
     steps = []
     write_stage = None
-    for st in stages[1:]:
+    for si, st in enumerate(stages[1:], start=1):
         if st[0] == "write":
+            if si != len(stages) - 1:
+                raise SystemExit("write must be the final stage; "
+                                 "steps after it would be dropped")
             write_stage = st
             break
-        opts, pos = _parse_opts(st[1:])
+        opts, _pos = _parse_opts(st[1:])
         if st[0] not in STEP_REGISTRY:
             raise SystemExit(
                 f"unknown step {st[0]!r}; available: "
                 f"{', '.join(sorted(STEP_REGISTRY))}")
         steps.append((st[0], opts))
+    return stages[0], steps, write_stage
 
+
+def _execute(read_tokens, steps, write_stage):
+    """Open → run steps → write/save; the one place Ray spins up."""
+    import ray
+
+    from .pipeline import pipeline_to_json, run_pipeline, write_sink
+
+    if write_stage is not None:
+        w_opts, w_pos = _parse_opts(write_stage[1:])
+        if not w_pos:
+            raise SystemExit("write needs a destination path")
+        dst = w_pos[0]
+        if dst.endswith(".gdalg.json"):
+            # save as a rerunnable pipeline document (GDALG contract):
+            # a pure metadata write, no Ray session, no source decode
+            doc = json.loads(pipeline_to_json(steps))
+            doc["read"] = list(read_tokens[1:])
+            with open(dst, "w") as f:
+                json.dump(doc, f)
+            print(f"saved pipeline -> {dst}")
+            return dst
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    opts, pos = _parse_opts(read_tokens[1:])
+    if not pos:
+        raise SystemExit("read needs a source path")
+    ds = run_pipeline(_open(pos[0], opts), steps)
     if write_stage is None:
-        ds = run_pipeline(ds, steps)
         n = ds.count()
         print(f"{n} rows (no write stage)")
         return ds
-    w_opts, w_pos = _parse_opts(write_stage[1:])
-    if not w_pos:
-        raise SystemExit("write needs a destination path")
-    dst = w_pos[0]
-    if dst.endswith(".gdalg.json"):
-        # save as a rerunnable pipeline document (GDALG contract)
-        doc = json.loads(pipeline_to_json(steps))
-        doc["read"] = read[1:]
-        with open(dst, "w") as f:
-            json.dump(doc, f)
-        print(f"saved pipeline -> {dst}")
-        return dst
-    ds = run_pipeline(ds, steps)
     out = write_sink(_sink_name(dst, w_opts), ds, dst, **w_opts)
     # some sinks return the serialized document rather than a path —
     # report the destination, not a content dump
@@ -184,20 +189,26 @@ def run_pipeline_tokens(tokens):
     return out if out is not None else dst
 
 
+def run_pipeline_tokens(tokens):
+    """Execute (or save) one pipeline token stream; returns the sink's
+    return value or the tail Dataset."""
+    return _execute(*_parse_stages(tokens))
+
+
 def run_saved_pipeline(path, extra_tokens=()):
     """Execute a ``.gdalg.json`` document saved by ``write``; extra
-    tokens (e.g. ``! write DST``) append to the saved pipeline."""
+    tokens (e.g. ``! write DST``) append to the saved pipeline.  Steps
+    run from the PARSED document (params keep their JSON types — lists
+    and dicts are not round-tripped through token strings)."""
     from .pipeline import pipeline_from_json
 
     with open(path) as f:
         doc = json.load(f)
-    steps_tokens = []
-    for entry in pipeline_from_json(json.dumps(doc)):
-        steps_tokens.append("!")
-        steps_tokens.append(entry[0])
-        steps_tokens.extend(f"{k}={v}" for k, v in entry[1].items())
-    return run_pipeline_tokens(["read"] + list(doc.get("read", []))
-                               + steps_tokens + list(extra_tokens))
+    saved_steps = pipeline_from_json(json.dumps(doc))
+    read_tokens, extra_steps, write_stage = _parse_stages(
+        ["read"] + list(doc.get("read", [])) + list(extra_tokens))
+    return _execute(read_tokens, saved_steps + extra_steps,
+                    write_stage)
 
 
 def cmd_info(args):

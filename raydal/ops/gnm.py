@@ -379,6 +379,11 @@ def sssp_dataset(edges_ds, source, src_col="src", tgt_col="tgt",
             break
         dist.update(new_frontier)
         frontier = new_frontier
+    else:
+        raise RuntimeError(
+            f"sssp_dataset did not converge in {max_rounds} rounds "
+            f"({len(frontier)} vertices still improving); raise "
+            f"max_rounds above the graph's hop diameter")
     items = sorted(dist.items())
     return pa.Table.from_pydict({
         "vertex": pa.array([v for v, _ in items], pa.int64()),

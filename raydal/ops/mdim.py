@@ -116,6 +116,11 @@ class MDArray:
         ``subset_<name>_<start>_<step>_<count>``."""
         view = parse_view(spec, self.ndim) if isinstance(spec, str) \
             else tuple(spec)
+        if len(view) > self.ndim:
+            raise ValueError(f"view has {len(view)} terms for "
+                             f"{self.ndim} dims")
+        # pad short tuple specs like the string grammar does
+        view = view + (slice(None),) * (self.ndim - len(view))
         new_dims = []
         attrs = dict(self.attributes)
         for d, term in zip(self.dims, view):

@@ -2256,7 +2256,7 @@ def _sink_jp2(ds, path, nlevels=3, **kwargs):
                 row["h"], row["w"])
             groups[row["image_id"]].append((row["band"], arr))
     for image_id, bands in groups.items():
-        bands.sort()
+        bands.sort(key=lambda t: t[0])
         blob = encode_jp2([a for _b, a in bands], nlevels=nlevels)
         with open(_os.path.join(path, f"{image_id}.jp2"), "wb") as f:
             f.write(blob)
@@ -2286,8 +2286,9 @@ def _src_hdf5(paths, dataset=None, **kwargs):
             if len(shape) >= 2 and not np.dtype(dt).kind == "S"]
         for name in names:
             arr = np.asarray(f.read(name))
-            if arr.ndim == 2:
-                arr = arr[None]
+            # rank > 3 flattens its leading dims into the band axis so
+            # every emitted row's data buffer is exactly h*w items
+            arr = arr.reshape((-1,) + arr.shape[-2:])
             base = _os.path.splitext(_os.path.basename(str(p)))[0]
             for b in range(arr.shape[0]):
                 a = np.ascontiguousarray(arr[b])
@@ -2318,11 +2319,21 @@ def _src_hdf4(paths, dataset=None, **kwargs):
         base = _os.path.splitext(_os.path.basename(str(p)))[0]
         for name in names:
             a = np.ascontiguousarray(f.read(name))
-            rows.append({
-                "image_id": f"{base}:{name}", "band": 1,
-                "data": a.tobytes(), "w": a.shape[-1],
-                "h": a.shape[-2], "dtype": str(a.dtype),
-                "geotransform": None, "nodata": None})
+            if a.ndim < 2:
+                if dataset is None:
+                    continue      # skip coordinate/attribute SDSs
+                raise ValueError(
+                    f"SDS {name!r} is {a.ndim}-D; need >= 2 dims")
+            # rank > 2: one band per flattened leading index, like the
+            # HDF5 source above
+            a = a.reshape((-1,) + a.shape[-2:])
+            for b in range(a.shape[0]):
+                band = np.ascontiguousarray(a[b])
+                rows.append({
+                    "image_id": f"{base}:{name}", "band": b + 1,
+                    "data": band.tobytes(), "w": band.shape[1],
+                    "h": band.shape[0], "dtype": str(band.dtype),
+                    "geotransform": None, "nodata": None})
     return ray.data.from_items(rows)
 
 
@@ -2379,7 +2390,13 @@ def _sink_filegdb(ds, path, layer="layer0", **kwargs):
             wkb = row.pop("wkb", None)
             out = {}
             if wkb is not None:
-                x, y = _st.unpack("<2d", wkb[5:21])
+                bo = "<" if wkb[0] == 1 else ">"
+                gtype = _st.unpack(bo + "I", wkb[1:5])[0] & 0xFF
+                if gtype != 1:
+                    raise ValueError(
+                        f"filegdb sink writes POINT features only, "
+                        f"got wkb type {gtype}")
+                x, y = _st.unpack(bo + "2d", wkb[5:21])
                 out["SHAPE"] = (x, y)
             else:
                 out["SHAPE"] = None
@@ -2461,7 +2478,9 @@ def _encode_image(ds, fmt="png"):
             bands.append(a.reshape(g["h"][i].as_py(),
                                    g["w"][i].as_py()))
         px = bands[0] if len(bands) == 1 else np.stack(bands, axis=2)
-        if px.dtype != np.uint8:
+        # tiff payloads carry any dtype losslessly; only the 8-bit
+        # codecs (png/jpeg/bmp/gif) need the uint8 quantization
+        if px.dtype != np.uint8 and fmt != "tiff":
             px = np.clip(np.floor(px.astype(np.float64) + 0.5), 0,
                          255).astype(np.uint8)
         gt = g["geotransform"][0].as_py() if "geotransform" in \

@@ -128,3 +128,44 @@ def test_cli_raster_tile(tmp_path):
     assert doc["tiles_per_level"]["7"] > 0
     import glob
     assert glob.glob(str(tmp_path / "tiles" / "z7" / "*.parquet"))
+
+
+def test_cli_rejects_steps_after_write(tif_fixture):
+    d, _src = tif_fixture
+    r = _run(["raster", "pipeline", "read", "in.tif", "!", "write",
+              "o_dir", "format=gtiff", "!", "raster-scale", "scale=2"],
+             cwd=d)
+    assert r.returncode != 0
+    assert "final stage" in (r.stderr + r.stdout)
+
+
+def test_cli_gdalg_save_is_metadata_only(tmp_path):
+    # saving must not open the (non-existent) source or start Ray
+    r = _run(["raster", "pipeline", "read", "missing.tif", "!",
+              "encode-image", "!", "write", "m.gdalg.json"],
+             cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert (tmp_path / "m.gdalg.json").exists()
+
+
+def test_cli_gdalg_list_params_roundtrip(tif_fixture):
+    # list-typed step params survive the save/run cycle with JSON
+    # types (raster-select's bands=[1] must arrive as a list, not the
+    # string "[1]")
+    import json as _json
+    d, src = tif_fixture
+    doc = {"type": "raydal_pipeline", "version": 2,
+           "read": ["in.tif"],
+           "steps": [{"name": "encode-image", "params": {}},
+                     {"name": "raster-select",
+                      "params": {"bands": [1]}},
+                     {"name": "decode-image", "params": {}}]}
+    (d / "lp.gdalg.json").write_text(_json.dumps(doc))
+    r = _run(["pipeline", "run", "lp.gdalg.json", "!", "write",
+              "sel.parquet"], cwd=d)
+    assert r.returncode == 0, r.stderr[-800:]
+    import pyarrow.parquet as pq
+    t = pq.read_table(str(d / "sel.parquet"))
+    assert t.num_rows == 1
+    got = np.frombuffer(t["data"][0].as_py(), np.uint8).reshape(20, 20)
+    np.testing.assert_array_equal(got, src)

@@ -125,3 +125,14 @@ def test_mdarray_to_dataset(ray_session, tmp_path):
         r = by_id[f"cube[t={t}]"]
         got = np.frombuffer(r["data"], np.int32).reshape(r["h"], r["w"])
         np.testing.assert_array_equal(got, data[t])
+
+
+def test_view_tuple_spec_padding():
+    # a short tuple spec pads with full slices like the string grammar
+    arr, md = _mdim_fixture()
+    v = md.get_view((0,))
+    assert v.shape == (10, 10)
+    assert [d.name for d in v.dims] == ["latitude", "longitude"]
+    np.testing.assert_array_equal(v.read(), arr[0])
+    with pytest.raises(ValueError):
+        md.get_view((0, 0, 0, 0))
