@@ -312,6 +312,46 @@ def cmd_mdim_info(args):
         indent=2))
 
 
+def cmd_gnm_path(args):
+    """``gnm path`` — build a network from point+line layers
+    (ConnectPointsByLines semantics) and run Dijkstra / K-shortest /
+    connected-components between two global FIDs."""
+    from .ops.gnm import build_network_from_tables
+
+    opts, pos = _parse_opts(args)
+    if len(pos) < 2:
+        raise SystemExit("gnm path needs two or more layer paths plus "
+                         "src=FID tgt=FID")
+    layers = []
+    for p in pos:
+        name = os.path.splitext(os.path.basename(p))[0]
+        from .io.shapefile import read_shapefile
+        layers.append((name, read_shapefile(p)))
+    g, ranges = build_network_from_tables(
+        layers, float(opts.pop("tolerance", 1e-6)),
+        cost=float(opts.pop("cost", 1.0)),
+        inv_cost=float(opts.pop("inv_cost", 1.0)))
+    src, tgt = int(opts.pop("src")), int(opts.pop("tgt"))
+    algo = str(opts.pop("algorithm", "dijkstra"))
+    if algo == "dijkstra":
+        paths = [g.dijkstra_shortest_path(src, tgt)]
+    elif algo in ("kshortest", "k-shortest"):
+        paths = g.k_shortest_paths(src, tgt, int(opts.pop("k", 3)))
+    elif algo in ("components", "connectedcomponents"):
+        pairs = g.connected_components([src])
+        print(json.dumps({"ranges": ranges,
+                          "pairs": [list(p) for p in pairs]}))
+        return
+    else:
+        raise SystemExit(f"unknown algorithm {algo!r}")
+    print(json.dumps({
+        "ranges": ranges,
+        "paths": [{"vertices_edges": [list(p) for p in path],
+                   "cost": sum(g.edges[e].dir_cost
+                               for _v, e in path if e != -1)}
+                  for path in paths if path]}))
+
+
 def _list_registries():
     from .pipeline import (SINK_REGISTRY, SOURCE_REGISTRY,
                            STEP_REGISTRY)
@@ -333,6 +373,8 @@ commands:
   mdim info SRC array=NAME
   mdim translate SRC DST array=NAME [view=...] [transpose=[..]]
                  [scaleaxes={"dim": n}]
+  gnm path LAYER.shp... src=FID tgt=FID [algorithm=dijkstra|kshortest|
+           components] [k=3] [tolerance=1e-6] [cost=1]
   pipeline run FILE.gdalg.json
   formats                      list sources/sinks/steps
 """
@@ -366,6 +408,8 @@ def main(argv=None):
                 cmd_mdim_info(argv[2:])
             else:
                 raise SystemExit(f"unknown mdim command {argv[1]!r}")
+        elif argv[0] == "gnm" and len(argv) > 1 and argv[1] == "path":
+            cmd_gnm_path(argv[2:])
         elif argv[0] == "pipeline":
             if len(argv) > 2 and argv[1] == "run":
                 run_saved_pipeline(argv[2], argv[3:])

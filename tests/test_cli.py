@@ -169,3 +169,16 @@ def test_cli_gdalg_list_params_roundtrip(tif_fixture):
     assert t.num_rows == 1
     got = np.frombuffer(t["data"][0].as_py(), np.uint8).reshape(20, 20)
     np.testing.assert_array_equal(got, src)
+
+
+def test_cli_gnm_path():
+    r = _run(["gnm", "path",
+              "/root/reference/autotest/gnm/data/pipes.shp",
+              "/root/reference/autotest/gnm/data/wells.shp",
+              "src=61", "tgt=50", "algorithm=kshortest", "k=3"],
+             cwd="/tmp")
+    assert r.returncode == 0, r.stderr[-800:]
+    doc = json.loads(r.stdout)
+    assert len(doc["paths"]) == 3
+    costs = [p["cost"] for p in doc["paths"]]
+    assert costs == sorted(costs)
