@@ -219,14 +219,43 @@ def cmd_info(args):
     opts, pos = _parse_opts(args)
     if not pos:
         raise SystemExit("info needs a path")
+    want_stats = bool(opts.pop("stats", False))
     ds = _open(pos[0], opts)
     schema = ds.schema()
-    n = ds.count()
-    print(json.dumps({
+    doc = {
         "path": pos[0],
-        "rows": n,
+        "rows": ds.count(),
         "columns": [{"name": c, "type": str(t)} for c, t in
-                    zip(schema.names, schema.types)]}, indent=2))
+                    zip(schema.names, schema.types)]}
+    if want_stats and "data" in schema.names:
+        # gdal raster info band block: min/max/mean/stddev + the
+        # GDALChecksumImage checksum (kernels/checksum golden parity)
+        import numpy as np
+        import pyarrow as pa
+
+        from .kernels.checksum import checksum
+
+        def stats(t: pa.Table) -> pa.Table:
+            rows = {"image_id": [], "band": [], "minimum": [],
+                    "maximum": [], "mean": [], "stddev": [],
+                    "checksum": []}
+            for i in range(t.num_rows):
+                a = np.frombuffer(
+                    t["data"][i].as_py(),
+                    np.dtype(t["dtype"][i].as_py())).reshape(
+                    t["h"][i].as_py(), t["w"][i].as_py())
+                rows["image_id"].append(t["image_id"][i].as_py())
+                rows["band"].append(t["band"][i].as_py())
+                rows["minimum"].append(float(a.min()))
+                rows["maximum"].append(float(a.max()))
+                rows["mean"].append(float(a.mean()))
+                rows["stddev"].append(float(a.std()))
+                rows["checksum"].append(int(checksum(a)))
+            return pa.Table.from_pydict(rows)
+
+        doc["bands"] = ds.map_batches(
+            stats, batch_format="pyarrow").take_all()
+    print(json.dumps(doc, indent=2))
 
 
 def cmd_convert(args):

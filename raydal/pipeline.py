@@ -2539,3 +2539,12 @@ def _decode_image(ds):
             "nodata": pa.array(rows["nodata"], pa.float64())})
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+@register_step("style-explode")
+def _style_explode(ds, col="style", id_col=None):
+    """OGR feature-style strings → long-format parameter rows
+    (ogr/ogrfeaturestyle.cpp grammar, raydal/ops/featurestyle.py)."""
+    from .ops.featurestyle import explode_style_column
+
+    return explode_style_column(ds, col=col, id_col=id_col)

@@ -182,3 +182,15 @@ def test_cli_gnm_path():
     assert len(doc["paths"]) == 3
     costs = [p["cost"] for p in doc["paths"]]
     assert costs == sorted(costs)
+
+
+def test_cli_raster_info_stats_published_checksum():
+    # gdal raster info band stats over the canonical byte.tif — the
+    # published GDALChecksumImage value is 4672
+    r = _run(["raster", "info", "/root/reference/autotest/gcore/data/"
+              "byte.tif", "stats=true"], cwd="/tmp")
+    assert r.returncode == 0, r.stderr[-800:]
+    doc = json.loads(r.stdout[r.stdout.index("{"):])
+    assert doc["bands"][0]["checksum"] == 4672
+    assert doc["bands"][0]["minimum"] == 74.0
+    assert doc["bands"][0]["maximum"] == 255.0
