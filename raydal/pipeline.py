@@ -2548,3 +2548,35 @@ def _style_explode(ds, col="style", id_col=None):
     from .ops.featurestyle import explode_style_column
 
     return explode_style_column(ds, col=col, id_col=id_col)
+
+
+@register_sink("kmlsuperoverlay")
+def _sink_kmlsuperoverlay(ds, path, fmt="png", **kwargs):
+    """Band rows → one KML superoverlay directory per image_id
+    (frmts/kmlsuperoverlay CreateCopy semantics)."""
+    import os as _os
+    from collections import defaultdict
+
+    import numpy as np
+
+    from .io.kmlsuperoverlay import write_superoverlay
+
+    groups = defaultdict(list)
+    meta = {}
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            arr = np.frombuffer(row["data"],
+                                np.dtype(row["dtype"])).reshape(
+                row["h"], row["w"])
+            groups[row["image_id"]].append((row["band"], arr))
+            meta[row["image_id"]] = (row.get("geotransform"),
+                                     row.get("nodata"))
+    for image_id, bands in groups.items():
+        bands.sort(key=lambda t: t[0])
+        gt, nodata = meta[image_id]
+        if gt is None:
+            gt = [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]
+        write_superoverlay([a for _b, a in bands], gt,
+                           _os.path.join(path, image_id), fmt=fmt,
+                           name=image_id, nodata=nodata, **kwargs)
+    return path
