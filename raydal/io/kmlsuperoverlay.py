@@ -264,3 +264,24 @@ def write_superoverlay(bands, geotransform, out_dir, fmt="png",
                     ((ix, iy), bool(kids)))
         child_tiles = current
     return files
+
+
+def write_superoverlay_kmz(bands, geotransform, kmz_path, **kwargs):
+    """Superoverlay packed into a .kmz (zip) — the reference's
+    ``/vsizip/`` path when the target filename ends in .kmz; the root
+    document is stored as ``doc.kml`` inside the archive."""
+    import shutil
+    import tempfile
+    import zipfile
+
+    tmp = tempfile.mkdtemp(prefix="raydal_kmz_")
+    try:
+        files = write_superoverlay(bands, geotransform, tmp,
+                                   root_name="doc.kml", **kwargs)
+        with zipfile.ZipFile(kmz_path, "w",
+                             zipfile.ZIP_DEFLATED) as z:
+            for rel in files:
+                z.write(os.path.join(tmp, rel), rel)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return kmz_path

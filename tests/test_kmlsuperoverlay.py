@@ -106,3 +106,17 @@ def test_superoverlay_sink(ray_session, tmp_path):
     SINK_REGISTRY["kmlsuperoverlay"](ds, str(tmp_path / "so"))
     assert (tmp_path / "so" / "x" / "doc.kml").exists()
     assert (tmp_path / "so" / "x" / "1" / "1" / "1.png").exists()
+
+
+def test_kmz(tmp_path):
+    import zipfile
+
+    img = np.arange(512 * 512, dtype=np.uint8).reshape(512, 512)
+    p = str(tmp_path / "o.kmz")
+    from raydal.io.kmlsuperoverlay import write_superoverlay_kmz
+    write_superoverlay_kmz(img, [0, 0.01, 0, 5, 0, -0.01], p)
+    with zipfile.ZipFile(p) as z:
+        names = set(z.namelist())
+        assert "doc.kml" in names and "1/1/1.png" in names
+        px = decode(z.read("1/1/1.png"))
+        np.testing.assert_array_equal(px[:, :, 0], img[:256, 256:])
