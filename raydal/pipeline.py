@@ -2553,30 +2553,44 @@ def _style_explode(ds, col="style", id_col=None):
 @register_sink("kmlsuperoverlay")
 def _sink_kmlsuperoverlay(ds, path, fmt="png", **kwargs):
     """Band rows → one KML superoverlay directory per image_id
-    (frmts/kmlsuperoverlay CreateCopy semantics)."""
+    (frmts/kmlsuperoverlay CreateCopy semantics).
+
+    Distributed: a ``groupby(image_id).map_groups`` co-locates each
+    image's bands and writes that overlay INSIDE the worker — the
+    driver only collects one summary row per image, so an arbitrarily
+    large image table streams through without a driver-side loop."""
     import os as _os
-    from collections import defaultdict
 
     import numpy as np
+    import pyarrow as pa
 
     from .io.kmlsuperoverlay import write_superoverlay
 
-    groups = defaultdict(list)
-    meta = {}
-    for batch in ds.iter_batches(batch_format="pyarrow"):
-        for row in batch.to_pylist():
-            arr = np.frombuffer(row["data"],
-                                np.dtype(row["dtype"])).reshape(
-                row["h"], row["w"])
-            groups[row["image_id"]].append((row["band"], arr))
-            meta[row["image_id"]] = (row.get("geotransform"),
-                                     row.get("nodata"))
-    for image_id, bands in groups.items():
-        bands.sort(key=lambda t: t[0])
-        gt, nodata = meta[image_id]
+    def write_one(g: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(g["band"])
+        g = g.take(order)
+        bands = []
+        for i in range(g.num_rows):
+            bands.append(np.frombuffer(
+                g["data"][i].as_py(),
+                np.dtype(g["dtype"][i].as_py())).reshape(
+                g["h"][i].as_py(), g["w"][i].as_py()))
+        image_id = g["image_id"][0].as_py()
+        gt = (g["geotransform"][0].as_py()
+              if "geotransform" in g.column_names else None)
+        nodata = (g["nodata"][0].as_py()
+                  if "nodata" in g.column_names else None)
         if gt is None:
             gt = [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]
-        write_superoverlay([a for _b, a in bands], gt,
-                           _os.path.join(path, image_id), fmt=fmt,
-                           name=image_id, nodata=nodata, **kwargs)
+        files = write_superoverlay(
+            bands, gt, _os.path.join(path, image_id), fmt=fmt,
+            name=image_id, nodata=nodata, **kwargs)
+        return pa.Table.from_pydict({
+            "image_id": pa.array([image_id], pa.string()),
+            "n_files": pa.array([len(files)], pa.int64())})
+
+    _os.makedirs(path, exist_ok=True)
+    (ds.groupby("image_id")
+       .map_groups(write_one, batch_format="pyarrow")
+       .count())    # count() drives the streamed write to completion
     return path
