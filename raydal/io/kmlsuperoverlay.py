@@ -285,3 +285,89 @@ def write_superoverlay_kmz(bands, geotransform, kmz_path, **kwargs):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return kmz_path
+
+
+def read_superoverlay(root):
+    """Read a superoverlay directory (or .kmz) back as a full-
+    resolution mosaic (the KmlSuperOverlayReadDataset analogue:
+    deepest zoom level reassembled, geotransform from the root
+    document's LatLonAltBox).
+
+    Returns (bands, geotransform): ``bands`` a list of 2-D uint8
+    arrays (alpha dropped).
+    """
+    import glob
+    import re
+    import zipfile
+
+    from .codecs import decode
+
+    ziph = None
+    if str(root).endswith((".kmz", ".zip")):
+        ziph = zipfile.ZipFile(root)
+        names = ziph.namelist()
+        doc = ziph.read("doc.kml").decode()
+
+        def listing(pat):
+            rx = re.compile(pat)
+            return [n for n in names if rx.fullmatch(n)]
+
+        def blob(rel):
+            return ziph.read(rel)
+    else:
+        with open(os.path.join(root, "doc.kml")) as f:
+            doc = f.read()
+
+        def listing(pat):
+            rx = re.compile(pat)
+            out = []
+            for p in glob.glob(os.path.join(root, "*", "*", "*")):
+                rel = os.path.relpath(p, root).replace(os.sep, "/")
+                if rx.fullmatch(rel):
+                    out.append(rel)
+            return out
+
+        def blob(rel):
+            with open(os.path.join(root, rel), "rb") as f:
+                return f.read()
+
+    def field(tag):
+        import re as _re
+        m = _re.search(f"<{tag}>([-0-9.]+)</{tag}>", doc)
+        if not m:
+            raise ValueError(f"doc.kml missing <{tag}>")
+        return float(m.group(1))
+
+    north, south = field("north"), field("south")
+    east, west = field("east"), field("west")
+
+    tiles = listing(r"(\d+)/(\d+)/(\d+)\.(png|jpg)")
+    if not tiles:
+        raise ValueError("no tiles found")
+    import re as _re
+    parsed = [tuple(map(int, _re.match(
+        r"(\d+)/(\d+)/(\d+)", t).groups())) + (t,) for t in tiles]
+    maxzoom = max(z for z, _x, _y, _t in parsed)
+    deepest = [(x, y, t) for z, x, y, t in parsed if z == maxzoom]
+    nx = max(x for x, _y, _t in deepest) + 1
+    ny = max(y for _x, y, _t in deepest) + 1
+
+    sample = decode(blob(deepest[0][2]))
+    th, tw = sample.shape[:2]
+    nchan = 1 if sample.ndim == 2 else min(sample.shape[2], 3)
+    H, W = th * ny, tw * nx
+    bands = [np.zeros((H, W), np.uint8) for _ in range(nchan)]
+    for x, y, rel in deepest:
+        px = decode(blob(rel))
+        if px.ndim == 2:
+            px = px[:, :, None]
+        # iy counts from the SOUTH edge
+        r0 = H - (y + 1) * th
+        for b in range(nchan):
+            bands[b][r0:r0 + th, x * tw:x * tw + tw] = \
+                px[:, :, min(b, px.shape[2] - 1)]
+    if ziph is not None:
+        ziph.close()
+    gt = [west, (east - west) / W, 0.0, north, 0.0,
+          (south - north) / H]
+    return bands, gt

@@ -5968,6 +5968,66 @@ GROUP BY n_nationkey, t.g
 """
 
 
+def q104_superoverlay_roundtrip(sf_dir):
+    """KML superoverlay write→read round trip
+    (``frmts/kmlsuperoverlay`` CreateCopy semantics —
+    raydal/io/kmlsuperoverlay.py): per nation key, a 416x416 uint8
+    grid goes through the two-zoom pyramid writer (PNG tiles, alpha
+    band, Lod/NetworkLink tree) and is reassembled by the reader from
+    the deepest level; the oracle reproduces the grid sum closed-form,
+    so any tile-placement, y-flip or codec defect breaks the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from .io.kmlsuperoverlay import (read_superoverlay,
+                                     write_superoverlay)
+
+    rr = np.arange(416, dtype=np.int64)[:, None]
+    cc = np.arange(416, dtype=np.int64)[None, :]
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["n_nationkey"], dtype=np.int64)
+        out = {"n_nationkey": [], "h": [], "w": [], "val_sum": []}
+        tmp = tempfile.mkdtemp(prefix="raydal_q104_")
+        try:
+            for k in keys:
+                k = int(k)
+                grid = ((577 * k + 13 * rr + 29 * cc + rr * cc)
+                        % 251).astype(np.uint8)
+                d = os.path.join(tmp, f"ov_{k}")
+                write_superoverlay(
+                    grid, [0.0, 0.01, 0.0, 4.16, 0.0, -0.01], d)
+                bands, _gt = read_superoverlay(d)
+                out["n_nationkey"].append(k)
+                out["h"].append(bands[0].shape[0])
+                out["w"].append(bands[0].shape[1])
+                out["val_sum"].append(
+                    int(bands[0].astype(np.int64).sum()))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return pa.Table.from_pydict({
+            "n_nationkey": pa.array(out["n_nationkey"], pa.int64()),
+            "h": pa.array(out["h"], pa.int64()),
+            "w": pa.array(out["w"], pa.int64()),
+            "val_sum": pa.array(out["val_sum"], pa.int64())})
+
+    return _read(sf_dir, "nation",
+                 columns=["n_nationkey"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+SQL_Q104 = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       CAST(416 AS BIGINT) AS h, CAST(416 AS BIGINT) AS w,
+       CAST(SUM((577 * n_nationkey + 13 * r.g + 29 * c.g
+                 + r.g * c.g) % 251) AS BIGINT) AS val_sum
+FROM nation,
+     generate_series(0, 415) r(g), generate_series(0, 415) c(g)
+GROUP BY n_nationkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -6076,6 +6136,8 @@ QUERIES = {
     "q101_gnm_sssp": (q101_gnm_sssp, SQL_Q101),
     "q102_style_explode": (q102_style_explode, SQL_Q102),
     "q103_mdim_translate": (q103_mdim_translate, SQL_Q103),
+    "q104_superoverlay_roundtrip": (q104_superoverlay_roundtrip,
+                                    SQL_Q104),
 }
 
 
@@ -6105,7 +6167,7 @@ def query_fns():
              "q97_topojson_roundtrip", "q98_ms_adpcm_roundtrip",
              "q99_osm_way_assembly", "q100_new_reader_matrix",
              "q101_gnm_sssp", "q102_style_explode",
-             "q103_mdim_translate"}
+             "q103_mdim_translate", "q104_superoverlay_roundtrip"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}

@@ -120,3 +120,28 @@ def test_kmz(tmp_path):
         assert "doc.kml" in names and "1/1/1.png" in names
         px = decode(z.read("1/1/1.png"))
         np.testing.assert_array_equal(px[:, :, 0], img[:256, 256:])
+
+
+def test_read_superoverlay_roundtrip(tmp_path):
+    from raydal.io.kmlsuperoverlay import (read_superoverlay,
+                                           write_superoverlay)
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (512, 512), dtype=np.uint8)
+    gt = [10.0, 0.01, 0.0, 60.0, 0.0, -0.01]
+    write_superoverlay(img, gt, str(tmp_path / "ov"))
+    bands, got_gt = read_superoverlay(str(tmp_path / "ov"))
+    np.testing.assert_array_equal(bands[0], img)
+    np.testing.assert_allclose(got_gt, gt, rtol=1e-9)
+
+
+def test_read_superoverlay_kmz(tmp_path):
+    from raydal.io.kmlsuperoverlay import (read_superoverlay,
+                                           write_superoverlay_kmz)
+
+    img = (np.arange(512 * 512, dtype=np.int64) % 251).astype(
+        np.uint8).reshape(512, 512)
+    p = str(tmp_path / "o.kmz")
+    write_superoverlay_kmz(img, [0, 0.01, 0, 5, 0, -0.01], p)
+    bands, _gt = read_superoverlay(p)
+    np.testing.assert_array_equal(bands[0], img)
