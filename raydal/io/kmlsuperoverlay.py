@@ -22,6 +22,8 @@ from xml.sax.saxutils import escape
 
 import numpy as np
 
+from .codecs import decode, encode
+
 __all__ = ["write_superoverlay", "superoverlay_plan"]
 
 
@@ -192,8 +194,6 @@ def write_superoverlay(bands, geotransform, out_dir, fmt="png",
     gray, 3 = RGB).  ``to_lonlat``: optional (x, y) → (lon, lat) for
     projected sources.  Returns the list of files written (relative).
     """
-    from .codecs import encode
-
     if isinstance(bands, np.ndarray) and bands.ndim == 2:
         bands = [bands]
     bands = [np.asarray(b) for b in bands]
@@ -299,8 +299,6 @@ def read_superoverlay(root):
     import glob
     import re
     import zipfile
-
-    from .codecs import decode
 
     ziph = None
     if str(root).endswith((".kmz", ".zip")):
