@@ -24,7 +24,8 @@ import numpy as np
 
 from .codecs import decode, encode
 
-__all__ = ["write_superoverlay", "superoverlay_plan"]
+__all__ = ["write_superoverlay", "write_superoverlay_kmz",
+           "read_superoverlay", "superoverlay_plan"]
 
 
 def superoverlay_plan(xsize, ysize):

@@ -2594,3 +2594,19 @@ def _sink_kmlsuperoverlay(ds, path, fmt="png", **kwargs):
        .map_groups(write_one, batch_format="pyarrow")
        .count())    # count() drives the streamed write to completion
     return path
+
+
+@register_source("kmlsuperoverlay")
+def _src_kmlsuperoverlay(paths, **kwargs):
+    """Superoverlay directory or .kmz → raster rows (deepest zoom
+    reassembled; KmlSuperOverlayReadDataset analogue)."""
+    import numpy as np
+    import ray.data
+
+    from .io.kmlsuperoverlay import read_superoverlay
+
+    def rd(p):
+        bands, gt = read_superoverlay(p)
+        return np.stack(bands), gt, None
+
+    return ray.data.from_arrow(_raster_rows(paths, rd))

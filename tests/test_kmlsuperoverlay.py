@@ -145,3 +145,18 @@ def test_read_superoverlay_kmz(tmp_path):
     write_superoverlay_kmz(img, [0, 0.01, 0, 5, 0, -0.01], p)
     bands, _gt = read_superoverlay(p)
     np.testing.assert_array_equal(bands[0], img)
+
+
+def test_superoverlay_source(ray_session, tmp_path):
+    from raydal.io.kmlsuperoverlay import write_superoverlay
+    from raydal.pipeline import SOURCE_REGISTRY
+
+    img = (np.arange(512 * 512, dtype=np.int64) % 199).astype(
+        np.uint8).reshape(512, 512)
+    write_superoverlay(img, [0, 0.01, 0, 5, 0, -0.01],
+                       str(tmp_path / "ov"))
+    rows = SOURCE_REGISTRY["kmlsuperoverlay"](
+        str(tmp_path / "ov")).take_all()
+    a = np.frombuffer(rows[0]["data"], np.uint8).reshape(
+        rows[0]["h"], rows[0]["w"])
+    np.testing.assert_array_equal(a, img)
