@@ -31,7 +31,7 @@ _EXT_SOURCE = {
     ".h5": "hdf5", ".hdf": "hdf4", ".000": "s57", ".gdb": "filegdb",
     ".dgn": "dgn", ".dxf": "dxf", ".mbtiles": "mbtiles",
     ".dt0": "dted", ".dt1": "dted", ".dt2": "dted", ".hgt": "hgt",
-    ".xyz": "xyz", ".gmt": "gmt",
+    ".xyz": "xyz", ".gmt": "gmt", ".kmz": "kmlsuperoverlay",
 }
 _EXT_SINK = {
     ".parquet": "parquet", ".tif": "gtiff", ".tiff": "gtiff",
