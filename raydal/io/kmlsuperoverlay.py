@@ -370,3 +370,18 @@ def read_superoverlay(root):
     gt = [west, (east - west) / W, 0.0, north, 0.0,
           (south - north) / H]
     return bands, gt
+
+
+def epsg_to_lonlat(epsg):
+    """(x, y) → (lon, lat) hook for :func:`write_superoverlay` from a
+    WGS84-UTM EPSG code (326xx/327xx) via the engine's Krüger series;
+    EPSG 4326 returns None (already geographic)."""
+    if epsg in (4326, None):
+        return None
+    from ..geo.crs import utm_to_lonlat
+
+    def fn(x, y, _epsg=int(epsg)):
+        lon, lat = utm_to_lonlat(x, y, _epsg)
+        return float(lon), float(lat)
+
+    return fn

@@ -160,3 +160,35 @@ def test_superoverlay_source(ray_session, tmp_path):
     a = np.frombuffer(rows[0]["data"], np.uint8).reshape(
         rows[0]["h"], rows[0]["w"])
     np.testing.assert_array_equal(a, img)
+
+
+def test_projected_source_utm():
+    # a UTM-11N source (the utm.tif shape of test_kmlsuperoverlay_3):
+    # root box must be the Krüger-inverse corners, west < east both
+    # negative longitudes, north > south
+    import re
+
+    import tempfile
+
+    from raydal.geo.crs import utm_to_lonlat
+    from raydal.io.kmlsuperoverlay import (epsg_to_lonlat,
+                                           write_superoverlay)
+
+    img = np.zeros((512, 512), np.uint8)
+    gt = [440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0]
+    d = tempfile.mkdtemp()
+    write_superoverlay(img, gt, d, to_lonlat=epsg_to_lonlat(32611))
+    doc = open(os.path.join(d, "doc.kml")).read()
+
+    def field(tag):
+        return float(re.search(f"<{tag}>([-0-9.]+)</{tag}>",
+                               doc).group(1))
+
+    wlon, slat = utm_to_lonlat(gt[0], gt[3] - 60.0 * 512, 32611)
+    elon, nlat = utm_to_lonlat(gt[0] + 60.0 * 512, gt[3], 32611)
+    assert field("west") == pytest.approx(float(wlon), abs=1e-5)
+    assert field("east") == pytest.approx(float(elon), abs=1e-5)
+    assert field("north") == pytest.approx(float(nlat), abs=1e-5)
+    assert field("south") == pytest.approx(float(slat), abs=1e-5)
+    assert -118.2 < field("west") < field("east") < -116.9
+    assert 33.5 < field("south") < field("north") < 34.0
