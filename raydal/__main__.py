@@ -341,6 +341,45 @@ def cmd_mdim_info(args):
         indent=2))
 
 
+def cmd_layer_algebra(args):
+    """``vector layer-algebra`` (apps/gdalalg_vector_layer_algebra.cpp
+    analogue): OP INPUT METHOD OUT with OP one of intersection, union,
+    symdifference, identity, update, clip, erase.  The method layer is
+    broadcast (ray.put once) below the budget and cell-shuffled above
+    it (layer_op_auto)."""
+    import pyarrow as pa
+    import ray
+
+    from .ops.layer_algebra import layer_op_auto
+
+    opts, pos = _parse_opts(args)
+    if len(pos) != 4:
+        raise SystemExit("vector layer-algebra needs OP INPUT METHOD "
+                         "OUT")
+    op, src, method_path, dst = pos
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+
+    def load(p, id_name):
+        ds = _open(p, dict(opts))
+        t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+        cols = {c.lower(): c for c in t.column_names}
+        idc = cols.get("fid") or cols.get("id")
+        ids = (t[idc] if idc
+               else pa.array(range(t.num_rows), pa.int64()))
+        return pa.Table.from_pydict({id_name: ids, "wkb": t["wkb"]})
+
+    ids = load(src, "feat_id")
+    method = load(method_path, "zone_id")
+    import ray.data
+    out = layer_op_auto(str(op), ray.data.from_arrow(ids), method,
+                        z=opts.pop("z", None),
+                        window=opts.pop("window", None))
+    from .pipeline import write_sink
+    write_sink(_sink_name(dst, {}), out, dst)
+    print(f"wrote {dst}")
+
+
 def cmd_gnm_path(args):
     """``gnm path`` — build a network from point+line layers
     (ConnectPointsByLines semantics) and run Dijkstra / K-shortest /
@@ -399,6 +438,8 @@ commands:
   vector convert SRC DST [opt=val...]
   raster info SRC | vector info SRC
   raster tile SF_DIR OUT_DIR [z_max=8] [z_min=6] [limit_images=N]
+  vector layer-algebra OP INPUT METHOD OUT   (intersection|union|
+           symdifference|identity|update|clip|erase)
   mdim info SRC array=NAME
   mdim translate SRC DST array=NAME [view=...] [transpose=[..]]
                  [scaleaxes={"dim": n}]
@@ -428,6 +469,8 @@ def main(argv=None):
                 cmd_info(rest)
             elif sub == "tile" and argv[0] == "raster":
                 cmd_tile(rest)
+            elif sub == "layer-algebra" and argv[0] == "vector":
+                cmd_layer_algebra(rest)
             else:
                 raise SystemExit(f"unknown {argv[0]} command {sub!r}")
         elif argv[0] == "mdim" and len(argv) > 1:

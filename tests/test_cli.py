@@ -194,3 +194,32 @@ def test_cli_raster_info_stats_published_checksum():
     assert doc["bands"][0]["checksum"] == 4672
     assert doc["bands"][0]["minimum"] == 74.0
     assert doc["bands"][0]["maximum"] == 255.0
+
+
+def test_cli_layer_algebra(tmp_path):
+    import pyarrow as pa
+
+    from raydal.geo.wkb import polygon_wkb
+    from raydal.io.shapefile import write_shapefile
+
+    def box(x0, y0, x1, y1):
+        return polygon_wkb([[(x0, y0), (x1, y0), (x1, y1), (x0, y1),
+                             (x0, y0)]])
+
+    write_shapefile(pa.Table.from_pydict({
+        "fid": pa.array([1, 2], pa.int64()),
+        "wkb": pa.array([box(0, 0, 4, 4), box(10, 10, 12, 12)],
+                        pa.binary())}), str(tmp_path / "la_in"))
+    write_shapefile(pa.Table.from_pydict({
+        "fid": pa.array([7], pa.int64()),
+        "wkb": pa.array([box(2, 2, 6, 6)], pa.binary())}),
+        str(tmp_path / "la_m"))
+    r = _run(["vector", "layer-algebra", "intersection", "la_in.shp",
+              "la_m.shp", "out.parquet"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-800:]
+    import pyarrow.parquet as pq
+    t = pq.read_table(str(tmp_path / "out.parquet"))
+    assert t.num_rows == 1
+    assert t["feat_id"][0].as_py() == 1
+    assert t["zone_id"][0].as_py() == 7
+    assert t["area"][0].as_py() == 4.0
