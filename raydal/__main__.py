@@ -360,17 +360,20 @@ def cmd_layer_algebra(args):
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False)
 
-    def load(p, id_name):
-        ds = _open(p, dict(opts))
+    def load(p, id_name, id_col=None):
+        ds = _open(p, {})
         t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
         cols = {c.lower(): c for c in t.column_names}
-        idc = cols.get("fid") or cols.get("id")
+        # attribute ids win over the reader's record numbers ("fid")
+        idc = (cols.get(str(id_col).lower()) if id_col
+               else cols.get("id") or cols.get("fid"))
         ids = (t[idc] if idc
                else pa.array(range(t.num_rows), pa.int64()))
         return pa.Table.from_pydict({id_name: ids, "wkb": t["wkb"]})
 
-    ids = load(src, "feat_id")
-    method = load(method_path, "zone_id")
+    ids = load(src, "feat_id", opts.pop("id_col", None))
+    method = load(method_path, "zone_id",
+                  opts.pop("method_id_col", None))
     import ray.data
     out = layer_op_auto(str(op), ray.data.from_arrow(ids), method,
                         z=opts.pop("z", None),

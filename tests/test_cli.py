@@ -207,11 +207,11 @@ def test_cli_layer_algebra(tmp_path):
                              (x0, y0)]])
 
     write_shapefile(pa.Table.from_pydict({
-        "fid": pa.array([1, 2], pa.int64()),
+        "id": pa.array([1, 2], pa.int64()),
         "wkb": pa.array([box(0, 0, 4, 4), box(10, 10, 12, 12)],
                         pa.binary())}), str(tmp_path / "la_in"))
     write_shapefile(pa.Table.from_pydict({
-        "fid": pa.array([7], pa.int64()),
+        "id": pa.array([7], pa.int64()),
         "wkb": pa.array([box(2, 2, 6, 6)], pa.binary())}),
         str(tmp_path / "la_m"))
     r = _run(["vector", "layer-algebra", "intersection", "la_in.shp",
