@@ -383,6 +383,37 @@ def cmd_layer_algebra(args):
     print(f"wrote {dst}")
 
 
+def cmd_vector_sql(args):
+    """``vector sql`` (ogrinfo -sql / gdal vector sql analogue): run an
+    OGR SQL SELECT (raydal/sql, swq grammar) over one or more source
+    files; layer names are the file basenames.  Optional OUT path
+    writes the result; otherwise rows print as JSON lines."""
+    import ray
+
+    from .sql.engine import execute_sql
+
+    opts, pos = _parse_opts(args)
+    if len(pos) < 2:
+        raise SystemExit('vector sql "SELECT ..." SRC... [out=PATH]')
+    sql, srcs = pos[0], pos[1:]
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    layers = {}
+    for p in srcs:
+        name = os.path.splitext(os.path.basename(p))[0]
+        layers[name] = _open(p, {})
+    out_path = opts.pop("out", None)
+    ds = execute_sql(sql, layers)
+    if out_path:
+        from .pipeline import write_sink
+        write_sink(_sink_name(str(out_path), {}), ds, str(out_path))
+        print(f"wrote {out_path}")
+        return
+    for row in ds.iter_rows():
+        print(json.dumps({k: (v if not isinstance(v, bytes)
+                              else v.hex()) for k, v in row.items()}))
+
+
 def cmd_gnm_path(args):
     """``gnm path`` — build a network from point+line layers
     (ConnectPointsByLines semantics) and run Dijkstra / K-shortest /
@@ -443,6 +474,7 @@ commands:
   raster tile SF_DIR OUT_DIR [z_max=8] [z_min=6] [limit_images=N]
   vector layer-algebra OP INPUT METHOD OUT   (intersection|union|
            symdifference|identity|update|clip|erase)
+  vector sql "SELECT ..." SRC... [out=PATH]   (OGR SQL dialect)
   mdim info SRC array=NAME
   mdim translate SRC DST array=NAME [view=...] [transpose=[..]]
                  [scaleaxes={"dim": n}]
@@ -474,6 +506,8 @@ def main(argv=None):
                 cmd_tile(rest)
             elif sub == "layer-algebra" and argv[0] == "vector":
                 cmd_layer_algebra(rest)
+            elif sub == "sql" and argv[0] == "vector":
+                cmd_vector_sql(rest)
             else:
                 raise SystemExit(f"unknown {argv[0]} command {sub!r}")
         elif argv[0] == "mdim" and len(argv) > 1:

@@ -223,3 +223,14 @@ def test_cli_layer_algebra(tmp_path):
     assert t["feat_id"][0].as_py() == 1
     assert t["zone_id"][0].as_py() == 7
     assert t["area"][0].as_py() == 4.0
+
+
+def test_cli_vector_sql():
+    r = _run(["vector", "sql",
+              "SELECT COUNT(*) AS n, MIN(depth) AS mind, "
+              "MAX(depth) AS maxd FROM wells",
+              "/root/reference/autotest/gnm/data/wells.shp"],
+             cwd="/tmp")
+    assert r.returncode == 0, r.stderr[-800:]
+    doc = json.loads(r.stdout.strip().splitlines()[-1])
+    assert doc == {"n": 31, "mind": 10, "maxd": 16}
