@@ -23,6 +23,7 @@ from xml.sax.saxutils import escape
 import numpy as np
 
 from .codecs import decode, encode
+from ..geo.crs import utm_to_lonlat
 
 __all__ = ["write_superoverlay", "write_superoverlay_kmz",
            "read_superoverlay", "superoverlay_plan"]
@@ -378,7 +379,6 @@ def epsg_to_lonlat(epsg):
     EPSG 4326 returns None (already geographic)."""
     if epsg in (4326, None):
         return None
-    from ..geo.crs import utm_to_lonlat
 
     def fn(x, y, _epsg=int(epsg)):
         lon, lat = utm_to_lonlat(x, y, _epsg)
