@@ -482,7 +482,73 @@ commands:
            components] [k=3] [tolerance=1e-6] [cost=1]
   pipeline run FILE.gdalg.json
   formats                      list sources/sinks/steps
+  raster VERB SRC [DST] [opt=val...]   single-step sugar for any
+           registered step (hillshade, slope, viewshed, reclassify,
+           pixel-info, rgb-to-palette, unscale, index, ...)
+  vector VERB SRC [DST] [opt=val...]   (buffer, simplify, segmentize,
+           swap-xy, make-valid, filter, select, grid, rasterize,
+           concat, reproject, explode-collections, ...)
 """
+
+
+# raster steps whose INPUT is the encoded image table (image_id/bytes/
+# fmt/gt) rather than the file drivers' band rows; the sugar verbs wrap
+# file sources with encode-image for these.
+_IMAGE_TABLE_OUT = {
+    "raster-clip", "raster-select", "raster-scale", "raster-set-type",
+    "raster-reclassify", "raster-hillshade", "raster-slope",
+    "raster-aspect", "raster-tpi", "raster-tri", "raster-roughness",
+    "raster-color-map", "raster-clean-collar", "raster-sieve",
+    "raster-proximity", "raster-fill-nodata", "raster-calc",
+    "raster-resize", "raster-cutline", "warp", "raster-reproject",
+    "raster-viewshed", "raster-color-merge", "raster-pansharpen",
+    "raster-unscale", "raster-rgb-to-palette",
+}
+_IMAGE_TABLE_IN = _IMAGE_TABLE_OUT | {
+    "raster-contour", "raster-contour-polygons", "raster-polygonize",
+    "raster-pixel-info", "raster-index", "footprint", "tile-assign",
+}
+
+
+def cmd_step_verb(kind, verb, rest):
+    """Generic ``raster|vector VERB SRC [DST] [opt=val...]`` — sugar
+    for a one-step pipeline, mirroring the reference's per-verb
+    ``gdal raster hillshade`` style commands (apps/gdalalg_raster_*.cpp
+    are each GDALPipelineStepAlgorithm subclasses; the standalone verb
+    and the pipeline step are the same code there too)."""
+    from .pipeline import STEP_REGISTRY
+
+    step = next((c for c in (f"{kind}-{verb}", verb)
+                 if c in STEP_REGISTRY), None)
+    if step is None:
+        raise SystemExit(
+            f"unknown {kind} command {verb!r}; registered steps: "
+            f"{', '.join(sorted(STEP_REGISTRY))}")
+    opts, pos = _parse_opts(rest)
+    if not pos:
+        raise SystemExit(f"{kind} {verb} needs a source path")
+    read_tokens = ["read", pos[0]]
+    if "input_format" in opts:
+        read_tokens.append(f"format={opts.pop('input_format')}")
+    write_stage = None
+    if len(pos) > 1:
+        write_stage = ["write", pos[1]]
+        for k in ("output_format", "format"):
+            if k in opts:
+                write_stage.append(f"format={opts.pop(k)}")
+                break
+    steps = [(step, opts)]
+    # file raster sources yield band rows; bracket image-table steps
+    # with the schema adapters so the sugar verb Just Works (the full
+    # pipeline grammar stays explicit)
+    if kind == "raster" and not pos[0].endswith(".parquet"):
+        if step in _IMAGE_TABLE_IN:
+            steps.insert(0, ("encode-image",
+                             {"fmt": opts.pop("work_fmt", "tiff")}))
+        if step in _IMAGE_TABLE_OUT and write_stage is not None and \
+                not pos[1].endswith(".parquet"):
+            steps.append(("decode-image", {}))
+    return _execute(read_tokens, steps, write_stage)
 
 
 def main(argv=None):
@@ -509,7 +575,7 @@ def main(argv=None):
             elif sub == "sql" and argv[0] == "vector":
                 cmd_vector_sql(rest)
             else:
-                raise SystemExit(f"unknown {argv[0]} command {sub!r}")
+                cmd_step_verb(argv[0], sub, rest)
         elif argv[0] == "mdim" and len(argv) > 1:
             if argv[1] == "translate":
                 cmd_mdim_translate(argv[2:])

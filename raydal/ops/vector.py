@@ -696,3 +696,99 @@ def concave_hull(points, ratio=0.3):
     if ring_area(ring) < 0:
         ring = ring[::-1]
     return ring
+
+
+# ---------------------------------------------------------------------------
+# round-5 blob-level wrappers: the ``gdal vector`` per-geometry verbs
+# (apps/gdalalg_vector_segmentize.cpp, _simplify.cpp, _buffer.cpp,
+# _make_valid.cpp) as WKB → WKB functions, so the pipeline/CLI can
+# expose one step per verb over any geometry type the codec parses.
+
+
+def segmentize_wkb(blob, max_length):
+    """``vector segmentize`` (OGRGeometry::segmentize): densify every
+    coordinate run so no segment exceeds ``max_length``."""
+    return _rebuild(_map_coords(W.parse_wkb(blob),
+                                lambda c: segmentize(c, max_length)))
+
+
+def simplify_wkb(blob, tolerance):
+    """``vector simplify`` (non-topology-preserving Douglas-Peucker,
+    ``ogr/ogrgeometry.cpp:6360``) applied per coordinate run."""
+    return _rebuild(_map_coords(W.parse_wkb(blob),
+                                lambda c: simplify_dp(c, tolerance)))
+
+
+def make_valid_wkb(blob):
+    """``vector make-valid`` over a WKB (multi)polygon.
+
+    Reference: ``OGRGeometry::MakeValid`` (``ogr/ogrgeometry.cpp:3922``,
+    GEOS Structure method).  Scope here matches the engine's
+    :func:`make_valid_ring` contract: self-intersecting rings split
+    into their simple loops.  Outer-ring loops become shells; each hole
+    loop attaches to the first shell containing its first vertex
+    (unmatched holes become standalone shells, like GEOS' keep-collapsed
+    Structure fallback).  Already-valid input returns unchanged.
+    Non-polygonal input passes through untouched (the reference's
+    MakeValid is a no-op for valid lines/points).
+    """
+    t = W.wkb_geom_type(blob)
+    if t not in (W.POLYGON, W.MULTIPOLYGON):
+        return blob
+    shells, holes = [], []
+    dirty = False
+    for rings in W.polygons_from_wkb(blob):
+        for ri, ring in enumerate(rings):
+            loops = make_valid_ring(np.asarray(ring, dtype=np.float64))
+            if len(loops) > 1:
+                dirty = True
+            (shells if ri == 0 else holes).extend(loops)
+    if not dirty:
+        return blob
+    polys = [[s] for s in shells]
+    for h in holes:
+        for p in polys:
+            if bool(W.points_in_ring(p[0], h[:1, 0], h[:1, 1])[0]):
+                p.append(h)
+                break
+        else:
+            polys.append([h])
+    if len(polys) == 1:
+        return W.polygon_wkb(polys[0])
+    return W.multipolygon_wkb(polys)
+
+
+def buffer_wkb(blob, distance, quad_segs=8, px=None):
+    """``vector buffer`` over WKB: exact circle/offset-arc buffers for
+    points and convex rings (:func:`buffer_point` /
+    :func:`buffer_convex`); concave rings route through the
+    distance-field buffer (:func:`buffer_ring`, error ≤ ~1 px of its
+    grid).  Lines and negative distances raise — same documented scope
+    as the underlying kernels."""
+    if distance <= 0:
+        raise ValueError("buffer_wkb needs distance > 0")
+    t, payload = W.parse_wkb(blob)
+    if t == W.POINT:
+        return W.polygon_wkb([buffer_point(payload[0, 0], payload[0, 1],
+                                           distance, quad_segs)])
+    if t == W.MULTIPOINT:
+        return W.multipolygon_wkb(
+            [[buffer_point(p[0, 0], p[0, 1], distance, quad_segs)]
+             for (_, p) in payload])
+    if t in (W.POLYGON, W.MULTIPOLYGON):
+        out = []
+        for rings in ([payload] if t == W.POLYGON
+                      else [p for (_, p) in payload]):
+            outer = np.asarray(rings[0], dtype=np.float64)
+            if _is_convex(outer):
+                out.append([buffer_convex(outer, distance, quad_segs)])
+            else:
+                loops = buffer_ring(outer, distance, px=px)
+                shell = max(loops, key=lambda r: abs(ring_area(r)))
+                out.append([shell])
+        if len(out) == 1:
+            return W.polygon_wkb(out[0])
+        return W.multipolygon_wkb(out)
+    raise NotImplementedError(
+        f"buffer of WKB geometry type {t} is out of scope "
+        "(points and polygons ship; lines need a full offset curve)")

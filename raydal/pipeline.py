@@ -2610,3 +2610,567 @@ def _src_kmlsuperoverlay(paths, **kwargs):
         return np.stack(bands), gt, None
 
     return ray.data.from_arrow(_raster_rows(paths, rd))
+
+
+# ---------------------------------------------------------------------------
+# round-5 final-session verb sweep: every remaining reference CLI verb
+# whose kernel already ships gets a pipeline step, so the unified CLI
+# reaches full `gdal raster|vector <verb>` parity (apps/gdalalg_*.cpp).
+
+
+def _wkb_map_step(ds, fn, wkb_col="wkb"):
+    """Lift a blob → blob geometry function over the wkb column."""
+    import pyarrow as pa
+
+    def run(t: pa.Table) -> pa.Table:
+        idx = t.schema.get_field_index(wkb_col)
+        out = [fn(b) for b in t[wkb_col].to_pylist()]
+        return t.set_column(idx, wkb_col, pa.array(out, pa.binary()))
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+@register_step("vector-swap-xy")
+def _vector_swap_xy(ds, wkb_col="wkb"):
+    """gdal vector swap-xy (apps/gdalalg_vector_swap_xy.cpp)."""
+    from .ops.vector import swap_xy
+
+    return _wkb_map_step(ds, swap_xy, wkb_col)
+
+
+@register_step("vector-segmentize")
+def _vector_segmentize(ds, max_length, wkb_col="wkb"):
+    """gdal vector segmentize (apps/gdalalg_vector_segmentize.cpp)."""
+    from .ops.vector import segmentize_wkb
+
+    ml = float(max_length)
+    return _wkb_map_step(ds, lambda b: segmentize_wkb(b, ml), wkb_col)
+
+
+@register_step("vector-simplify")
+def _vector_simplify(ds, tolerance, wkb_col="wkb"):
+    """gdal vector simplify (apps/gdalalg_vector_simplify.cpp,
+    non-topology-preserving Douglas-Peucker)."""
+    from .ops.vector import simplify_wkb
+
+    tol = float(tolerance)
+    return _wkb_map_step(ds, lambda b: simplify_wkb(b, tol), wkb_col)
+
+
+@register_step("vector-make-valid")
+def _vector_make_valid(ds, wkb_col="wkb"):
+    """gdal vector make-valid (apps/gdalalg_vector_make_valid.cpp)."""
+    from .ops.vector import make_valid_wkb
+
+    return _wkb_map_step(ds, make_valid_wkb, wkb_col)
+
+
+@register_step("vector-buffer")
+def _vector_buffer(ds, distance, quad_segs=8, wkb_col="wkb"):
+    """gdal vector buffer (apps/gdalalg_vector_buffer.cpp)."""
+    from .ops.vector import buffer_wkb
+
+    d, q = float(distance), int(quad_segs)
+    return _wkb_map_step(ds, lambda b: buffer_wkb(b, d, quad_segs=q),
+                         wkb_col)
+
+
+@register_step("vector-select")
+def _vector_select(ds, fields):
+    """gdal vector select (apps/gdalalg_vector_select.cpp): keep the
+    listed fields, in the listed order."""
+    if isinstance(fields, str):
+        fields = [f.strip() for f in fields.split(",") if f.strip()]
+    return ds.select_columns(list(fields))
+
+
+@register_step("vector-filter")
+def _vector_filter(ds, bbox=None, where=None, wkb_col="wkb"):
+    """gdal vector filter (apps/gdalalg_vector_filter.cpp): bbox
+    intersection test on the wkb column (direct-on-WKB bbox, no parse)
+    and/or an OGR SQL WHERE clause (the swq grammar, raydal/sql)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .geo.wkb import wkb_bbox_many
+    from .sql.engine import execute_sql
+
+    if bbox is not None:
+        x0, y0, x1, y1 = (float(v) for v in bbox)
+
+        def run(t: pa.Table) -> pa.Table:
+            bx0, by0, bx1, by1 = wkb_bbox_many(t[wkb_col].to_pylist())
+            keep = ((bx0 <= x1) & (bx1 >= x0)
+                    & (by0 <= y1) & (by1 >= y0))
+            return t.filter(pa.array(np.asarray(keep, dtype=bool)))
+
+        ds = ds.map_batches(run, batch_format="pyarrow")
+    if where is not None:
+        ds = execute_sql(f"SELECT * FROM layer WHERE {where}",
+                         {"layer": ds},
+                         geom_columns={"layer": wkb_col} if wkb_col in
+                         (ds.schema().names or []) else None)
+    return ds
+
+
+@register_step("vector-concat")
+def _vector_concat(ds, others, format=None):
+    """gdal vector concat (apps/gdalalg_vector_concat.cpp, mode=merge):
+    UNION ALL of the input with the listed sources."""
+    if isinstance(others, str):
+        others = [others]
+    for p in others:
+        opts = {"format": format} if format else {}
+        ds = ds.union(_open_for_step(p, opts))
+    return ds
+
+
+def _open_for_step(path, opts):
+    """Resolve a path through the source registry like the CLI read."""
+    from .__main__ import _open
+
+    return _open(path, dict(opts))
+
+
+@register_step("vector-rasterize")
+def _vector_rasterize(ds, z=6, value_col=None, merge="add",
+                      tile_size=256, id_col=None):
+    """gdal vector rasterize (apps/gdalalg_vector_rasterize.cpp) on the
+    distributed tile burner: zones with ``wkb`` (+value) → band rows
+    (one image per WebMercator tile at zoom ``z``), writable by any
+    raster sink.  ``id_col`` names the feature-id column used for the
+    deterministic burn order (defaults to zone_id, then fid)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .geo.cells import web_mercator_quad
+    from .ops.rasterize import rasterize_zones
+
+    tm = web_mercator_quad(int(z), int(tile_size))
+    ox, oy, res = tm.top_left_x, tm.top_left_y, tm.res_x
+    ts = int(tile_size)
+
+    from .geo import wkb as _W
+
+    names = ds.schema().names
+    if "zone_id" not in names:
+        src = id_col or ("fid" if "fid" in names else None)
+        if src is None:
+            raise ValueError("vector-rasterize needs a zone_id column "
+                             "(or pass id_col=NAME)")
+        ds = ds.map_batches(
+            lambda t, _s=src: t.append_column("zone_id", t[_s]),
+            batch_format="pyarrow")
+
+    def polys_only(t: pa.Table) -> pa.Table:
+        # the tile burner is polygon-only (points/lines burn through
+        # the library kernels burn_point/burn_line directly)
+        keep = np.array([_W.wkb_geom_type(b) in
+                         (_W.POLYGON, _W.MULTIPOLYGON)
+                         for b in t["wkb"].to_pylist()])
+        return t.filter(pa.array(keep))
+
+    ds = ds.map_batches(polys_only, batch_format="pyarrow")
+
+    out = rasterize_zones(ds, int(z), value_col=value_col, merge=merge,
+                          tile_size=ts)
+
+    def to_band_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        tx = np.asarray(t["tile_x"], dtype=np.int64)
+        ty = np.asarray(t["tile_y"], dtype=np.int64)
+        ids = [f"tile_{z}_{a}_{b}" for a, b in zip(tx, ty)]
+        gts = [[ox + a * ts * res, res, 0.0,
+                oy - b * ts * res, 0.0, -res]
+               for a, b in zip(tx, ty)]
+        return pa.Table.from_pydict({
+            "image_id": pa.array(ids, pa.string()),
+            "band": pa.array([1] * n, pa.int32()),
+            "data": t["data"],
+            "w": pa.array([ts] * n, pa.int32()),
+            "h": pa.array([ts] * n, pa.int32()),
+            "dtype": pa.array(["float64"] * n, pa.string()),
+            "geotransform": pa.array(gts, pa.list_(pa.float64())),
+        })
+
+    return out.map_batches(to_band_rows, batch_format="pyarrow")
+
+
+@register_step("vector-grid")
+def _vector_grid(ds, algorithm="invdist", width=256, height=256,
+                 extent=None, x_col="x", y_col="y", value_col=None,
+                 wkb_col="wkb", z=4, **kw):
+    """gdal vector grid (apps/gdalalg_vector_grid*.cpp, alg/gdalgrid.cpp):
+    scattered points → one interpolated band-row raster.
+
+    Like the reference, EVERY point feeds the neighbourhood search, so
+    the layer is collected into a cell index once and broadcast
+    (``ray.put``); the output grid interpolates tile-parallel through
+    the :class:`~raydal.ops.grid.GridInterpolate` actor pool."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from .geo import wkb as _W
+    from .ops.grid import grid_tile
+    from .ops.join import SpatialJoinZones, build_cell_points
+
+    names = ds.schema().names
+    if x_col in names and y_col in names:
+        cols = [x_col, y_col] + ([value_col] if value_col else [])
+        pts = pa.concat_tables(
+            b for b in ds.select_columns(cols)
+            .iter_batches(batch_format="pyarrow", batch_size=65536))
+        xs = np.asarray(pts[x_col], dtype=np.float64)
+        ys = np.asarray(pts[y_col], dtype=np.float64)
+    elif wkb_col in names:
+        # point layer without x/y columns (gdal_grid's zfield model)
+        cols = [wkb_col] + ([value_col] if value_col else [])
+        pts = pa.concat_tables(
+            b for b in ds.select_columns(cols)
+            .iter_batches(batch_format="pyarrow", batch_size=65536))
+        blobs = pts[wkb_col].to_pylist()
+        is_pt = np.array([_W.wkb_geom_type(b) == _W.POINT
+                          for b in blobs])
+        coords = np.array([_W.parse_wkb(b)[1][0]
+                           for b, p in zip(blobs, is_pt) if p],
+                          dtype=np.float64).reshape(-1, 2)
+        xs, ys = coords[:, 0], coords[:, 1]
+        if value_col:
+            pts = pts.filter(pa.array(is_pt))
+    else:
+        raise ValueError(
+            f"vector-grid needs ({x_col!r}, {y_col!r}) columns or a "
+            f"{wkb_col!r} point column")
+    vs = (np.asarray(pts[value_col], dtype=np.float64)
+          if value_col else np.ones(len(xs)))
+    if extent is None:
+        extent = [float(xs.min()), float(ys.min()),
+                  float(xs.max()), float(ys.max())]
+    x0, y0, x1, y1 = (float(v) for v in extent)
+    index = build_cell_points(vs, xs, ys, z=int(z),
+                              window=(x0, y0, x1, y1))
+    idx_ref = ray.put(index)
+    w, h = int(width), int(height)
+    # split the target grid into row bands so interpolation parallelizes
+    nstrips = max(min(h // 64, 16), 1)
+    bounds = np.linspace(y0, y1, nstrips + 1)
+    hs = np.diff(np.round(np.linspace(0, h, nstrips + 1)).astype(int))
+    tiles = pa.Table.from_pydict({
+        "tile_id": pa.array(np.arange(nstrips), pa.int64()),
+        "x0": pa.array([x0] * nstrips), "y0": pa.array(bounds[:-1]),
+        "x1": pa.array([x1] * nstrips), "y1": pa.array(bounds[1:]),
+        "th": pa.array(hs.astype(np.int64))})
+    grid_kw = dict(kw)
+    out = ray.data.from_arrow(tiles)
+    # one task per strip; strip heights vary, so pass w/h per call
+    res_y = (y1 - y0) / h
+
+    def interp(t: pa.Table, _idx=idx_ref) -> pa.Table:
+        index_l = SpatialJoinZones._resolve(_idx)
+        rows_id, rows_data = [], []
+        for i in range(t.num_rows):
+            sx0, sy0, sx1, sy1 = (t[c][i].as_py()
+                                  for c in ("x0", "y0", "x1", "y1"))
+            th = int(t["th"][i].as_py())
+            if th == 0:
+                continue
+            arr = grid_tile(index_l, algorithm, sx0, sy0, sx1, sy1,
+                            w, th, **grid_kw)
+            rows_id.append(int(t["tile_id"][i].as_py()))
+            rows_data.append(arr.tobytes())
+        return pa.Table.from_pydict({
+            "tile_id": pa.array(rows_id, pa.int64()),
+            "data": pa.array(rows_data, pa.binary())})
+
+    parts = pa.concat_tables(
+        b for b in out.map_batches(interp, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    # grid_tile emits north-up rows per strip; strip 0 is the SOUTH
+    # band (bounds ascend), so stack strips north-first
+    order = np.argsort(np.asarray(parts["tile_id"]))[::-1]
+    full = np.concatenate(
+        [np.frombuffer(parts["data"][int(i)].as_py(),
+                       dtype=np.float64).reshape(-1, w)
+         for i in order], axis=0)
+    gt = [x0, (x1 - x0) / w, 0.0, y1, 0.0, -res_y]
+    tbl = pa.Table.from_pydict({
+        "image_id": pa.array(["grid"], pa.string()),
+        "band": pa.array([1], pa.int32()),
+        "data": pa.array([np.ascontiguousarray(full).tobytes()],
+                         pa.binary()),
+        "w": pa.array([w], pa.int32()),
+        "h": pa.array([h], pa.int32()),
+        "dtype": pa.array(["float64"], pa.string()),
+        "geotransform": pa.array([gt], pa.list_(pa.float64()))})
+    return ray.data.from_arrow(tbl)
+
+
+@register_step("raster-color-merge")
+def _raster_color_merge(ds, gray_col="pan"):
+    """gdal raster color-merge (apps/gdalalg_raster_color_merge.cpp):
+    keep each RGB payload's hue/saturation, replace value with the
+    grayscale payload carried in ``gray_col`` (same-size encoded
+    image, band 1)."""
+    import pyarrow as pa
+
+    from .io.codecs import decode, encode
+    from .ops.color import color_merge
+
+    if gray_col not in ds.schema().names:
+        raise ValueError(
+            f"raster-color-merge needs a {gray_col!r} column carrying "
+            "the grayscale payload (pass gray_col=NAME)")
+
+    def run(t: pa.Table) -> pa.Table:
+        blobs = []
+        for i in range(t.num_rows):
+            rgb = decode(t["bytes"][i].as_py())
+            gray = decode(t[gray_col][i].as_py())
+            if gray.ndim == 3:
+                gray = gray[:, :, 0]
+            blobs.append(encode(color_merge(rgb, gray),
+                                t["fmt"][i].as_py()))
+        idx = t.schema.get_field_index("bytes")
+        return t.set_column(idx, "bytes", pa.array(blobs, pa.binary()))
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+@register_step("raster-pansharpen")
+def _raster_pansharpen(ds, pan_col="pan", weights=(1 / 3, 1 / 3, 1 / 3),
+                       bit_depth=8):
+    """gdal raster pansharpen (alg/gdalpansharpen.cpp weighted Brovey):
+    RGB payload in ``bytes`` (upsampled to pan resolution), pan band
+    payload in ``pan_col``."""
+    import pyarrow as pa
+
+    from .io.codecs import decode, encode
+    from .ops.raster_math import pansharpen
+
+    if pan_col not in ds.schema().names:
+        raise ValueError(
+            f"raster-pansharpen needs a {pan_col!r} column carrying "
+            "the pan-band payload (pass pan_col=NAME)")
+    w = tuple(float(x) for x in weights)
+
+    def run(t: pa.Table) -> pa.Table:
+        blobs = []
+        for i in range(t.num_rows):
+            rgb = decode(t["bytes"][i].as_py())
+            pan = decode(t[pan_col][i].as_py())
+            if pan.ndim == 3:
+                pan = pan[:, :, 0]
+            blobs.append(encode(pansharpen(pan, rgb, weights=w,
+                                           bit_depth=int(bit_depth)),
+                                t["fmt"][i].as_py()))
+        idx = t.schema.get_field_index("bytes")
+        return t.set_column(idx, "bytes", pa.array(blobs, pa.binary()))
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+@register_step("raster-rgb-to-palette")
+def _raster_rgb_to_palette(ds, n_colors=256, bits=5):
+    """gdal raster rgb-to-palette (alg/gdalmediancut.cpp +
+    gdaldither.cpp nearest): two-stage distributed — mergeable color
+    histogram partials, ONE bounded driver-side median-cut over the
+    (2^bits)^3 merged counts, then a broadcast palette maps every
+    image to its index raster.  Output rows keep the image table shape
+    with single-band index payloads plus a ``palette`` column
+    (flattened [r,g,b,...] list, shared by all rows)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .io.codecs import decode, encode
+    from .ops.color import histogram_partial_rgb, median_cut, \
+        rgb_to_palette
+
+    def as_rgb(px):
+        if px.ndim == 2:
+            px = np.stack([px] * 3, axis=2)
+        if px.dtype != np.uint8:
+            px = np.clip(np.floor(px.astype(np.float64) + 0.5),
+                         0, 255).astype(np.uint8)
+        return px[:, :, :3]
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        h = None
+        for i in range(t.num_rows):
+            px = as_rgb(decode(t["bytes"][i].as_py()))
+            hp = histogram_partial_rgb(px, bits=int(bits))
+            h = hp if h is None else h + hp
+        return pa.Table.from_pydict(
+            {"hist": pa.array([h.tobytes()], pa.binary())})
+
+    merged = None
+    for b in ds.map_batches(hist_partial, batch_format="pyarrow") \
+              .iter_batches(batch_format="pyarrow"):
+        for blob in b["hist"].to_pylist():
+            hp = np.frombuffer(blob, dtype=np.int64)
+            merged = hp.copy() if merged is None else merged + hp
+    pal = median_cut(merged, n_colors=int(n_colors), bits=int(bits))
+    pal_flat = [int(v) for v in pal.ravel()]
+
+    def apply_pal(t: pa.Table, _pal=pal) -> pa.Table:
+        blobs = []
+        for i in range(t.num_rows):
+            px = as_rgb(decode(t["bytes"][i].as_py()))
+            blobs.append(encode(rgb_to_palette(px, _pal),
+                                t["fmt"][i].as_py()))
+        idx = t.schema.get_field_index("bytes")
+        out = t.set_column(idx, "bytes", pa.array(blobs, pa.binary()))
+        return out.append_column(
+            "palette", pa.array([pal_flat] * t.num_rows,
+                                pa.list_(pa.int32())))
+
+    return ds.map_batches(apply_pal, batch_format="pyarrow")
+
+
+@register_step("raster-viewshed")
+def _raster_viewshed(ds, observer_x, observer_y, observer_height=2.0,
+                     **kw):
+    """gdal raster viewshed (alg/viewshed/, Wang-Robinson-White):
+    band 1 of each image as the DEM, observer in PIXEL coordinates;
+    output is the byte visibility grid re-encoded in the row's format
+    (out-of-range cells keep the kernel's out_of_range_val)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .io.codecs import decode, encode
+    from .ops.viewshed import viewshed
+
+    ox, oy = float(observer_x), float(observer_y)
+    vs_kw = dict(kw)
+
+    def run(t: pa.Table) -> pa.Table:
+        blobs = []
+        for i in range(t.num_rows):
+            px = decode(t["bytes"][i].as_py())
+            band = (px[:, :, 0] if px.ndim == 3
+                    else px).astype(np.float64)
+            gt = (tuple(t["gt"][i].as_py())
+                  if "gt" in t.column_names
+                  else (0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+            out, (xs, ys) = viewshed(band, ox, oy,
+                                     observer_height=float(
+                                         observer_height),
+                                     gt=gt, **vs_kw)
+            full = np.full(band.shape,
+                           vs_kw.get("out_of_range_val", 0.0))
+            full[ys:ys + out.shape[0], xs:xs + out.shape[1]] = out
+            blobs.append(encode(full.astype(np.uint8),
+                                t["fmt"][i].as_py()))
+        idx = t.schema.get_field_index("bytes")
+        return t.set_column(idx, "bytes", pa.array(blobs, pa.binary()))
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+@register_step("raster-pixel-info")
+def _raster_pixel_info(ds, points, resample="bilinear"):
+    """gdal raster pixel-info (gdallocationinfo /
+    GDALRasterInterpolateAtPoint): sample every image's band 1 at the
+    given world (or pixel, when the row has no gt) coordinates.
+    Emits one row per (image, point): image_id, x, y, value."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .geo.affine import invert_gt
+    from .io.codecs import decode
+    from .kernels.resample import interpolate_at_point
+
+    pts = [(float(p[0]), float(p[1])) for p in points]
+
+    def run(t: pa.Table) -> pa.Table:
+        ids, xs_o, ys_o, vals = [], [], [], []
+        for i in range(t.num_rows):
+            px = decode(t["bytes"][i].as_py())
+            band = (px[:, :, 0] if px.ndim == 3
+                    else px).astype(np.float64)
+            gt = (tuple(t["gt"][i].as_py())
+                  if "gt" in t.column_names else None)
+            inv = invert_gt(gt) if gt is not None else None
+            img_id = t["image_id"][i].as_py()
+            for (wx, wy) in pts:
+                if inv is not None:
+                    cx = inv[0] + inv[1] * wx + inv[2] * wy
+                    cy = inv[3] + inv[4] * wx + inv[5] * wy
+                else:
+                    cx, cy = wx, wy
+                ids.append(img_id)
+                xs_o.append(wx)
+                ys_o.append(wy)
+                vals.append(float(interpolate_at_point(
+                    band, cx, cy, resample=resample)))
+        return pa.Table.from_pydict({
+            "image_id": pa.array(ids),
+            "x": pa.array(xs_o, pa.float64()),
+            "y": pa.array(ys_o, pa.float64()),
+            "value": pa.array(vals, pa.float64())})
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+@register_step("raster-unscale")
+def _raster_unscale(ds, scale=None, offset=None):
+    """gdal raster unscale (apps/gdalalg_raster_unscale.cpp): apply the
+    scale/offset metadata (per-row ``scale``/``offset`` columns, or the
+    step params) to produce true values — Float32 TIFF payloads out,
+    like the reference's default Float32 working type."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .io.codecs import decode, encode
+
+    def run(t: pa.Table) -> pa.Table:
+        blobs, fmts = [], []
+        for i in range(t.num_rows):
+            px = decode(t["bytes"][i].as_py()).astype(np.float64)
+            s = (float(t["scale"][i].as_py())
+                 if "scale" in t.column_names and scale is None
+                 else float(scale if scale is not None else 1.0))
+            o = (float(t["offset"][i].as_py())
+                 if "offset" in t.column_names and offset is None
+                 else float(offset if offset is not None else 0.0))
+            out = px * s + o
+            if out.ndim == 3 and out.shape[2] == 1:
+                out = out[:, :, 0]
+            blobs.append(encode(out.astype(np.float32), "tiff"))
+            fmts.append("tiff")
+        out_t = t.set_column(t.schema.get_field_index("bytes"),
+                             "bytes", pa.array(blobs, pa.binary()))
+        if "fmt" in out_t.column_names:
+            out_t = out_t.set_column(
+                out_t.schema.get_field_index("fmt"), "fmt",
+                pa.array(fmts, pa.string()))
+        return out_t
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+@register_step("raster-index")
+def _raster_index(ds, dst_crs=3857, crs=None):
+    """gdal raster index (gdaltindex): one footprint-polygon vector row
+    per image — streaming metadata pass, payload bytes never decoded.
+    Rows without a ``crs`` column take the ``crs`` param (default
+    4326, like gdaltindex's assume-source-SRS behavior)."""
+    import pyarrow as pa
+
+    from .ops.footprint import add_footprint
+
+    names = ds.schema().names
+    pruned = ds.select_columns(
+        [c for c in ("image_id", "w", "h", "crs", "gt")
+         if c in names])
+    fill = str(crs if crs is not None else 4326)
+
+    def fp(t: pa.Table) -> pa.Table:
+        if "crs" not in t.column_names:
+            t = t.append_column("crs",
+                                pa.array([fill] * t.num_rows,
+                                         pa.string()))
+        return add_footprint(t, dst_crs=dst_crs)
+
+    return pruned.map_batches(fp, batch_format="pyarrow")

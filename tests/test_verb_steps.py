@@ -1,0 +1,328 @@
+"""Round-5 verb-sweep steps: the remaining reference CLI verbs
+(apps/gdalalg_raster_*.cpp / gdalalg_vector_*.cpp) as pipeline steps,
+plus the generic ``python -m raydal raster|vector VERB`` sugar."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raydal.geo import wkb as W
+from raydal.pipeline import STEP_REGISTRY
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cli(args, cwd):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    return subprocess.run([sys.executable, "-m", "raydal"] + args,
+                          cwd=cwd, env=env, capture_output=True,
+                          text=True, timeout=240)
+
+
+def _vec_ds(ray_session):
+    import ray.data
+
+    sq = W.polygon_wkb([np.array([[0., 0.], [4., 0.], [4., 4.],
+                                  [0., 4.], [0., 0.]])])
+    bow = W.polygon_wkb([np.array([[0., 0.], [2., 1.], [2., 0.],
+                                   [0., 1.], [0., 0.]])])
+    pt = W.point_wkb(100.0, 100.0)
+    tbl = pa.Table.from_pydict({
+        "fid": pa.array([0, 1, 2], pa.int64()),
+        "name": pa.array(["sq", "bow", "pt"], pa.string()),
+        "wkb": pa.array([sq, bow, pt], pa.binary())})
+    return ray.data.from_arrow(tbl)
+
+
+def _collect(ds):
+    return pa.concat_tables(
+        b for b in ds.iter_batches(batch_format="pyarrow"))
+
+
+class TestVectorVerbSteps:
+    def test_swap_xy(self, ray_session):
+        out = _collect(STEP_REGISTRY["vector-swap-xy"](
+            _vec_ds(ray_session)))
+        t, p = W.parse_wkb(out["wkb"][2].as_py())
+        assert t == W.POINT and tuple(p[0]) == (100.0, 100.0)
+        t, p = W.parse_wkb(out["wkb"][0].as_py())
+        # (4, 0) -> (0, 4)
+        assert [0.0, 4.0] in p[0].tolist()
+
+    def test_segmentize(self, ray_session):
+        out = _collect(STEP_REGISTRY["vector-segmentize"](
+            _vec_ds(ray_session), max_length=1.0))
+        _, rings = W.parse_wkb(out["wkb"][0].as_py())
+        # 4×4 square at max seg 1 → 16 edges + closing vertex
+        assert len(rings[0]) == 17
+        seg = np.diff(rings[0], axis=0)
+        assert np.hypot(seg[:, 0], seg[:, 1]).max() <= 1.0 + 1e-12
+
+    def test_simplify(self, ray_session):
+        import ray.data
+
+        line = W.linestring_wkb(np.array([[0., 0.], [5., 0.01],
+                                          [10., 0.]]))
+        ds = ray.data.from_arrow(pa.Table.from_pydict(
+            {"wkb": pa.array([line], pa.binary())}))
+        out = _collect(STEP_REGISTRY["vector-simplify"](
+            ds, tolerance=0.1))
+        _, pts = W.parse_wkb(out["wkb"][0].as_py())
+        assert len(pts) == 2
+
+    def test_make_valid_bowtie(self, ray_session):
+        out = _collect(STEP_REGISTRY["vector-make-valid"](
+            _vec_ds(ray_session)))
+        mv = out["wkb"][1].as_py()
+        assert W.wkb_geom_type(mv) == W.MULTIPOLYGON
+        # bow-tie w=2 h=1 → two loops of area w*h/4 each
+        assert W.wkb_area(mv) == pytest.approx(1.0, abs=1e-9)
+        # valid input unchanged
+        assert out["wkb"][0].as_py() == _vec_ds(
+            ray_session).take(1)[0]["wkb"]
+
+    def test_buffer(self, ray_session):
+        out = _collect(STEP_REGISTRY["vector-buffer"](
+            _vec_ds(ray_session), distance=1.0, quad_segs=16))
+        # convex square: exact offset area 16 + 16 + pi (arc-segmented)
+        a_sq = W.wkb_area(out["wkb"][0].as_py())
+        assert a_sq == pytest.approx(16 + 16 + np.pi, rel=2e-3)
+        # point: 64-gon circle area
+        a_pt = W.wkb_area(out["wkb"][2].as_py())
+        n = 64
+        assert a_pt == pytest.approx(0.5 * n * np.sin(2 * np.pi / n),
+                                     rel=1e-9)
+
+    def test_select_and_filter(self, ray_session):
+        sel = STEP_REGISTRY["vector-select"](
+            _vec_ds(ray_session), fields="fid,name")
+        assert sel.schema().names == ["fid", "name"]
+        filt = _collect(STEP_REGISTRY["vector-filter"](
+            _vec_ds(ray_session), bbox=[-1, -1, 10, 10]))
+        assert filt.num_rows == 2  # the far point drops
+        filt2 = _collect(STEP_REGISTRY["vector-filter"](
+            _vec_ds(ray_session), where="name = 'pt'"))
+        assert filt2.num_rows == 1
+        assert filt2["fid"][0].as_py() == 2
+
+    def test_concat(self, ray_session, tmp_path):
+        import json
+
+        p = tmp_path / "other.geojson"
+        json.dump({"type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {"fid": 7, "name": "x"},
+             "geometry": {"type": "Point",
+                          "coordinates": [1.0, 1.0]}}]}, open(p, "w"))
+        out = STEP_REGISTRY["vector-concat"](
+            _vec_ds(ray_session), others=str(p))
+        assert out.count() == 4
+
+    def test_grid_nearest_exact(self, ray_session):
+        import ray.data
+
+        # one point per quadrant; nearest-neighbour grid cells take
+        # exactly their quadrant's value
+        tbl = pa.Table.from_pydict({
+            "x": pa.array([1.0, 3.0, 1.0, 3.0]),
+            "y": pa.array([1.0, 1.0, 3.0, 3.0]),
+            "v": pa.array([10.0, 20.0, 30.0, 40.0])})
+        ds = ray.data.from_arrow(tbl)
+        out = _collect(STEP_REGISTRY["vector-grid"](
+            ds, algorithm="nearest", width=4, height=4,
+            extent=[0, 0, 4, 4], x_col="x", y_col="y", value_col="v",
+            radius=10.0))
+        assert out.num_rows == 1
+        grid = np.frombuffer(out["data"][0].as_py(),
+                             np.float64).reshape(4, 4)
+        # band rows are north-up: row 0 is y≈3.5 → upper quadrants
+        assert grid[0, 0] == 30.0 and grid[0, 3] == 40.0
+        assert grid[3, 0] == 10.0 and grid[3, 3] == 20.0
+        gt = out["geotransform"][0].as_py()
+        assert gt == [0.0, 1.0, 0.0, 4.0, 0.0, -1.0]
+
+    def test_rasterize_band_rows(self, ray_session):
+        import ray.data
+
+        # a polygon spanning lon/lat (0..40, 0..40) at z=3
+        poly = W.polygon_wkb([np.array([[0., 0.], [40., 0.],
+                                        [40., 40.], [0., 40.],
+                                        [0., 0.]])])
+        ds = ray.data.from_arrow(pa.Table.from_pydict({
+            "zone_id": pa.array([1], pa.int64()),
+            "wkb": pa.array([poly], pa.binary())}))
+        out = _collect(STEP_REGISTRY["vector-rasterize"](ds, z=3))
+        assert out.num_rows >= 1
+        assert set(out.column_names) >= {"image_id", "band", "data",
+                                         "w", "h", "dtype",
+                                         "geotransform"}
+        total = sum(np.frombuffer(b, np.float64).sum()
+                    for b in out["data"].to_pylist())
+        assert total > 0
+
+
+def _img_ds(ray_session, band, gt=(0.0, 1.0, 0.0, 4.0, 0.0, -1.0),
+            fmt="tiff", extra=None):
+    import ray.data
+
+    from raydal.io.codecs import encode
+
+    cols = {
+        "image_id": pa.array(["img0"], pa.string()),
+        "bytes": pa.array([encode(band, fmt)], pa.binary()),
+        "fmt": pa.array([fmt], pa.string()),
+        "gt": pa.array([list(gt)], pa.list_(pa.float64()))}
+    for k, v in (extra or {}).items():
+        cols[k] = v
+    return ray.data.from_arrow(pa.Table.from_pydict(cols))
+
+
+class TestRasterVerbSteps:
+    def test_pixel_info_bilinear(self, ray_session):
+        band = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        ds = _img_ds(ray_session, band)
+        out = _collect(STEP_REGISTRY["raster-pixel-info"](
+            ds, points=[[1.5, 2.5], [2.5, 1.5]]))
+        # world (1.5, 2.5) → corner-based pixel (1.5, 1.5): the CENTER
+        # of pixel (1,1) → exact band[1,1] = 5 (InterpolateAtPoint
+        # corner convention, alg/gdal_interpolateatpoint.cpp)
+        assert out["value"][0].as_py() == 5.0
+        assert out["value"][1].as_py() == 10.0
+
+    def test_unscale(self, ray_session):
+        from raydal.io.codecs import decode
+
+        band = np.array([[0, 10], [20, 30]], dtype=np.uint8)
+        ds = _img_ds(ray_session, band)
+        out = _collect(STEP_REGISTRY["raster-unscale"](
+            ds, scale=0.5, offset=3.0))
+        px = decode(out["bytes"][0].as_py())
+        assert px.dtype == np.float32
+        assert px[1, 1] == pytest.approx(18.0)
+        assert out["fmt"][0].as_py() == "tiff"
+
+    def test_unscale_row_columns(self, ray_session):
+        from raydal.io.codecs import decode
+
+        band = np.array([[4]], dtype=np.uint8)
+        ds = _img_ds(ray_session, band,
+                     extra={"scale": pa.array([2.0]),
+                            "offset": pa.array([1.0])})
+        out = _collect(STEP_REGISTRY["raster-unscale"](ds))
+        assert decode(out["bytes"][0].as_py())[0, 0] == 9.0
+
+    def test_viewshed_flat_dem(self, ray_session):
+        from raydal.io.codecs import decode
+
+        dem = np.zeros((9, 9), dtype=np.uint8)
+        ds = _img_ds(ray_session, dem)
+        out = _collect(STEP_REGISTRY["raster-viewshed"](
+            ds, observer_x=4, observer_y=4, observer_height=2.0))
+        vis = decode(out["bytes"][0].as_py())
+        # flat terrain, raised observer: everything visible
+        assert (vis == 255).all()
+
+    def test_rgb_to_palette_exact_colors(self, ray_session):
+        from raydal.io.codecs import decode
+
+        # 2 distinct colors quantized at 5 bits; n_colors=4 covers them
+        img = np.zeros((4, 4, 3), dtype=np.uint8)
+        img[:2] = [248, 0, 0]
+        img[2:] = [0, 0, 248]
+        ds = _img_ds(ray_session, img)
+        out = _collect(STEP_REGISTRY["raster-rgb-to-palette"](
+            ds, n_colors=4))
+        idx = decode(out["bytes"][0].as_py())
+        assert idx.ndim == 2
+        assert len(np.unique(idx)) == 2
+        pal = np.array(out["palette"][0].as_py()).reshape(-1, 3)
+        # the reference midpoint rule maps the quantized cell back
+        # to ((lo+hi)<<shift)//2 = value when lo==hi
+        assert [248, 0, 0] in pal.tolist()
+        assert [0, 0, 248] in pal.tolist()
+
+    def test_color_merge_identity(self, ray_session):
+        from raydal.io.codecs import decode, encode
+
+        rng = np.random.default_rng(3)
+        rgb = rng.integers(0, 256, size=(8, 8, 3)).astype(np.uint8)
+        gray = rgb.max(axis=2)  # value channel → identity merge
+        ds = _img_ds(ray_session, rgb, extra={
+            "pan": pa.array([encode(gray, "tiff")], pa.binary())})
+        out = _collect(STEP_REGISTRY["raster-color-merge"](ds))
+        merged = decode(out["bytes"][0].as_py())
+        assert (merged == rgb).all()
+
+    def test_pansharpen_ratio(self, ray_session):
+        from raydal.io.codecs import decode, encode
+
+        rgb = np.full((4, 4, 3), 90, dtype=np.uint8)
+        pan = np.full((4, 4), 180, dtype=np.uint8)
+        ds = _img_ds(ray_session, rgb, extra={
+            "pan": pa.array([encode(pan, "tiff")], pa.binary())})
+        out = _collect(STEP_REGISTRY["raster-pansharpen"](ds))
+        px = decode(out["bytes"][0].as_py())
+        assert (px == 180).all()
+
+    def test_index_footprint(self, ray_session):
+        band = np.zeros((4, 4), dtype=np.uint8)
+        ds = _img_ds(ray_session, band).map_batches(
+            lambda t: t.append_column("w", pa.array([4], pa.int32()))
+                       .append_column("h", pa.array([4], pa.int32())),
+            batch_format="pyarrow")
+        out = _collect(STEP_REGISTRY["raster-index"](
+            ds, dst_crs=4326, crs=4326))
+        assert out.num_rows == 1
+        assert out["xmin"][0].as_py() == pytest.approx(0.0)
+        assert out["ymax"][0].as_py() == pytest.approx(4.0)
+
+
+class TestVerbCLI:
+    @pytest.fixture(scope="class")
+    def cli_dir(self, tmp_path_factory):
+        import json
+
+        from raydal.io.tiff import write_tiff
+
+        d = tmp_path_factory.mktemp("verbs")
+        band = (np.arange(64, dtype=np.uint8) % 200).reshape(8, 8)
+        with open(d / "in.tif", "wb") as f:
+            f.write(write_tiff(band,
+                               geotransform=[0, 1, 0, 8, 0, -1]))
+        json.dump({"type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {"fid": 0},
+             "geometry": {"type": "Polygon", "coordinates":
+                          [[[0, 0], [4, 0], [4, 4], [0, 4],
+                            [0, 0]]]}}]},
+                  open(d / "in.geojson", "w"))
+        return d
+
+    def test_raster_verb_sugar(self, cli_dir):
+        r = _run_cli(["raster", "hillshade", "in.tif", "out_hs",
+                      "format=gtiff", "z_factor=2"], cwd=cli_dir)
+        assert r.returncode == 0, r.stderr[-800:]
+        assert (cli_dir / "out_hs" / "in.tif").exists()
+
+    def test_raster_pixel_info_sugar(self, cli_dir):
+        r = _run_cli(["raster", "pixel-info", "in.tif",
+                      "points=[[1.5,6.5]]"], cwd=cli_dir)
+        assert r.returncode == 0, r.stderr[-800:]
+        assert "1 rows" in r.stdout
+
+    def test_vector_verb_sugar(self, cli_dir):
+        r = _run_cli(["vector", "buffer", "in.geojson",
+                      "out.geojson", "distance=1"], cwd=cli_dir)
+        assert r.returncode == 0, r.stderr[-800:]
+        import json
+
+        doc = json.load(open(cli_dir / "out.geojson"))
+        assert len(doc["features"]) == 1
+
+    def test_unknown_verb_lists_steps(self, cli_dir):
+        r = _run_cli(["vector", "frobnicate", "in.geojson"],
+                     cwd=cli_dir)
+        assert r.returncode != 0
+        assert "registered steps" in r.stderr
