@@ -24,6 +24,7 @@ tests.
 from __future__ import annotations
 
 import os
+import re
 import struct
 
 import numpy as np
@@ -6028,6 +6029,154 @@ GROUP BY n_nationkey
 """
 
 
+def q105_dup_ngram_docs(sf_dir):
+    """Corpus-level duplicate n-gram detection — the exact-substring
+    dedup primitive (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022) in fixed 4-gram form: a 4-gram
+    is *duplicated* when it appears in ≥ 2 distinct documents; output
+    is (doc_id, n_dup_grams) for every document containing at least
+    one.
+
+    Distributed shape: tokenize + gram inside ``map_batches`` (each
+    doc's text lives in one row, so per-doc gram dedup is in-batch);
+    the ONLY wide exchange is the ``groupby`` on the 63-bit gram hash
+    (grams themselves never shuffle — at 100 TB the hash keeps
+    exchange rows at 16 bytes); the per-doc count is a second tiny
+    groupby over (doc, gram) pairs that survive the ≥2-docs gate."""
+    import hashlib
+
+    import ray.data
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tok_re = re.compile(r"[^a-z0-9]+")
+
+    def grams(t: pa.Table) -> pa.Table:
+        ghs, dids = [], []
+        for i in range(t.num_rows):
+            did = t["doc_id"][i].as_py()
+            toks = [x for x in tok_re.split(t["text"][i].as_py().lower())
+                    if x]
+            seen = set()
+            for j in range(len(toks) - 3):
+                g = " ".join(toks[j:j + 4])
+                if g not in seen:
+                    seen.add(g)
+                    ghs.append(int.from_bytes(
+                        hashlib.md5(g.encode()).digest()[:8],
+                        "big") >> 1)
+                    dids.append(did)
+        return pa.Table.from_pydict({
+            "gh": pa.array(ghs, pa.int64()),
+            "doc_id": pa.array(dids, pa.int64())})
+
+    pairs = ds.map_batches(grams, batch_format="pyarrow")
+
+    # (1) docs-per-gram aggregate, (2) keep grams on ≥2 docs, (3) hash
+    # join the pair stream back on the gram hash, (4) per-doc count.
+    # No per-group Python: two aggregates + one equi join, all keyed on
+    # the same 63-bit hash.
+    per_gram = pairs.groupby("gh").count()
+    dup = per_gram.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["count()"], 2))
+                   .select(["gh"]),
+        batch_format="pyarrow")
+    joined = pairs.join(dup, join_type="inner", num_partitions=8,
+                        on=("gh",))
+    out = joined.groupby("doc_id").count()
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_dup_grams": t["count()"].cast(pa.int64())})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_Q105 = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+    FROM documents),
+g AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS gram
+    FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 2)) AS i) r),
+dup AS (SELECT gram FROM g GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+FROM g WHERE gram IN (SELECT gram FROM dup)
+GROUP BY doc_id
+"""
+
+
+def q106_kmeans_assign(sf_dir):
+    """K-means ASSIGNMENT step over the embedding column with
+    deterministic seed centroids (the first K=8 vectors by vec_id —
+    the bootstrap round of any distributed Lloyd iteration, and the
+    IVF-Flat coarse-assignment primitive of raydal/ops/ann.py): per
+    cluster, member count and mean Euclidean distance.
+
+    Distributed shape: the K seed vectors are collected once (a
+    metadata-sized filter) and broadcast inside the batch closure;
+    every batch computes its (n, K) distance block vectorized and
+    emits per-cluster PARTIALS (count, dist sum) — the only shuffle
+    is the K-row final groupby.  Ties (a vector equidistant to two
+    centroids) break to the lowest cluster id on both sides."""
+    import ray.data
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    K = 8
+    seed_t = pa.concat_tables(
+        b for b in emb.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], K)),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    order = np.argsort(np.asarray(seed_t["vec_id"]))
+    C = np.stack([np.asarray(seed_t["embedding"][int(i)].as_py(),
+                             dtype=np.float64) for i in order])
+
+    def assign(t: pa.Table, _C=C) -> pa.Table:
+        A = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        d2 = ((A[:, None, :] - _C[None, :, :]) ** 2).sum(axis=2)
+        cid = np.argmin(d2, axis=1)        # first min → lowest cid
+        dist = np.sqrt(d2[np.arange(len(A)), cid])
+        cnt = np.bincount(cid, minlength=len(_C))
+        dsum = np.bincount(cid, weights=dist, minlength=len(_C))
+        nz = cnt > 0
+        return pa.Table.from_pydict({
+            "cluster_id": pa.array(np.nonzero(nz)[0].astype(np.int64)),
+            "n_partial": pa.array(cnt[nz].astype(np.int64)),
+            "dsum_partial": pa.array(dsum[nz], pa.float64())})
+
+    parts = emb.map_batches(assign, batch_format="pyarrow")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n_partial"].sum())
+        return pd.DataFrame({
+            "cluster_id": [int(g["cluster_id"].iloc[0])],
+            "n_vecs": [n],
+            "avg_dist": [float(round_half_away(
+                g["dsum_partial"].sum() / n, 6))]})
+
+    return parts.groupby("cluster_id").map_groups(finish,
+                                                  batch_format="pandas")
+
+
+SQL_Q106 = """
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           WHERE vec_id < 8),
+d AS (SELECT e.vec_id, c.cid, list_distance(e.embedding, c.cv) AS dist
+      FROM embeddings e CROSS JOIN c),
+a AS (SELECT vec_id, cid, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cid) AS rn
+      FROM d)
+SELECT CAST(cid AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       ROUND(avg(dist), 6) AS avg_dist
+FROM a WHERE rn = 1 GROUP BY cid
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -6138,6 +6287,8 @@ QUERIES = {
     "q103_mdim_translate": (q103_mdim_translate, SQL_Q103),
     "q104_superoverlay_roundtrip": (q104_superoverlay_roundtrip,
                                     SQL_Q104),
+    "q105_dup_ngram_docs": (q105_dup_ngram_docs, SQL_Q105),
+    "q106_kmeans_assign": (q106_kmeans_assign, SQL_Q106),
 }
 
 
@@ -6167,7 +6318,8 @@ def query_fns():
              "q97_topojson_roundtrip", "q98_ms_adpcm_roundtrip",
              "q99_osm_way_assembly", "q100_new_reader_matrix",
              "q101_gnm_sssp", "q102_style_explode",
-             "q103_mdim_translate", "q104_superoverlay_roundtrip"}
+             "q103_mdim_translate", "q104_superoverlay_roundtrip",
+             "q105_dup_ngram_docs", "q106_kmeans_assign"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}

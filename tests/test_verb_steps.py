@@ -326,3 +326,62 @@ class TestVerbCLI:
                      cwd=cli_dir)
         assert r.returncode != 0
         assert "registered steps" in r.stderr
+
+
+class TestNewLLMQueries:
+    """q105/q106 brute-force parity at sf0.001 (the gate carries the
+    DuckDB oracle at sf0.01)."""
+
+    def test_dup_ngram_bruteforce(self, ray_session, sf_dir):
+        import re as _re
+
+        import pyarrow.parquet as pq
+
+        from raydal.queries import q105_dup_ngram_docs
+
+        got = _collect(q105_dup_ngram_docs(sf_dir))
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        tok = _re.compile(r"[^a-z0-9]+")
+        per_doc = {}
+        for did, text in zip(docs["doc_id"].to_pylist(),
+                             docs["text"].to_pylist()):
+            t = [x for x in tok.split(text.lower()) if x]
+            per_doc[did] = {" ".join(t[j:j + 4])
+                            for j in range(len(t) - 3)}
+        from collections import Counter
+
+        owners = Counter()
+        for gs in per_doc.values():
+            owners.update(gs)
+        expect = {did: sum(1 for g in gs if owners[g] >= 2)
+                  for did, gs in per_doc.items()}
+        expect = {k: v for k, v in expect.items() if v > 0}
+        assert dict(zip(got["doc_id"].to_pylist(),
+                        got["n_dup_grams"].to_pylist())) == expect
+
+    def test_kmeans_assign_bruteforce(self, ray_session, sf_dir):
+        import pyarrow.parquet as pq
+
+        from raydal.queries import q106_kmeans_assign, round_half_away
+
+        got = _collect(q106_kmeans_assign(sf_dir))
+        emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"])
+        vids = np.asarray(emb["vec_id"])
+        A = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+        C = A[vids.argsort()][:8]  # vec_id 0..7 in order
+        d2 = ((A[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cid = d2.argmin(axis=1)
+        dist = np.sqrt(d2[np.arange(len(A)), cid])
+        gm = {int(r["cluster_id"]): (int(r["n_vecs"]),
+                                     float(r["avg_dist"]))
+              for r in got.to_pylist()}
+        for k in range(8):
+            m = cid == k
+            if not m.any():
+                assert k not in gm
+                continue
+            assert gm[k][0] == int(m.sum())
+            assert gm[k][1] == pytest.approx(
+                float(round_half_away(dist[m].mean(), 6)), abs=2e-6)
