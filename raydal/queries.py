@@ -6177,6 +6177,175 @@ FROM a WHERE rn = 1 GROUP BY cid
 """
 
 
+def q107_stratified_sample(sf_dir):
+    """Deterministic hash-stratified downsampling — the corpus-balance
+    primitive of a training-data pipeline (cap every language stratum
+    at ``TARGET`` docs): keep a doc iff the first 32 bits of
+    ``md5(doc_id)`` fall under ``floor(TARGET/stratum_count * 2^32)``.
+    Content-addressed sampling is reproducible across engines, runs and
+    shard layouts — no RNG state, no ordering dependence.
+
+    Distributed shape: stratum counts come from per-batch PARTIAL
+    counts merged on the driver (one tiny row per batch — bounded by
+    #strata, never a shuffle); the keep thresholds broadcast inside
+    the filter closure; the filter pass is embarrassingly parallel."""
+    import hashlib
+
+    import ray.data
+
+    TARGET = 60.0
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        import collections
+
+        c = collections.Counter(t["lang"].to_pylist())
+        return pa.Table.from_pydict({
+            "lang": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array([int(v) for v in c.values()], pa.int64())})
+
+    merged = {}
+    for b in ds.map_batches(counts, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for lang, n in zip(b["lang"].to_pylist(), b["n"].to_pylist()):
+            merged[lang] = merged.get(lang, 0) + n
+    # float64 arithmetic identical to the SQL side: (T/n) * 2^32, floor
+    thresholds = {lang: int(np.floor((TARGET / n) * 4294967296.0))
+                  for lang, n in merged.items()}
+
+    def keep(t: pa.Table, _th=thresholds) -> pa.Table:
+        ks = []
+        langs = t["lang"].to_pylist()
+        for i, did in enumerate(t["doc_id"].to_pylist()):
+            h = int.from_bytes(
+                hashlib.md5(str(did).encode()).digest()[:4], "big")
+            ks.append(h < _th[langs[i]])
+        return t.filter(pa.array(ks))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_Q107 = """
+WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+th AS (SELECT lang,
+              CAST(FLOOR((60.0 / n) * 4294967296.0) AS UBIGINT) AS t
+       FROM cnt)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN th USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+           AS UBIGINT) < th.t
+"""
+
+
+def q108_bm25_topk(sf_dir):
+    """BM25 (Okapi, k1=1.2 b=0.75) keyword top-k over the documents
+    table — the retrieval primitive of a dedup-by-search / data-mixing
+    pipeline.  Query terms: table, scan, merge; output the top 10 docs
+    by ROUND(score, 6) with doc_id tie-break (rounding on BOTH sides
+    absorbs float-sum ordering ulp).
+
+    Distributed shape — NO shuffle anywhere: pass A streams per-batch
+    PARTIAL stats (doc count, token-length sum, per-term doc
+    frequency; each doc's text lives in one row so df partials are
+    in-batch exact); the driver merges the bounded partials and
+    broadcasts (N, avgdl, df) into pass B, where every batch scores
+    its docs vectorized and emits its LOCAL top-10 — the driver merges
+    ≤ 10·n_batches candidate rows."""
+    import heapq
+
+    import ray.data
+
+    TERMS = ("table", "scan", "merge")
+    K1, B = 1.2, 0.75
+    tok_re = re.compile(r"[^a-z0-9]+")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        n, dl_sum = 0, 0
+        df = {w: 0 for w in TERMS}
+        for txt in t["text"].to_pylist():
+            toks = [x for x in tok_re.split(txt.lower()) if x]
+            n += 1
+            dl_sum += len(toks)
+            s = set(toks)
+            for w in TERMS:
+                if w in s:
+                    df[w] += 1
+        return pa.Table.from_pydict({
+            "n": pa.array([n], pa.int64()),
+            "dl_sum": pa.array([dl_sum], pa.int64()),
+            **{f"df_{w}": pa.array([df[w]], pa.int64())
+               for w in TERMS}})
+
+    N = dl_sum = 0
+    DF = {w: 0 for w in TERMS}
+    for b in ds.map_batches(stats_partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            N += b["n"][i].as_py()
+            dl_sum += b["dl_sum"][i].as_py()
+            for w in TERMS:
+                DF[w] += b[f"df_{w}"][i].as_py()
+    avgdl = dl_sum / N
+    idf = {w: np.log((N - DF[w] + 0.5) / (DF[w] + 0.5) + 1.0)
+           for w in TERMS}
+
+    def topk_partial(t: pa.Table, _idf=idf, _avgdl=avgdl) -> pa.Table:
+        cand = []
+        for i, txt in enumerate(t["text"].to_pylist()):
+            toks = [x for x in tok_re.split(txt.lower()) if x]
+            dl = len(toks)
+            score = 0.0
+            for w in TERMS:          # fixed term order = SQL-free sum
+                tf = toks.count(w)
+                if tf:
+                    score += (_idf[w] * tf * (K1 + 1.0)
+                              / (tf + K1 * (1.0 - B + B * dl / _avgdl)))
+            if score > 0.0:
+                cand.append((float(round_half_away(score, 6)),
+                             t["doc_id"][i].as_py()))
+        top = heapq.nsmallest(10, cand, key=lambda sd: (-sd[0], sd[1]))
+        return pa.Table.from_pydict({
+            "doc_id": pa.array([d for _, d in top], pa.int64()),
+            "score": pa.array([s for s, _ in top], pa.float64())})
+
+    cand = pa.concat_tables(
+        b for b in ds.map_batches(topk_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    rows = sorted(zip(cand["score"].to_pylist(),
+                      cand["doc_id"].to_pylist()),
+                  key=lambda sd: (-sd[0], sd[1]))[:10]
+    return pa.Table.from_pydict({
+        "doc_id": pa.array([d for _, d in rows], pa.int64()),
+        "score": pa.array([s for s, _ in rows], pa.float64())})
+
+
+SQL_Q108 = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+    FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM toks, LATERAL (SELECT UNNEST(t) AS term) u
+       WHERE term IN ('table', 'scan', 'merge')
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              SUM(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                  * tf.tf * 2.2
+                  / (tf.tf + 1.2 * (1.0 - 0.75
+                                    + 0.75 * dl.dl / s.avgdl))) AS sc
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN stats s
+       GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(sc, 6) AS score
+FROM sc ORDER BY ROUND(sc, 6) DESC, doc_id LIMIT 10
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -6289,6 +6458,8 @@ QUERIES = {
                                     SQL_Q104),
     "q105_dup_ngram_docs": (q105_dup_ngram_docs, SQL_Q105),
     "q106_kmeans_assign": (q106_kmeans_assign, SQL_Q106),
+    "q107_stratified_sample": (q107_stratified_sample, SQL_Q107),
+    "q108_bm25_topk": (q108_bm25_topk, SQL_Q108),
 }
 
 
@@ -6319,7 +6490,8 @@ def query_fns():
              "q99_osm_way_assembly", "q100_new_reader_matrix",
              "q101_gnm_sssp", "q102_style_explode",
              "q103_mdim_translate", "q104_superoverlay_roundtrip",
-             "q105_dup_ngram_docs", "q106_kmeans_assign"}
+             "q105_dup_ngram_docs", "q106_kmeans_assign",
+             "q107_stratified_sample", "q108_bm25_topk"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}

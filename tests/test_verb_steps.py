@@ -385,3 +385,65 @@ class TestNewLLMQueries:
             assert gm[k][0] == int(m.sum())
             assert gm[k][1] == pytest.approx(
                 float(round_half_away(dist[m].mean(), 6)), abs=2e-6)
+
+    def test_stratified_sample_bruteforce(self, ray_session, sf_dir):
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from raydal.queries import q107_stratified_sample
+
+        got = _collect(q107_stratified_sample(sf_dir))
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "lang"])
+        from collections import Counter
+
+        cnt = Counter(docs["lang"].to_pylist())
+        th = {k: int(np.floor((60.0 / n) * 4294967296.0))
+              for k, n in cnt.items()}
+        expect = {did for did, lg in zip(docs["doc_id"].to_pylist(),
+                                         docs["lang"].to_pylist())
+                  if int.from_bytes(hashlib.md5(
+                      str(did).encode()).digest()[:4], "big") < th[lg]}
+        assert set(got["doc_id"].to_pylist()) == expect
+        # every stratum lands at or under its expected cap scale:
+        # content-addressed sampling is approximate, so just check the
+        # sample is a strict, deterministic subset per language
+        assert got.num_rows == len(expect) > 0
+
+    def test_bm25_topk_bruteforce(self, ray_session, sf_dir):
+        import math
+        import re as _re
+
+        import pyarrow.parquet as pq
+
+        from raydal.queries import q108_bm25_topk, round_half_away
+
+        got = q108_bm25_topk(sf_dir)
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        tok = _re.compile(r"[^a-z0-9]+")
+        TERMS, K1, B = ("table", "scan", "merge"), 1.2, 0.75
+        toks = {d: [x for x in tok.split(t.lower()) if x]
+                for d, t in zip(docs["doc_id"].to_pylist(),
+                                docs["text"].to_pylist())}
+        N = len(toks)
+        avgdl = sum(len(v) for v in toks.values()) / N
+        df = {w: sum(1 for v in toks.values() if w in v)
+              for w in TERMS}
+        scores = []
+        for d, v in toks.items():
+            s = 0.0
+            for w in TERMS:
+                tf = v.count(w)
+                if tf:
+                    idf = math.log((N - df[w] + 0.5) / (df[w] + 0.5)
+                                   + 1.0)
+                    s += idf * tf * (K1 + 1) / (
+                        tf + K1 * (1 - B + B * len(v) / avgdl))
+            if s > 0:
+                scores.append((float(round_half_away(s, 6)), d))
+        top = sorted(scores, key=lambda sd: (-sd[0], sd[1]))[:10]
+        assert got["doc_id"].to_pylist() == [d for _, d in top]
+        assert got["score"].to_pylist() == pytest.approx(
+            [s for s, _ in top], abs=1e-9)
