@@ -6346,6 +6346,57 @@ FROM sc ORDER BY ROUND(sc, 6) DESC, doc_id LIMIT 10
 """
 
 
+def q109_repetition_filter(sf_dir):
+    """Within-document repetition quality filter (the Gopher-rules
+    family, Rae et al. 2021 — duplicate n-gram fraction): per doc,
+    ``dup_frac = 1 - distinct_2grams / total_2grams`` and a flag at
+    the 0.2 threshold.  Entirely per-row — each doc's text lives in
+    one row, so the whole op is a single embarrassingly-parallel
+    ``map_batches`` with NO shuffle; the flag compares the UNROUNDED
+    double on both sides (int/int division is IEEE-identical)."""
+    import ray.data
+
+    tok_re = re.compile(r"[^a-z0-9]+")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rep(t: pa.Table) -> pa.Table:
+        ids, fracs, flags = [], [], []
+        for i, txt in enumerate(t["text"].to_pylist()):
+            toks = [x for x in tok_re.split(txt.lower()) if x]
+            if len(toks) < 2:
+                continue
+            grams = list(zip(toks[:-1], toks[1:]))
+            frac = 1.0 - len(set(grams)) / len(grams)
+            ids.append(t["doc_id"][i].as_py())
+            fracs.append(float(round_half_away(frac, 6)))
+            flags.append(frac > 0.2)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "dup_frac": pa.array(fracs, pa.float64()),
+            "flagged": pa.array(flags, pa.bool_())})
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+SQL_Q109 = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+    FROM documents),
+g AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+      FROM toks, LATERAL (SELECT UNNEST(range(1, len(t))) AS i) r
+      WHERE len(t) >= 2),
+agg AS (SELECT doc_id, count(*) AS total,
+               count(DISTINCT gram) AS dist
+        FROM g GROUP BY doc_id)
+SELECT doc_id,
+       ROUND(1.0 - dist / CAST(total AS DOUBLE), 6) AS dup_frac,
+       (1.0 - dist / CAST(total AS DOUBLE)) > 0.2 AS flagged
+FROM agg
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_filter_project": (q02_filter_project, SQL_Q02),
@@ -6460,6 +6511,7 @@ QUERIES = {
     "q106_kmeans_assign": (q106_kmeans_assign, SQL_Q106),
     "q107_stratified_sample": (q107_stratified_sample, SQL_Q107),
     "q108_bm25_topk": (q108_bm25_topk, SQL_Q108),
+    "q109_repetition_filter": (q109_repetition_filter, SQL_Q109),
 }
 
 
@@ -6491,7 +6543,8 @@ def query_fns():
              "q101_gnm_sssp", "q102_style_explode",
              "q103_mdim_translate", "q104_superoverlay_roundtrip",
              "q105_dup_ngram_docs", "q106_kmeans_assign",
-             "q107_stratified_sample", "q108_bm25_topk"}
+             "q107_stratified_sample", "q108_bm25_topk",
+             "q109_repetition_filter"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}

@@ -447,3 +447,32 @@ class TestNewLLMQueries:
         assert got["doc_id"].to_pylist() == [d for _, d in top]
         assert got["score"].to_pylist() == pytest.approx(
             [s for s, _ in top], abs=1e-9)
+
+    def test_repetition_filter_bruteforce(self, ray_session, sf_dir):
+        import re as _re
+
+        import pyarrow.parquet as pq
+
+        from raydal.queries import q109_repetition_filter, \
+            round_half_away
+
+        got = _collect(q109_repetition_filter(sf_dir))
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        tok = _re.compile(r"[^a-z0-9]+")
+        gm = {int(r["doc_id"]): (float(r["dup_frac"]),
+                                 bool(r["flagged"]))
+              for r in got.to_pylist()}
+        n_checked = 0
+        for did, txt in zip(docs["doc_id"].to_pylist(),
+                            docs["text"].to_pylist()):
+            t = [x for x in tok.split(txt.lower()) if x]
+            if len(t) < 2:
+                assert did not in gm
+                continue
+            grams = list(zip(t[:-1], t[1:]))
+            frac = 1.0 - len(set(grams)) / len(grams)
+            assert gm[did] == (float(round_half_away(frac, 6)),
+                               frac > 0.2)
+            n_checked += 1
+        assert n_checked == len(gm) > 0
