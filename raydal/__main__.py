@@ -506,7 +506,8 @@ _IMAGE_TABLE_OUT = {
 }
 _IMAGE_TABLE_IN = _IMAGE_TABLE_OUT | {
     "raster-contour", "raster-contour-polygons", "raster-polygonize",
-    "raster-pixel-info", "raster-index", "footprint", "tile-assign",
+    "raster-pixel-info", "raster-index", "raster-mosaic", "footprint",
+    "tile-assign",
 }
 
 

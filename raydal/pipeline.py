@@ -3174,3 +3174,17 @@ def _raster_index(ds, dst_crs=3857, crs=None):
         return add_footprint(t, dst_crs=dst_crs)
 
     return pruned.map_batches(fp, batch_format="pyarrow")
+
+
+@register_step("raster-mosaic")
+def _raster_mosaic(ds, res=None, extent=None, tile_size=512,
+                   background=0):
+    """gdal raster mosaic (apps/gdalalg_raster_mosaic.cpp /
+    gdal_merge): distributed same-CRS composition — union extent from
+    per-batch partials, flat-map images onto output tiles,
+    ``groupby(tile)`` paints each tile from only its images (last id
+    wins).  Emits band rows, writable by any raster sink."""
+    from .ops.gti import mosaic_dataset
+
+    return mosaic_dataset(ds, res=res, extent=extent,
+                          tile_size=tile_size, background=background)

@@ -476,3 +476,66 @@ class TestNewLLMQueries:
                                frac > 0.2)
             n_checked += 1
         assert n_checked == len(gm) > 0
+
+
+class TestMosaicStep:
+    def test_mosaic_last_wins_and_union_extent(self, ray_session):
+        import ray.data
+
+        from raydal.io.codecs import encode
+
+        a = np.full((4, 4), 10, dtype=np.uint8)
+        b = np.full((4, 4), 20, dtype=np.uint8)
+        # a covers x 0..4 y 4..8; b covers x 2..6 y 2..6 (overlaps SE
+        # quadrant of a); later image_id wins in the overlap
+        tbl = pa.Table.from_pydict({
+            "image_id": pa.array(["a", "b"], pa.string()),
+            "bytes": pa.array([encode(a, "tiff"), encode(b, "tiff")],
+                              pa.binary()),
+            "fmt": pa.array(["tiff", "tiff"], pa.string()),
+            "gt": pa.array([[0.0, 1.0, 0.0, 8.0, 0.0, -1.0],
+                            [2.0, 1.0, 0.0, 6.0, 0.0, -1.0]],
+                           pa.list_(pa.float64()))})
+        ds = ray.data.from_arrow(tbl)
+        out = _collect(STEP_REGISTRY["raster-mosaic"](ds))
+        assert out.num_rows == 1  # one tile, one band
+        w, h = out["w"][0].as_py(), out["h"][0].as_py()
+        assert (w, h) == (6, 6)  # union extent 0..6 × 2..8 at res 1
+        grid = np.frombuffer(out["data"][0].as_py(),
+                             np.uint8).reshape(h, w)
+        gt = out["geotransform"][0].as_py()
+        assert gt == [0.0, 1.0, 0.0, 8.0, 0.0, -1.0]
+        # north-west pixel: only a
+        assert grid[0, 0] == 10
+        # overlap (world 3.5, 5.5 → row 2, col 3): b wins
+        assert grid[2, 3] == 20
+        # b-only area (world 5.5, 3.5 → row 4, col 5)
+        assert grid[4, 5] == 20
+        # uncovered corner (world 0.5, 2.5 → row 5, col 0): background
+        assert grid[5, 0] == 0
+
+    def test_mosaic_tiles_split(self, ray_session):
+        import ray.data
+
+        from raydal.io.codecs import encode
+
+        imgs, gts = [], []
+        for k in range(3):
+            imgs.append(np.full((4, 4), 50 + k, dtype=np.uint8))
+            gts.append([4.0 * k, 1.0, 0.0, 4.0, 0.0, -1.0])
+        tbl = pa.Table.from_pydict({
+            "image_id": pa.array([f"i{k}" for k in range(3)]),
+            "bytes": pa.array([encode(p, "tiff") for p in imgs],
+                              pa.binary()),
+            "fmt": pa.array(["tiff"] * 3),
+            "gt": pa.array(gts, pa.list_(pa.float64()))})
+        ds = ray.data.from_arrow(tbl)
+        out = _collect(STEP_REGISTRY["raster-mosaic"](
+            ds, tile_size=4))
+        # 12 px wide at tile_size 4 → 3 tiles
+        assert out.num_rows == 3
+        vals = set()
+        for i in range(3):
+            g = np.frombuffer(out["data"][i].as_py(), np.uint8)
+            vals.update(np.unique(g).tolist())
+        assert vals == {50, 51, 52}
