@@ -3188,3 +3188,76 @@ def _raster_mosaic(ds, res=None, extent=None, tile_size=512,
 
     return mosaic_dataset(ds, res=res, extent=extent,
                           tile_size=tile_size, background=background)
+
+
+@register_step("raster-stack")
+def _raster_stack(ds, out_id="stack"):
+    """gdal raster stack (apps/gdalalg_raster_stack.cpp): each input
+    image becomes one band of a single output, in image_id order
+    (the reference's separate/stack VRT composition).  One bounded
+    metadata pass collects the distinct ids; the band reassignment is
+    then embarrassingly parallel over band rows — the groupby that
+    co-locates bands belongs to the SINK (one file), not this step."""
+    import pyarrow as pa
+
+    from .io.codecs import decode
+
+    names = ds.schema().names
+    if "bytes" in names:            # encoded image table → band rows
+        def to_band(t: pa.Table) -> pa.Table:
+            rows = {"image_id": [], "band": [], "data": [], "w": [],
+                    "h": [], "dtype": [], "geotransform": []}
+            for i in range(t.num_rows):
+                px = decode(t["bytes"][i].as_py())
+                band = px[:, :, 0] if px.ndim == 3 else px
+                rows["image_id"].append(str(t["image_id"][i].as_py()))
+                rows["band"].append(1)
+                rows["data"].append(band.tobytes())
+                rows["w"].append(band.shape[1])
+                rows["h"].append(band.shape[0])
+                rows["dtype"].append(str(band.dtype))
+                rows["geotransform"].append(
+                    t["gt"][i].as_py() if "gt" in t.column_names
+                    else None)
+            return pa.Table.from_pydict({
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "band": pa.array(rows["band"], pa.int32()),
+                "data": pa.array(rows["data"], pa.binary()),
+                "w": pa.array(rows["w"], pa.int32()),
+                "h": pa.array(rows["h"], pa.int32()),
+                "dtype": pa.array(rows["dtype"], pa.string()),
+                "geotransform": pa.array(rows["geotransform"],
+                                         pa.list_(pa.float64()))})
+
+        ds = ds.map_batches(to_band, batch_format="pyarrow")
+
+    ids = sorted(set(
+        v for b in ds.select_columns(["image_id"])
+        .iter_batches(batch_format="pyarrow")
+        for v in b["image_id"].to_pylist()))
+    base = {}
+    off = 0
+    # bands of input k stack after all bands of inputs < k; per-input
+    # band counts come from the same bounded metadata pass
+    counts = {}
+    for b in ds.select_columns(["image_id", "band"]) \
+               .iter_batches(batch_format="pyarrow"):
+        for iid, bd in zip(b["image_id"].to_pylist(),
+                           b["band"].to_pylist()):
+            counts[iid] = max(counts.get(iid, 0), int(bd))
+    for iid in ids:
+        base[iid] = off
+        off += counts[iid]
+
+    def restack(t: pa.Table, _base=base) -> pa.Table:
+        new_band = pa.array(
+            [_base[iid] + int(bd)
+             for iid, bd in zip(t["image_id"].to_pylist(),
+                                t["band"].to_pylist())], pa.int32())
+        t = t.set_column(t.schema.get_field_index("band"), "band",
+                         new_band)
+        return t.set_column(
+            t.schema.get_field_index("image_id"), "image_id",
+            pa.array([out_id] * t.num_rows, pa.string()))
+
+    return ds.map_batches(restack, batch_format="pyarrow")

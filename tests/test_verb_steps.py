@@ -539,3 +539,28 @@ class TestMosaicStep:
             g = np.frombuffer(out["data"][i].as_py(), np.uint8)
             vals.update(np.unique(g).tolist())
         assert vals == {50, 51, 52}
+
+
+class TestStackStep:
+    def test_stack_band_order(self, ray_session):
+        import ray.data
+
+        tbl = pa.Table.from_pydict({
+            "image_id": pa.array(["b_img", "a_img"], pa.string()),
+            "band": pa.array([1, 1], pa.int32()),
+            "data": pa.array([np.full(4, 9, np.uint8).tobytes(),
+                              np.full(4, 7, np.uint8).tobytes()],
+                             pa.binary()),
+            "w": pa.array([2, 2], pa.int32()),
+            "h": pa.array([2, 2], pa.int32()),
+            "dtype": pa.array(["uint8", "uint8"], pa.string()),
+            "geotransform": pa.array([[0, 1, 0, 2, 0, -1]] * 2,
+                                     pa.list_(pa.float64()))})
+        ds = ray.data.from_arrow(tbl)
+        out = _collect(STEP_REGISTRY["raster-stack"](ds))
+        assert set(out["image_id"].to_pylist()) == {"stack"}
+        by_band = {out["band"][i].as_py():
+                   np.frombuffer(out["data"][i].as_py(), np.uint8)[0]
+                   for i in range(out.num_rows)}
+        # a_img sorts first → band 1; b_img → band 2
+        assert by_band == {1: 7, 2: 9}
