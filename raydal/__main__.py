@@ -480,6 +480,7 @@ commands:
                  [scaleaxes={"dim": n}]
   gnm path LAYER.shp... src=FID tgt=FID [algorithm=dijkstra|kshortest|
            components] [k=3] [tolerance=1e-6] [cost=1]
+  dataset identify|copy|rename|delete PATH [DST]
   pipeline run FILE.gdalg.json
   formats                      list sources/sinks/steps
   raster VERB SRC [DST] [opt=val...]   single-step sugar for any
@@ -552,6 +553,68 @@ def cmd_step_verb(kind, verb, rest):
     return _execute(read_tokens, steps, write_stage)
 
 
+def cmd_dataset(args):
+    """``gdal dataset identify|copy|rename|delete`` analogues
+    (apps/gdalalg_dataset_*.cpp): format identification via the
+    source registry's extension/content sniff, and whole-dataset file
+    management that carries sidecar files with the dataset (the
+    reference moves .shp + .shx + .dbf + .prj together)."""
+    import glob
+    import shutil
+
+    if not args:
+        raise SystemExit("dataset needs a subcommand: "
+                         "identify|copy|rename|delete")
+    sub, rest = args[0], args[1:]
+    opts, pos = _parse_opts(rest)
+    if sub == "identify":
+        if not pos:
+            raise SystemExit("dataset identify needs a path")
+        for p in pos:
+            try:
+                name = _source_name(p, dict(opts))
+            except SystemExit:
+                name = "unrecognized"
+            print(json.dumps({"path": p, "driver": name}))
+        return
+    if sub not in ("copy", "rename", "delete"):
+        raise SystemExit(f"unknown dataset command {sub!r}")
+    if not pos or (sub != "delete" and len(pos) < 2):
+        raise SystemExit(f"dataset {sub} needs "
+                         + ("a path" if sub == "delete"
+                            else "SRC and DST"))
+    src = pos[0]
+
+    def sidecars(path):
+        # shapefile-style multi-file datasets move as a unit
+        base, ext = os.path.splitext(path)
+        if ext.lower() in (".shp", ".shx", ".dbf", ".prj", ".cpg"):
+            return [f for f in glob.glob(glob.escape(base) + ".*")
+                    if os.path.splitext(f)[1].lower() in
+                    (".shp", ".shx", ".dbf", ".prj", ".cpg")]
+        return [path]
+
+    files = sidecars(src)
+    if sub == "delete":
+        for f in files:
+            (shutil.rmtree if os.path.isdir(f) else os.remove)(f)
+        print(f"deleted {src}")
+        return
+    dst = pos[1]
+    dbase = os.path.splitext(dst)[0]
+    for f in files:
+        target = (dbase + os.path.splitext(f)[1]
+                  if len(files) > 1 else dst)
+        if os.path.isdir(f):
+            shutil.copytree(f, target, dirs_exist_ok=True)
+        else:
+            shutil.copy2(f, target)
+        if sub == "rename":
+            os.remove(f) if not os.path.isdir(f) else shutil.rmtree(f)
+    print(f"{'renamed' if sub == 'rename' else 'copied'} "
+          f"{src} -> {dst}")
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help", "help"):
@@ -584,6 +647,8 @@ def main(argv=None):
                 cmd_mdim_info(argv[2:])
             else:
                 raise SystemExit(f"unknown mdim command {argv[1]!r}")
+        elif argv[0] == "dataset":
+            cmd_dataset(argv[1:])
         elif argv[0] == "gnm" and len(argv) > 1 and argv[1] == "path":
             cmd_gnm_path(argv[2:])
         elif argv[0] == "pipeline":

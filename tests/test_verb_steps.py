@@ -564,3 +564,36 @@ class TestStackStep:
                    for i in range(out.num_rows)}
         # a_img sorts first → band 1; b_img → band 2
         assert by_band == {1: 7, 2: 9}
+
+
+class TestDatasetVerbs:
+    def test_identify_copy_rename_delete(self, tmp_path):
+        with open(tmp_path / "a.geojson", "w") as f:
+            f.write('{"type": "FeatureCollection", "features": []}')
+        r = _run_cli(["dataset", "identify", "a.geojson", "b.qqq"],
+                     cwd=tmp_path)
+        assert r.returncode == 0, r.stderr[-500:]
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        import json as _json
+
+        assert _json.loads(lines[0])["driver"] == "geojson"
+        assert _json.loads(lines[1])["driver"] == "unrecognized"
+        assert _run_cli(["dataset", "copy", "a.geojson", "b.geojson"],
+                        cwd=tmp_path).returncode == 0
+        assert (tmp_path / "b.geojson").exists()
+        assert _run_cli(["dataset", "rename", "b.geojson",
+                         "c.geojson"], cwd=tmp_path).returncode == 0
+        assert not (tmp_path / "b.geojson").exists()
+        assert _run_cli(["dataset", "delete", "c.geojson"],
+                        cwd=tmp_path).returncode == 0
+        assert not (tmp_path / "c.geojson").exists()
+
+    def test_shapefile_sidecars_move_together(self, tmp_path):
+        for ext in (".shp", ".shx", ".dbf"):
+            with open(tmp_path / ("s" + ext), "wb") as f:
+                f.write(b"\0" * 8)
+        assert _run_cli(["dataset", "rename", "s.shp", "t.shp"],
+                        cwd=tmp_path).returncode == 0
+        for ext in (".shp", ".shx", ".dbf"):
+            assert (tmp_path / ("t" + ext)).exists()
+            assert not (tmp_path / ("s" + ext)).exists()
