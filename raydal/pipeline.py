@@ -3261,3 +3261,49 @@ def _raster_stack(ds, out_id="stack"):
             pa.array([out_id] * t.num_rows, pa.string()))
 
     return ds.map_batches(restack, batch_format="pyarrow")
+
+
+@register_step("vector-set-geom-type")
+def _vector_set_geom_type(ds, to="multi", wkb_col="wkb"):
+    """gdal vector set-geom-type (apps/gdalalg_vector_set_geom_type.cpp
+    / ogr2ogr -nlt): ``to="multi"`` promotes single geometries to their
+    Multi* wrapper (PROMOTE_TO_MULTI); ``to="single"`` unwraps
+    one-part Multi* collections; ``to="linear"`` strokes curve types
+    through the engine's GDAL-parity linearizer."""
+    import struct as _struct
+
+    import pyarrow as pa
+
+    from .geo import wkb as _W
+    from .geo.curves import linearize, parse_wkb_curve, \
+        write_wkb_curve
+
+    def promote(blob):
+        t = _W.wkb_geom_type(blob)
+        if t in (_W.POINT, _W.LINESTRING, _W.POLYGON):
+            return _struct.pack("<BII", 1, t + 3, 1) + blob
+        return blob
+
+    def single(blob):
+        t = _W.wkb_geom_type(blob)
+        if t in (_W.MULTIPOINT, _W.MULTILINESTRING, _W.MULTIPOLYGON):
+            n = int.from_bytes(blob[5:9], "little")
+            if n == 1:
+                return blob[9:]
+        return blob
+
+    def linear(blob):
+        return write_wkb_curve(linearize(parse_wkb_curve(blob)))
+
+    fn = {"multi": promote, "single": single,
+          "linear": linear}.get(str(to))
+    if fn is None:
+        raise ValueError("set-geom-type 'to' must be multi|single|"
+                         "linear")
+
+    def run(t: pa.Table) -> pa.Table:
+        idx = t.schema.get_field_index(wkb_col)
+        out = [fn(b) for b in t[wkb_col].to_pylist()]
+        return t.set_column(idx, wkb_col, pa.array(out, pa.binary()))
+
+    return ds.map_batches(run, batch_format="pyarrow")

@@ -597,3 +597,36 @@ class TestDatasetVerbs:
         for ext in (".shp", ".shx", ".dbf"):
             assert (tmp_path / ("t" + ext)).exists()
             assert not (tmp_path / ("s" + ext)).exists()
+
+
+class TestSetGeomType:
+    def test_promote_single_linear(self, ray_session):
+        out = _collect(STEP_REGISTRY["vector-set-geom-type"](
+            _vec_ds(ray_session), to="multi"))
+        types = [W.wkb_geom_type(b) for b in out["wkb"].to_pylist()]
+        assert types == [W.MULTIPOLYGON, W.MULTIPOLYGON, W.MULTIPOINT]
+        # area preserved through the wrapper
+        assert W.wkb_area(out["wkb"][0].as_py()) == 16.0
+        back = _collect(STEP_REGISTRY["vector-set-geom-type"](
+            ray_session.data.from_arrow(out), to="single"))
+        assert [W.wkb_geom_type(b)
+                for b in back["wkb"].to_pylist()] == \
+            [W.POLYGON, W.POLYGON, W.POINT]
+
+    def test_linearize_circularstring(self, ray_session):
+        import ray.data
+
+        from raydal.geo.curves import parse_wkt_curve, write_wkb_curve
+
+        node = parse_wkt_curve(
+            "CIRCULARSTRING (0 0, 1 1, 2 0)")
+        blob = write_wkb_curve(node)
+        ds = ray.data.from_arrow(pa.Table.from_pydict(
+            {"wkb": pa.array([blob], pa.binary())}))
+        out = _collect(STEP_REGISTRY["vector-set-geom-type"](
+            ds, to="linear"))
+        t, pts = W.parse_wkb(out["wkb"][0].as_py())
+        assert t == W.LINESTRING and len(pts) > 3
+        # every stroked vertex stays on the unit circle about (1, 0)
+        r = np.hypot(pts[:, 0] - 1.0, pts[:, 1])
+        assert np.allclose(r, 1.0, atol=1e-9)
