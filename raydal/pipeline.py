@@ -3307,3 +3307,106 @@ def _vector_set_geom_type(ds, to="multi", wkb_col="wkb"):
         return t.set_column(idx, wkb_col, pa.array(out, pa.binary()))
 
     return ds.map_batches(run, batch_format="pyarrow")
+
+
+@register_step("raster-create")
+def _raster_create(ds, width=256, height=256, value=0, bands=1,
+                   dtype="uint8", gt=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+                   image_id="created"):
+    """gdal raster create (apps/gdalalg_raster_create.cpp): append a
+    constant-fill image row to the stream (or start one from an empty
+    read) — band rows, any raster sink."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    rows = {"image_id": [], "band": [], "data": [], "w": [], "h": [],
+            "dtype": [], "geotransform": []}
+    arr = np.full((int(height), int(width)), value,
+                  dtype=np.dtype(dtype))
+    for b in range(int(bands)):
+        rows["image_id"].append(str(image_id))
+        rows["band"].append(b + 1)
+        rows["data"].append(arr.tobytes())
+        rows["w"].append(int(width))
+        rows["h"].append(int(height))
+        rows["dtype"].append(str(dtype))
+        rows["geotransform"].append([float(v) for v in gt])
+    new = ray.data.from_arrow(pa.Table.from_pydict({
+        "image_id": pa.array(rows["image_id"], pa.string()),
+        "band": pa.array(rows["band"], pa.int32()),
+        "data": pa.array(rows["data"], pa.binary()),
+        "w": pa.array(rows["w"], pa.int32()),
+        "h": pa.array(rows["h"], pa.int32()),
+        "dtype": pa.array(rows["dtype"], pa.string()),
+        "geotransform": pa.array(rows["geotransform"],
+                                 pa.list_(pa.float64()))}))
+    # same band-row schema upstream → append; anything else replaces
+    # the stream (the reference's create is a standalone dataset too)
+    if ds is not None and ds.schema().names == new.schema().names:
+        return ds.union(new)
+    return new
+
+
+@register_step("raster-overview-add")
+def _raster_overview_add(ds, levels=(2, 4)):
+    """gdal raster overview add (apps/gdalalg_raster_overview_add.cpp):
+    per band row, append 1/level average-decimated overview rows
+    (``image_id@ovr_LEVEL``) — the same 2x2-average ladder the COG
+    writer builds (kernels/resample.downsample2_average), exposed as a
+    streamable step so any sink can persist the pyramid."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .kernels.resample import downsample2_average
+
+    lv = sorted(int(v) for v in levels)
+    for v in lv:
+        if v < 2 or (v & (v - 1)):
+            raise ValueError("overview levels must be powers of two")
+
+    def run(t: pa.Table) -> pa.Table:
+        rows = {c: [] for c in ("image_id", "band", "data", "w", "h",
+                                "dtype", "geotransform")}
+
+        def emit(iid, band, arr, gt, dt):
+            rows["image_id"].append(iid)
+            rows["band"].append(band)
+            rows["data"].append(np.ascontiguousarray(arr).tobytes())
+            rows["w"].append(arr.shape[1])
+            rows["h"].append(arr.shape[0])
+            rows["dtype"].append(dt)
+            rows["geotransform"].append(gt)
+
+        for i in range(t.num_rows):
+            dt = t["dtype"][i].as_py()
+            arr = np.frombuffer(t["data"][i].as_py(),
+                                np.dtype(dt)).reshape(
+                t["h"][i].as_py(), t["w"][i].as_py())
+            gt = t["geotransform"][i].as_py()
+            iid = str(t["image_id"][i].as_py())
+            band = int(t["band"][i].as_py())
+            emit(iid, band, arr, gt, dt)
+            cur, level = arr, 1
+            for v in lv:
+                while level < v:
+                    # the kernel computes in float64; overviews keep
+                    # the band dtype like the reference's AVERAGE
+                    cur = downsample2_average(cur).astype(
+                        np.dtype(dt), copy=False)
+                    level *= 2
+                ogt = (None if gt is None else
+                       [gt[0], gt[1] * v, gt[2], gt[3], gt[4],
+                        gt[5] * v])
+                emit(f"{iid}@ovr_{v}", band, cur, ogt, dt)
+        return pa.Table.from_pydict({
+            "image_id": pa.array(rows["image_id"], pa.string()),
+            "band": pa.array(rows["band"], pa.int32()),
+            "data": pa.array(rows["data"], pa.binary()),
+            "w": pa.array(rows["w"], pa.int32()),
+            "h": pa.array(rows["h"], pa.int32()),
+            "dtype": pa.array(rows["dtype"], pa.string()),
+            "geotransform": pa.array(rows["geotransform"],
+                                     pa.list_(pa.float64()))})
+
+    return ds.map_batches(run, batch_format="pyarrow")

@@ -630,3 +630,48 @@ class TestSetGeomType:
         # every stroked vertex stays on the unit circle about (1, 0)
         r = np.hypot(pts[:, 0] - 1.0, pts[:, 1])
         assert np.allclose(r, 1.0, atol=1e-9)
+
+
+class TestCreateAndOverviews:
+    def test_create_appends_to_band_rows(self, ray_session):
+        import ray.data
+
+        base = ray.data.from_arrow(pa.Table.from_pydict({
+            "image_id": pa.array(["x"], pa.string()),
+            "band": pa.array([1], pa.int32()),
+            "data": pa.array([np.zeros(4, np.uint8).tobytes()],
+                             pa.binary()),
+            "w": pa.array([2], pa.int32()),
+            "h": pa.array([2], pa.int32()),
+            "dtype": pa.array(["uint8"], pa.string()),
+            "geotransform": pa.array([[0, 1, 0, 2, 0, -1]],
+                                     pa.list_(pa.float64()))}))
+        out = _collect(STEP_REGISTRY["raster-create"](
+            base, width=3, height=2, value=7, image_id="new"))
+        assert out.num_rows == 2
+        row = [r for r in out.to_pylist() if r["image_id"] == "new"][0]
+        assert np.frombuffer(row["data"], np.uint8).tolist() == [7] * 6
+
+    def test_overview_add_ladder(self, ray_session):
+        import ray.data
+
+        arr = np.arange(64, dtype=np.float32).reshape(8, 8)
+        base = ray.data.from_arrow(pa.Table.from_pydict({
+            "image_id": pa.array(["x"], pa.string()),
+            "band": pa.array([1], pa.int32()),
+            "data": pa.array([arr.tobytes()], pa.binary()),
+            "w": pa.array([8], pa.int32()),
+            "h": pa.array([8], pa.int32()),
+            "dtype": pa.array(["float32"], pa.string()),
+            "geotransform": pa.array([[0, 1, 0, 8, 0, -1]],
+                                     pa.list_(pa.float64()))}))
+        out = _collect(STEP_REGISTRY["raster-overview-add"](
+            base, levels=[2, 4]))
+        rows = {r["image_id"]: r for r in out.to_pylist()}
+        assert set(rows) == {"x", "x@ovr_2", "x@ovr_4"}
+        o2 = np.frombuffer(rows["x@ovr_2"]["data"],
+                           np.float32).reshape(4, 4)
+        # 2x2 average of the top-left block: (0+1+8+9)/4 = 4.5
+        assert o2[0, 0] == 4.5
+        assert rows["x@ovr_2"]["geotransform"][1] == 2.0
+        assert rows["x@ovr_4"]["w"] == 2
