@@ -3410,3 +3410,56 @@ def _raster_overview_add(ds, levels=(2, 4)):
                                      pa.list_(pa.float64()))})
 
     return ds.map_batches(run, batch_format="pyarrow")
+
+
+@register_step("vector-edit")
+def _vector_edit(ds, rename=None, drop=None):
+    """gdal vector edit (apps/gdalalg_vector_edit.cpp field-map
+    subset): rename fields ({"old": "new"}) and/or drop fields."""
+    import pyarrow as pa
+
+    if rename is None and drop is None:
+        raise ValueError("vector-edit needs rename= and/or drop=")
+    ren = dict(rename or {})
+    dr = set(drop or [])
+
+    def run(t: pa.Table) -> pa.Table:
+        if dr:
+            t = t.drop_columns([c for c in t.column_names if c in dr])
+        if ren:
+            t = t.rename_columns([ren.get(c, c)
+                                  for c in t.column_names])
+        return t
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+@register_step("raster-edit")
+def _raster_edit(ds, gt=None, crs=None):
+    """gdal raster edit (apps/gdalalg_raster_edit.cpp): override the
+    geotransform and/or CRS metadata columns on every row (both the
+    band-row ``geotransform`` and image-table ``gt`` spellings)."""
+    import pyarrow as pa
+
+    if gt is None and crs is None:
+        raise ValueError("raster-edit needs gt= and/or crs=")
+    new_gt = None if gt is None else [float(v) for v in gt]
+
+    def run(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if new_gt is not None:
+            for col in ("gt", "geotransform"):
+                if col in t.column_names:
+                    t = t.set_column(
+                        t.schema.get_field_index(col), col,
+                        pa.array([new_gt] * n, pa.list_(pa.float64())))
+        if crs is not None:
+            arr = pa.array([str(crs)] * n, pa.string())
+            if "crs" in t.column_names:
+                t = t.set_column(t.schema.get_field_index("crs"),
+                                 "crs", arr)
+            else:
+                t = t.append_column("crs", arr)
+        return t
+
+    return ds.map_batches(run, batch_format="pyarrow")

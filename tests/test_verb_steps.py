@@ -675,3 +675,27 @@ class TestCreateAndOverviews:
         assert o2[0, 0] == 4.5
         assert rows["x@ovr_2"]["geotransform"][1] == 2.0
         assert rows["x@ovr_4"]["w"] == 2
+
+
+class TestEditSteps:
+    def test_vector_edit_rename_drop(self, ray_session):
+        import ray.data
+
+        ds = ray.data.from_arrow(pa.Table.from_pydict(
+            {"a": [1, 2], "b": [3, 4], "c": [5, 6]}))
+        out = _collect(STEP_REGISTRY["vector-edit"](
+            ds, rename={"a": "x"}, drop=["b"]))
+        assert out.column_names == ["x", "c"]
+        assert out["x"].to_pylist() == [1, 2]
+
+    def test_raster_edit_gt_crs(self, ray_session):
+        import ray.data
+
+        ds = ray.data.from_arrow(pa.Table.from_pydict({
+            "image_id": ["i"],
+            "gt": pa.array([[0., 1., 0., 0., 0., -1.]],
+                           pa.list_(pa.float64()))}))
+        out = _collect(STEP_REGISTRY["raster-edit"](
+            ds, gt=[5, 2, 0, 9, 0, -2], crs=32633))
+        assert out["gt"][0].as_py() == [5.0, 2.0, 0.0, 9.0, 0.0, -2.0]
+        assert out["crs"][0].as_py() == "32633"
