@@ -512,6 +512,16 @@ _IMAGE_TABLE_IN = _IMAGE_TABLE_OUT | {
 }
 
 
+# unprefixed steps reachable as bare verbs, per kind — keeps
+# `vector warp` from silently resolving the raster step
+_BARE_VERBS = {
+    "raster": {"warp", "footprint", "tile-assign", "encode-image",
+               "decode-image", "georeference-gcps"},
+    "vector": {"explode-collections", "geom-stats", "style-explode",
+               "exact-dedup", "lang-id", "text-quality"},
+}
+
+
 def cmd_step_verb(kind, verb, rest):
     """Generic ``raster|vector VERB SRC [DST] [opt=val...]`` — sugar
     for a one-step pipeline, mirroring the reference's per-verb
@@ -520,8 +530,10 @@ def cmd_step_verb(kind, verb, rest):
     and the pipeline step are the same code there too)."""
     from .pipeline import STEP_REGISTRY
 
-    step = next((c for c in (f"{kind}-{verb}", verb)
-                 if c in STEP_REGISTRY), None)
+    cands = [f"{kind}-{verb}"]
+    if verb in _BARE_VERBS.get(kind, ()):
+        cands.append(verb)
+    step = next((c for c in cands if c in STEP_REGISTRY), None)
     if step is None:
         raise SystemExit(
             f"unknown {kind} command {verb!r}; registered steps: "
@@ -594,6 +606,8 @@ def cmd_dataset(args):
                     (".shp", ".shx", ".dbf", ".prj", ".cpg")]
         return [path]
 
+    if not os.path.exists(src):
+        raise SystemExit(f"dataset {sub}: {src!r} does not exist")
     files = sidecars(src)
     if sub == "delete":
         for f in files:

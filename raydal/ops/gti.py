@@ -143,7 +143,8 @@ def mosaic_dataset(ds, res=None, extent=None, tile_size=512,
     meta_wh = "w" in names and "h" in names
 
     def extents(t: pa.Table) -> pa.Table:
-        x0s, y0s, x1s, y1s, rx, ry = [], [], [], [], [], []
+        x0s, y0s, x1s, y1s = [], [], [], []
+        min_id = min_rx = min_ry = None
         for i in range(t.num_rows):
             gt = t["gt"][i].as_py()
             if gt is None:
@@ -156,18 +157,28 @@ def mosaic_dataset(ds, res=None, extent=None, tile_size=512,
             x1s.append(gt[0] + gt[1] * w)
             y1s.append(gt[3])
             y0s.append(gt[3] + gt[5] * h)
-            rx.append(abs(gt[1]))
-            ry.append(abs(gt[5]))
+            iid = str(t["image_id"][i].as_py())
+            if min_id is None or iid < min_id:
+                min_id, min_rx, min_ry = iid, abs(gt[1]), abs(gt[5])
         if not x0s:
             return pa.Table.from_pydict(
-                {k: pa.array([], pa.float64())
-                 for k in ("x0", "y0", "x1", "y1", "rx", "ry")})
+                {"x0": pa.array([], pa.float64()),
+                 "y0": pa.array([], pa.float64()),
+                 "x1": pa.array([], pa.float64()),
+                 "y1": pa.array([], pa.float64()),
+                 "rx": pa.array([], pa.float64()),
+                 "ry": pa.array([], pa.float64()),
+                 "min_id": pa.array([], pa.string())})
         return pa.Table.from_pydict({
             "x0": pa.array([min(x0s)]), "y0": pa.array([min(y0s)]),
             "x1": pa.array([max(x1s)]), "y1": pa.array([max(y1s)]),
-            "rx": pa.array([rx[0]]), "ry": pa.array([ry[0]])})
+            "rx": pa.array([min_rx]), "ry": pa.array([min_ry]),
+            "min_id": pa.array([min_id], pa.string())})
 
+    # resolution comes from the FIRST image in image_id order — a
+    # deterministic choice (Ray block arrival order is not)
     x0 = y0 = x1 = y1 = rx = ry = None
+    best_id = None
     for b in ds.map_batches(extents, batch_format="pyarrow") \
                .iter_batches(batch_format="pyarrow"):
         for i in range(b.num_rows):
@@ -177,7 +188,9 @@ def mosaic_dataset(ds, res=None, extent=None, tile_size=512,
             y0 = vy0 if y0 is None else min(y0, vy0)
             x1 = vx1 if x1 is None else max(x1, vx1)
             y1 = vy1 if y1 is None else max(y1, vy1)
-            if rx is None:
+            bid = b["min_id"][i].as_py()
+            if best_id is None or bid < best_id:
+                best_id = bid
                 rx, ry = b["rx"][i].as_py(), b["ry"][i].as_py()
     if x0 is None:
         raise ValueError("mosaic: no georeferenced input rows")
@@ -263,9 +276,16 @@ def mosaic_dataset(ds, res=None, extent=None, tile_size=512,
             sel_y = np.nonzero(ok_y)[0]
             sel_x = np.nonzero(ok_x)[0]
             block = px[cy[sel_y][:, None], cx[sel_x][None, :], :]
-            acc[np.ix_(sel_y, sel_x)] = block[
-                :, :, :nbands] if block.shape[2] >= nbands \
-                else block.repeat(nbands, axis=2)
+            if block.shape[2] >= nbands:
+                block = block[:, :, :nbands]
+            elif block.shape[2] == 1:   # gray replicates to all bands
+                block = np.repeat(block, nbands, axis=2)
+            else:                       # the reference errors likewise
+                raise ValueError(
+                    f"mosaic: input has {block.shape[2]} bands but "
+                    f"the mosaic has {nbands}; mixed multi-band "
+                    "counts are not composable")
+            acc[np.ix_(sel_y, sel_x)] = block
         gt_out = [wx0, rx, 0.0, wy1, 0.0, -ry]
         rows = {"image_id": [], "band": [], "data": [], "w": [],
                 "h": [], "dtype": [], "geotransform": []}

@@ -38,7 +38,8 @@ from .polygonize import label_components, trace_boundary
 __all__ = ["VectorReproject", "reproject_wkb", "explode_batch", "swap_xy",
            "segmentize", "simplify_dp", "centroid", "convex_hull",
            "buffer_point", "buffer_convex", "geometry_stats_batch",
-           "raster_footprint"]
+           "raster_footprint", "segmentize_wkb", "simplify_wkb",
+           "make_valid_wkb", "buffer_wkb", "erode_ring"]
 
 
 def _map_coords(parsed, fn):
@@ -758,6 +759,42 @@ def make_valid_wkb(blob):
     return W.multipolygon_wkb(polys)
 
 
+def erode_ring(ring, dist, px=None):
+    """Negative buffer (erosion) of the region enclosed by ``ring``:
+    the distance field measured INWARD from the boundary, contoured at
+    ``dist`` — the complement construction of :func:`buffer_ring`,
+    same resolution bound (error ≤ ~1 px).  Returns the surviving
+    rings (possibly none — the region can vanish)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    if dist <= 0:
+        raise ValueError("erode_ring needs dist > 0")
+    if px is None:
+        px = dist / 8.0
+    x0, y0 = ring[:, 0].min(), ring[:, 1].min()
+    x1, y1 = ring[:, 0].max(), ring[:, 1].max()
+    pad = 3 * px
+    gx0, gy0 = x0 - pad, y0 - pad
+    w = int(np.ceil((x1 - x0 + 2 * pad) / px)) + 1
+    h = int(np.ceil((y1 - y0 + 2 * pad) / px)) + 1
+    xs = gx0 + (np.arange(w) + 0.5) * px
+    ys = gy0 + (np.arange(h) + 0.5) * px
+    XX, YY = np.meshgrid(xs, ys)
+    inside = W.points_in_polygon([ring], XX.ravel(),
+                                 YY.ravel()).reshape(h, w)
+    d = np.sqrt(_edt2(~inside)) * px   # distance to the EXTERIOR
+    segs = contour_segments(d, dist)
+    out = []
+    for r in chain_segments(segs):
+        r = np.asarray(r, dtype=np.float64)
+        wr = np.stack([gx0 + (r[:, 0] + 0.5) * px,
+                       gy0 + (r[:, 1] + 0.5) * px], axis=1)
+        if not np.allclose(wr[0], wr[-1]):
+            wr = np.vstack([wr, wr[:1]])
+        if abs(ring_area(wr)) > (2 * px) ** 2:
+            out.append(wr)
+    return out
+
+
 def buffer_wkb(blob, distance, quad_segs=8, px=None):
     """``vector buffer`` over WKB: exact circle/offset-arc buffers for
     points and convex rings (:func:`buffer_point` /
@@ -781,11 +818,18 @@ def buffer_wkb(blob, distance, quad_segs=8, px=None):
                       else [p for (_, p) in payload]):
             outer = np.asarray(rings[0], dtype=np.float64)
             if _is_convex(outer):
-                out.append([buffer_convex(outer, distance, quad_segs)])
+                poly = [buffer_convex(outer, distance, quad_segs)]
             else:
                 loops = buffer_ring(outer, distance, px=px)
-                shell = max(loops, key=lambda r: abs(ring_area(r)))
-                out.append([shell])
+                poly = [max(loops, key=lambda r: abs(ring_area(r)))]
+            # positive buffer SHRINKS holes by the same distance
+            # (GEOS Buffer keeps eroded interior rings); holes that
+            # erode away vanish
+            for hole in rings[1:]:
+                poly.extend(erode_ring(
+                    np.asarray(hole, dtype=np.float64), distance,
+                    px=px))
+            out.append(poly)
         if len(out) == 1:
             return W.polygon_wkb(out[0])
         return W.multipolygon_wkb(out)

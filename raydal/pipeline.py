@@ -2855,17 +2855,22 @@ def _vector_grid(ds, algorithm="invdist", width=256, height=256,
     w, h = int(width), int(height)
     # split the target grid into row bands so interpolation parallelizes
     nstrips = max(min(h // 64, 16), 1)
-    bounds = np.linspace(y0, y1, nstrips + 1)
-    hs = np.diff(np.round(np.linspace(0, h, nstrips + 1)).astype(int))
+    res_y = (y1 - y0) / h
+    # strip world bounds derive from the PIXEL-row split (not an even
+    # world split) so every strip renders at exactly the output
+    # resolution and rows land where the geotransform says
+    cum = np.round(np.linspace(0, h, nstrips + 1)).astype(int)
+    hs = np.diff(cum)
+    sy1 = y1 - cum[:-1] * res_y      # strip tops, north-first
+    sy0 = y1 - cum[1:] * res_y
     tiles = pa.Table.from_pydict({
         "tile_id": pa.array(np.arange(nstrips), pa.int64()),
-        "x0": pa.array([x0] * nstrips), "y0": pa.array(bounds[:-1]),
-        "x1": pa.array([x1] * nstrips), "y1": pa.array(bounds[1:]),
+        "x0": pa.array([x0] * nstrips), "y0": pa.array(sy0),
+        "x1": pa.array([x1] * nstrips), "y1": pa.array(sy1),
         "th": pa.array(hs.astype(np.int64))})
     grid_kw = dict(kw)
-    out = ray.data.from_arrow(tiles)
-    # one task per strip; strip heights vary, so pass w/h per call
-    res_y = (y1 - y0) / h
+    # one block per strip so the strips actually run in parallel
+    out = ray.data.from_arrow(tiles).repartition(nstrips)
 
     def interp(t: pa.Table, _idx=idx_ref) -> pa.Table:
         index_l = SpatialJoinZones._resolve(_idx)
@@ -2887,9 +2892,9 @@ def _vector_grid(ds, algorithm="invdist", width=256, height=256,
     parts = pa.concat_tables(
         b for b in out.map_batches(interp, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow"))
-    # grid_tile emits north-up rows per strip; strip 0 is the SOUTH
-    # band (bounds ascend), so stack strips north-first
-    order = np.argsort(np.asarray(parts["tile_id"]))[::-1]
+    # grid_tile emits north-up rows per strip; strip ids count from
+    # the NORTH edge now, so stack in ascending id order
+    order = np.argsort(np.asarray(parts["tile_id"]))
     full = np.concatenate(
         [np.frombuffer(parts["data"][int(i)].as_py(),
                        dtype=np.float64).reshape(-1, w)
@@ -3102,8 +3107,11 @@ def _raster_pixel_info(ds, points, resample="bilinear"):
                 ids.append(img_id)
                 xs_o.append(wx)
                 ys_o.append(wy)
-                vals.append(float(interpolate_at_point(
-                    band, cx, cy, resample=resample)))
+                v = interpolate_at_point(band, cx, cy,
+                                         resample=resample)
+                # out-of-domain points report null, the
+                # gdallocationinfo 'outside' case — never crash
+                vals.append(None if v is None else float(v))
         return pa.Table.from_pydict({
             "image_id": pa.array(ids),
             "x": pa.array(xs_o, pa.float64()),
@@ -3198,6 +3206,7 @@ def _raster_stack(ds, out_id="stack"):
     metadata pass collects the distinct ids; the band reassignment is
     then embarrassingly parallel over band rows — the groupby that
     co-locates bands belongs to the SINK (one file), not this step."""
+    import numpy as np
     import pyarrow as pa
 
     from .io.codecs import decode
@@ -3209,16 +3218,20 @@ def _raster_stack(ds, out_id="stack"):
                     "h": [], "dtype": [], "geotransform": []}
             for i in range(t.num_rows):
                 px = decode(t["bytes"][i].as_py())
-                band = px[:, :, 0] if px.ndim == 3 else px
-                rows["image_id"].append(str(t["image_id"][i].as_py()))
-                rows["band"].append(1)
-                rows["data"].append(band.tobytes())
-                rows["w"].append(band.shape[1])
-                rows["h"].append(band.shape[0])
-                rows["dtype"].append(str(band.dtype))
-                rows["geotransform"].append(
-                    t["gt"][i].as_py() if "gt" in t.column_names
-                    else None)
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                gt = (t["gt"][i].as_py()
+                      if "gt" in t.column_names else None)
+                for b in range(px.shape[2]):   # EVERY band stacks
+                    band = np.ascontiguousarray(px[:, :, b])
+                    rows["image_id"].append(
+                        str(t["image_id"][i].as_py()))
+                    rows["band"].append(b + 1)
+                    rows["data"].append(band.tobytes())
+                    rows["w"].append(band.shape[1])
+                    rows["h"].append(band.shape[0])
+                    rows["dtype"].append(str(band.dtype))
+                    rows["geotransform"].append(gt)
             return pa.Table.from_pydict({
                 "image_id": pa.array(rows["image_id"], pa.string()),
                 "band": pa.array(rows["band"], pa.int32()),
@@ -3231,21 +3244,17 @@ def _raster_stack(ds, out_id="stack"):
 
         ds = ds.map_batches(to_band, batch_format="pyarrow")
 
-    ids = sorted(set(
-        v for b in ds.select_columns(["image_id"])
-        .iter_batches(batch_format="pyarrow")
-        for v in b["image_id"].to_pylist()))
-    base = {}
-    off = 0
-    # bands of input k stack after all bands of inputs < k; per-input
-    # band counts come from the same bounded metadata pass
+    # ONE bounded metadata pass: per-input max band index; ids are its
+    # keys, sorted — bands of input k stack after all inputs < k
     counts = {}
     for b in ds.select_columns(["image_id", "band"]) \
                .iter_batches(batch_format="pyarrow"):
         for iid, bd in zip(b["image_id"].to_pylist(),
                            b["band"].to_pylist()):
             counts[iid] = max(counts.get(iid, 0), int(bd))
-    for iid in ids:
+    base = {}
+    off = 0
+    for iid in sorted(counts):
         base[iid] = off
         off += counts[iid]
 

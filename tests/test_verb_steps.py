@@ -699,3 +699,135 @@ class TestEditSteps:
             ds, gt=[5, 2, 0, 9, 0, -2], crs=32633))
         assert out["gt"][0].as_py() == [5.0, 2.0, 0.0, 9.0, 0.0, -2.0]
         assert out["crs"][0].as_py() == "32633"
+
+
+class TestReviewFixes:
+    """Regression coverage for the round-5 final-session review."""
+
+    def test_pixel_info_outside_is_null(self, ray_session):
+        band = np.zeros((4, 4), dtype=np.uint8)
+        ds = _img_ds(ray_session, band)
+        out = _collect(STEP_REGISTRY["raster-pixel-info"](
+            ds, points=[[100.0, 100.0], [1.5, 2.5]]))
+        assert out["value"][0].as_py() is None
+        assert out["value"][1].as_py() == 0.0
+
+    def test_buffer_keeps_shrunken_hole(self, ray_session):
+        import ray.data
+
+        outer = np.array([[0., 0.], [10., 0.], [10., 10.], [0., 10.],
+                          [0., 0.]])
+        hole = np.array([[3., 3.], [7., 3.], [7., 7.], [3., 7.],
+                         [3., 3.]])
+        ds = ray.data.from_arrow(pa.Table.from_pydict(
+            {"wkb": pa.array([W.polygon_wkb([outer, hole])],
+                             pa.binary())}))
+        out = _collect(STEP_REGISTRY["vector-buffer"](
+            ds, distance=0.5))
+        _, rings = W.parse_wkb(out["wkb"][0].as_py())
+        assert len(rings) == 2  # the hole survives, shrunken
+        from raydal.geo.clip import ring_area
+
+        hole_area = abs(ring_area(rings[1]))
+        # 4x4 hole eroded by 0.5 → ~3x3 (+rounded corners deficit),
+        # within the distance-field kernel's ~1px resolution bound
+        assert 7.0 < hole_area < 9.5
+        # a hole smaller than the buffer distance vanishes
+        tiny = np.array([[4., 4.], [4.6, 4.], [4.6, 4.6], [4., 4.6],
+                         [4., 4.]])
+        ds2 = ray.data.from_arrow(pa.Table.from_pydict(
+            {"wkb": pa.array([W.polygon_wkb([outer, tiny])],
+                             pa.binary())}))
+        out2 = _collect(STEP_REGISTRY["vector-buffer"](
+            ds2, distance=0.5))
+        _, rings2 = W.parse_wkb(out2["wkb"][0].as_py())
+        assert len(rings2) == 1
+
+    def test_mosaic_gray_replicates_mixed_raises(self, ray_session):
+        import ray.data
+
+        from raydal.io.codecs import encode
+        from raydal.ops.gti import mosaic_dataset
+
+        rgb = np.zeros((4, 4, 3), dtype=np.uint8) + 30
+        gray = np.full((4, 4), 90, dtype=np.uint8)
+        tbl = pa.Table.from_pydict({
+            "image_id": pa.array(["a_rgb", "b_gray"], pa.string()),
+            "bytes": pa.array([encode(rgb, "tiff"),
+                               encode(gray, "tiff")], pa.binary()),
+            "gt": pa.array([[0.0, 1.0, 0.0, 4.0, 0.0, -1.0],
+                            [4.0, 1.0, 0.0, 4.0, 0.0, -1.0]],
+                           pa.list_(pa.float64()))})
+        out = _collect(mosaic_dataset(
+            ray_session.data.from_arrow(tbl)))
+        assert out.num_rows == 3  # 3 bands
+        g0 = np.frombuffer(out["data"][0].as_py(),
+                           np.uint8).reshape(4, 8)
+        assert g0[0, 0] == 30 and g0[0, 7] == 90  # gray replicated
+        # mixed 2-band vs 3-band inputs raise instead of mis-tiling
+        two = np.zeros((4, 4, 2), dtype=np.uint8)
+        tbl2 = pa.Table.from_pydict({
+            "image_id": pa.array(["a_rgb", "b_two"], pa.string()),
+            "bytes": pa.array([encode(rgb, "tiff"),
+                               encode(two, "tiff")], pa.binary()),
+            "gt": pa.array([[0.0, 1.0, 0.0, 4.0, 0.0, -1.0],
+                            [2.0, 1.0, 0.0, 4.0, 0.0, -1.0]],
+                           pa.list_(pa.float64()))})
+        with pytest.raises(Exception, match="bands"):
+            _collect(mosaic_dataset(
+                ray_session.data.from_arrow(tbl2)))
+
+    def test_stack_image_table_all_bands(self, ray_session):
+        import ray.data
+
+        from raydal.io.codecs import encode
+
+        rgb = np.stack([np.full((2, 2), v, np.uint8)
+                        for v in (1, 2, 3)], axis=2)
+        ds = ray.data.from_arrow(pa.Table.from_pydict({
+            "image_id": pa.array(["x"], pa.string()),
+            "bytes": pa.array([encode(rgb, "tiff")], pa.binary()),
+            "fmt": pa.array(["tiff"], pa.string()),
+            "gt": pa.array([[0., 1., 0., 2., 0., -1.]],
+                           pa.list_(pa.float64()))}))
+        out = _collect(STEP_REGISTRY["raster-stack"](ds))
+        assert out.num_rows == 3
+        vals = {out["band"][i].as_py():
+                np.frombuffer(out["data"][i].as_py(), np.uint8)[0]
+                for i in range(3)}
+        assert vals == {1: 1, 2: 2, 3: 3}
+
+    def test_dataset_missing_path_errors(self, tmp_path):
+        r = _run_cli(["dataset", "rename", "missing.shp", "out.shp"],
+                     cwd=tmp_path)
+        assert r.returncode != 0
+        assert "does not exist" in r.stderr
+
+    def test_cross_kind_bare_verb_rejected(self, tmp_path):
+        import json as _json
+
+        _json.dump({"type": "FeatureCollection", "features": []},
+                   open(tmp_path / "e.geojson", "w"))
+        r = _run_cli(["vector", "warp", "e.geojson"], cwd=tmp_path)
+        assert r.returncode != 0
+        assert "unknown vector command" in r.stderr
+
+    def test_grid_non_divisible_height(self, ray_session):
+        import ray.data
+
+        # 96 rows / 1 strip boundary with h % nstrips issues: nearest
+        # values must land exactly where the geotransform says even
+        # when strips round unevenly
+        tbl = pa.Table.from_pydict({
+            "x": pa.array([0.5, 0.5]),
+            "y": pa.array([0.25, 95.75]),
+            "v": pa.array([1.0, 2.0])})
+        ds = ray.data.from_arrow(tbl)
+        out = _collect(STEP_REGISTRY["vector-grid"](
+            ds, algorithm="nearest", width=1, height=96,
+            extent=[0, 0, 1, 96], x_col="x", y_col="y",
+            value_col="v", radius=200.0))
+        grid = np.frombuffer(out["data"][0].as_py(),
+                             np.float64).reshape(96, 1)
+        assert grid[0, 0] == 2.0    # north row → the y=95.75 point
+        assert grid[95, 0] == 1.0   # south row → the y=0.25 point
