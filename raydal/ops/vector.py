@@ -39,7 +39,7 @@ __all__ = ["VectorReproject", "reproject_wkb", "explode_batch", "swap_xy",
            "segmentize", "simplify_dp", "centroid", "convex_hull",
            "buffer_point", "buffer_convex", "geometry_stats_batch",
            "raster_footprint", "segmentize_wkb", "simplify_wkb",
-           "make_valid_wkb", "buffer_wkb", "erode_ring"]
+           "make_valid_wkb", "buffer_wkb", "erode_ring", "simplify_coverage"]
 
 
 def _map_coords(parsed, fn):
@@ -836,3 +836,80 @@ def buffer_wkb(blob, distance, quad_segs=8, px=None):
     raise NotImplementedError(
         f"buffer of WKB geometry type {t} is out of scope "
         "(points and polygons ship; lines need a full offset curve)")
+
+
+def simplify_coverage(rings_by_id, tolerance):
+    """Coverage-preserving simplification — ``gdal vector
+    simplify-coverage`` (apps/gdalalg_vector_simplify_coverage.cpp,
+    GEOS 3.12 CoverageSimplifier semantics): every shared boundary
+    simplifies ONCE, so adjacent polygons keep identical edges and the
+    coverage stays gap- and overlap-free.
+
+    ``rings_by_id``: {feature_id: outer ring ndarray (closed)}.
+    Algorithm: (1) decompose rings into undirected edges and find
+    junction nodes (vertex degree != 2 in the shared-edge graph);
+    (2) cut each ring into arcs at junctions; (3) Douglas-Peucker each
+    UNIQUE arc once (endpoints pinned); (4) rebuild every ring from
+    the shared simplified arcs.  Rings with no junctions simplify as
+    one closed arc anchored at their first vertex.
+    """
+    def key(p):
+        return (float(p[0]), float(p[1]))
+
+    # 1. undirected edge degree per vertex
+    from collections import defaultdict
+
+    neighbors = defaultdict(set)
+    for rid, ring in rings_by_id.items():
+        pts = np.asarray(ring, dtype=np.float64)
+        for i in range(len(pts) - 1):
+            a, b = key(pts[i]), key(pts[i + 1])
+            neighbors[a].add(b)
+            neighbors[b].add(a)
+    junctions = {v for v, ns in neighbors.items() if len(ns) != 2}
+
+    # 2/3. arcs, simplified once per unique undirected chain
+    cache = {}
+
+    def simp_arc(chain):
+        k_fwd = tuple(key(p) for p in chain)
+        k_rev = k_fwd[::-1]
+        if k_fwd in cache:
+            return cache[k_fwd]
+        if k_rev in cache:
+            return cache[k_rev][::-1]
+        out = simplify_dp(np.asarray(chain, dtype=np.float64),
+                          tolerance)
+        cache[k_fwd] = out
+        return out
+
+    out_rings = {}
+    for rid, ring in rings_by_id.items():
+        pts = np.asarray(ring, dtype=np.float64)[:-1]  # drop closure
+        n = len(pts)
+        cut = [i for i in range(n) if key(pts[i]) in junctions]
+        if not cut:
+            # closed isolated ring: anchor at vertex 0 so the shared
+            # cache still applies if an identical ring recurs
+            closed = np.vstack([pts, pts[:1]])
+            s = simp_arc(closed)
+            if len(s) < 4:
+                s = closed  # too coarse to stay a ring — keep input
+            out_rings[rid] = s
+            continue
+        parts = []
+        for ci in range(len(cut)):
+            i0, i1 = cut[ci], cut[(ci + 1) % len(cut)]
+            if i1 > i0:
+                chain = pts[i0:i1 + 1]
+            else:
+                chain = np.vstack([pts[i0:], pts[:i1 + 1]])
+            parts.append(simp_arc(chain))
+        seq = [parts[0]]
+        for p in parts[1:]:
+            seq.append(p[1:])
+        ring_out = np.vstack(seq)
+        if not np.array_equal(ring_out[0], ring_out[-1]):
+            ring_out = np.vstack([ring_out, ring_out[:1]])
+        out_rings[rid] = ring_out
+    return out_rings

@@ -3472,3 +3472,39 @@ def _raster_edit(ds, gt=None, crs=None):
         return t
 
     return ds.map_batches(run, batch_format="pyarrow")
+
+
+@register_step("vector-simplify-coverage")
+def _vector_simplify_coverage(ds, tolerance, id_col="fid",
+                              wkb_col="wkb"):
+    """gdal vector simplify-coverage
+    (apps/gdalalg_vector_simplify_coverage.cpp, GEOS 3.12
+    CoverageSimplifier semantics): shared boundaries simplify ONCE so
+    the polygon coverage stays gap- and overlap-free.  Arc
+    decomposition needs the whole coverage's junction graph, so the
+    layer is collected once on the driver — exactly the reference's
+    memory model (GEOS builds the full coverage in RAM); a 100-TB
+    coverage would pre-partition by region and run this per region."""
+    import pyarrow as pa
+    import ray.data
+
+    from .geo import wkb as _W
+    from .ops.vector import simplify_coverage
+
+    tbl = pa.concat_tables(
+        b for b in ds.iter_batches(batch_format="pyarrow"))
+    rings = {}
+    for i in range(tbl.num_rows):
+        rid = tbl[id_col][i].as_py()
+        blob = tbl[wkb_col][i].as_py()
+        if _W.wkb_geom_type(blob) != _W.POLYGON:
+            raise ValueError("simplify-coverage expects a POLYGON "
+                             "coverage")
+        rings[rid] = _W.polygons_from_wkb(blob)[0][0]
+    out = simplify_coverage(rings, float(tolerance))
+    idx = tbl.schema.get_field_index(wkb_col)
+    tbl = tbl.set_column(
+        idx, wkb_col,
+        pa.array([_W.polygon_wkb([out[tbl[id_col][i].as_py()]])
+                  for i in range(tbl.num_rows)], pa.binary()))
+    return ray.data.from_arrow(tbl)

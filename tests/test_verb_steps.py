@@ -831,3 +831,33 @@ class TestReviewFixes:
                              np.float64).reshape(96, 1)
         assert grid[0, 0] == 2.0    # north row → the y=95.75 point
         assert grid[95, 0] == 1.0   # south row → the y=0.25 point
+
+
+class TestSimplifyCoverage:
+    def test_shared_boundary_stays_shared(self, ray_session):
+        import ray.data
+
+        from raydal.geo.clip import ring_area
+
+        # 2x1 coverage with a densified wiggly shared edge at x=2
+        t = np.linspace(0, 4, 17)
+        shared = np.stack([2 + 0.05 * np.sin(np.pi * t), t], axis=1)
+        left = np.vstack([shared, [[0, 4]], [[0, 0]], shared[:1]])
+        right = np.vstack([shared[::-1], [[4, 0]], [[4, 4]],
+                           shared[-1:]])
+        ds = ray.data.from_arrow(pa.Table.from_pydict({
+            "fid": pa.array([0, 1], pa.int64()),
+            "wkb": pa.array([W.polygon_wkb([left]),
+                             W.polygon_wkb([right])], pa.binary())}))
+        out = _collect(STEP_REGISTRY["vector-simplify-coverage"](
+            ds, tolerance=0.2))
+        rl = W.polygons_from_wkb(out["wkb"][0].as_py())[0][0]
+        rr = W.polygons_from_wkb(out["wkb"][1].as_py())[0][0]
+        # simplified AND still a partition of the 4x4 square
+        assert len(rl) < len(left) and len(rr) < len(right)
+        assert abs(ring_area(rl)) + abs(ring_area(rr)) == \
+            pytest.approx(16.0, abs=1e-9)
+        # every vertex of the shared edge appears in BOTH outputs
+        setl = {tuple(p) for p in rl}
+        setr = {tuple(p) for p in rr}
+        assert {(2.0, 0.0), (2.0, 4.0)} <= (setl & setr)
