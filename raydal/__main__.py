@@ -655,7 +655,9 @@ def main(argv=None):
             else:
                 cmd_step_verb(argv[0], sub, rest)
         elif argv[0] == "mdim" and len(argv) > 1:
-            if argv[1] == "translate":
+            # "convert" is the reference's alias for translate
+            # (apps/gdalalg_mdim_convert.cpp)
+            if argv[1] in ("translate", "convert"):
                 cmd_mdim_translate(argv[2:])
             elif argv[1] == "info":
                 cmd_mdim_info(argv[2:])
