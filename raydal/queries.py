@@ -6075,13 +6075,18 @@ def q105_dup_ngram_docs(sf_dir):
     # join the pair stream back on the gram hash, (4) per-doc count.
     # No per-group Python: two aggregates + one equi join, all keyed on
     # the same 63-bit hash.
+    import ray
+
     per_gram = pairs.groupby("gh").count()
     dup = per_gram.map_batches(
         lambda t: t.filter(pc.greater_equal(t["count()"], 2))
                    .select(["gh"]),
         batch_format="pyarrow")
-    joined = pairs.join(dup, join_type="inner", num_partitions=8,
-                        on=("gh",))
+    # partition count scales with the cluster, not a constant — at
+    # 100 TB the gram-hash join is the widest exchange in the query
+    nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    joined = pairs.join(dup, join_type="inner",
+                        num_partitions=nparts, on=("gh",))
     out = joined.groupby("doc_id").count()
 
     def rename(t: pa.Table) -> pa.Table:
