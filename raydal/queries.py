@@ -6351,6 +6351,74 @@ FROM sc ORDER BY ROUND(sc, 6) DESC, doc_id LIMIT 10
 """
 
 
+def q110_pixel_info(sf_dir):
+    """Driver-visible oracle for the ``InterpolateAtPoint`` kernel
+    (``alg/gdal_interpolateatpoint.cpp`` corner-based bilinear, the
+    `raster pixel-info` CLI verb / gdallocationinfo): per nation, a
+    16×16 integer-LCG band is sampled at 4 interior fractional points
+    whose bilinear value the SQL oracle reproduces arithmetically.
+    Exactness: band values and point coordinates are integer-derived
+    (exact in both engines); the bilinear blend is 3 multiplies/adds
+    of exact dyadic fractions, rounded to 6 on both sides."""
+    import ray.data
+
+    from .kernels.resample import interpolate_at_point
+
+    rr = np.arange(16, dtype=np.int64)[:, None]
+    cc = np.arange(16, dtype=np.int64)[None, :]
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["n_nationkey"], dtype=np.int64)
+        out = {"n_nationkey": [], "pt": [], "value": []}
+        for k in keys:
+            k = int(k)
+            band = ((31 * k + 7 * rr + 11 * cc + rr * cc) % 97) \
+                .astype(np.float64)
+            for j in range(4):
+                # interior corner-based coords in [1.25, 14.75]:
+                # x = 1 + ((k*4+j) % 14) + j/4 keeps a dyadic frac
+                x = 1.0 + ((k * 4 + j) % 13) + j / 4.0
+                y = 1.0 + ((k * 5 + j) % 13) + (3 - j) / 4.0
+                v = interpolate_at_point(band, x, y,
+                                         resample="bilinear")
+                out["n_nationkey"].append(k)
+                out["pt"].append(j)
+                out["value"].append(float(round_half_away(v, 6)))
+        return pa.Table.from_pydict({
+            "n_nationkey": pa.array(out["n_nationkey"], pa.int64()),
+            "pt": pa.array(out["pt"], pa.int64()),
+            "value": pa.array(out["value"], pa.float64())})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(fn, batch_format="pyarrow")
+
+
+# InterpolateAtPoint's corner-based convention: sample coordinate
+# (x, y) lies between pixel centers (x-0.5, y-0.5); with interior
+# points, ix = floor(x-0.5), fx = (x-0.5) - ix and the 4-tap blend.
+SQL_Q110 = """
+WITH pts AS (
+    SELECT n_nationkey AS k, j.j AS pt,
+           1.0 + ((n_nationkey * 4 + j.j) % 13) + j.j / 4.0 AS x,
+           1.0 + ((n_nationkey * 5 + j.j) % 13) + (3 - j.j) / 4.0 AS y
+    FROM nation, (SELECT UNNEST(RANGE(0, 4)) AS j) j),
+g AS (
+    SELECT k, pt,
+           CAST(FLOOR(x - 0.5) AS BIGINT) AS ix,
+           CAST(FLOOR(y - 0.5) AS BIGINT) AS iy,
+           (x - 0.5) - FLOOR(x - 0.5) AS fx,
+           (y - 0.5) - FLOOR(y - 0.5) AS fy
+    FROM pts)
+SELECT CAST(k AS BIGINT) AS n_nationkey, pt,
+       ROUND((1 - fy) * ((1 - fx) * ((31*k + 7*iy + 11*ix + iy*ix) % 97)
+                         + fx * ((31*k + 7*iy + 11*(ix+1) + iy*(ix+1)) % 97))
+             + fy * ((1 - fx) * ((31*k + 7*(iy+1) + 11*ix + (iy+1)*ix) % 97)
+                     + fx * ((31*k + 7*(iy+1) + 11*(ix+1) + (iy+1)*(ix+1)) % 97)),
+             6) AS value
+FROM g
+"""
+
+
 def q109_repetition_filter(sf_dir):
     """Within-document repetition quality filter (the Gopher-rules
     family, Rae et al. 2021 — duplicate n-gram fraction): per doc,
@@ -6517,6 +6585,7 @@ QUERIES = {
     "q107_stratified_sample": (q107_stratified_sample, SQL_Q107),
     "q108_bm25_topk": (q108_bm25_topk, SQL_Q108),
     "q109_repetition_filter": (q109_repetition_filter, SQL_Q109),
+    "q110_pixel_info": (q110_pixel_info, SQL_Q110),
 }
 
 
@@ -6549,7 +6618,7 @@ def query_fns():
              "q103_mdim_translate", "q104_superoverlay_roundtrip",
              "q105_dup_ngram_docs", "q106_kmeans_assign",
              "q107_stratified_sample", "q108_bm25_topk",
-             "q109_repetition_filter"}
+             "q109_repetition_filter", "q110_pixel_info"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}
