@@ -32,6 +32,7 @@ _EXT_SOURCE = {
     ".dgn": "dgn", ".dxf": "dxf", ".mbtiles": "mbtiles",
     ".dt0": "dted", ".dt1": "dted", ".dt2": "dted", ".hgt": "hgt",
     ".xyz": "xyz", ".gmt": "gmt", ".kmz": "kmlsuperoverlay",
+    ".zarr": "zarr", ".zr3": "zarr",
 }
 _EXT_SINK = {
     ".parquet": "parquet", ".tif": "gtiff", ".tiff": "gtiff",
@@ -40,7 +41,7 @@ _EXT_SINK = {
     ".gml": "gml", ".kml": "kml", ".gpx": "gpx", ".mif": "mif",
     ".nc": "netcdf", ".grb": "grib", ".jp2": "jp2", ".gdb": "filegdb",
     ".mbtiles": "mbtiles", ".dt0": "dted", ".dt1": "dted",
-    ".dt2": "dted", ".xyz": "xyz", ".gmt": "gmt",
+    ".dt2": "dted", ".xyz": "xyz", ".gmt": "gmt", ".zarr": "zarr",
 }
 
 
@@ -181,6 +182,10 @@ def _execute(read_tokens, steps, write_stage):
         print(f"{n} rows (no write stage)")
         return ds
     out = write_sink(_sink_name(dst, w_opts), ds, dst, **w_opts)
+    # per-row raster sinks return a LAZY Dataset whose map_batches
+    # does the writing — consume it here or nothing hits disk
+    if hasattr(out, "materialize") and hasattr(out, "take_all"):
+        out = out.materialize()
     # some sinks return the serialized document rather than a path —
     # report the destination, not a content dump
     shown = out if isinstance(out, str) and len(out) <= 256 \
@@ -379,7 +384,9 @@ def cmd_layer_algebra(args):
                         z=opts.pop("z", None),
                         window=opts.pop("window", None))
     from .pipeline import write_sink
-    write_sink(_sink_name(dst, {}), out, dst)
+    res = write_sink(_sink_name(dst, {}), out, dst)
+    if hasattr(res, "materialize") and hasattr(res, "take_all"):
+        res.materialize()
     print(f"wrote {dst}")
 
 

@@ -17,10 +17,13 @@ slice so each worker decodes only its own hyperslab.
 
 from __future__ import annotations
 
+import os as _os
+
 import numpy as np
 
 from ..io.hdf5 import HDF5File
 from ..io.netcdf import _NC_DTYPE, parse_netcdf
+from ..io.zarr import open_zarr, open_zarr_array
 
 __all__ = ["Dimension", "MDArray", "parse_view", "open_mdarray",
            "mdarray_to_dataset"]
@@ -185,6 +188,37 @@ def open_mdarray(path, array, dim_names=None):
     engine's from-scratch readers).  netCDF supplies real dimension
     names; HDF5 uses dim0..n unless overridden."""
     p = str(path)
+    if p.rstrip("/").endswith((".zarr", ".zr3")) or \
+            _os.path.exists(_os.path.join(p, "zarr.json")) or \
+            _os.path.exists(_os.path.join(p, ".zgroup")) or \
+            _os.path.exists(_os.path.join(p, ".zarray")):
+        ar = open_zarr_array(p, array)
+        names = dim_names or ar.dimension_names or \
+            [f"dim{i}" for i in range(ar.ndim)]
+        root = open_zarr(p)
+        values = {}
+        if hasattr(root, "open_array"):
+            for n in names:
+                cv = root.open_array(n)
+                if cv is not None and cv.ndim == 1:
+                    values[n] = np.asarray(cv.read())
+        dims = []
+        for n, s in zip(names, ar.shape):
+            low = n.lower()
+            dtyp, direc = "", ""
+            if low in ("lat", "latitude", "y"):
+                dtyp, direc = "HORIZONTAL_Y", "NORTH"
+            elif low in ("lon", "longitude", "x"):
+                dtyp, direc = "HORIZONTAL_X", "EAST"
+            dims.append(Dimension(n, s, dim_type=dtyp,
+                                  direction=direc,
+                                  values=values.get(n)))
+        aname = array or ar.name
+
+        def zsrc():
+            return np.asarray(open_zarr_array(p, aname).read())
+
+        return MDArray(ar.name, dims, zsrc, ar.dtype)
     if p.endswith((".nc", ".nc4", ".cdf")):
         nc = parse_netcdf(p)
         v = nc.vars[array]

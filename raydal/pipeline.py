@@ -1486,6 +1486,104 @@ def _netcdf_writer():
 SINK_REGISTRY["netcdf"] = _per_row_raster_sink(_netcdf_writer)
 
 
+@register_source("zarr")
+def _src_zarr(paths, array=None, **kwargs):
+    """Classic-raster zarr open (whole array; one row per band)."""
+    import ray.data
+
+    from .io.zarr import read_zarr_raster
+
+    return ray.data.from_arrow(_raster_rows(
+        paths, lambda p: read_zarr_raster(p, array)))
+
+
+@register_source("zarr-chunks")
+def _src_zarr_chunks(paths, array=None, **kwargs):
+    """Chunk-parallel zarr read: one Ray task per stored chunk.
+
+    The driver only enumerates the chunk grid (metadata); each worker
+    opens the store itself and decodes its own chunk files — at a
+    100-TB store this is the unit of parallelism and no pixel byte
+    ever crosses the driver.  Rows carry a per-chunk geotransform so
+    downstream tile/warp stages treat each chunk as its own raster.
+    """
+    import os as _os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from .io.zarr import chunk_refs, open_zarr_array, zarr_georef
+
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    refs = []
+    for p in paths:
+        gt0, nd0 = zarr_georef(p, array)   # axis vars only, no pixels
+        for r in chunk_refs(p, array):
+            r["gt"] = list(gt0) if gt0 is not None else None
+            r["nodata"] = nd0
+            refs.append(r)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        ids, bands, datas, ws, hs, dts, gts, nds = \
+            ([] for _ in range(8))
+        cache = {}
+        for row in batch.to_pylist():
+            key = (row["path"], row["array"])
+            if key not in cache:
+                cache[key] = open_zarr_array(*key)
+            ar = cache[key]
+            gt0, nd0 = row["gt"], row["nodata"]
+            a = np.asarray(ar.read_chunk(tuple(row["chunk"])))
+            win = row["window"]
+            sel = tuple(slice(0, hi - lo) for lo, hi in win)
+            a = np.ascontiguousarray(a[sel])
+            if a.ndim == 1:
+                a = a[None]
+            while a.ndim > 2:
+                a = a.reshape(-1, a.shape[-1])
+            gt = None
+            if gt0 is not None and len(win) >= 2:
+                (r0, _), (c0, _) = win[-2], win[-1]
+                gt = [gt0[0] + c0 * gt0[1], gt0[1], gt0[2],
+                      gt0[3] + r0 * gt0[5], gt0[4], gt0[5]]
+            cid = "_".join(str(i) for i in row["chunk"]) or "0"
+            base = _os.path.splitext(
+                _os.path.basename(str(row["path"]).rstrip("/")))[0]
+            ids.append(f"{base}_c{cid}")
+            bands.append(1)
+            datas.append(a.tobytes())
+            hs.append(a.shape[0])
+            ws.append(a.shape[1])
+            dts.append(str(a.dtype))
+            gts.append(gt)
+            nds.append(float(nd0) if nd0 is not None else None)
+        return pa.Table.from_pydict({
+            "image_id": pa.array(ids, pa.string()),
+            "band": pa.array(bands, pa.int32()),
+            "data": pa.array(datas, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "dtype": pa.array(dts, pa.string()),
+            "geotransform": pa.array(gts, pa.list_(pa.float64())),
+            "nodata": pa.array(nds, pa.float64())})
+
+    return ray.data.from_items(refs).map_batches(
+        decode, batch_format="pyarrow")
+
+
+def _zarr_writer():
+    from .io.zarr import write_zarr_classic
+
+    def w(a, gt, path):
+        write_zarr_classic(path, a, gt=gt)
+    return w, ".zarr"
+
+
+SINK_REGISTRY["zarr"] = _per_row_raster_sink(_zarr_writer)
+
+
 @register_source("grib")
 def _src_grib(paths, **kwargs):
     """GRIB1/GRIB2 → one row per field (band), per-band nodata and

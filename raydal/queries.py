@@ -6419,6 +6419,95 @@ FROM g
 """
 
 
+def _ensure_zarr_fixture(keys):
+    """Deterministic multi-chunk zarr v2 store: one 33×21 uint8 grid
+    per nation key, value ``(13k + 5r + 3c + rc) % 251``, chunks
+    [1, 16, 16] (edge chunks exercised: 33 % 16, 21 % 16), zlib.
+    Cached under the size+keysum-keyed dir like the fgb fixture."""
+    from .io.zarr import write_zarr
+    from .pipelines import _CACHE_ROOT
+
+    d = os.path.join(_CACHE_ROOT,
+                     f"zarr_rt_{len(keys)}_{sum(keys)}")
+    store = os.path.join(d, "grids.zarr")
+    marker = os.path.join(d, ".done")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        k = np.asarray(sorted(keys), np.int64)[:, None, None]
+        r = np.arange(33, dtype=np.int64)[None, :, None]
+        c = np.arange(21, dtype=np.int64)[None, None, :]
+        data = ((13 * k + 5 * r + 3 * c + r * c) % 251).astype(
+            np.uint8)
+        write_zarr(store, data, chunks=[1, 16, 16],
+                   compressor="zlib", dim_names=["k", "y", "x"])
+        with open(marker, "w") as f:
+            f.write("ok")
+    return store
+
+
+def q111_zarr_roundtrip(sf_dir):
+    """Zarr store round-trip through the CHUNK-PARALLEL read path,
+    oracled in SQL (reference: ``frmts/zarr/zarr_v2_array.cpp``
+    chunk grid + zlib decode, ``autotest/gdrivers/zarr_driver.py``).
+
+    Per nation key a deterministic uint8 grid is written into one
+    3-D zarr array (chunks [1,16,16], zlib); the query reads it back
+    via ``open_source("zarr-chunks", …)`` — one Ray task per stored
+    chunk, the driver ships only (path, chunk index) metadata — and
+    aggregates sum/min/max per chunk.  The oracle recomputes the
+    exact per-chunk integer stats from the generator formula, so any
+    bug in the v2 writer, zlib codec, chunk keying, edge-chunk
+    clipping, or the fan-out decode breaks parity."""
+    import ray.data  # noqa: F401  (open_source builds the Dataset)
+
+    from .pipeline import open_source
+
+    nat = _read(sf_dir, "nation", ["n_nationkey"]).take_all()
+    keys = sorted(int(r["n_nationkey"]) for r in nat)
+    store = _ensure_zarr_fixture(keys)
+    ds = open_source("zarr-chunks", store)
+    cid_re = re.compile(r"_c(\d+)_(\d+)_(\d+)$")
+
+    def stats(t: pa.Table) -> pa.Table:
+        out = {"n_nationkey": [], "cy": [], "cx": [], "px_sum": [],
+               "px_min": [], "px_max": [], "n_px": []}
+        for i in range(t.num_rows):
+            m = cid_re.search(t["image_id"][i].as_py())
+            ki, cy, cx = (int(g) for g in m.groups())
+            a = np.frombuffer(t["data"][i].as_py(), np.uint8)
+            out["n_nationkey"].append(keys[ki])
+            out["cy"].append(cy)
+            out["cx"].append(cx)
+            out["px_sum"].append(int(a.sum()))
+            out["px_min"].append(int(a.min()))
+            out["px_max"].append(int(a.max()))
+            out["n_px"].append(a.size)
+        return pa.Table.from_pydict(
+            {k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_Q111 = """
+WITH cells AS (
+    SELECT n_nationkey AS k, r.r AS r, c.c AS c,
+           (13 * n_nationkey + 5 * r.r + 3 * c.c + r.r * c.c) % 251
+               AS v
+    FROM nation,
+         (SELECT UNNEST(RANGE(0, 33)) AS r) r,
+         (SELECT UNNEST(RANGE(0, 21)) AS c) c)
+SELECT CAST(k AS BIGINT) AS n_nationkey,
+       CAST(r // 16 AS BIGINT) AS cy,
+       CAST(c // 16 AS BIGINT) AS cx,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS BIGINT) AS px_min,
+       CAST(MAX(v) AS BIGINT) AS px_max,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM cells
+GROUP BY 1, 2, 3
+"""
+
+
 def q109_repetition_filter(sf_dir):
     """Within-document repetition quality filter (the Gopher-rules
     family, Rae et al. 2021 — duplicate n-gram fraction): per doc,
@@ -6586,6 +6675,7 @@ QUERIES = {
     "q108_bm25_topk": (q108_bm25_topk, SQL_Q108),
     "q109_repetition_filter": (q109_repetition_filter, SQL_Q109),
     "q110_pixel_info": (q110_pixel_info, SQL_Q110),
+    "q111_zarr_roundtrip": (q111_zarr_roundtrip, SQL_Q111),
 }
 
 
@@ -6618,7 +6708,8 @@ def query_fns():
              "q103_mdim_translate", "q104_superoverlay_roundtrip",
              "q105_dup_ngram_docs", "q106_kmeans_assign",
              "q107_stratified_sample", "q108_bm25_topk",
-             "q109_repetition_filter", "q110_pixel_info"}
+             "q109_repetition_filter", "q110_pixel_info",
+             "q111_zarr_roundtrip"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}

@@ -234,3 +234,32 @@ def test_cli_vector_sql():
     assert r.returncode == 0, r.stderr[-800:]
     doc = json.loads(r.stdout.strip().splitlines()[-1])
     assert doc == {"n": 31, "mind": 10, "maxd": 16}
+
+
+def test_cli_convert_per_row_sink_materializes(tif_fixture):
+    """Regression: per-row raster sinks return a lazy Dataset — the
+    CLI must consume it or 'wrote ...' prints with nothing on disk."""
+    d, src = tif_fixture
+    r = _run(["raster", "convert", "in.tif", "outxyz", "format=xyz"],
+             cwd=d)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert (d / "outxyz" / "in.xyz").exists()
+
+    r = _run(["raster", "convert", "in.tif", "outz", "format=zarr"],
+             cwd=d)
+    assert r.returncode == 0, r.stderr[-800:]
+    from raydal.io.zarr import read_zarr_raster
+    arr, gt, _nd = read_zarr_raster(str(d / "outz" / "in.zarr"))
+    assert np.array_equal(arr, src)
+    np.testing.assert_allclose(gt, [0, 1, 0, 20, 0, -1])
+
+
+def test_cli_zarr_source_by_extension(tmp_path):
+    """.zarr paths resolve to the zarr source in raster info."""
+    from raydal.io.zarr import write_zarr_classic
+    data = (np.arange(64, dtype=np.uint8)).reshape(8, 8)
+    write_zarr_classic(tmp_path / "s.zarr", data, gt=(0, 1, 0, 8, 0, -1))
+    r = _run(["raster", "info", "s.zarr"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-800:]
+    doc = json.loads(r.stdout[r.stdout.index("{"):])
+    assert doc["rows"] == 1
