@@ -32,7 +32,7 @@ _EXT_SOURCE = {
     ".dgn": "dgn", ".dxf": "dxf", ".mbtiles": "mbtiles",
     ".dt0": "dted", ".dt1": "dted", ".dt2": "dted", ".hgt": "hgt",
     ".xyz": "xyz", ".gmt": "gmt", ".kmz": "kmlsuperoverlay",
-    ".zarr": "zarr", ".zr3": "zarr",
+    ".zarr": "zarr", ".zr3": "zarr", ".pmtiles": "pmtiles",
 }
 _EXT_SINK = {
     ".parquet": "parquet", ".tif": "gtiff", ".tiff": "gtiff",
@@ -42,6 +42,7 @@ _EXT_SINK = {
     ".nc": "netcdf", ".grb": "grib", ".jp2": "jp2", ".gdb": "filegdb",
     ".mbtiles": "mbtiles", ".dt0": "dted", ".dt1": "dted",
     ".dt2": "dted", ".xyz": "xyz", ".gmt": "gmt", ".zarr": "zarr",
+    ".pmtiles": "pmtiles",
 }
 
 

@@ -1203,6 +1203,93 @@ def _sink_mbtiles(ds, path, metadata=None, xyz=True, **kwargs):
     return write_mbtiles(path, ds, metadata=metadata, xyz=xyz)
 
 
+@register_source("pmtiles")
+def _src_pmtiles(path, zoom_level=None, layer=None,
+                 max_tiles=1_000_000, **kwargs):
+    """Tile-parallel PMTiles (MVT) read: the driver decodes ONLY the
+    127-byte header + varint directories (tile ids — pure metadata);
+    each worker preads and protobuf-decodes its own tiles, so no
+    tile byte ever crosses the driver.  Fixed feature schema
+    ``tile_z/tile_x/tile_y/layer/mvt_id/wkb/geom_type/tags`` with
+    geometry in EPSG:3857 and attributes JSON-encoded in ``tags``
+    (the per-archive attribute union is not knowable without reading
+    every tile, and Ray blocks need a stable schema).
+
+    Reference: ``ogr/ogrsf_frmts/pmtiles/ogrpmtilesdataset.cpp``
+    (header/dir walk) + ``ogrmvtdataset.cpp`` (tile georeferencing).
+    """
+    import json as _json
+
+    import pyarrow as pa
+    import ray.data
+
+    from .io.mvt import mvt_layer_tables
+    from .io.pmtiles import PMTilesReader, tileid_to_zxy
+
+    rd = PMTilesReader(path)
+    if rd.tile_type != 1:
+        raise NotImplementedError("only MVT pmtiles sources")
+    z = rd.max_zoom if zoom_level is None else int(zoom_level)
+    if rd.addressed_count(zoom=z) > max_tiles:
+        raise ValueError(f"more than {max_tiles} tiles at zoom {z}; "
+                         "pass a higher max_tiles or a zoom_level")
+    items = [{"z": tz, "x": tx, "y": ty}
+             for tz, tx, ty in (tileid_to_zxy(t)
+                                for t in rd.tile_ids(zoom=z))]
+    apath, want = str(path), layer
+
+    def decode(batch: pa.Table) -> pa.Table:
+        rdr = PMTilesReader(apath)          # header+dirs per task only
+        cols = {k: [] for k in ("tile_z", "tile_x", "tile_y", "layer",
+                                "mvt_id", "wkb", "geom_type", "tags")}
+        for row in batch.to_pylist():
+            tz, tx, ty = row["z"], row["x"], row["y"]
+            buf = rdr.tile_bytes(tz, tx, ty)
+            if not buf:
+                continue
+            for lname, t in mvt_layer_tables(buf, tz, tx, ty).items():
+                if want is not None and lname != want:
+                    continue
+                attrs = [c for c in t.column_names
+                         if c not in ("mvt_id", "wkb", "geom_type")]
+                for i in range(t.num_rows):
+                    cols["tile_z"].append(tz)
+                    cols["tile_x"].append(tx)
+                    cols["tile_y"].append(ty)
+                    cols["layer"].append(lname)
+                    cols["mvt_id"].append(t["mvt_id"][i].as_py())
+                    cols["wkb"].append(t["wkb"][i].as_py())
+                    cols["geom_type"].append(t["geom_type"][i].as_py())
+                    cols["tags"].append(_json.dumps(
+                        {a: t[a][i].as_py() for a in attrs},
+                        sort_keys=True))
+        return pa.table({
+            "tile_z": pa.array(cols["tile_z"], pa.int32()),
+            "tile_x": pa.array(cols["tile_x"], pa.int32()),
+            "tile_y": pa.array(cols["tile_y"], pa.int32()),
+            "layer": pa.array(cols["layer"], pa.string()),
+            "mvt_id": pa.array(cols["mvt_id"], pa.int64()),
+            "wkb": pa.array(cols["wkb"], pa.binary()),
+            "geom_type": pa.array(cols["geom_type"], pa.string()),
+            "tags": pa.array(cols["tags"], pa.string()),
+        })
+
+    return ray.data.from_items(items).map_batches(
+        decode, batch_format="pyarrow", batch_size=64)
+
+
+@register_sink("pmtiles")
+def _sink_pmtiles(ds, path, metadata=None, bounds=None,
+                  compress_tiles=True, **kwargs):
+    """(z, x, y, tile) rows → PMTiles v3 archive (the mbtiles→pmtiles
+    conversion path, ``ogrpmtilesfrommbtiles.cpp``)."""
+    from .io.pmtiles import write_pmtiles_dataset
+
+    return write_pmtiles_dataset(path, ds, metadata=metadata,
+                                 bounds=bounds,
+                                 compress_tiles=compress_tiles)
+
+
 @register_source("kml")
 def _src_kml(src, layer=None, **kwargs):
     """KML → Dataset of features; all layers concatenated with a

@@ -6508,6 +6508,141 @@ GROUP BY 1, 2, 3
 """
 
 
+def _ensure_pmtiles_fixture(keys):
+    """Deterministic PMTiles v3 archive: per nation key one z=5 MVT
+    tile at (k%32, (3k)%32) holding a ``feat`` layer with
+    ``3 + k%4`` point features at tile coords
+    ``((37k+101j)%4096, (53k+211j)%4096)`` (id ``100k+j``) plus one
+    square polygon at ``a=(29k)%3000, b=(41k)%3000,
+    s=64+16*(k%5)`` (id ``100k+99``).  Cached under the
+    size+keysum-keyed dir like the zarr fixture."""
+    from .io.pmtiles import write_pmtiles_features
+    from .pipelines import _CACHE_ROOT
+
+    d = os.path.join(_CACHE_ROOT,
+                     f"pmtiles_rt_{len(keys)}_{sum(keys)}")
+    path = os.path.join(d, "feats.pmtiles")
+    marker = os.path.join(d, ".done")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        feats_by_tile = {}
+        for k in sorted(keys):
+            feats = []
+            for j in range(3 + k % 4):
+                u = (37 * k + 101 * j) % 4096
+                v = (53 * k + 211 * j) % 4096
+                feats.append({"id": 100 * k + j, "type": 1,
+                              "tags": {"k": k, "j": j},
+                              "parts": [np.array([[u, v]], np.int64)]})
+            a, b = (29 * k) % 3000, (41 * k) % 3000
+            s = 64 + 16 * (k % 5)
+            ring = np.array([[a, b], [a + s, b], [a + s, b + s],
+                             [a, b + s]], np.int64)
+            feats.append({"id": 100 * k + 99, "type": 3,
+                          "tags": {"k": k}, "parts": [ring]})
+            feats_by_tile[(5, k % 32, (3 * k) % 32)] = feats
+        write_pmtiles_features(path, feats_by_tile, layer="feat",
+                               min_zoom=5, max_zoom=5)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def q112_pmtiles_roundtrip(sf_dir):
+    """PMTiles/MVT round-trip through the TILE-PARALLEL source,
+    oracled in SQL (reference: ``ogr/ogrsf_frmts/pmtiles/`` header +
+    varint directories, ``ogr/ogrsf_frmts/mvt/mvt_tile.cpp`` tile
+    protobuf; semantics per ``autotest/ogr/ogr_pmtiles.py``).
+
+    Per nation key, deterministic point + polygon features are MVT-
+    encoded into one z=5 tile and archived (gzip'd directories, data
+    dedup).  The query reads the archive back via
+    ``open_source("pmtiles", …)`` — the driver ships only (z, x, y)
+    ids from the directory; workers pread + decode their own tiles —
+    then inverts the tile→EPSG:3857 georeferencing to recover the
+    integer tile coordinates and aggregates per key.  Any bug in the
+    Hilbert tile ids, directory varints, protobuf codec, zigzag
+    geometry deltas, ring winding, or the 3857 transform breaks
+    parity with the closed-form oracle."""
+    import ray.data  # noqa: F401  (open_source builds the Dataset)
+    from ray.data.aggregate import Sum
+
+    from .geo.wkb import _iter_coord_arrays, parse_wkb
+    from .pipeline import open_source
+
+    nat = _read(sf_dir, "nation", ["n_nationkey"]).take_all()
+    keys = sorted(int(r["n_nationkey"]) for r in nat)
+    path = _ensure_pmtiles_fixture(keys)
+    ds = open_source("pmtiles", path)
+    E = 20037508.342789244
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = {"n_nationkey": [], "n_points": [], "n_polys": [],
+               "pt_u_sum": [], "pt_v_sum": [], "poly_u_sum": [],
+               "poly_v_sum": []}
+        size = 2.0 * E / (1 << 5)
+        for i in range(t.num_rows):
+            k = int(t["mvt_id"][i].as_py()) // 100
+            tx = int(t["tile_x"][i].as_py())
+            ty = int(t["tile_y"][i].as_py())
+            us = vs = 0
+            for arr in _iter_coord_arrays(
+                    parse_wkb(t["wkb"][i].as_py())):
+                u = np.rint(((arr[:, 0] + E) / size - tx) * 4096)
+                v = np.rint(((E - arr[:, 1]) / size - ty) * 4096)
+                us += int(u.sum())
+                vs += int(v.sum())
+            is_pt = t["geom_type"][i].as_py() == "POINT"
+            out["n_nationkey"].append(k)
+            out["n_points"].append(1 if is_pt else 0)
+            out["n_polys"].append(0 if is_pt else 1)
+            out["pt_u_sum"].append(us if is_pt else 0)
+            out["pt_v_sum"].append(vs if is_pt else 0)
+            out["poly_u_sum"].append(0 if is_pt else us)
+            out["poly_v_sum"].append(0 if is_pt else vs)
+        return pa.Table.from_pydict(
+            {k2: pa.array(v2, pa.int64()) for k2, v2 in out.items()})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("n_nationkey")
+             .aggregate(Sum("n_points", alias_name="n_points"),
+                        Sum("n_polys", alias_name="n_polys"),
+                        Sum("pt_u_sum", alias_name="pt_u_sum"),
+                        Sum("pt_v_sum", alias_name="pt_v_sum"),
+                        Sum("poly_u_sum", alias_name="poly_u_sum"),
+                        Sum("poly_v_sum", alias_name="poly_v_sum")))
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.table({c: tbl[c].cast(pa.int64())
+                     for c in tbl.column_names})
+
+
+SQL_Q112 = """
+WITH pts AS (
+    SELECT n_nationkey AS k,
+           (37 * n_nationkey + 101 * j.j) % 4096 AS u,
+           (53 * n_nationkey + 211 * j.j) % 4096 AS v
+    FROM nation, (SELECT UNNEST(RANGE(0, 7)) AS j) j
+    WHERE j.j < 3 + n_nationkey % 4),
+poly AS (
+    -- closed 5-vertex ring: usum = 5a + 2s, vsum = 5b + 2s
+    SELECT n_nationkey AS k,
+           5 * ((29 * n_nationkey) % 3000)
+               + 2 * (64 + 16 * (n_nationkey % 5)) AS usum,
+           5 * ((41 * n_nationkey) % 3000)
+               + 2 * (64 + 16 * (n_nationkey % 5)) AS vsum
+    FROM nation)
+SELECT CAST(p.k AS BIGINT) AS n_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(1 AS BIGINT) AS n_polys,
+       CAST(SUM(p.u) AS BIGINT) AS pt_u_sum,
+       CAST(SUM(p.v) AS BIGINT) AS pt_v_sum,
+       CAST(MIN(poly.usum) AS BIGINT) AS poly_u_sum,
+       CAST(MIN(poly.vsum) AS BIGINT) AS poly_v_sum
+FROM pts p JOIN poly ON poly.k = p.k
+GROUP BY p.k
+"""
+
+
 def q109_repetition_filter(sf_dir):
     """Within-document repetition quality filter (the Gopher-rules
     family, Rae et al. 2021 — duplicate n-gram fraction): per doc,
@@ -6676,6 +6811,7 @@ QUERIES = {
     "q109_repetition_filter": (q109_repetition_filter, SQL_Q109),
     "q110_pixel_info": (q110_pixel_info, SQL_Q110),
     "q111_zarr_roundtrip": (q111_zarr_roundtrip, SQL_Q111),
+    "q112_pmtiles_roundtrip": (q112_pmtiles_roundtrip, SQL_Q112),
 }
 
 
@@ -6709,7 +6845,7 @@ def query_fns():
              "q105_dup_ngram_docs", "q106_kmeans_assign",
              "q107_stratified_sample", "q108_bm25_topk",
              "q109_repetition_filter", "q110_pixel_info",
-             "q111_zarr_roundtrip"}
+             "q111_zarr_roundtrip", "q112_pmtiles_roundtrip"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}
