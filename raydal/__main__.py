@@ -33,6 +33,8 @@ _EXT_SOURCE = {
     ".dt0": "dted", ".dt1": "dted", ".dt2": "dted", ".hgt": "hgt",
     ".xyz": "xyz", ".gmt": "gmt", ".kmz": "kmlsuperoverlay",
     ".zarr": "zarr", ".zr3": "zarr", ".pmtiles": "pmtiles",
+    ".cal": "cals", ".cals": "cals", ".dds": "dds", ".vrt": "vrt",
+    ".dim": "dimap", ".grd": "rraster",
 }
 _EXT_SINK = {
     ".parquet": "parquet", ".tif": "gtiff", ".tiff": "gtiff",
@@ -42,7 +44,8 @@ _EXT_SINK = {
     ".nc": "netcdf", ".grb": "grib", ".jp2": "jp2", ".gdb": "filegdb",
     ".mbtiles": "mbtiles", ".dt0": "dted", ".dt1": "dted",
     ".dt2": "dted", ".xyz": "xyz", ".gmt": "gmt", ".zarr": "zarr",
-    ".pmtiles": "pmtiles",
+    ".pmtiles": "pmtiles", ".cal": "cals", ".cals": "cals",
+    ".dds": "dds",
 }
 
 

@@ -17,7 +17,7 @@ import os
 
 import numpy as np
 
-__all__ = ["read_aaigrid", "write_aaigrid"]
+__all__ = ["read_aaigrid", "write_aaigrid", "read_grassascii"]
 
 _HEADER_KEYS = {"ncols", "nrows", "xllcorner", "xllcenter", "yllcorner",
                 "yllcenter", "cellsize", "dx", "dy", "nodata_value"}
@@ -66,6 +66,55 @@ def read_aaigrid(src):
     if nodata is not None:
         nodata = float(nodata) if is_float else int(float(nodata))
     gt = (x0, dx, 0.0, y0 + h * dy, 0.0, -dy)
+    return arr, gt, nodata
+
+
+def read_grassascii(src):
+    """GRASS ASCII grid (the AAIGrid driver's sibling,
+    ``frmts/aaigrid/aaigriddataset.cpp`` GRASSASCIIDataset): header
+    keys ``north south east west rows cols`` plus optional ``null:``
+    and ``type:``; data north row first.  Published parity:
+    ``autotest/gdrivers/grassasciigrid.py`` (checksum 212, gt
+    (-100, 62.5, 0, 250, 0, -41.666...))."""
+    if isinstance(src, (bytes, bytearray)):
+        text = src.decode("ascii", "replace")
+    elif isinstance(src, str) and not os.path.exists(src):
+        text = src
+    else:
+        with open(src) as f:
+            text = f.read()
+    toks = text.split()
+    keys = {"north:", "south:", "east:", "west:", "rows:", "cols:",
+            "null:", "type:"}
+    hdr = {}
+    i = 0
+    while i + 1 < len(toks) and toks[i].lower() in keys:
+        hdr[toks[i].lower().rstrip(":")] = toks[i + 1]
+        i += 2
+    if "rows" not in hdr or "cols" not in hdr:
+        raise ValueError("not a GRASS ASCII grid: missing rows/cols")
+    h, w = int(hdr["rows"]), int(hdr["cols"])
+    north, south = float(hdr["north"]), float(hdr["south"])
+    east, west = float(hdr["east"]), float(hdr["west"])
+    vals = toks[i:i + w * h]
+    if len(vals) < w * h:
+        raise ValueError("truncated GRASS ASCII grid")
+    t = hdr.get("type", "").lower()
+    if t in ("float", "double"):
+        dt = np.float32 if t == "float" else np.float64
+    elif t == "int":
+        dt = np.int32
+    else:
+        is_float = any(("." in v or "e" in v or "E" in v) for v in vals)
+        dt = np.float64 if is_float else np.int32
+    arr = np.array(vals, np.float64).astype(dt).reshape(h, w)
+    nodata = None
+    if "null" in hdr:
+        nodata = float(hdr["null"])
+        if dt == np.int32:
+            nodata = int(nodata)
+    gt = (west, (east - west) / w, 0.0, north, 0.0,
+          -(north - south) / h)
     return arr, gt, nodata
 
 

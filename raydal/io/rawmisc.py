@@ -31,7 +31,8 @@ import numpy as np
 
 __all__ = ["read_rraster", "read_isg", "read_jdem", "read_gsc",
            "read_noaa_b", "read_ctg", "read_mff", "read_roipac",
-           "read_isce", "read_ntv2", "read_genbin"]
+           "read_isce", "read_ntv2", "read_genbin",
+           "read_nsidcbin"]
 
 
 # ----------------------------------------------------------- RRASTER
@@ -501,3 +502,35 @@ def read_genbin(path):
         ph = float(kv.get("PIXEL_HEIGHT", "1"))
         gt = (ulx, pw, 0.0, uly, 0.0, -ph)
     return np.ascontiguousarray(arr), gt, None
+
+
+# ---------------------------------------------------------- NSIDCbin
+
+def read_nsidcbin(path):
+    """NSIDC sea-ice concentration .bin
+    (frmts/raw/nsidcbindataset.cpp): 300-byte ASCII header of 6-byte
+    records (columns at offset 6, rows at 12), uint8 samples; the
+    polar-stereographic geotransform is fixed by hemisphere — the
+    data-information record at offset 230 starting with ANTARCTIC
+    selects the southern grid (EPSG:3976), else northern (EPSG:3413).
+    Published parity: autotest/gdrivers/nsidcbin.py (316 cols, Byte,
+    value 27 at (60, 44))."""
+    with open(path, "rb") as f:
+        hdr = f.read(300)
+        data = f.read()
+    if len(hdr) < 300:
+        raise ValueError("truncated NSIDCbin header")
+    try:
+        w = int(hdr[6:12].split(b"\0")[0])
+        h = int(hdr[12:18].split(b"\0")[0])
+    except ValueError as e:
+        raise ValueError(f"bad NSIDCbin header: {e}") from e
+    if w <= 0 or h <= 0:
+        raise ValueError("bad NSIDCbin dimensions")
+    south = hdr[230:].startswith(b"ANTARCTIC")
+    arr = np.frombuffer(data, np.uint8, count=w * h).reshape(h, w)
+    if south:
+        gt = (-3950000.0, 25000.0, 0.0, 4350000.0, 0.0, -25000.0)
+    else:
+        gt = (-3837500.0, 25000.0, 0.0, 5837500.0, 0.0, -25000.0)
+    return arr.copy(), gt, None

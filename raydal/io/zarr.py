@@ -300,6 +300,13 @@ def _decode_filters(raw, filters, dtype):
             raw = _unshuffle(raw, int(f.get("elementsize", 4)))
         elif fid == "delta":
             dt = np.dtype(f.get("dtype", str(dtype)))
+            astype = np.dtype(f.get("astype", dt))
+            if astype != dt:
+                # the reference's CPL delta filter errors likewise
+                # (port/cpl_compressor.cpp:1092 "Only ASTYPE=DTYPE
+                # currently supported")
+                raise NotImplementedError(
+                    "zarr delta filter with astype != dtype")
             a = np.frombuffer(raw, dt)
             raw = np.cumsum(a, dtype=dt).tobytes()
         elif fid == "quantize":

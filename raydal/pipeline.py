@@ -2386,6 +2386,118 @@ def _src_genbin(paths, **kwargs):
     return ray.data.from_arrow(_raster_rows(paths, read_genbin))
 
 
+@register_source("nsidcbin")
+def _src_nsidcbin(paths, **kwargs):
+    import ray.data
+
+    from .io.rawmisc import read_nsidcbin
+
+    return ray.data.from_arrow(_raster_rows(paths, read_nsidcbin))
+
+
+@register_source("grassascii")
+def _src_grassascii(paths, **kwargs):
+    import ray.data
+
+    from .io.aaigrid import read_grassascii
+
+    return ray.data.from_arrow(_raster_rows(paths, read_grassascii))
+
+
+@register_source("cals")
+def _src_cals(paths, **kwargs):
+    import ray.data
+
+    from .io.cals import read_cals
+
+    return ray.data.from_arrow(_raster_rows(paths, read_cals))
+
+
+@register_source("dds")
+def _src_dds(paths, **kwargs):
+    import ray.data
+
+    from .io.dds import read_dds
+
+    return ray.data.from_arrow(_raster_rows(paths, read_dds))
+
+
+@register_source("vrt")
+def _src_vrt(paths, **kwargs):
+    import ray.data
+
+    from .io.vrtxml import read_vrt
+
+    return ray.data.from_arrow(_raster_rows(paths, read_vrt))
+
+
+@register_source("dimap")
+def _src_dimap(paths, **kwargs):
+    import ray.data
+
+    from .io.dimap import read_dimap
+
+    return ray.data.from_arrow(_raster_rows(paths, read_dimap))
+
+
+@register_sink("cals")
+def _sink_cals(ds, path, **kwargs):
+    """1-bit raster rows → CALS Type 1 file(s)
+    (calsdataset.cpp CreateCopy semantics): a ``.cal`` path writes the
+    single image, a directory gets one ``<image_id>.cal`` per row."""
+    import os as _os
+
+    import numpy as np
+
+    from .io.cals import write_cals
+
+    single = str(path).lower().endswith((".cal", ".cals"))
+    if not single:
+        _os.makedirs(path, exist_ok=True)
+    written = []
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        for r in batch.to_pylist():
+            arr = np.frombuffer(r["data"],
+                                np.dtype(r["dtype"])).reshape(
+                r["h"], r["w"])
+            dst = path if single else _os.path.join(
+                path, f"{r['image_id']}.cal")
+            write_cals(arr, dst, **kwargs)
+            written.append(dst)
+    return written
+
+
+@register_sink("dds")
+def _sink_dds(ds, path, fmt="UNCOMPRESSED", **kwargs):
+    """Band rows (grouped by image_id) → one DDS per image: a
+    ``.dds`` path writes the single image, a directory gets
+    ``<image_id>.dds`` files."""
+    import os as _os
+    from collections import defaultdict
+
+    import numpy as np
+
+    from .io.dds import write_dds
+
+    groups = defaultdict(list)
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        for r in batch.to_pylist():
+            arr = np.frombuffer(r["data"],
+                                np.dtype(r["dtype"])).reshape(
+                r["h"], r["w"])
+            groups[r["image_id"]].append((r["band"], arr))
+    single = str(path).lower().endswith(".dds")
+    if not single:
+        _os.makedirs(path, exist_ok=True)
+    written = []
+    for gid, rs in groups.items():
+        rs.sort(key=lambda t: t[0])
+        dst = path if single else _os.path.join(path, f"{gid}.dds")
+        write_dds([a for _b, a in rs], dst, fmt=fmt)
+        written.append(dst)
+    return written
+
+
 @register_source("tga")
 def _src_tga(paths, **kwargs):
     import ray.data
