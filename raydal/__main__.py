@@ -34,7 +34,8 @@ _EXT_SOURCE = {
     ".xyz": "xyz", ".gmt": "gmt", ".kmz": "kmlsuperoverlay",
     ".zarr": "zarr", ".zr3": "zarr", ".pmtiles": "pmtiles",
     ".cal": "cals", ".cals": "cals", ".dds": "dds", ".vrt": "vrt",
-    ".dim": "dimap", ".grd": "rraster",
+    ".dim": "dimap", ".grd": "rraster", ".pix": "pcidsk",
+    ".map": "pcraster", ".mrf": "mrf", ".bag": "bag",
 }
 _EXT_SINK = {
     ".parquet": "parquet", ".tif": "gtiff", ".tiff": "gtiff",
@@ -45,7 +46,7 @@ _EXT_SINK = {
     ".mbtiles": "mbtiles", ".dt0": "dted", ".dt1": "dted",
     ".dt2": "dted", ".xyz": "xyz", ".gmt": "gmt", ".zarr": "zarr",
     ".pmtiles": "pmtiles", ".cal": "cals", ".cals": "cals",
-    ".dds": "dds",
+    ".dds": "dds", ".map": "pcraster",
 }
 
 

@@ -268,8 +268,9 @@ class HDF5File:
             for name, child in self._links(addr):
                 full = f"{prefix}/{name}"
                 msgs = self._messages(child)
-                if any(m.type == 0x0008 for m in msgs):
-                    paths[full] = child
+                # record every node (datasets AND groups) so attrs()
+                # resolves group paths; datasets() filters by layout
+                paths[full] = child
                 if any(m.type in (0x0011, 0x0006) for m in msgs):
                     stack.append((full, child))
         self._paths = paths

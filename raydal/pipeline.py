@@ -2386,6 +2386,89 @@ def _src_genbin(paths, **kwargs):
     return ray.data.from_arrow(_raster_rows(paths, read_genbin))
 
 
+@register_source("aig")
+def _src_aig(paths, **kwargs):
+    import ray.data
+
+    from .io.aig import read_aig
+
+    return ray.data.from_arrow(_raster_rows(paths, read_aig))
+
+
+@register_source("pcraster")
+def _src_pcraster(paths, **kwargs):
+    import ray.data
+
+    from .io.pcraster import read_pcraster
+
+    return ray.data.from_arrow(_raster_rows(paths, read_pcraster))
+
+
+@register_source("pcidsk")
+def _src_pcidsk(paths, **kwargs):
+    import ray.data
+
+    from .io.pcidsk import read_pcidsk
+
+    return ray.data.from_arrow(_raster_rows(paths, read_pcidsk))
+
+
+@register_source("mrf")
+def _src_mrf(paths, **kwargs):
+    import ray.data
+
+    from .io.mrf import read_mrf
+
+    return ray.data.from_arrow(_raster_rows(paths, read_mrf))
+
+
+@register_source("bag")
+def _src_bag(paths, **kwargs):
+    import ray.data
+
+    from .io.bathy import read_bag
+
+    return ray.data.from_arrow(_raster_rows(paths, read_bag))
+
+
+@register_source("s102")
+def _src_s102(paths, elevation=False, **kwargs):
+    import ray.data
+
+    from .io.bathy import read_s102
+
+    return ray.data.from_arrow(_raster_rows(
+        paths, lambda p: read_s102(p, elevation=elevation)))
+
+
+@register_sink("pcraster")
+def _sink_pcraster(ds, path, **kwargs):
+    """Raster rows → CSF map(s): a ``.map`` path writes the single
+    row, a directory gets ``<image_id>.map`` files."""
+    import os as _os
+
+    import numpy as np
+
+    from .io.pcraster import write_pcraster
+
+    single = str(path).lower().endswith(".map")
+    if not single:
+        _os.makedirs(path, exist_ok=True)
+    written = []
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        for r in batch.to_pylist():
+            arr = np.frombuffer(r["data"],
+                                np.dtype(r["dtype"])).reshape(
+                r["h"], r["w"])
+            gt = tuple(r.get("geotransform") or (0, 1, 0, 0, 0, -1))
+            dst = path if single else _os.path.join(
+                path, f"{r['image_id']}.map")
+            write_pcraster(arr, gt, dst, nodata=r.get("nodata"),
+                           **kwargs)
+            written.append(dst)
+    return written
+
+
 @register_source("nsidcbin")
 def _src_nsidcbin(paths, **kwargs):
     import ray.data
