@@ -36,6 +36,7 @@ _EXT_SOURCE = {
     ".cal": "cals", ".cals": "cals", ".dds": "dds", ".vrt": "vrt",
     ".dim": "dimap", ".grd": "rraster", ".pix": "pcidsk",
     ".map": "pcraster", ".mrf": "mrf", ".bag": "bag",
+    ".gen": "adrg", ".thf": "adrg", ".grc": "nwt_grc",
 }
 _EXT_SINK = {
     ".parquet": "parquet", ".tif": "gtiff", ".tiff": "gtiff",

@@ -2386,6 +2386,33 @@ def _src_genbin(paths, **kwargs):
     return ray.data.from_arrow(_raster_rows(paths, read_genbin))
 
 
+@register_source("adrg")
+def _src_adrg(paths, **kwargs):
+    import ray.data
+
+    from .io.adrg import read_adrg
+
+    return ray.data.from_arrow(_raster_rows(paths, read_adrg))
+
+
+@register_source("nwt_grd")
+def _src_nwt_grd(paths, **kwargs):
+    import ray.data
+
+    from .io.nwt import read_nwt_grd
+
+    return ray.data.from_arrow(_raster_rows(paths, read_nwt_grd))
+
+
+@register_source("nwt_grc")
+def _src_nwt_grc(paths, **kwargs):
+    import ray.data
+
+    from .io.nwt import read_nwt_grc
+
+    return ray.data.from_arrow(_raster_rows(paths, read_nwt_grc))
+
+
 @register_source("aig")
 def _src_aig(paths, **kwargs):
     import ray.data

@@ -6643,6 +6643,262 @@ GROUP BY p.k
 """
 
 
+_Q113_FORMATS = ("cals", "dds", "pcraster", "grassascii", "nsidcbin",
+                 "nwt_grd", "nwt_grc", "mrf", "vrt", "dimap", "aig",
+                 "pcidsk")
+
+
+def q113_sweep_matrix(sf_dir):
+    """Round-5 sweep-driver matrix: twelve of the session's new
+    drivers round-trip (or decode hand-synthesized files), oracled
+    in SQL.
+
+    Per nation key a deterministic 32×32 grid ``base = 577k + 13r +
+    29c + rc`` is carried through each format with a per-format
+    modulus and read back through the same io/ readers that hold
+    published-checksum parity in pytest: CALS (G4, stored inverted —
+    ``frmts/cals/calsdataset.cpp`` CreateCopy), DDS uncompressed
+    RGBA (×4 bands), PCRaster CSF, GRASS ASCII text, NSIDC sea-ice
+    .bin, Northwood GRD (u16 Z ramp zmin=0/zmax=65534 so z == raw-1
+    exactly) and GRC, MRF (NONE page + BE idx), VRT XML over a TIFF
+    SimpleSource, DIMAP (METADATA.DIM + imagery TIFF), Arc/Info
+    Binary Grid (uncompressed BE int blocks + index), and PCIDSK
+    (BAND-interleaved 8U).  The oracle expands the identical value
+    formula per format; ``mismatch`` pins exact decode equality.
+    """
+    import os
+    import shutil
+    import struct
+    import tempfile
+
+    from .io.aaigrid import read_grassascii
+    from .io.aig import read_aig
+    from .io.cals import read_cals, write_cals
+    from .io.dds import read_dds, write_dds
+    from .io.dimap import read_dimap
+    from .io.mrf import read_mrf
+    from .io.nwt import read_nwt_grc, read_nwt_grd
+    from .io.pcidsk import read_pcidsk
+    from .io.pcraster import read_pcraster, write_pcraster
+    from .io.rawmisc import read_nsidcbin
+    from .io.tiff import write_tiff
+    from .io.vrtxml import read_vrt
+
+    r = np.arange(32, dtype=np.int64)[:, None]
+    c = np.arange(32, dtype=np.int64)[None, :]
+    base0 = 13 * r + 29 * c + r * c
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["n_nationkey"], dtype=np.int64)
+        out_k, out_f, sums, mism = [], [], [], []
+        tmp = tempfile.mkdtemp(prefix="raydal_q113_")
+        try:
+            for k in keys:
+                base = 577 * int(k) + base0
+                got = {}
+
+                v2 = (base % 2).astype(np.uint8)
+                dec, _, _ = read_cals(write_cals(v2))
+                got["cals"] = (dec.astype(np.int64),
+                               (1 - v2.astype(np.int64))[None])
+
+                v256 = (base % 256).astype(np.uint8)
+                dec, _, _ = read_dds(write_dds([v256] * 4))
+                got["dds"] = (dec.astype(np.int64),
+                              np.repeat(v256.astype(np.int64)[None],
+                                        4, axis=0))
+
+                v251 = (base % 251).astype(np.uint8)
+                pcr = os.path.join(tmp, "g.map")
+                write_pcraster(v251, (0, 1, 0, 32, 0, -1), pcr)
+                dec, _, _ = read_pcraster(pcr)
+                got["pcraster"] = (dec.astype(np.int64),
+                                   v251.astype(np.int64)[None])
+
+                v1000 = (base % 1000).astype(np.int64)
+                txt = ("north: 32\nsouth: 0\neast: 32\nwest: 0\n"
+                       "rows: 32\ncols: 32\n"
+                       + "\n".join(" ".join(str(int(x)) for x in row)
+                                   for row in v1000))
+                dec, _, _ = read_grassascii(txt)
+                got["grassascii"] = (dec.astype(np.int64)[None],
+                                     v1000[None])
+
+                hdr = bytearray(b" " * 300)
+                hdr[6:12] = b"    32"
+                hdr[12:18] = b"    32"
+                hdr[230:239] = b"ANTARCTIC"
+                nsb = os.path.join(tmp, "g.bin")
+                with open(nsb, "wb") as f:
+                    f.write(bytes(hdr) + v251.tobytes())
+                dec, _, _ = read_nsidcbin(nsb)
+                got["nsidcbin"] = (dec.astype(np.int64)[None],
+                                   v251.astype(np.int64)[None])
+
+                # Northwood GRD: zmin=0 zmax=65534 → z == raw - 1
+                v65534 = base % 65534
+                gh = bytearray(1024)
+                gh[4] = ord("1")
+                struct.pack_into("<H", gh, 9, 32)
+                struct.pack_into("<H", gh, 11, 32)
+                struct.pack_into("<4d", gh, 13, 0.0, 31.0, 0.0, 31.0)
+                struct.pack_into("<2f", gh, 45, 0.0, 65534.0)
+                gh[1023] = 2
+                grd = os.path.join(tmp, "g.grd")
+                with open(grd, "wb") as f:
+                    f.write(bytes(gh)
+                            + (v65534 + 1).astype("<u2").tobytes())
+                dec, _, _ = read_nwt_grd(grd)
+                got["nwt_grd"] = (dec[3].astype(np.int64)[None],
+                                  v65534[None])
+
+                gh[4] = ord("8")          # GRC: 8-bit class ids
+                grc = os.path.join(tmp, "g.grc")
+                with open(grc, "wb") as f:
+                    f.write(bytes(gh) + v251.tobytes())
+                dec, _, _ = read_nwt_grc(grc)
+                got["nwt_grc"] = (dec.astype(np.int64),
+                                  v251.astype(np.int64)[None])
+
+                mrf = os.path.join(tmp, "g.mrf")
+                with open(mrf, "w") as f:
+                    f.write('<MRF_META><Raster>'
+                            '<Size x="32" y="32" c="1"/>'
+                            '<PageSize x="32" y="32" c="1"/>'
+                            '<Compression>NONE</Compression>'
+                            '</Raster></MRF_META>')
+                with open(os.path.join(tmp, "g.idx"), "wb") as f:
+                    f.write(struct.pack(">QQ", 0, 1024))
+                with open(os.path.join(tmp, "g.til"), "wb") as f:
+                    f.write(v251.tobytes())
+                dec, _, _ = read_mrf(mrf)
+                got["mrf"] = (dec.astype(np.int64),
+                              v251.astype(np.int64)[None])
+
+                with open(os.path.join(tmp, "s.tif"), "wb") as f:
+                    f.write(write_tiff([v251]))
+                vrt = os.path.join(tmp, "g.vrt")
+                with open(vrt, "w") as f:
+                    f.write('<VRTDataset rasterXSize="32" '
+                            'rasterYSize="32">'
+                            '<VRTRasterBand dataType="Byte" band="1">'
+                            '<SimpleSource><SourceFilename '
+                            'relativeToVRT="1">s.tif</SourceFilename>'
+                            '</SimpleSource></VRTRasterBand>'
+                            '</VRTDataset>')
+                dec, _, _ = read_vrt(vrt)
+                got["vrt"] = (dec.astype(np.int64),
+                              v251.astype(np.int64)[None])
+
+                dim = os.path.join(tmp, "METADATA.DIM")
+                shutil.copy(os.path.join(tmp, "s.tif"),
+                            os.path.join(tmp, "IMAGERY.TIF"))
+                with open(dim, "w") as f:
+                    f.write('<Dimap_Document><Raster_Dimensions>'
+                            '<NCOLS>32</NCOLS><NROWS>32</NROWS>'
+                            '<NBANDS>1</NBANDS></Raster_Dimensions>'
+                            '<Data_Access><Data_File>'
+                            '<DATA_FILE_PATH href="IMAGERY.TIF"/>'
+                            '</Data_File></Data_Access>'
+                            '</Dimap_Document>')
+                dec, _, _ = read_dimap(dim)
+                got["dimap"] = (dec.astype(np.int64),
+                                v251.astype(np.int64)[None])
+
+                cov = os.path.join(tmp, "cov")
+                os.makedirs(cov, exist_ok=True)
+                ah = bytearray(308)
+                ah[:8] = b"GRID1.2\0"
+                struct.pack_into(">i", ah, 16, 1)   # int cells
+                struct.pack_into(">i", ah, 20, 1)   # NOT compressed
+                struct.pack_into(">2d", ah, 256, 1.0, 1.0)
+                struct.pack_into(">2i", ah, 288, 1, 1)
+                struct.pack_into(">i", ah, 296, 32)
+                struct.pack_into(">i", ah, 304, 32)
+                with open(os.path.join(cov, "hdr.adf"), "wb") as f:
+                    f.write(bytes(ah))
+                with open(os.path.join(cov, "dblbnd.adf"), "wb") as f:
+                    f.write(struct.pack(">4d", 0.0, 0.0, 32.0, 32.0))
+                with open(os.path.join(cov, "sta.adf"), "wb") as f:
+                    f.write(struct.pack(">4d", 0.0, 999.0, 500.0, 1.0))
+                payload = v1000.astype(">i4").tobytes()
+                blk = struct.pack(">H", len(payload) // 2) + payload
+                with open(os.path.join(cov, "w001001.adf"), "wb") as f:
+                    f.write(b"\x00" * 100 + blk)
+                ix = bytearray(100)
+                ix[:6] = b"\x00\x00\x27\x0a\xff\xff"
+                struct.pack_into(">I", ix, 24, 54)  # 108 bytes/2
+                ix += struct.pack(">2I", 50, len(payload) // 2)
+                with open(os.path.join(cov, "w001001x.adf"),
+                          "wb") as f:
+                    f.write(bytes(ix))
+                dec, _, _ = read_aig(cov)
+                got["aig"] = (dec.astype(np.int64), v1000[None])
+
+                fh = bytearray(b" " * 512)
+                fh[:8] = b"PCIDSK  "
+                fh[304:320] = b"%16d" % 4            # img block
+                fh[336:352] = b"%16d" % 2            # ih block
+                fh[360:368] = b"BAND    "
+                fh[376:384] = b"%8d" % 1
+                fh[384:392] = b"%8d" % 32
+                fh[392:400] = b"%8d" % 32
+                ih = bytearray(b" " * 1024)
+                ih[160:168] = b"8U      "
+                pix = os.path.join(tmp, "g.pix")
+                with open(pix, "wb") as f:
+                    f.write(bytes(fh) + bytes(ih) + v251.tobytes())
+                dec, _, _ = read_pcidsk(pix)
+                got["pcidsk"] = (dec.astype(np.int64),
+                                 v251.astype(np.int64)[None])
+
+                for fmt in _Q113_FORMATS:
+                    dec, expect = got[fmt]
+                    out_k.append(int(k))
+                    out_f.append(fmt)
+                    sums.append(int(dec.sum()))
+                    mism.append(int((dec != expect).sum()))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return pa.Table.from_pydict({
+            "n_nationkey": pa.array(
+                out_k, t.schema.field("n_nationkey").type),
+            "fmt": pa.array(out_f, pa.string()),
+            "val_sum": pa.array(sums, pa.int64()),
+            "mismatch": pa.array(mism, pa.int64())})
+
+    return (_read(sf_dir, "nation", ["n_nationkey"])
+            .map_batches(fn, batch_format="pyarrow", batch_size=32))
+
+
+SQL_Q113 = """
+WITH cell AS (
+  SELECT n_nationkey AS k,
+         577 * n_nationkey + 13 * r.g + 29 * c.g + r.g * c.g AS base
+  FROM nation,
+       generate_series(0, 31) r(g), generate_series(0, 31) c(g)
+), vals AS (
+  SELECT k, 'cals' AS fmt, 1 - base % 2 AS val FROM cell
+  UNION ALL SELECT k, 'dds', 4 * (base % 256) FROM cell
+  UNION ALL SELECT k, 'pcraster', base % 251 FROM cell
+  UNION ALL SELECT k, 'grassascii', base % 1000 FROM cell
+  UNION ALL SELECT k, 'nsidcbin', base % 251 FROM cell
+  UNION ALL SELECT k, 'nwt_grd', base % 65534 FROM cell
+  UNION ALL SELECT k, 'nwt_grc', base % 251 FROM cell
+  UNION ALL SELECT k, 'mrf', base % 251 FROM cell
+  UNION ALL SELECT k, 'vrt', base % 251 FROM cell
+  UNION ALL SELECT k, 'dimap', base % 251 FROM cell
+  UNION ALL SELECT k, 'aig', base % 1000 FROM cell
+  UNION ALL SELECT k, 'pcidsk', base % 251 FROM cell
+)
+SELECT k AS n_nationkey, fmt,
+       CAST(SUM(val) AS BIGINT) AS val_sum,
+       CAST(0 AS BIGINT) AS mismatch
+FROM vals
+GROUP BY k, fmt
+"""
+
+
 def q109_repetition_filter(sf_dir):
     """Within-document repetition quality filter (the Gopher-rules
     family, Rae et al. 2021 — duplicate n-gram fraction): per doc,
@@ -6812,6 +7068,7 @@ QUERIES = {
     "q110_pixel_info": (q110_pixel_info, SQL_Q110),
     "q111_zarr_roundtrip": (q111_zarr_roundtrip, SQL_Q111),
     "q112_pmtiles_roundtrip": (q112_pmtiles_roundtrip, SQL_Q112),
+    "q113_sweep_matrix": (q113_sweep_matrix, SQL_Q113),
 }
 
 
@@ -6845,7 +7102,8 @@ def query_fns():
              "q105_dup_ngram_docs", "q106_kmeans_assign",
              "q107_stratified_sample", "q108_bm25_topk",
              "q109_repetition_filter", "q110_pixel_info",
-             "q111_zarr_roundtrip", "q112_pmtiles_roundtrip"}
+             "q111_zarr_roundtrip", "q112_pmtiles_roundtrip",
+             "q113_sweep_matrix"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}

@@ -196,3 +196,57 @@ def test_sweep4_sources(ray_session, tmp_path):
     arr = np.frombuffer(df.iloc[0]["data"], np.uint8).reshape(
         df.iloc[0]["h"], df.iloc[0]["w"])
     assert checksum(arr) == 4528
+
+
+# --------------------------------------------------------------- ADRG
+
+@needs_ref
+def test_adrg_gen_and_thf():
+    from raydal.io.adrg import read_adrg
+
+    # adrg.py test_adrg_read_gen / test_adrg_read_transh: 62833
+    a, gt, _nd = read_adrg(D + "adrg/SMALL_ADRG/ABCDEF01.GEN")
+    assert a.shape == (3, 128, 128)
+    assert checksum(a[0]) == 62833
+    a2, _gt, _ = read_adrg(D + "adrg/SMALL_ADRG/TRANSH01.THF")
+    assert checksum(a2[0]) == 62833
+    # explicit IMG subdataset path
+    a3, _gt, _ = read_adrg(D + "adrg/SMALL_ADRG/ABCDEF01.GEN",
+                           img_path=D + "adrg/SMALL_ADRG/ABCDEF01.IMG")
+    assert checksum(a3[0]) == 62833
+
+
+@needs_ref
+def test_adrg_polar_geotransforms():
+    from raydal.io.adrg import read_adrg
+
+    # adrg.py test_adrg_zna_9 / test_adrg_zna_18 published transforms
+    _a, gt9, _ = read_adrg(D + "adrg/SMALL_ADRG_ZNA9/ABCDEF01.GEN")
+    assert gt9 == pytest.approx(
+        (-307675.73602473765, 100.09145391818853, 0.0,
+         -179477.5051066006, 0.0, -100.09145391818853), abs=1e-5)
+    _a, gt18, _ = read_adrg(D + "adrg/SMALL_ADRG_ZNA18/ABCDEF01.GEN")
+    assert gt18 == pytest.approx(
+        (-307675.73602473765, 100.09145391818853, 0.0,
+         179477.5051066006, 0.0, -100.09145391818853), abs=1e-5)
+
+
+# ------------------------------------------------------------ NWT_GRD
+
+@needs_ref
+def test_nwt_grd_bands():
+    from raydal.io.nwt import read_nwt_grd
+
+    # nwt_grd.py test_nwt_grd_1: RGB shading + Z band checksums
+    a, gt, nd = read_nwt_grd(D + "nwt_grd/nwt_grd.grd")
+    assert [checksum(b) for b in a] == [28093, 33690, 20365, 25856]
+    assert nd == pytest.approx(-1.0e37, rel=1e-6)
+
+
+@needs_ref
+def test_nwt_grc():
+    from raydal.io.nwt import read_nwt_grc
+
+    # nwt_grc.py test_nwt_grc_1: checksum 46760
+    a, _gt, nd = read_nwt_grc(D + "nwt_grc/nwt_grc.grc")
+    assert checksum(a[0]) == 46760 and nd == 0.0
