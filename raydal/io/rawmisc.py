@@ -32,7 +32,7 @@ import numpy as np
 __all__ = ["read_rraster", "read_isg", "read_jdem", "read_gsc",
            "read_noaa_b", "read_ctg", "read_mff", "read_roipac",
            "read_isce", "read_ntv2", "read_genbin",
-           "read_nsidcbin"]
+           "read_nsidcbin", "read_mff2"]
 
 
 # ----------------------------------------------------------- RRASTER
@@ -534,3 +534,67 @@ def read_nsidcbin(path):
     else:
         gt = (-3837500.0, 25000.0, 0.0, 5837500.0, 0.0, -25000.0)
     return arr.copy(), gt, None
+
+
+# -------------------------------------------------------------- MFF2
+
+def read_mff2(path):
+    """Vexcel MFF2 / HKV blob directory (frmts/raw/hkvdataset.cpp):
+    an ``attrib`` key=value file (extent.cols/rows, pixel.size in
+    bits, pixel.encoding with the ``*``-marked selection,
+    channel.enumeration, pixel.order) next to an ``image_data`` (or
+    ``blob``) raw file; optional ``pixel.no_data``.  Dtype follows
+    the driver's size/encoding matrix (hkvdataset.cpp:845-885).
+    Published parity: autotest/gdrivers/mff2.py (bytemff2 checksum
+    4672)."""
+    d = path if os.path.isdir(path) else os.path.dirname(
+        os.path.abspath(path))
+    kv = {}
+    with open(os.path.join(d, "attrib"), encoding="latin-1") as f:
+        for line in f:
+            if "=" in line:
+                k, v = line.split("=", 1)
+                kv[k.strip()] = v.strip()
+    w = int(kv["extent.cols"])
+    h = int(kv["extent.rows"])
+    nbands = int(kv.get("channel.enumeration", "1"))
+    size = int(kv.get("pixel.size", "8")) // 8
+    enc = kv.get("pixel.encoding", "{ *unsigned }")
+    field = kv.get("pixel.field", "")
+    cplx = "*complex" in field
+    if size == 1:
+        dt = "u1"
+    elif size == 2 and "*unsigned" in enc:
+        dt = "u2"
+    elif size == 2:
+        dt = "i2"
+    elif size == 4 and cplx:
+        dt = None                        # CInt16 unsupported
+    elif size == 4 and "*unsigned" in enc:
+        dt = "u4"
+    elif size == 4 and "*two" in enc:
+        dt = "i4"
+    elif size == 4:
+        dt = "f4"
+    elif size == 8 and cplx:
+        dt = "c8"
+    elif size == 8:
+        dt = "f8"
+    elif size == 16 and cplx:
+        dt = "c16"
+    else:
+        dt = None
+    if dt is None:
+        raise NotImplementedError(
+            f"MFF2 pixel size {size} encoding {enc!r}")
+    bo = ">" if "*msbf" in kv.get("pixel.order", "") else "<"
+    blob = os.path.join(d, "image_data")
+    if not os.path.exists(blob):
+        blob = os.path.join(d, "blob")
+    raw = np.fromfile(blob, np.dtype(bo + dt),
+                      count=w * h * nbands)
+    arr = raw.astype(np.dtype(dt).newbyteorder("=")).reshape(
+        nbands, h, w)
+    nd = kv.get("pixel.no_data")
+    nodata = float(nd) if nd is not None else None
+    return np.ascontiguousarray(arr), None, nodata

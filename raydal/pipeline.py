@@ -2386,6 +2386,33 @@ def _src_genbin(paths, **kwargs):
     return ray.data.from_arrow(_raster_rows(paths, read_genbin))
 
 
+@register_source("iris")
+def _src_iris(paths, **kwargs):
+    import ray.data
+
+    from .io.iris import read_iris
+
+    return ray.data.from_arrow(_raster_rows(paths, read_iris))
+
+
+@register_source("mff2")
+def _src_mff2(paths, **kwargs):
+    import ray.data
+
+    from .io.rawmisc import read_mff2
+
+    return ray.data.from_arrow(_raster_rows(paths, read_mff2))
+
+
+@register_source("srp")
+def _src_srp(paths, **kwargs):
+    import ray.data
+
+    from .io.srp import read_srp
+
+    return ray.data.from_arrow(_raster_rows(paths, read_srp))
+
+
 @register_source("adrg")
 def _src_adrg(paths, **kwargs):
     import ray.data

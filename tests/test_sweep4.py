@@ -250,3 +250,63 @@ def test_nwt_grc():
     # nwt_grc.py test_nwt_grc_1: checksum 46760
     a, _gt, nd = read_nwt_grc(D + "nwt_grc/nwt_grc.grc")
     assert checksum(a[0]) == 46760 and nd == 0.0
+
+
+# ---------------------------------------------------------------- SRP
+
+@needs_ref
+@pytest.mark.parametrize("pcb", [0, 4, 8])
+def test_srp_usrp(pcb):
+    from raydal.io.srp import read_srp, srp_info
+
+    # srp.py test_srp_1: checksum 24576 at every PCB compression,
+    # UTM gt, 4-entry color table, QAL metadata
+    p = D + f"srp/USRP_PCB{pcb}/FKUSRP01.GEN"
+    a, gt, _nd = read_srp(p)
+    assert a.shape == (1, 128, 128)
+    assert checksum(a[0]) == 24576
+    assert gt == pytest.approx((500000.0, 5.0, 0.0, 5000000.0,
+                                0.0, -5.0))
+    info = srp_info(p)
+    ct = info["color_table"]
+    assert len(ct) == 4
+    assert ct[0] == (0, 0, 0) and ct[1] == (255, 0, 0)
+    assert info["metadata"]["SRP_CLASSIFICATION"] == "U"
+    assert info["metadata"]["SRP_CREATIONDATE"] == "20120505"
+    # THF path resolves the sibling GEN
+    a2, _gt, _ = read_srp(D + f"srp/USRP_PCB{pcb}/TRANSH01.THF")
+    assert checksum(a2[0]) == 24576
+
+
+# --------------------------------------------------------------- IRIS
+
+@needs_ref
+def test_iris():
+    from raydal.io.iris import read_iris
+
+    # iris.py test_iris_1/2: checksums 65532 / 52872 + Mercator gt
+    a, _gt, _nd = read_iris(D + "iris/fakeiris.dat")
+    assert checksum(a[0]) == 65532
+    a, gt, nd = read_iris(D + "iris/iristest.dat")
+    assert a.shape == (1, 262, 260)
+    assert checksum(a[0]) == 52872
+    assert nd == -9999.0
+    want = (16435.721785269096, 1370.4263720754534, 0.0,
+            5289830.4584420761, 0.0, -1357.6498705837876)
+    for g, w in zip(gt, want):
+        if w == 0.0:
+            assert g == 0.0
+        else:
+            assert abs(g - w) / abs(w) <= 1e-5
+
+
+# --------------------------------------------------------------- MFF2
+
+@needs_ref
+def test_mff2():
+    from raydal.io.rawmisc import read_mff2
+
+    # mff2.py test_mff2_1: checksum 4672
+    a, _gt, _nd = read_mff2(D + "mff2/bytemff2")
+    assert a.shape == (1, 20, 20) and a.dtype == np.uint8
+    assert checksum(a[0]) == 4672
