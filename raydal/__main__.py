@@ -37,6 +37,7 @@ _EXT_SOURCE = {
     ".dim": "dimap", ".grd": "rraster", ".pix": "pcidsk",
     ".map": "pcraster", ".mrf": "mrf", ".bag": "bag",
     ".gen": "adrg", ".thf": "adrg", ".grc": "nwt_grc",
+    ".xlsx": "xlsx", ".ods": "ods",
 }
 _EXT_SINK = {
     ".parquet": "parquet", ".tif": "gtiff", ".tiff": "gtiff",

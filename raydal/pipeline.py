@@ -2386,6 +2386,32 @@ def _src_genbin(paths, **kwargs):
     return ray.data.from_arrow(_raster_rows(paths, read_genbin))
 
 
+@register_source("xlsx")
+def _src_xlsx(path, sheet=None, headers=None, **kwargs):
+    import ray.data
+
+    from .io.xlsx import read_xlsx, xlsx_sheet_names
+
+    if sheet is None:
+        names = xlsx_sheet_names(path)
+        sheet = names[0] if names else None
+    return ray.data.from_arrow(read_xlsx(path, sheet=sheet,
+                                         headers=headers))
+
+
+@register_source("ods")
+def _src_ods(path, sheet=None, headers=None, **kwargs):
+    import ray.data
+
+    from .io.ods import ods_sheet_names, read_ods
+
+    if sheet is None:
+        names = ods_sheet_names(path)
+        sheet = names[0] if names else None
+    return ray.data.from_arrow(read_ods(path, sheet=sheet,
+                                        headers=headers))
+
+
 @register_source("iris")
 def _src_iris(paths, **kwargs):
     import ray.data
