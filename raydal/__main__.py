@@ -37,7 +37,7 @@ _EXT_SOURCE = {
     ".dim": "dimap", ".grd": "rraster", ".pix": "pcidsk",
     ".map": "pcraster", ".mrf": "mrf", ".bag": "bag",
     ".gen": "adrg", ".thf": "adrg", ".grc": "nwt_grc",
-    ".xlsx": "xlsx", ".ods": "ods",
+    ".xlsx": "xlsx", ".ods": "ods", ".jml": "jml",
 }
 _EXT_SINK = {
     ".parquet": "parquet", ".tif": "gtiff", ".tiff": "gtiff",
@@ -48,7 +48,7 @@ _EXT_SINK = {
     ".mbtiles": "mbtiles", ".dt0": "dted", ".dt1": "dted",
     ".dt2": "dted", ".xyz": "xyz", ".gmt": "gmt", ".zarr": "zarr",
     ".pmtiles": "pmtiles", ".cal": "cals", ".cals": "cals",
-    ".dds": "dds", ".map": "pcraster",
+    ".dds": "dds", ".map": "pcraster", ".jml": "jml",
 }
 
 

