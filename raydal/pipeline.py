@@ -2447,6 +2447,62 @@ def _sink_jml(ds, path, **kwargs):
     return write_jml(pa.concat_tables(tables), path)
 
 
+@register_source("idf")
+def _src_idf(path, layer=None, **kwargs):
+    import ray.data
+
+    from .io.vdv import read_idf
+
+    layers = read_idf(path)
+    if layer is None:
+        layer = next(iter(layers))
+    return ray.data.from_arrow(layers[layer])
+
+
+@register_source("vdv")
+def _src_vdv(path, layer=None, **kwargs):
+    import ray.data
+
+    from .io.vdv import read_vdv
+
+    layers = read_vdv(path)
+    if layer is None:
+        layer = next(iter(layers))
+    return ray.data.from_arrow(layers[layer])
+
+
+@register_source("gtfs")
+def _src_gtfs(path, layer="stops", **kwargs):
+    import ray.data
+
+    from .io.gtfs import read_gtfs
+
+    return ray.data.from_arrow(read_gtfs(path)[layer])
+
+
+@register_source("mapml")
+def _src_mapml(path, layer=None, **kwargs):
+    import ray.data
+
+    from .io.mapml import read_mapml
+
+    layers = read_mapml(path)
+    if layer is None:
+        layer = next(iter(layers))
+    return ray.data.from_arrow(layers[layer])
+
+
+@register_sink("mapml")
+def _sink_mapml(ds, path, layer="mapml", **kwargs):
+    import pyarrow as pa
+
+    from .io.mapml import write_mapml
+
+    tables = [pa.Table.from_pandas(b) for b in
+              ds.iter_batches(batch_format="pandas")]
+    return write_mapml({layer: pa.concat_tables(tables)}, path)
+
+
 @register_source("xlsx")
 def _src_xlsx(path, sheet=None, headers=None, **kwargs):
     import ray.data
