@@ -2447,6 +2447,64 @@ def _sink_jml(ds, path, **kwargs):
     return write_jml(pa.concat_tables(tables), path)
 
 
+@register_source("safe")
+def _src_safe(paths, **kwargs):
+    import numpy as np
+    import ray.data
+
+    from .io.satproducts import read_safe
+
+    def reader(p):
+        s = read_safe(p)
+        return np.stack(s["bands"]), None, None
+
+    return ray.data.from_arrow(_raster_rows(paths, reader))
+
+
+@register_source("rs2")
+def _src_rs2(paths, calibration=None, **kwargs):
+    import numpy as np
+    import ray.data
+
+    from .io.satproducts import read_rs2
+
+    def reader(p):
+        r = read_rs2(p, calibration=calibration)
+        return np.stack(r["bands"]), None, None
+
+    return ray.data.from_arrow(_raster_rows(paths, reader))
+
+
+@register_source("rcm")
+def _src_rcm(paths, calibration=None, **kwargs):
+    import numpy as np
+    import ray.data
+
+    from .io.satproducts import read_rcm
+
+    def reader(p):
+        r = read_rcm(p, calibration=calibration)
+        return np.stack(r["bands"]), None, None
+
+    return ray.data.from_arrow(_raster_rows(paths, reader))
+
+
+@register_source("prf")
+def _src_prf(paths, **kwargs):
+    import ray.data
+
+    from .io.prf import read_prf
+
+    def reader(p):
+        r = read_prf(p)
+        arr = r["data"]
+        if arr.ndim == 3:                  # (h, w, c) → (c, h, w)
+            arr = arr.transpose(2, 0, 1)
+        return arr, r["geotransform"], r["nodata"]
+
+    return ray.data.from_arrow(_raster_rows(paths, reader))
+
+
 @register_source("idf")
 def _src_idf(path, layer=None, **kwargs):
     import ray.data
