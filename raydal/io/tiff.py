@@ -197,6 +197,8 @@ def _dtype(sample_format, bits, bo):
     kind = {1: "u", 2: "i", 3: "f"}.get(sample_format, "u")
     if bits == 1:
         return None  # handled as bit-packed uint8 expansion
+    if bits == 12 and kind == "u":
+        return np.dtype("<u2")   # packed 12-bit expands to uint16
     if bits not in (8, 16, 32, 64):
         raise NotImplementedError(f"BitsPerSample {bits} not supported")
     if kind == "f" and bits == 8:
@@ -261,6 +263,20 @@ class TiffImage:
         i, j, _, x, y, _ = tie[:6]
         return (x - i * scale[0], scale[0], 0.0, y + j * scale[1], 0.0,
                 -scale[1])
+
+
+def _unpack_bits12(raw, rows, cols_chans):
+    """Expand packed 12-bit samples (MSB-first, rows byte-aligned) to
+    a (rows, cols_chans) uint16 array — GDAL's NBITS=12 layout."""
+    stride = (cols_chans * 12 + 7) // 8
+    need = rows * stride
+    if len(raw) < need:
+        raw = raw.ljust(need, b"\0")
+    a = np.frombuffer(raw[:need], dtype=np.uint8).reshape(rows, stride)
+    bits = np.unpackbits(a, axis=1)[:, :cols_chans * 12]
+    groups = bits.reshape(rows, cols_chans, 12).astype(np.uint16)
+    weights = (1 << np.arange(11, -1, -1)).astype(np.uint16)
+    return (groups * weights).sum(axis=2, dtype=np.uint16)
 
 
 def _unpack_bits1(raw, rows, cols):
@@ -450,6 +466,10 @@ def _read_tiff_impl(buf, ifd_index=0):
                         arr = fax_chunk(raw, th, tw)
                     elif bits == 1:
                         arr = _unpack_bits1(raw, th, tw)[..., None]
+                    elif bits == 12:
+                        arr = _unpack_bits12(
+                            raw, th, tw * chans_per_chunk).reshape(
+                            th, tw, chans_per_chunk)
                     else:
                         arr = _decode_chunk(raw, th, tw, chans_per_chunk,
                                             dt, predictor)
@@ -479,6 +499,10 @@ def _read_tiff_impl(buf, ifd_index=0):
                     arr = fax_chunk(raw, nrows, width)
                 elif bits == 1:
                     arr = _unpack_bits1(raw, nrows, width)[..., None]
+                elif bits == 12:
+                    arr = _unpack_bits12(
+                        raw, nrows, width * chans_per_chunk).reshape(
+                        nrows, width, chans_per_chunk)
                 else:
                     row_bytes = width * chans_per_chunk * dt.itemsize
                     if len(raw) < nrows * row_bytes:  # partial strip (#1179)

@@ -2447,6 +2447,25 @@ def _sink_jml(ds, path, **kwargs):
     return write_jml(pa.concat_tables(tables), path)
 
 
+@register_source("sentinel2")
+def _src_sentinel2(path, resolution="10m", epsg=None, **kwargs):
+    import numpy as np
+    import ray.data
+
+    from .io.sentinel2 import (read_sentinel2_product,
+                               read_sentinel2_subdataset)
+
+    if epsg is None:
+        prod = read_sentinel2_product(path)
+        epsg = prod["granules"][0]["epsg"]
+    s = read_sentinel2_subdataset(path, resolution, int(epsg))
+
+    def reader(_):
+        return s["data"], s["geotransform"], None
+
+    return ray.data.from_arrow(_raster_rows([path], reader))
+
+
 @register_source("safe")
 def _src_safe(paths, **kwargs):
     import numpy as np
