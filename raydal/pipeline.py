@@ -2447,6 +2447,28 @@ def _sink_jml(ds, path, **kwargs):
     return write_jml(pa.concat_tables(tables), path)
 
 
+@register_source("esric")
+def _src_esric(path, level=None, extent_source="TILING_SCHEME",
+               **kwargs):
+    import ray.data
+
+    from .io.esric import (read_esric_conf, read_esric_level,
+                           read_tpkx)
+
+    if str(path).lower().endswith(".tpkx"):
+        info = read_tpkx(path, extent_source=extent_source)
+    else:
+        info = read_esric_conf(path)
+    if level is None:
+        level = info["lods"][0][0]
+
+    def reader(_):
+        return read_esric_level(info, int(level)), \
+            info["geotransform"], None
+
+    return ray.data.from_arrow(_raster_rows([path], reader))
+
+
 @register_source("sentinel2")
 def _src_sentinel2(path, resolution="10m", epsg=None, **kwargs):
     import numpy as np
