@@ -37,7 +37,8 @@ _EXT_SOURCE = {
     ".dim": "dimap", ".grd": "rraster", ".pix": "pcidsk",
     ".map": "pcraster", ".mrf": "mrf", ".bag": "bag",
     ".gen": "adrg", ".thf": "adrg", ".grc": "nwt_grc",
-    ".xlsx": "xlsx", ".ods": "ods", ".jml": "jml",
+    ".xlsx": "xlsx", ".ods": "ods", ".jml": "jml", ".xls": "xls",
+    ".tab": "mitab", ".tpkx": "esric",
 }
 _EXT_SINK = {
     ".parquet": "parquet", ".tif": "gtiff", ".tiff": "gtiff",

@@ -2447,6 +2447,25 @@ def _sink_jml(ds, path, **kwargs):
     return write_jml(pa.concat_tables(tables), path)
 
 
+@register_source("mitab")
+def _src_mitab(path, **kwargs):
+    import ray.data
+
+    from .io.mitab import read_tab
+
+    return ray.data.from_arrow(read_tab(path))
+
+
+@register_source("xls")
+def _src_xls(path, sheet=None, headers=None, **kwargs):
+    import ray.data
+
+    from .io.xls import read_xls
+
+    return ray.data.from_arrow(read_xls(path, sheet=sheet,
+                                        headers=headers))
+
+
 @register_source("esric")
 def _src_esric(path, level=None, extent_source="TILING_SCHEME",
                **kwargs):
