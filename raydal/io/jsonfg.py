@@ -46,6 +46,7 @@ import re
 
 import pyarrow as pa
 
+from ..geo.crs import Transformer
 from .geojson import geojson_to_wkb
 
 __all__ = ["read_jsonfg", "parse_coordrefsys"]
@@ -121,7 +122,6 @@ def _reproject_geom(geom, src_code, dst_code):
     EPSG:src_code → same shape in EPSG:dst_code."""
     if src_code == dst_code:
         return geom
-    from ..geo.crs import Transformer
     tr = Transformer.from_crs(f"EPSG:{src_code}", f"EPSG:{dst_code}")
 
     def fn(a, b):

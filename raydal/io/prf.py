@@ -29,6 +29,7 @@ import xml.etree.ElementTree as ET
 import numpy as np
 
 from .tiff import read_tiff
+from .vrtxml import read_vrt
 
 __all__ = ["read_prf"]
 
@@ -52,7 +53,6 @@ def _tile_bands(tile_path):
     fixtures ship VRT XML tiles (sourceless bands read as zeros)."""
     raw = open(tile_path, "rb").read()
     if raw.lstrip()[:4] == b"<VRT":
-        from .vrtxml import read_vrt
         arr = np.asarray(read_vrt(tile_path)[0])   # (bands, h, w)
         return [arr[c] for c in range(arr.shape[0])]
     return read_tiff(raw).bands

@@ -31,6 +31,9 @@ import xml.etree.ElementTree as ET
 
 import numpy as np
 
+from .jp2 import decode_jp2
+from .tiff import read_tiff
+
 __all__ = ["read_sentinel2_product", "read_sentinel2_subdataset",
            "S2_BANDS"]
 
@@ -206,9 +209,7 @@ def _decode_tile(raw):
     """Granule tiles are nominally JP2 but the reference sniffs by
     content (its fake fixtures are TIFFs wearing .jp2 names)."""
     if raw[:4] in (b"II*\x00", b"MM\x00*"):
-        from .tiff import read_tiff
         return np.asarray(read_tiff(raw).bands[0])
-    from .jp2 import decode_jp2
     return np.asarray(decode_jp2(raw))
 
 
