@@ -2447,6 +2447,30 @@ def _sink_jml(ds, path, **kwargs):
     return write_jml(pa.concat_tables(tables), path)
 
 
+@register_source("avce00")
+def _src_avce00(path, layer="ARC", **kwargs):
+    import ray.data
+
+    from .io.avc import read_e00
+
+    layers = read_e00(path)
+    if layer not in layers:
+        layer = next(iter(layers))
+    return ray.data.from_arrow(layers[layer])
+
+
+@register_source("avcbin")
+def _src_avcbin(path, layer="ARC", **kwargs):
+    import ray.data
+
+    from .io.avc import read_avcbin
+
+    layers = read_avcbin(path)
+    if layer not in layers:
+        layer = next(iter(layers))
+    return ray.data.from_arrow(layers[layer])
+
+
 @register_source("mitab")
 def _src_mitab(path, **kwargs):
     import ray.data
