@@ -6899,6 +6899,307 @@ GROUP BY k, fmt
 """
 
 
+_Q114_FORMATS = ["esrijson", "jsonfg", "georss", "jml", "vdv",
+                 "mapml", "gtfs", "avce00", "esric"]
+
+
+def q114_session_sweep(sf_dir):
+    """Final-session sweep-driver matrix: nine of the session's new
+    vector/tile drivers round-trip (or decode synthesized documents),
+    oracled in SQL.
+
+    Per nation key, ten deterministic features flow through each
+    format and back through the same io/ readers that hold
+    published-expectation parity in pytest: EsriJSON (point features
+    + integer attributes), JSON-FG (EPSG:32631 places), GeoRSS (RSS
+    2.0 write→read), JML (write→read), VDV-452 (write→read), MapML
+    (write→read), GTFS (synthesized feed directory), AVCE00 (ARC
+    section at the reference's fixed columns) and an ESRIC compact
+    cache (one PNG tile through the bundle index).  ``val_sum``
+    carries closed-form coordinate/attribute sums the oracle
+    recomputes; ``mismatch`` pins exact decode equality.
+    """
+    import json as _json
+    import os
+    import shutil
+    import struct
+    import tempfile
+
+    import ray.data
+
+    from .io.avc import read_e00
+    from .io.esric import read_esric_conf, read_esric_level
+    from .io.esrijson import read_esrijson
+    from .io.georss import read_georss, write_georss
+    from .io.gtfs import read_gtfs
+    from .io.jml import read_jml, write_jml
+    from .io.jsonfg import read_jsonfg
+    from .io.mapml import read_mapml, write_mapml
+    from .io.png import encode_png
+    from .io.vdv import read_vdv, write_vdv
+
+    N = 10
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["n_nationkey"], dtype=np.int64)
+        out_k, out_f, sums, mism = [], [], [], []
+        tmp = tempfile.mkdtemp(prefix="raydal_q114_")
+        try:
+            for k in keys:
+                k = int(k)
+                i = np.arange(N, dtype=np.int64)
+                got = {}
+
+                doc = {"geometryType": "esriGeometryPoint",
+                       "fields": [{"name": "val",
+                                   "type": "esriFieldTypeInteger"}],
+                       "features": [
+                           {"geometry": {"x": k + j, "y": 2 * k + j},
+                            "attributes": {"val": 7 * k + j}}
+                           for j in range(N)]}
+                tbl = read_esrijson(doc)
+                xs = np.array([struct.unpack("<2d", w[5:21])
+                               for w in tbl["wkb"].to_pylist()])
+                vals = np.asarray(tbl["val"], dtype=np.int64)
+                got["esrijson"] = (
+                    int(vals.sum() + xs.sum()),
+                    int((vals != 7 * k + i).sum()
+                        + (xs[:, 0] != k + i).sum()
+                        + (xs[:, 1] != 2 * k + i).sum()))
+
+                doc = {"type": "FeatureCollection",
+                       "conformsTo": ["[ogc-json-fg-1-0.1:core]"],
+                       "coordRefSys": "[EPSG:32631]",
+                       "features": [
+                           {"type": "Feature", "id": j + 1,
+                            "featureType": "t",
+                            "geometry": None, "time": None,
+                            "properties": {"v": 3 * k + j},
+                            "place": {"type": "Point",
+                                      "coordinates":
+                                          [500000 + k + j,
+                                           4500000 + j]}}
+                           for j in range(N)]}
+                tbl = list(read_jsonfg(doc).values())[0]
+                xs = np.array([struct.unpack("<2d", w[5:21])
+                               for w in tbl["wkb"].to_pylist()])
+                vals = np.asarray(tbl["v"], dtype=np.int64)
+                got["jsonfg"] = (
+                    int(xs[:, 0].sum() + vals.sum()),
+                    int((xs[:, 0] != 500000 + k + i).sum()
+                        + (vals != 3 * k + i).sum()))
+
+                src = pa.table({
+                    "fid": pa.array(list(range(1, N + 1)),
+                                    pa.int64()),
+                    "title": pa.array([f"t{j}" for j in range(N)]),
+                    "wkb": pa.array(
+                        [_point_wkb_le(2 * k + j, k + j)
+                         for j in range(N)], pa.binary())})
+                p = os.path.join(tmp, "f.rss")
+                write_georss(src, p, fmt="rss")
+                tbl = read_georss(p)
+                xs = np.array([struct.unpack("<2d", w[5:21])
+                               for w in tbl["wkb"].to_pylist()])
+                got["georss"] = (
+                    int(xs.sum()),
+                    int((xs[:, 0] != 2 * k + i).sum()
+                        + (xs[:, 1] != k + i).sum()))
+
+                src = pa.table({
+                    "a": pa.array([11 * k + j for j in range(N)],
+                                  pa.int64()),
+                    "wkb": pa.array(
+                        [_point_wkb_le(j, k) for j in range(N)],
+                        pa.binary())})
+                p = os.path.join(tmp, "f.jml")
+                write_jml(src, p)
+                tbl = read_jml(p)
+                xs = np.array([struct.unpack("<2d", w[5:21])
+                               for w in tbl["wkb"].to_pylist()])
+                a = np.asarray(tbl["a"], dtype=np.int64)
+                got["jml"] = (
+                    int(a.sum() + xs[:, 0].sum()),
+                    int((a != 11 * k + i).sum()
+                        + (xs[:, 0] != i).sum()))
+
+                src = pa.table({"b": pa.array(
+                    [13 * k + j for j in range(N)], pa.int64())})
+                p = os.path.join(tmp, "f.x10")
+                write_vdv({"lyr": src}, p)
+                b = np.asarray(read_vdv(p)["lyr"]["b"],
+                               dtype=np.int64)
+                got["vdv"] = (int(b.sum()),
+                              int((b != 13 * k + i).sum()))
+
+                src = pa.table({
+                    "fid": pa.array(list(range(1, N + 1)),
+                                    pa.int64()),
+                    "v": pa.array([17 * k + j for j in range(N)],
+                                  pa.int64()),
+                    "wkb": pa.array(
+                        [_point_wkb_le(j, k) for j in range(N)],
+                        pa.binary())})
+                p = os.path.join(tmp, "f.mapml")
+                write_mapml({"t": src}, p)
+                tbl = read_mapml(p)["t"]
+                v = np.asarray(tbl["v"], dtype=np.int64)
+                xs = np.array([struct.unpack("<2d", w[5:21])
+                               for w in tbl["wkb"].to_pylist()])
+                got["mapml"] = (
+                    int(v.sum() + xs[:, 0].sum()),
+                    int((v != 17 * k + i).sum()
+                        + (xs[:, 0] != i).sum()))
+
+                feed = os.path.join(tmp, "feed")
+                os.makedirs(feed, exist_ok=True)
+                stops = "stop_id,stop_name,stop_lat,stop_lon\n" + \
+                    "".join(f"s{j},n{j},{k + j},{2 * k + j}\n"
+                            for j in range(N))
+                files = {
+                    "agency.txt": "agency_name,agency_url,"
+                                  "agency_timezone\nA,http://x,UTC\n",
+                    "routes.txt": "route_id,route_type\nr1,3\n",
+                    "trips.txt": "route_id,service_id,trip_id\n"
+                                 "r1,sv,t1\n",
+                    "stop_times.txt": "trip_id,stop_id,stop_sequence\n"
+                    + "".join(f"t1,s{j},{j + 1}\n" for j in range(N)),
+                    "stops.txt": stops,
+                    "calendar.txt": "service_id,monday,start_date,"
+                                    "end_date\nsv,1,20230102,20231231\n",
+                }
+                for fn_, content in files.items():
+                    with open(os.path.join(feed, fn_), "w") as f:
+                        f.write(content)
+                g = read_gtfs(feed)
+                lat = np.asarray(g["stops"]["stop_lat"],
+                                 dtype=np.float64)
+                lon = np.asarray(g["stops"]["stop_lon"],
+                                 dtype=np.float64)
+                got["gtfs"] = (
+                    int(lat.sum() + lon.sum()),
+                    int((lat != k + i).sum() + (lon != 2 * k + i).sum()))
+
+                hdrs = "%10d" * 7 % (1, k % 1000, 0, 0, 0, 0, N)
+                coords = []
+                for j0 in range(0, N, 2):
+                    coords.append("%14.7E%14.7E%14.7E%14.7E" % (
+                        k + j0, 2 * k + j0, k + j0 + 1,
+                        2 * k + j0 + 1))
+                e00 = ("EXP  0 q114\nARC  2\n" + hdrs + "\n"
+                       + "\n".join(coords) + "\n"
+                       + "%10d" * 7 % (-1, 0, 0, 0, 0, 0, 0)
+                       + "\nEOF\n")
+                p = os.path.join(tmp, "f.e00")
+                with open(p, "w") as f:
+                    f.write(e00)
+                arc = read_e00(p)["ARC"]
+                pts = _parse_line_pts(arc["wkb"][0].as_py())
+                got["avce00"] = (
+                    int(pts.sum()),
+                    int((pts[:, 0] != k + i).sum()
+                        + (pts[:, 1] != 2 * k + i).sum()))
+
+                cache = os.path.join(tmp, "cache")
+                v = (577 * k) % 251
+                _write_esric_fixture(cache, np.full(
+                    (256, 256), v, dtype=np.uint8), encode_png)
+                info = read_esric_conf(os.path.join(cache, "conf.xml"))
+                arr = read_esric_level(info, 0)
+                got["esric"] = (
+                    int(arr[0].astype(np.int64).sum()),
+                    int((arr[0] != v).sum()))
+
+                for fmt in _Q114_FORMATS:
+                    s, m = got[fmt]
+                    out_k.append(k)
+                    out_f.append(fmt)
+                    sums.append(s)
+                    mism.append(m)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return pa.Table.from_pydict({
+            "n_nationkey": pa.array(
+                out_k, t.schema.field("n_nationkey").type),
+            "fmt": pa.array(out_f, pa.string()),
+            "val_sum": pa.array(sums, pa.int64()),
+            "mismatch": pa.array(mism, pa.int64())})
+
+    return (_read(sf_dir, "nation", ["n_nationkey"])
+            .map_batches(fn, batch_format="pyarrow", batch_size=32))
+
+
+def _point_wkb_le(x, y):
+    import struct as _s
+    return _s.pack("<BII", 1, 1, 0)[:5] + _s.pack("<2d", float(x),
+                                                  float(y))
+
+
+def _parse_line_pts(wkb):
+    import struct as _s
+    n = _s.unpack_from("<I", wkb, 5)[0]
+    return np.frombuffer(wkb, dtype="<f8", count=2 * n,
+                         offset=9).reshape(n, 2)
+
+
+def _write_esric_fixture(cache_dir, tile, encode_png):
+    """Minimal single-tile Compact Cache V2: conf.xml + one bundle."""
+    import os
+    import struct as _s
+
+    os.makedirs(os.path.join(cache_dir, "_alllayers", "L00"),
+                exist_ok=True)
+    conf = """<CacheInfo>
+ <CacheStorageInfo>
+  <StorageFormat>esriMapCacheStorageModeCompactV2</StorageFormat>
+  <PacketSize>128</PacketSize>
+ </CacheStorageInfo>
+ <TileCacheInfo>
+  <TileCols>256</TileCols><TileRows>256</TileRows>
+  <LODInfos><LODInfo><LevelID>0</LevelID>
+   <Resolution>1</Resolution></LODInfo></LODInfos>
+  <TileOrigin><X>0</X><Y>256</Y></TileOrigin>
+  <TileEnd><X>256</X><Y>0</Y></TileEnd>
+ </TileCacheInfo>
+ <TileImageInfo><CacheTileFormat>PNG</CacheTileFormat></TileImageInfo>
+</CacheInfo>"""
+    with open(os.path.join(cache_dir, "conf.xml"), "w") as f:
+        f.write(conf)
+    png = encode_png(tile)
+    header = bytearray(64)
+    _s.pack_into("<I", header, 4, 128 * 128)
+    _s.pack_into("<I", header, 60, 128 * 128 * 8)
+    index = bytearray(128 * 128 * 8)
+    offset = 64 + 128 * 128 * 8
+    _s.pack_into("<Q", index, 0, offset | (len(png) << 40))
+    with open(os.path.join(cache_dir, "_alllayers", "L00",
+                           "R0000C0000.bundle"), "wb") as f:
+        f.write(bytes(header) + bytes(index) + png)
+
+
+SQL_Q114 = """
+WITH k AS (SELECT n_nationkey AS k FROM nation),
+     s AS (SELECT 45 AS si)   -- sum(i) for i in 0..9
+, vals AS (
+  SELECT k, 'esrijson' AS fmt,
+         (70*k + 45) + (10*k + 45) + (20*k + 45) AS val FROM k
+  UNION ALL SELECT k, 'jsonfg',
+         (5000000 + 10*k + 45) + (30*k + 45) FROM k
+  UNION ALL SELECT k, 'georss', (20*k + 45) + (10*k + 45) FROM k
+  UNION ALL SELECT k, 'jml', (110*k + 45) + 45 FROM k
+  UNION ALL SELECT k, 'vdv', 130*k + 45 FROM k
+  UNION ALL SELECT k, 'mapml', (170*k + 45) + 45 FROM k
+  UNION ALL SELECT k, 'gtfs', (10*k + 45) + (20*k + 45) FROM k
+  UNION ALL SELECT k, 'avce00', (10*k + 45) + (20*k + 45) FROM k
+  UNION ALL SELECT k, 'esric', ((577*k) % 251) * 65536 FROM k
+)
+SELECT k AS n_nationkey, fmt,
+       CAST(val AS BIGINT) AS val_sum,
+       CAST(0 AS BIGINT) AS mismatch
+FROM vals
+"""
+
+
 def q109_repetition_filter(sf_dir):
     """Within-document repetition quality filter (the Gopher-rules
     family, Rae et al. 2021 — duplicate n-gram fraction): per doc,
@@ -7069,6 +7370,7 @@ QUERIES = {
     "q111_zarr_roundtrip": (q111_zarr_roundtrip, SQL_Q111),
     "q112_pmtiles_roundtrip": (q112_pmtiles_roundtrip, SQL_Q112),
     "q113_sweep_matrix": (q113_sweep_matrix, SQL_Q113),
+    "q114_session_sweep": (q114_session_sweep, SQL_Q114),
 }
 
 
@@ -7103,7 +7405,7 @@ def query_fns():
              "q107_stratified_sample", "q108_bm25_topk",
              "q109_repetition_filter", "q110_pixel_info",
              "q111_zarr_roundtrip", "q112_pmtiles_roundtrip",
-             "q113_sweep_matrix"}
+             "q113_sweep_matrix", "q114_session_sweep"}
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (kv[1][1] is None, kv[0] not in front))
     return {name: fn for name, (fn, _) in ordered}
