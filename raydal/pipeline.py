@@ -2447,6 +2447,19 @@ def _sink_jml(ds, path, **kwargs):
     return write_jml(pa.concat_tables(tables), path)
 
 
+@register_source("pds4")
+def _src_pds4(paths, file_index=1, array_index=1, **kwargs):
+    import ray.data
+
+    from .io.pds4 import read_pds4
+
+    def reader(p):
+        r = read_pds4(p, int(file_index), int(array_index))
+        return r["data"], r["geotransform"], r["nodata"]
+
+    return ray.data.from_arrow(_raster_rows(paths, reader))
+
+
 @register_source("avce00")
 def _src_avce00(path, layer="ARC", **kwargs):
     import ray.data
