@@ -2447,6 +2447,15 @@ def _sink_jml(ds, path, **kwargs):
     return write_jml(pa.concat_tables(tables), path)
 
 
+@register_source("miramon")
+def _src_miramon(path, **kwargs):
+    import ray.data
+
+    from .io.miramon import read_miramon
+
+    return ray.data.from_arrow(read_miramon(path))
+
+
 @register_source("pds4")
 def _src_pds4(paths, file_index=1, array_index=1, **kwargs):
     import ray.data
