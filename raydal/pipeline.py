@@ -2447,6 +2447,15 @@ def _sink_jml(ds, path, **kwargs):
     return write_jml(pa.concat_tables(tables), path)
 
 
+@register_source("lvbag")
+def _src_lvbag(path, **kwargs):
+    import ray.data
+
+    from .io.lvbag import read_lvbag
+
+    return ray.data.from_arrow(read_lvbag(path))
+
+
 @register_source("miramon")
 def _src_miramon(path, **kwargs):
     import ray.data
