@@ -2447,6 +2447,19 @@ def _sink_jml(ds, path, **kwargs):
     return write_jml(pa.concat_tables(tables), path)
 
 
+@register_source("rl2")
+def _src_rl2(paths, coverage=None, level=0, **kwargs):
+    import ray.data
+
+    from .io.rl2 import read_rl2
+
+    def reader(p):
+        r = read_rl2(p, coverage=coverage, level=int(level))
+        return r["data"], r["geotransform"], None
+
+    return ray.data.from_arrow(_raster_rows(paths, reader))
+
+
 @register_source("lvbag")
 def _src_lvbag(path, **kwargs):
     import ray.data
