@@ -35,6 +35,9 @@ import zlib
 
 import numpy as np
 
+from .jpeg import decode_jpeg
+from .png import decode_png
+
 __all__ = ["read_rl2", "rl2_coverages"]
 
 _DTYPES = {
@@ -106,13 +109,11 @@ def _decode_rows(blob, width, nrows, nbands, dt, bits):
                             ).astype(dt)
         return arr
     if kind == "jpeg":
-        from .jpeg import decode_jpeg
         arr = decode_jpeg(payload)
         if arr.ndim == 2:
             arr = arr[:, :, None]
         return arr[:nrows]
     if kind == "png":
-        from .png import decode_png
         arr = decode_png(payload)
         if arr.ndim == 2:
             arr = arr[:, :, None]
