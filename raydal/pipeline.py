@@ -2447,6 +2447,33 @@ def _sink_jml(ds, path, **kwargs):
     return write_jml(pa.concat_tables(tables), path)
 
 
+@register_source("selafin")
+def _src_selafin(path, layer="nodes", time=0, **kwargs):
+    import ray.data
+
+    from .io.selafin import (read_selafin, selafin_elements_table,
+                             selafin_nodes_table)
+
+    sel = read_selafin(path)
+    t = (selafin_elements_table(sel, time=int(time))
+         if layer == "elements"
+         else selafin_nodes_table(sel, time=int(time)))
+    return ray.data.from_arrow(t)
+
+
+@register_source("ceos")
+def _src_ceos(paths, **kwargs):
+    import ray.data
+
+    from .io.ceos import read_ceos
+
+    def reader(p):
+        r = read_ceos(p)
+        return r["data"], None, None
+
+    return ray.data.from_arrow(_raster_rows(paths, reader))
+
+
 @register_source("rl2")
 def _src_rl2(paths, coverage=None, level=0, **kwargs):
     import ray.data
