@@ -2447,6 +2447,18 @@ def _sink_jml(ds, path, **kwargs):
     return write_jml(pa.concat_tables(tables), path)
 
 
+@register_source("sosi")
+def _src_sosi(path, layer=None, **kwargs):
+    import ray.data
+
+    from .io.sosi import read_sosi
+
+    layers = read_sosi(path)
+    if layer is None:
+        layer = next(iter(layers))
+    return ray.data.from_arrow(layers[layer])
+
+
 @register_source("selafin")
 def _src_selafin(path, layer="nodes", time=0, **kwargs):
     import ray.data
