@@ -2447,6 +2447,18 @@ def _sink_jml(ds, path, **kwargs):
     return write_jml(pa.concat_tables(tables), path)
 
 
+@register_source("vfk")
+def _src_vfk(path, layer="PAR", **kwargs):
+    import ray.data
+
+    from .io.vfk import read_vfk
+
+    layers = read_vfk(path)
+    if layer not in layers:
+        layer = next(iter(layers))
+    return ray.data.from_arrow(layers[layer])
+
+
 @register_source("sosi")
 def _src_sosi(path, layer=None, **kwargs):
     import ray.data
