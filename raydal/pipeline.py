@@ -2447,6 +2447,18 @@ def _sink_jml(ds, path, **kwargs):
     return write_jml(pa.concat_tables(tables), path)
 
 
+@register_source("xodr")
+def _src_xodr(path, layer="ReferenceLine", eps=1.0, **kwargs):
+    import ray.data
+
+    from .io.xodr import read_xodr
+
+    layers = read_xodr(path, eps=float(eps))
+    if layer not in layers:
+        layer = next(iter(layers))
+    return ray.data.from_arrow(layers[layer])
+
+
 @register_source("vfk")
 def _src_vfk(path, layer="PAR", **kwargs):
     import ray.data
