@@ -32,6 +32,7 @@ import re
 import pyarrow as pa
 
 from ..geo import wkb as W
+from ..geo.curves import curve_to_linestring
 
 __all__ = ["read_vfk"]
 
@@ -255,7 +256,6 @@ def _apply_ftype(pts, ftype):
     """Connection-type post-processing: '16' strokes the point run as
     a CircularString (vfkfeature.cpp CurveToLine); '4'/'' straight."""
     if ftype == "16" and len(pts) >= 3:
-        from ..geo.curves import curve_to_linestring
         out = [pts[0]]
         for k in range(0, len(pts) - 2, 2):
             seg = curve_to_linestring(pts[k], pts[k + 1], pts[k + 2])
