@@ -249,5 +249,3 @@ def _walk_object(obj, row, kinds, list_fields):
                         else:
                             row[name] = _convert(kinds[name], sv)
                         break
-        elif name == "gebruiksdoel" and "gebruiksdoel" in kinds:
-            row["gebruiksdoel"].append((e.text or "").strip())

@@ -88,13 +88,10 @@ def _decode_rows(blob, width, nrows, nbands, dt, bits):
     if kind == "zlib":
         raw = zlib.decompress(payload)
         if bits < 8:
-            arr = np.unpackbits(
-                np.frombuffer(raw, dtype=np.uint8))
-            per = 8 // bits
+            arr = np.unpackbits(np.frombuffer(raw, dtype=np.uint8))
             packed = arr.reshape(-1, bits)
             weights = (1 << np.arange(bits - 1, -1, -1))
             vals = (packed * weights).sum(axis=1).astype(np.uint8)
-            stride = ((width * nbands * bits + 7) // 8) * per
             vals = vals.reshape(nrows, -1)[:, :width * nbands]
             return vals.reshape(nrows, width, nbands)
         arr = np.frombuffer(raw, dtype=dt,

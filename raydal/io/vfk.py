@@ -20,9 +20,9 @@ semantics, derived from its published test matrix
   ``PAR_ID_1``/``PAR_ID_2`` match the parcel
   (the fixture's parcel envelope area is the published 2010.5).
 
-The fixture connects points with straight segments
-(``PARAMETRY_SPOJENI = "4"``); circular connection types would need
-the reference's arc interpolation and raise if encountered.
+Connection types: ``4`` (straight) passes points through;
+``16`` strokes the run as a CircularString via the engine's
+GDAL-parity arc linearizer (vfkfeature.cpp CurveToLine).
 """
 
 from __future__ import annotations
@@ -165,7 +165,6 @@ def read_vfk(path, wkb_col="wkb"):
     sbp = data.get("SBP", [])
     group_start = None
     group_pts: list = []
-    group_of_line: dict[tuple, int] = {}
 
     def flush(start_idx, pts):
         if start_idx is not None and len(pts) >= 2:
@@ -208,7 +207,6 @@ def read_vfk(path, wkb_col="wkb"):
     # PAR polygons from HP boundary chaining
     if "PAR" in data and "HP" in data:
         hp = data["HP"]
-        hp_pts = {}
         ref_lines = {}
         for start_idx, pts in sbp_lines:
             ref = sbp[start_idx].get("HP_ID")

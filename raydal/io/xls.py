@@ -150,9 +150,6 @@ def _parse_sst(payload_parts):
             n -= take
         return out
 
-    def at_boundary():
-        return off >= len(parts[pi]) and pi + 1 < len(parts)
-
     total = struct.unpack_from("<I", parts[0], 4)[0]
     for _ in range(total):
         cch = struct.unpack("<H", need(2))[0]
