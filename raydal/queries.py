@@ -6900,7 +6900,8 @@ GROUP BY k, fmt
 
 
 _Q114_FORMATS = ["esrijson", "jsonfg", "georss", "jml", "vdv",
-                 "mapml", "gtfs", "avce00", "esric"]
+                 "mapml", "gtfs", "avce00", "esric", "selafin",
+                 "sosi", "vfk", "pds4"]
 
 
 def q114_session_sweep(sf_dir):
@@ -6935,8 +6936,13 @@ def q114_session_sweep(sf_dir):
     from .io.jml import read_jml, write_jml
     from .io.jsonfg import read_jsonfg
     from .io.mapml import read_mapml, write_mapml
+    from .io.pds4 import read_pds4
     from .io.png import encode_png
+    from .io.selafin import (read_selafin, selafin_nodes_table,
+                             write_selafin)
+    from .io.sosi import read_sosi
     from .io.vdv import read_vdv, write_vdv
+    from .io.vfk import read_vfk
 
     N = 10
 
@@ -7110,6 +7116,64 @@ def q114_session_sweep(sf_dir):
                     int(arr[0].astype(np.int64).sum()),
                     int((arr[0] != v).sum()))
 
+                slf = os.path.join(tmp, "g.slf")
+                vals = [float(19 * k + j) for j in range(N)]
+                write_selafin(slf, "q114", ["value"],
+                              [float(j) for j in range(N)],
+                              [0.0] * N,
+                              np.array([[1, 2, 3]]), times=[0.0],
+                              values=[[vals]])
+                sel = read_selafin(slf)
+                nodes = selafin_nodes_table(sel)
+                vv = np.asarray(nodes["value"], dtype=np.int64)
+                got["selafin"] = (int(vv.sum()),
+                                  int((vv != 19 * k + i).sum()))
+
+                sosi_txt = (".HODE\n..TRANSPAR\n...ORIGO-NO 0 0\n"
+                            "...ENHET 1\n"
+                            + "".join(
+                                f".KURVE {j + 1}:\n..OBJTYPE T\n..NO\n"
+                                f"{k + j} {2 * k + j}\n"
+                                f"{k + j + 1} {2 * k + j + 1}\n"
+                                for j in range(N))
+                            + ".SLUTT")
+                sp = os.path.join(tmp, "g.sos")
+                with open(sp, "w", encoding="latin1") as f:
+                    f.write(sosi_txt)
+                kurve = read_sosi(sp)["KURVE"]
+                xs = np.array([
+                    _parse_line_pts(w)[0] for w in
+                    kurve["wkb"].to_pylist()])
+                # first vertex = (E, N) = (2k+j, k+j)
+                got["sosi"] = (
+                    int(xs.sum()),
+                    int((xs[:, 0] != 2 * k + i).sum()
+                        + (xs[:, 1] != k + i).sum()))
+
+                vfk_txt = ("&HVERZE;\"3.0\"\n&HCODEPAGE;\"UTF-8\"\n"
+                           "&BTESTB;ID N30;VAL N9\n"
+                           + "".join(f"&DTESTB;{j + 1};{23 * k + j}\n"
+                                     for j in range(N))
+                           + "&KKONEC\n")
+                vp = os.path.join(tmp, "g.vfk")
+                with open(vp, "w") as f:
+                    f.write(vfk_txt)
+                tb = read_vfk(vp)["TESTB"]
+                vv = np.asarray(tb["VAL"], dtype=np.int64)
+                got["vfk"] = (int(vv.sum()),
+                              int((vv != 23 * k + i).sum()))
+
+                pv = (31 * k) % 251
+                img = os.path.join(tmp, "g.img")
+                with open(img, "wb") as f:
+                    f.write(bytes([pv]) * 256)
+                label = os.path.join(tmp, "g.xml")
+                with open(label, "w") as f:
+                    f.write(_PDS4_LABEL.format(fname="g.img"))
+                r = read_pds4(label)
+                a = r["data"].astype(np.int64)
+                got["pds4"] = (int(a.sum()), int((a != pv).sum()))
+
                 for fmt in _Q114_FORMATS:
                     s, m = got[fmt]
                     out_k.append(k)
@@ -7140,6 +7204,23 @@ def _parse_line_pts(wkb):
     n = _s.unpack_from("<I", wkb, 5)[0]
     return np.frombuffer(wkb, dtype="<f8", count=2 * n,
                          offset=9).reshape(n, 2)
+
+
+_PDS4_LABEL = """<?xml version="1.0"?>
+<Product_Observational xmlns="http://pds.nasa.gov/pds4/pds/v1">
+ <File_Area_Observational>
+  <File><file_name>{fname}</file_name></File>
+  <Array_2D_Image>
+   <offset unit="byte">0</offset>
+   <axes>2</axes>
+   <Element_Array><data_type>UnsignedByte</data_type></Element_Array>
+   <Axis_Array><axis_name>Line</axis_name><elements>16</elements>
+    <sequence_number>1</sequence_number></Axis_Array>
+   <Axis_Array><axis_name>Sample</axis_name><elements>16</elements>
+    <sequence_number>2</sequence_number></Axis_Array>
+  </Array_2D_Image>
+ </File_Area_Observational>
+</Product_Observational>"""
 
 
 def _write_esric_fixture(cache_dir, tile, encode_png):
@@ -7192,6 +7273,10 @@ WITH k AS (SELECT n_nationkey AS k FROM nation),
   UNION ALL SELECT k, 'gtfs', (10*k + 45) + (20*k + 45) FROM k
   UNION ALL SELECT k, 'avce00', (10*k + 45) + (20*k + 45) FROM k
   UNION ALL SELECT k, 'esric', ((577*k) % 251) * 65536 FROM k
+  UNION ALL SELECT k, 'selafin', 190*k + 45 FROM k
+  UNION ALL SELECT k, 'sosi', (20*k + 45) + (10*k + 45) FROM k
+  UNION ALL SELECT k, 'vfk', 230*k + 45 FROM k
+  UNION ALL SELECT k, 'pds4', ((31*k) % 251) * 256 FROM k
 )
 SELECT k AS n_nationkey, fmt,
        CAST(val AS BIGINT) AS val_sum,
